@@ -1,0 +1,149 @@
+package graft.core
+
+import java.math.BigInteger
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime kernel for the surrogate-key hash, shared by interpreted eval and
+  * generated code. Semantics (reference `etl/core/utils.py:5-8`): MD5 over the
+  * UTF-8 bytes of the pipe-joined natural key, hex digest read as ONE 128-bit
+  * unsigned integer, reduced mod 10^9. Must stay bit-for-bit stable — it is
+  * cross-checked against Python/DuckDB vectors in HashKeySpec.
+  */
+object HashKeyOps {
+  private val Mod = 1000000000L
+  // 2^64 mod 1e9 — lets us fold the 128-bit digest with 64-bit arithmetic:
+  // ((hi % m) * (2^64 % m) + lo % m) % m; max intermediate ~7.1e17 < 2^63.
+  private val TwoPow64Mod = 709551616L
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def md5Mod1e9(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    // digest is big-endian: bytes 0-7 = high 64 bits of the hex number.
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 8) { hi = (hi << 8) | (digest(i) & 0xffL); i += 1 }
+    while (i < 16) { lo = (lo << 8) | (digest(i) & 0xffL); i += 1 }
+    val hiMod = java.lang.Long.remainderUnsigned(hi, Mod)
+    val loMod = java.lang.Long.remainderUnsigned(lo, Mod)
+    (hiMod * TwoPow64Mod + loMod) % Mod
+  }
+
+  /** Non-negative 63-bit hash: high half of the MD5 digest, unsigned-shifted
+    * right by one. Used as a general-purpose stable hash for minhash/simhash
+    * seeds. Public construction only (MD5 + big-endian read), so a DuckDB
+    * oracle mirrors it exactly with `CAST(md5_number_upper(x) // 2 AS BIGINT)`.
+    */
+  def md5Hi64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    var hi = 0L
+    var i = 0
+    while (i < 8) { hi = (hi << 8) | (digest(i) & 0xffL); i += 1 }
+    hi >>> 1
+  }
+
+  /** Reference check helper for specs (hex-string route, like Python). */
+  def pythonSemantics(s: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new BigInteger(hex, 16).mod(BigInteger.valueOf(1000000000L)).longValueExact()
+  }
+}
+
+/** Catalyst expression: `md5_mod_1e9(string) -> long`.
+  *
+  * The reference's only non-relational scalar (`etl/core/utils.py:5-8`,
+  * applied per-row at `etl/core/key_mapper.py:24` and every dim transform).
+  * Implemented as a native expression with `doGenCode` so it stays inside
+  * whole-stage codegen instead of breaking the pipeline like a Scala UDF
+  * would.
+  */
+case class Md5Mod1e9(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_mod_1e9 requires string input, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    HashKeyOps.md5Mod1e9(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.HashKeyOps.md5Mod1e9($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Mod1e9 =
+    copy(child = newChild)
+  override def prettyName: String = "md5_mod_1e9"
+}
+
+/** Same shape, full-width high-64 hash (for minhash/simhash seeding). */
+case class Md5Hi64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_hi64 requires string input, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    HashKeyOps.md5Hi64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.HashKeyOps.md5Hi64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Hi64 =
+    copy(child = newChild)
+  override def prettyName: String = "md5_hi64"
+}
+
+/** Session-scoped registration of graft's native expressions, exposed through
+  * the public `call_function` API (no private Spark internals needed at call
+  * sites).
+  */
+object GraftFunctions {
+  private val registeredSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (registeredSessions.add(spark)) {
+      // Reference semantics are pandas' errors="coerce": invalid casts/array
+      // indexes yield null, never exceptions (SURVEY §7.4.5). Spark 4 flipped
+      // ANSI mode on by default — turn it off for graft sessions.
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS); read as long, rebuilt in
+      // Tables.read.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction(
+        "graft_md5_mod_1e9", exprs => Md5Mod1e9(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_md5_hi64", exprs => Md5Hi64(exprs.head), "built-in")
+    }
+
+  /** `hash_key(cols)`: surrogate key over already-normalized natural-key
+    * columns — pipe-join then 128-bit-MD5 mod 1e9
+    * (reference `etl/core/utils.py:5-8`). Inputs are cast to string; callers
+    * must have normalized nulls to "" first (utils.py:15) so pipe positions
+    * stay aligned — `concat_ws` would silently skip a null and desynchronize
+    * the key.
+    */
+  def hashKey(cols: Seq[Column]): Column =
+    call_function("graft_md5_mod_1e9",
+      concat_ws("|", cols.map(_.cast("string")): _*))
+
+  /** Stable full-width 64-bit hash (high half of MD5), for hash families. */
+  def hash64(c: Column): Column = call_function("graft_md5_hi64", c)
+}

@@ -1,0 +1,33 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Append-mode sink layer (reference S5/S6, `etl/core/dim_loader.py:23-30`,
+  * `load_311.py:113-126`): skip-if-empty, append disposition. Local format is
+  * parquet; the format string is pluggable the way the reference's BigQuery
+  * table ids are config-driven (`config/settings.toml`).
+  *
+  * Scale: append of a partitioned DataFrame is embarrassingly parallel —
+  * one file per partition, no shuffle. Callers control layout with
+  * `partitionByCols` (e.g. date_key) so downstream scans partition-prune.
+  */
+object Sink {
+
+  def append(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil): Unit = {
+    // skip-if-empty guard (dim_loader.py:26-27) without a full count: limit 1.
+    if (!df.isEmpty) {
+      val w = df.write.mode("append")
+      (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+        .parquet(path)
+    }
+  }
+
+  def overwrite(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+      .parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,464 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.QueryDef.Sql
+import graft.core.{GraftFunctions, Guards, KeyMapper, Normalize, Tables, TimeParse}
+import graft.dims.{Generators, NationDim, PriorityDim}
+import graft.facts.Star
+import graft.io.Sink
+
+/** The reference's operator inventory (SURVEY §2), one declared query per
+  * operator, each with a term-for-term DuckDB oracle. Timestamps are emitted
+  * as formatted strings so Spark-µs vs DuckDB-ns physical types can never
+  * skew the comparison; every query ends in a total ORDER BY.
+  */
+object ReferenceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val tsFmtDuck = "%Y-%m-%d %H:%M:%S.%f"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // S1/S3: source scan with a pushed [start,end) slice predicate
+    // (load_311.py:11-17: the SoQL $where analog; here the filter reaches the
+    // parquet row groups — see PushedFilters in .explain).
+    QueryDef("scan_source",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+                col("ts") <  lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(col("event_id"),
+          date_format(col("ts"), tsFmtSpark).as("ts_str"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id"),
+      Some(s"""SELECT event_id, strftime(ts, '$tsFmtDuck') AS ts_str,
+              |user_id, event_type, value FROM events
+              |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+              |  AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+              |ORDER BY event_id""".stripMargin)),
+
+    // S2: fiscal-year routing = partition pruning (load_parking.py:40-47
+    // picks 1 of 11 physical datasets). We materialize orders partitioned by
+    // fy once, then scan with a partition predicate — at 100 TB only the
+    // matching partition directory is listed and read.
+    QueryDef("scan_partition_pruned",
+      (s, dir) => {
+        val cache = s"/tmp/graft_fy_orders_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new Path(cache))) {
+          t(s, dir, "orders")
+            .withColumn("fy", year(col("o_orderdate")))
+            .write.mode("overwrite").partitionBy("fy").parquet(cache)
+        }
+        s.read.parquet(cache)
+          .filter(col("fy") === 1995)
+          .select(col("o_orderkey"), col("fy").cast("long").as("fy"),
+            col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS fy,
+             |o_totalprice FROM orders WHERE year(o_orderdate) = 1995
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // P1: projection intersected with available columns (load_311.py:109-110)
+    // — c_phone is requested but absent, so only the present three survive.
+    QueryDef("project_available",
+      (s, dir) => Guards.selectAvailable(t(s, dir, "customer"),
+          Seq("c_custkey", "c_name", "c_mktsegment", "c_phone"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")),
+
+    // P2: time-range predicate (load_311.py:13) pushed to the scan.
+    QueryDef("filter_range",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+          col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_quantity
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P3: null-drop on key columns (load_parking.py:129). Testdata has no
+    // nulls, so we first derive a nullable column, then na.drop it.
+    QueryDef("filter_dropna",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("etype",
+          when(col("event_type") =!= "click", col("event_type")))
+        .na.drop("any", Seq("etype"))
+        .select("event_id", "etype")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, event_type AS etype FROM events
+             |WHERE event_type <> 'click' ORDER BY event_id""".stripMargin)),
+
+    // P5: limit pushdown ($limit, load_311.py:15). Ordered for determinism —
+    // Spark plans this as TakeOrderedAndProject (per-partition top-k, then
+    // driver merge: no global sort shuffle even at 100 TB).
+    QueryDef("limit_n",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // A1+F1+F2 (slice 0): the dim-build spine — distinct projection over
+    // nation⋈region, normalized, surrogate-keyed (agency_loader.py:10-17).
+    QueryDef("distinct_project",
+      (s, dir) => NationDim
+        .fromTables(t(s, dir, "nation"), t(s, dir, "region"))
+        .select("n_name", "r_name", "nation_key")
+        .orderBy("n_name"),
+      Some(s"""SELECT ${Sql.norm("sub.n_name")} AS n_name,
+              |${Sql.norm("sub.r_name")} AS r_name,
+              |${Sql.hashKey(Sql.pipeKey(Seq("sub.n_name", "sub.r_name")))} AS nation_key
+              |FROM (SELECT DISTINCT n.n_name, r.r_name FROM nation n
+              |      JOIN region r ON n.n_regionkey = r.r_regionkey) sub
+              |ORDER BY n_name""".stripMargin)),
+
+    // A2: distinct-on keep-first (violation_loader.py:15-18), deterministic
+    // window form: first event per user by (ts, event_id).
+    QueryDef("distinct_on_first",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), tsFmtSpark).as("ts_str"))
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, event_id, strftime(ts, '$tsFmtDuck') AS ts_str
+              |FROM (SELECT user_id, event_id, ts,
+              |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // U1: union-by-name with missing columns null-filled (main.py:50 —
+    // pd.concat alignment == unionByName(allowMissingColumns)).
+    QueryDef("union_by_name",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(
+          col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("segment"), lit("customer").as("src"))
+        val sup = t(s, dir, "supplier").select(
+          col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+          lit("supplier").as("src"))
+        c.unionByName(sup, allowMissingColumns = true)
+          .select("name", "acctbal", "segment", "src")
+          .orderBy("src", "name")
+      },
+      Some("""SELECT c_name AS name, c_acctbal AS acctbal,
+             |c_mktsegment AS segment, 'customer' AS src FROM customer
+             |UNION ALL
+             |SELECT s_name, s_acctbal, NULL, 'supplier' FROM supplier
+             |ORDER BY src, name""".stripMargin)),
+
+    // J1: surrogate-key assignment — the reference's only join
+    // (key_mapper.py:5-49): dim = distinct normalized categorical pair,
+    // fact left-joins it on the pipe key and keeps only the stamped key.
+    QueryDef("join_left_surrogate",
+      (s, dir) => {
+        val fact = Normalize.normalizeStrings(
+          t(s, dir, "orders"), PriorityDim.naturalCols)
+        val dim = PriorityDim.build(fact)
+        KeyMapper.assignKeys(fact, dim, PriorityDim.naturalCols, PriorityDim.keyName)
+          .select("o_orderkey", "prio_key")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey,
+              |${Sql.hashKey(Sql.pipeKey(Seq("o_orderpriority", "o_orderstatus")))} AS prio_key
+              |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // J1a: the multi-join star stamping (main.py:106-135): three dims
+    // broadcast-left-joined onto the enriched lineitem fact.
+    QueryDef("join_fact_dims",
+      (s, dir) => Star.buildFact(s, dir).orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+              |l.l_extendedprice, l.l_discount,
+              |CAST(strftime(l.l_shipdate, '%Y%m%d') AS BIGINT) AS ship_date_key,
+              |${Sql.hashKey(Sql.pipeKey(Seq("p.p_brand", "p.p_type")))} AS part_key,
+              |${Sql.hashKey(Sql.pipeKey(Seq("s.s_name")))} AS supplier_key,
+              |${Sql.hashKey(Sql.pipeKey(Seq("n.n_name", "r.r_name")))} AS nation_key
+              |FROM lineitem l
+              |JOIN part p ON l.l_partkey = p.p_partkey
+              |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              |JOIN nation n ON s.s_nationkey = n.n_nationkey
+              |JOIN region r ON n.n_regionkey = r.r_regionkey
+              |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
+    // G1: date-dimension generator (date_loader.py:10-20), end-inclusive.
+    QueryDef("gen_date_dim",
+      (s, _) => Generators.dateDim(s, "2024-01-01", "2024-12-31")
+        .orderBy("date_key"),
+      Some(dateDimOracle)),
+
+    // G2: time-dimension generator (time_loader.py:8-21), 1440 minute rows.
+    QueryDef("gen_time_dim",
+      (s, _) => Generators.timeDim(s).orderBy("time_key"),
+      Some("""SELECT CAST(i // 60 * 10000 + (i % 60) * 100 AS BIGINT) AS time_key,
+             |CAST(i // 60 AS BIGINT) AS hour, CAST(i % 60 AS BIGINT) AS minute
+             |FROM generate_series(0, 1439) t(i) ORDER BY time_key""".stripMargin)),
+
+    // F1: normalize_strings (utils.py:10-16).
+    QueryDef("fn_normalize",
+      (s, dir) => {
+        val df = Normalize.normalizeStrings(
+          t(s, dir, "part"), Seq("p_brand", "p_type"))
+        df.select(col("p_partkey"), col("p_brand").as("norm_brand"),
+            col("p_type").as("norm_type"))
+          .orderBy("p_partkey")
+      },
+      Some(s"""SELECT p_partkey, ${Sql.norm("p_brand")} AS norm_brand,
+              |${Sql.norm("p_type")} AS norm_type FROM part
+              |ORDER BY p_partkey""".stripMargin)),
+
+    // F2: the surrogate hash itself (utils.py:5-8) over customer vectors.
+    QueryDef("fn_hash_key",
+      (s, dir) => {
+        val df = Normalize.normalizeStrings(
+          t(s, dir, "customer"), Seq("c_name", "c_mktsegment"))
+        df.select(col("c_custkey"),
+            GraftFunctions.hashKey(Seq(col("c_name"), col("c_mktsegment")))
+              .as("customer_key"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey,
+              |${Sql.hashKey(Sql.pipeKey(Seq("c_name", "c_mktsegment")))} AS customer_key
+              |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // F3: coercing timestamp parse (pd.to_datetime errors="coerce",
+    // load_311.py:37-47): every 5th row is corrupted and must parse to null.
+    QueryDef("fn_parse_ts",
+      (s, dir) => {
+        val base = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")
+        t(s, dir, "events")
+          .withColumn("raw",
+            when(col("event_id") % 5 === 0, concat(base, lit("xx")))
+              .otherwise(base))
+          .select(col("event_id"), col("raw"),
+            date_format(TimeParse.parseTs(col("raw")), "yyyy-MM-dd HH:mm:ss")
+              .as("parsed_str"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, raw,
+             |strftime(try_strptime(raw, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_str
+             |FROM (SELECT event_id,
+             |        strftime(ts, '%Y-%m-%d %H:%M:%S') ||
+             |        (CASE WHEN event_id % 5 = 0 THEN 'xx' ELSE '' END) AS raw
+             |      FROM events) ORDER BY event_id""".stripMargin)),
+
+    // F4: YYYYMMDD date key (load_311.py:50-52).
+    QueryDef("fn_date_key",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          TimeParse.dateKey(col("l_shipdate")).as("ship_date_key"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CAST(strftime(l_shipdate, '%Y%m%d') AS BIGINT) AS ship_date_key
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // F5: HHMM00 time key (load_311.py:53-55).
+    QueryDef("fn_time_key",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"), TimeParse.timeKey(col("ts")).as("time_key"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |CAST(hour(ts) * 10000 + minute(ts) * 100 AS BIGINT) AS time_key
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // F6: AM/PM violation-time parser (load_parking.py:87-113). Four input
+    // shapes synthesized from events.ts: "0853P", "8:53A", "08:53PM", garbage.
+    QueryDef("fn_parse_ampm",
+      (s, dir) => {
+        val hh12 = date_format(col("ts"), "hh")
+        val mm = date_format(col("ts"), "mm")
+        val mer = date_format(col("ts"), "a")
+        val letter = substring(mer, 1, 1)
+        val shape = col("event_id") % 4
+        t(s, dir, "events")
+          .withColumn("raw",
+            when(shape === 0, concat(hh12, mm, letter))
+              .when(shape === 1,
+                concat(hh12.cast("int").cast("string"), lit(":"), mm, letter))
+              .when(shape === 2, concat(hh12, lit(":"), mm, mer))
+              .otherwise(lit("9961X")))
+          .select(col("event_id"), col("raw"),
+            TimeParse.parseAmPmKey(col("raw")).as("time_key"))
+          .orderBy("event_id")
+      },
+      Some(ampmOracle)),
+
+    // F7: coercing numeric casts (pd.to_numeric errors="coerce").
+    QueryDef("fn_to_numeric",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("raw_long",
+          when(col("event_id") % 3 === 0, col("user_id").cast("string"))
+            .otherwise(lit("n/a")))
+        .withColumn("raw_double",
+          when(col("event_id") % 3 === 1,
+            concat(col("user_id").cast("string"), lit(".5")))
+            .otherwise(lit("-")))
+        .select(col("event_id"),
+          Normalize.toLong(col("raw_long")).as("as_long"),
+          Normalize.toDouble(col("raw_double")).as("as_double"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |TRY_CAST(CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
+             |              ELSE 'n/a' END AS BIGINT) AS as_long,
+             |TRY_CAST(CASE WHEN event_id % 3 = 1 THEN CAST(user_id AS VARCHAR) || '.5'
+             |              ELSE '-' END AS DOUBLE) AS as_double
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // F9: Yes/No -> boolean, null otherwise (vehicle_loader.py:29).
+    QueryDef("fn_yesno",
+      (s, dir) => t(s, dir, "lineitem")
+        .withColumn("flag",
+          when(col("l_returnflag") === "R", lit("Yes"))
+            .when(col("l_returnflag") === "A", lit("No"))
+            .otherwise(col("l_returnflag")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Normalize.yesNo(col("flag")).as("is_returned"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CASE WHEN flag = 'Yes' THEN TRUE WHEN flag = 'No' THEN FALSE END AS is_returned
+             |FROM (SELECT l_orderkey, l_linenumber,
+             |        CASE WHEN l_returnflag = 'R' THEN 'Yes'
+             |             WHEN l_returnflag = 'A' THEN 'No'
+             |             ELSE l_returnflag END AS flag
+             |      FROM lineitem) ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Flagship analytic rollup over the star (the queries the schema exists
+    // to serve — SURVEY §2.4). Sums go through DECIMAL so the result is
+    // order-independent and bit-exact vs the oracle, then back to DOUBLE.
+    QueryDef("agg_star_rollup",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+              .as("sum_qty"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,6)")).cast("double").as("revenue"))
+          .orderBy("r_name", "o_orderpriority")
+      },
+      Some("""SELECT r.r_name, o.o_orderpriority, count(*) AS n_items,
+             |CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem l
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY r.r_name, o.o_orderpriority
+             |ORDER BY r.r_name, o.o_orderpriority""".stripMargin)),
+
+    // Window functions (SURVEY §2.5 — absent in the reference, part of the
+    // analytical surface): top-3 suppliers by revenue within each nation.
+    QueryDef("window_rank",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val rev = li.groupBy("l_suppkey")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).as("revenue"))
+        val w = Window.partitionBy("n_name")
+          .orderBy(col("revenue").desc, col("s_suppkey"))
+        rev.join(broadcast(sup), rev("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("n_name"), col("s_name"),
+            col("revenue").cast("double").as("revenue"),
+            col("rank").cast("long").as("rank"))
+          .orderBy("n_name", "rank")
+      },
+      Some("""SELECT n_name, s_name, CAST(revenue AS DOUBLE) AS revenue,
+             |CAST(rank AS BIGINT) AS rank FROM (
+             |  SELECT n.n_name, s.s_name, rev.revenue, s.s_suppkey,
+             |    row_number() OVER (PARTITION BY n.n_name
+             |                       ORDER BY rev.revenue DESC, s.s_suppkey) AS rank
+             |  FROM (SELECT l_suppkey,
+             |          SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+             |        FROM lineitem GROUP BY l_suppkey) rev
+             |  JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+             |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+             |WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin)),
+
+    // S5/S6: append-mode sink (dim_loader.py:23-30) — write the date dim to a
+    // scratch path, read it back. The oracle is the generator's oracle: the
+    // sink must round-trip exactly.
+    QueryDef("sink_append",
+      (s, _) => {
+        val path = "/tmp/graft_sink_demo"
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(path), true)
+        Sink.append(Generators.dateDim(s, "2024-01-01", "2024-12-31"), path)
+        Sink.read(s, path).orderBy("date_key")
+      },
+      Some(dateDimOracle))
+  )
+
+  private lazy val dateDimOracle: String =
+    """SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key,
+      |strftime(d, '%Y-%m-%d') AS full_date,
+      |CAST(day(d) AS BIGINT) AS day, CAST(month(d) AS BIGINT) AS month,
+      |CAST(year(d) AS BIGINT) AS year, dayname(d) AS weekday
+      |FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY) t(d)
+      |ORDER BY date_key""".stripMargin
+
+  private lazy val ampmOracle: String = {
+    // mirror of TimeParse.parseAmPmKey + the raw-shape synthesis
+    val raw =
+      """CASE WHEN event_id % 4 = 0 THEN strftime(ts, '%I%M') || substr(strftime(ts, '%p'), 1, 1)
+        |     WHEN event_id % 4 = 1 THEN CAST(CAST(strftime(ts, '%I') AS INT) AS VARCHAR) || ':' || strftime(ts, '%M') || substr(strftime(ts, '%p'), 1, 1)
+        |     WHEN event_id % 4 = 2 THEN strftime(ts, '%I:%M') || strftime(ts, '%p')
+        |     ELSE '9961X' END""".stripMargin
+    s"""SELECT event_id, raw,
+       |  CASE WHEN (mer = 'A' OR mer = 'P')
+       |        AND regexp_matches(wc, '^[0-9]{1,2}:[0-9]{2}$$')
+       |        AND hh BETWEEN 1 AND 12 AND mm BETWEEN 0 AND 59
+       |    THEN CAST((CASE WHEN mer = 'A' THEN (CASE WHEN hh = 12 THEN 0 ELSE hh END)
+       |                    ELSE (CASE WHEN hh = 12 THEN 12 ELSE hh + 12 END) END) * 10000
+       |              + mm * 100 AS BIGINT) END AS time_key
+       |FROM (
+       |  SELECT event_id, raw,
+       |    TRY_CAST(split_part(wc, ':', 1) AS INT) AS hh,
+       |    TRY_CAST(split_part(wc, ':', 2) AS INT) AS mm, mer, wc
+       |  FROM (
+       |    SELECT event_id, raw,
+       |      CASE WHEN regexp_matches(core, '^[0-9]{3,4}$$')
+       |        THEN substr(core, 1, length(core) - 2) || ':' || substr(core, length(core) - 1, 2)
+       |        ELSE core END AS wc,
+       |      mer
+       |    FROM (
+       |      SELECT event_id, raw,
+       |        regexp_extract(upper(trim(raw)), '^([0-9:]+)(A|P)M?$$', 1) AS core,
+       |        regexp_extract(upper(trim(raw)), '^([0-9:]+)(A|P)M?$$', 2) AS mer
+       |      FROM (SELECT event_id, $raw AS raw FROM events))))
+       |ORDER BY event_id""".stripMargin
+  }
+}

@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Reads each query's Spark result (parquet written by graft.Verify) and its
+oracle SQL (oracle_sql.json), runs the oracle in DuckDB over views named after
+the testdata tables, and compares: column names (sorted), row count, and
+values (rows sorted by all columns). Exact match required; floats compared
+bit-exact first, then with 1e-9 tolerance reported separately.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def rows_of(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    recs = [tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    recs.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, recs
+
+
+def eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def near(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return eq(a, b)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        spark_path = out_dir / name
+        if not spark_path.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        gc, gr = rows_of(got)
+        wc, wr = rows_of(want)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != {wc}")
+            n_fail += 1
+            continue
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: rows {len(gr)} != {len(wr)}")
+            n_fail += 1
+            continue
+        bad = None
+        near_only = 0
+        for i, (a, b) in enumerate(zip(gr, wr)):
+            if all(eq(x, y) for x, y in zip(a, b)):
+                continue
+            if all(near(x, y) for x, y in zip(a, b)):
+                near_only += 1
+                continue
+            bad = (i, a, b)
+            break
+        if bad:
+            i, a, b = bad
+            print(f"FAIL {name}: row {i}\n  spark : {a}\n  oracle: {b}")
+            n_fail += 1
+        elif near_only:
+            print(f"NEAR {name}: {near_only} rows differ only within 1e-9 (float)")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows, cols={gc})")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail of {len(oracle)}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
