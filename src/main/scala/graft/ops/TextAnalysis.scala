@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftFunctions
+import graft.ops.TextOps._
+
+/** Text-analysis operators for training-data curation (SURVEY §7.6):
+  * language ID (stopword/CJK heuristic), quality scoring, token counting,
+  * document fingerprinting. All pure column expressions over `documents` —
+  * per-row, embarrassingly parallel, no shuffles except the fingerprint's
+  * shingle aggregate.
+  */
+object TextAnalysis {
+
+  /** Heuristic language ID: stopword hits per language + CJK character
+    * count; highest score wins with a fixed priority order (en, de, es,
+    * fr, zh) on ties.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val sEn = stopHits(t, StopEn)
+    val sDe = stopHits(t, StopDe)
+    val sEs = stopHits(t, StopEs)
+    val sFr = stopHits(t, StopFr)
+    val sZh = size(expr("regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0)"))
+    val predicted =
+      when(sEn >= greatest(sDe, sEs, sFr, sZh), "en")
+        .when(sDe >= greatest(sEs, sFr, sZh), "de")
+        .when(sEs >= greatest(sFr, sZh), "es")
+        .when(sFr >= sZh, "fr")
+        .otherwise("zh")
+    docs.select(col("doc_id"), predicted.as("predicted"), col("lang"))
+      .withColumn("is_match", col("predicted") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, token stats, stopword/alpha/punctuation
+    * ratios, and a blended score — the standard cheap pre-filter before
+    * expensive curation stages.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .withColumn("n_chars_", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("sum_tok_len",
+        aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("long"))
+      .withColumn("stop_hits", stopHits(t, StopEn).cast("long"))
+      .withColumn("n_alpha",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
+      .select(
+        col("doc_id"), col("n_chars_").as("n_chars"), col("n_tokens"),
+        round(col("sum_tok_len").cast("double") / col("n_tokens"), 6)
+          .as("avg_token_len"),
+        round(col("stop_hits").cast("double") / col("n_tokens"), 6)
+          .as("stopword_ratio"),
+        round(col("n_alpha").cast("double") / col("n_chars_"), 6)
+          .as("alpha_ratio"),
+        round(
+          col("stop_hits").cast("double") / col("n_tokens") * 0.5 +
+            col("n_alpha").cast("double") / col("n_chars_") * 0.5, 6)
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish subword count (letter
+    * runs, single digits, single punctuation marks).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(expr(
+        "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"))
+        .cast("long").as("n_subword_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: whole-text 128-bit-MD5-mod-1e9 content hash +
+    * a rolling-window fingerprint (min over 8-char-gram hashes — the
+    * minhash-of-shingles form of a rolling content signature).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val normed = docs.select(col("doc_id"),
+      lower(trim(col("text"))).as("txt"))
+    val grams = normed.select(col("doc_id"), col("txt"),
+      explode(expr(
+        "CASE WHEN length(txt) >= 8 THEN sequence(1, length(txt) - 7) ELSE array(1) END"))
+        .as("i"))
+      .select(col("doc_id"), expr("substring(txt, i, 8)").as("gram"))
+    val rolled = grams.groupBy("doc_id")
+      .agg(min(GraftFunctions.hash64(col("gram"))).as("fp_rolling"))
+    normed
+      .select(col("doc_id"),
+        GraftFunctions.hashKey(Seq(col("txt"))).as("fp_md5"))
+      .join(rolled, "doc_id")
+      .orderBy("doc_id")
+  }
+}

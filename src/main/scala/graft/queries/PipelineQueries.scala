@@ -1,0 +1,266 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.Sql
+import graft.core.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.streaming.Streams
+
+/** Training-data-pipeline operators (SURVEY §7.6): dedup family, similarity
+  * search, text analysis, multimodal plumbing, streaming-shaped window agg.
+  * Oracles are generated programmatically where the SQL is wide (16-column
+  * minhash signatures, 48-bit simhash sums, LSH projections).
+  */
+object PipelineQueries {
+
+  // ---- shared oracle fragments -------------------------------------------
+
+  /** Whitespace tokens of normalized text (mirror of TextOps.tokens). */
+  private val toksCte =
+    "SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents"
+
+  /** Distinct word-bigram shingles (mirror of TextOps.bigramShingles). */
+  private val shinglesExpr =
+    "list_distinct(CASE WHEN len(t) >= 2 THEN [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)] ELSE []::VARCHAR[] END)"
+
+  private def seededHash(seed: Int, expr: String): String =
+    Sql.hash64(s"'$seed|' || CAST($expr AS VARCHAR)")
+
+  /** Mirror of Similarity.cosine for two embedding columns (1-based DuckDB
+    * list indexing; float products cast to double, sequential list_sum,
+    * rounded to 6 dp).
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum([CAST($x[i] * $y[i] AS DOUBLE) for i in generate_series(1, 64)])"
+    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+  }
+
+  /** Mirror of Similarity.lshBucket (4-bit default). */
+  private def bucketSql(v: String, bits: Int): String = {
+    val bitTerms = (0 until bits).map { p =>
+      val proj =
+        s"round(list_sum([CAST($v[i+1] AS DOUBLE) * (CASE WHEN ${seededHash(p, "i")} % 2 = 0 THEN 1.0 ELSE -1.0 END) for i in generate_series(0, 63)]), 6)"
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    bitTerms.mkString("(", " + ", ")")
+  }
+
+  // ---- queries ------------------------------------------------------------
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("dedup_exact",
+      (s, dir) => Dedup.exact(Tables.read(s, dir, "documents")),
+      Some(s"""SELECT ${Sql.hashKey(Sql.norm("text"))} AS text_hash,
+              |min(doc_id) AS canonical_id, count(*) AS n_copies
+              |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin)),
+
+    QueryDef("dedup_minhash",
+      (s, dir) => Dedup.minhashPairs(Tables.read(s, dir, "documents")),
+      Some(minhashOracle)),
+
+    QueryDef("dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables.read(s, dir, "documents")),
+      Some(simhashOracle)),
+
+    QueryDef("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.read(s, dir, "documents")),
+      Some(s"""WITH toks AS ($toksCte),
+              |shl AS (SELECT doc_id, $shinglesExpr AS shingles FROM toks),
+              |sizes AS (SELECT doc_id, len(shingles) AS n FROM shl),
+              |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shl),
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              |          FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, jaccard FROM (
+              |  SELECT doc_a, doc_b,
+              |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+              |  FROM inter
+              |  JOIN sizes sa ON sa.doc_id = doc_a
+              |  JOIN sizes sb ON sb.doc_id = doc_b)
+              |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    QueryDef("dedup_embedding",
+      (s, dir) => Similarity.embeddingNearDups(Tables.read(s, dir, "embeddings")),
+      Some(s"""WITH bk AS (SELECT vec_id, embedding,
+              |  ${bucketSql("embedding", 4)} AS bucket FROM embeddings)
+              |SELECT vec_a, vec_b, cos_sim FROM (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+              |  FROM bk a JOIN bk b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    QueryDef("ann_bruteforce",
+      (s, dir) => Similarity.bruteForceTopK(Tables.read(s, dir, "embeddings")),
+      Some(s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+              |FROM (
+              |  SELECT query_id, neighbor_id, cos_sim,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+              |  FROM (
+              |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |      ${cosSql("q.embedding", "e.embedding")} AS cos_sim
+              |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+              |    WHERE q.vec_id < 5))
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("ann_lsh",
+      (s, dir) => Similarity.lshTopK(Tables.read(s, dir, "embeddings"),
+        nQueries = 5, k = 3, bits = 4),
+      Some(s"""WITH bk AS (SELECT vec_id, embedding,
+              |  ${bucketSql("embedding", 4)} AS bucket FROM embeddings)
+              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+              |FROM (
+              |  SELECT query_id, neighbor_id, cos_sim,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+              |  FROM (
+              |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |      ${cosSql("q.embedding", "e.embedding")} AS cos_sim
+              |    FROM bk q JOIN bk e
+              |      ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+              |    WHERE q.vec_id < 5))
+              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("text_langid",
+      (s, dir) => TextAnalysis.langId(Tables.read(s, dir, "documents")),
+      Some(langIdOracle)),
+
+    QueryDef("text_quality",
+      (s, dir) => TextAnalysis.quality(Tables.read(s, dir, "documents")),
+      Some(s"""SELECT doc_id, n_chars, n_tokens,
+              |round(CAST(sum_tok_len AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+              |round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+              |round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+              |round(CAST(stop_hits AS DOUBLE) / n_tokens * 0.5 +
+              |      CAST(n_alpha AS DOUBLE) / n_chars * 0.5, 6) AS quality_score
+              |FROM (
+              |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+              |    CAST(len(t) AS BIGINT) AS n_tokens,
+              |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_tok_len,
+              |    CAST(len(list_filter(t, x -> x IN (${TextOps.StopEn.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS stop_hits,
+              |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+              |  FROM ($toksCte))
+              |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("text_tokens",
+      (s, dir) => TextAnalysis.tokenCounts(Tables.read(s, dir, "documents")),
+      Some("""SELECT doc_id,
+             |CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_ws_tokens,
+             |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_subword_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("text_fingerprint",
+      (s, dir) => TextAnalysis.fingerprints(Tables.read(s, dir, "documents")),
+      Some(s"""WITH n AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+              |g AS (SELECT doc_id, txt,
+              |  unnest(generate_series(1,
+              |    CASE WHEN length(txt) >= 8 THEN length(txt) - 7 ELSE 1 END)) AS i
+              |  FROM n),
+              |r AS (SELECT doc_id, min(${Sql.hash64("substr(txt, i, 8)")}) AS fp_rolling
+              |      FROM g GROUP BY doc_id)
+              |SELECT n.doc_id, ${Sql.hashKey("txt")} AS fp_md5, fp_rolling
+              |FROM n JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id""".stripMargin)),
+
+    QueryDef("multimodal_meta",
+      (s, dir) => Multimodal.metadata(Tables.read(s, dir, "documents")),
+      Some(s"""SELECT doc_id,
+              |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+              |upper(substr(hex(encode(text)), 1, 8)) AS magic_hex,
+              |${Sql.hash64("'w|' || CAST(doc_id AS VARCHAR)")} % 1920 AS width,
+              |${Sql.hash64("'h|' || CAST(doc_id AS VARCHAR)")} % 1080 AS height,
+              |CAST(octet_length(encode(text)) % 240 AS BIGINT) AS n_frames
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("stream_window_agg",
+      (s, dir) => Streams.windowedAggBatch(s, dir),
+      Some("""SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             |event_type, count(*) AS n_events,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+
+  // ---- generated oracles --------------------------------------------------
+
+  private lazy val minhashOracle: String = {
+    val sigCols = (0 until Dedup.MinhashSigs)
+      .map(s => s"min(${seededHash(s, "sh")}) AS s$s").mkString(",\n  ")
+    val rowsPerBand = Dedup.MinhashSigs / Dedup.MinhashBands
+    val bandSelects = (0 until Dedup.MinhashBands).map { b =>
+      val bh = Sql.hash64(
+        (0 until rowsPerBand)
+          .map(r => s"CAST(s${b * rowsPerBand + r} AS VARCHAR)")
+          .mkString(" || '|' || "))
+      val sigs = (0 until Dedup.MinhashSigs).map(i => s"s$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, $bh AS bh, $sigs FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val matches = (0 until Dedup.MinhashSigs)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS ($toksCte),
+       |sh AS (SELECT doc_id, unnest($shinglesExpr) AS sh FROM
+       |       (SELECT doc_id, t FROM toks)),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |banded AS (
+       |$bandSelects)
+       |SELECT doc_a, doc_b, est_sim FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST($matches AS DOUBLE) / ${Dedup.MinhashSigs} AS est_sim
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |WHERE est_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private lazy val simhashOracle: String = {
+    val bitSums = (0 until Dedup.SimhashBits)
+      .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n  ")
+    val fpExpr = (0 until Dedup.SimhashBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val nBands = Dedup.SimhashBits / Dedup.SimhashBandBits
+    val mask = (1 << Dedup.SimhashBandBits) - 1
+    val bandSelects = (0 until nBands).map(b =>
+      s"SELECT doc_id, fp, $b AS band, (fp >> ${b * Dedup.SimhashBandBits}) & $mask AS bv FROM fp")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents),
+       |th AS (SELECT doc_id, ${Sql.hash64("tok")} AS th FROM toks),
+       |sums AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fpExpr AS fp FROM sums),
+       |banded AS (
+       |$bandSelects)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private lazy val langIdOracle: String = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    s"""SELECT doc_id, predicted, lang, predicted = lang AS is_match FROM (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+       |         WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+       |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |         WHEN s_fr >= s_zh THEN 'fr'
+       |         ELSE 'zh' END AS predicted
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      ${hits(TextOps.StopEn)} AS s_en,
+       |      ${hits(TextOps.StopDe)} AS s_de,
+       |      ${hits(TextOps.StopEs)} AS s_es,
+       |      ${hits(TextOps.StopFr)} AS s_fr,
+       |      len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+       |    FROM ($toksCte)))
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Tables
+
+/** Streaming layer. The reference has no streaming engine but its operating
+  * model is incremental micro-batch (SURVEY §2.8): daily slices, append
+  * sinks. Structured Streaming expresses that directly: the same transform
+  * runs in batch (oracle-checked) and as a stream over the same files.
+  */
+object Streams {
+
+  /** Tumbling 5-minute window aggregate per event type — the canonical
+    * watermarked streaming aggregation, written as a plain DataFrame
+    * transform so batch and streaming share one definition. Sums go
+    * through DECIMAL for order-independent results.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Batch face of the streaming aggregate (declared as a query). */
+  def windowedAggBatch(spark: SparkSession, dir: String): DataFrame =
+    windowedAgg(Tables.read(spark, dir, "events"))
+      .orderBy("window_start", "event_type")
+
+  /** True streaming run over the same parquet: file source -> watermark ->
+    * windowed agg -> memory sink, driven synchronously (used by
+    * StreamingSpec; the reference's daily-batch loop is the degenerate
+    * trigger-once case).
+    */
+  def runStreaming(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery = {
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    // schema of the raw file (ts arrives as nanos-long under
+    // nanosAsLong; rebuilt below exactly like Tables.read does for batch)
+    val rawSchema = spark.read.parquet(Tables.path(dir, "events")).schema
+    val events = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .load(Tables.path(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    windowedAgg(events.withWatermark("ts", "10 minutes"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
