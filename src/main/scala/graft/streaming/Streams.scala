@@ -43,10 +43,13 @@ object Streams {
     // schema of the raw file (ts arrives as nanos-long under
     // nanosAsLong; rebuilt below exactly like Tables.read does for batch)
     val rawSchema = spark.read.parquet(Tables.path(dir, "events")).schema
+    // file stream sources require a directory: point at the sf dir and
+    // glob-filter to the events table only
     val events = spark.readStream
       .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
       .format("parquet")
-      .load(Tables.path(dir, "events"))
+      .load(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     windowedAgg(events.withWatermark("ts", "10 minutes"))
       .writeStream

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dims.Generators
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class GeneratorsSpec extends SparkSpec {
+
+  test("time dim: exactly 1440 minute rows, keys HHMM00") {
+    val td = Generators.timeDim(spark)
+    assert(td.count() === 1440)
+    val last = td.orderBy(desc("time_key")).limit(1).collect().head
+    assert(last.getLong(0) === 235900L)
+  }
+
+  test("date dim: end-inclusive range with correct weekday names") {
+    val dd = Generators.dateDim(spark, "2024-01-01", "2024-01-07")
+    assert(dd.count() === 7) // inclusive both ends, like pandas date_range
+    val first = dd.orderBy("date_key").limit(1).collect().head
+    assert(first.getLong(0) === 20240101L)
+    assert(first.getString(5) === "Monday")
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy dog"),   // near dup of 1
+    (4L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical text under the min doc_id") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length === 3)
+    val dup = out.find(_.getLong(2) === 2L).get
+    assert(dup.getLong(1) === 1L) // canonical = min(doc_id)
+  }
+
+  test("minhash: identical docs estimate sim 1.0; near dups are found") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists { case (a, b, s) => a == 1L && b == 2L && s == 1.0 })
+    assert(pairs.exists { case (a, b, _) => a != 4L && b != 4L })
+    assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
+  test("ngram jaccard: exact pair at 1.0, distinct doc excluded") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs have hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect().toSeq
+    assert(got === Seq(1.0, 0.0, 1.0))
+  }
+
+  test("brute-force top-k on real embeddings: self excluded, ranks dense") {
+    val emb = graft.core.Tables.read(spark, sf, "embeddings")
+    val out = Similarity.bruteForceTopK(emb, nQueries = 3, k = 4).collect()
+    assert(out.length === 12)
+    assert(out.forall(r => r.getLong(2) != r.getLong(0))) // self excluded
+    val ranks = out.filter(_.get(0).toString == "0").map(_.getLong(1)).toSeq
+    assert(ranks.sorted === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("LSH bucket is deterministic and bounded") {
+    val emb = graft.core.Tables.read(spark, sf, "embeddings").limit(50)
+    val b1 = emb.select(Similarity.lshBucket(col("embedding"), 4).as("b"))
+      .as[Long].collect().toSeq
+    val b2 = emb.select(Similarity.lshBucket(col("embedding"), 4).as("b"))
+      .as[Long].collect().toSeq
+    assert(b1 === b2)
+    assert(b1.forall(b => b >= 0 && b < 16))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace vs subword") {
+    val df = Seq((1L, "Hello, world 42!")).toDF("doc_id", "text")
+    val row = TextAnalysis.tokenCounts(df).collect().head
+    assert(row.getLong(1) === 3L) // hello, | world | 42!
+    assert(row.getLong(2) === 6L) // hello , world 4 2 !
+  }
+
+  test("quality: ratios on a known doc") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(df).collect().head
+    assert(r.getLong(1) === 22L) // n_chars
+    assert(r.getLong(2) === 6L)  // n_tokens
+    assert(r.getDouble(4) === 0.5) // stopword ratio: the, on, the / 6
+  }
+
+  test("langid: english stopwords dominate") {
+    val df = Seq(
+      (1L, "the cat is on the mat with a hat", "en"),
+      (2L, "der hund ist nicht mit der katze", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(df).collect()
+    assert(out(0).getString(1) === "en")
+    assert(out(1).getString(1) === "de")
+  }
+
+  test("fingerprints: stable per content, different across contents") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fp(0)._2 === fp(1)._2 && fp(0)._3 === fp(1)._3)
+    assert(fp(0)._2 !== fp(2)._2)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("expression metadata and mapPartitions decode agree on byte_len") {
+    val docs = graft.core.Tables.read(spark, sf, "documents").limit(20)
+    val meta = Multimodal.metadata(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decoded = Multimodal.decodeAll(spark, docs).collect()
+      .map(d => d.doc_id -> d.byte_len).toMap
+    assert(meta === decoded)
+  }
+
+  test("stub decode is deterministic") {
+    val p = "payload".getBytes("UTF-8")
+    assert(MultimodalStubCheck.twice(p))
+  }
+}
+
+object MultimodalStubCheck {
+  def twice(p: Array[Byte]): Boolean =
+    graft.ops.MultimodalStub.decode(p) == graft.ops.MultimodalStub.decode(p)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.pipeline.{Backfill, Pipeline}
+
+/** End-to-end DAG smoke (SURVEY §5.4): full pipeline over sf0.001, fact row
+  * counts and surrogate-FK coverage.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val p = s"/tmp/graft_pipe_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(p), true)
+    p
+  }
+
+  test("full pipeline: fact written with 100% FK coverage") {
+    val out = freshDir("e2e")
+    val counts = Pipeline.run(spark,
+      Pipeline.Config(sf, out, "1992-01-01", "1999-01-01"))
+    assert(counts("fact_lineitem") > 0)
+    assert(counts("dim_time") === 1440)
+    val fact = Pipeline.table(spark, out, "fact_lineitem")
+    val n = fact.count()
+    assert(n === counts("fact_lineitem"))
+    // every fact row found its dim keys (dims built from the same slice)
+    Seq("part_key", "supplier_key", "nation_key").foreach { k =>
+      assert(fact.filter(fact(k).isNull).count() === 0, s"null $k")
+    }
+  }
+
+  test("append-duplication quirk: dims accumulate across runs (§2.8)") {
+    val out = freshDir("quirk")
+    Pipeline.run(spark, Pipeline.Config(sf, out, "1995-01-01", "1996-01-01"))
+    val once = Pipeline.table(spark, out, "dim_nation").count()
+    Pipeline.run(spark, Pipeline.Config(sf, out, "1995-01-01", "1996-01-01"))
+    val twice = Pipeline.table(spark, out, "dim_nation").count()
+    assert(twice === once * 2) // per-slice dedup only, append sink
+  }
+
+  test("backfill slices a range into month windows") {
+    val slices = Backfill.monthSlices("1995-01-15", "1995-04-01")
+    assert(slices === Seq(
+      ("1995-01-01", "1995-02-01"),
+      ("1995-02-01", "1995-03-01"),
+      ("1995-03-01", "1995-04-01")))
+  }
+}
