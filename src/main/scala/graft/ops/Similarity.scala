@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextOps.seededHash
-
 /** Similarity search over embedding columns (SURVEY §7.6): brute-force
   * cosine top-k as the exactness baseline, and random-hyperplane LSH
   * bucketing as the 100 TB path (candidates only meet inside a bucket, so
@@ -13,8 +11,9 @@ import graft.ops.TextOps.seededHash
   *
   * All vector math is higher-order functions over `array<float>`
   * (`zip_with` + `aggregate`) — whole-stage-codegen'd, no UDFs, no explode
-  * in the hot path. Cosines are rounded to 6 dp before any ranking or
-  * thresholding so float summation order can never flip a comparison.
+  * in the hot path. Norms are computed ONCE per vector (not per pair) and
+  * cosines are rounded to 6 dp before any ranking or thresholding so float
+  * summation order can never flip a comparison.
   */
 object Similarity {
 
@@ -25,19 +24,29 @@ object Similarity {
   def norm(v: Column): Column =
     sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
 
+  /** Cosine from a pairwise dot and two precomputed norms. */
+  private def cosFrom(dotCol: Column, na: Column, nb: Column): Column =
+    round(dotCol / (na * nb), 6)
+
+  /** Convenience full cosine (used in specs; queries precompute norms). */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    cosFrom(dot(a, b), norm(a), norm(b))
 
   /** Exact top-k neighbors for a small query set (vec_id < nQueries):
     * broadcast the queries, rank by rounded cosine with vec_id tie-break.
-    * Exactness baseline — cost is |Q| × N, linear in the corpus.
+    * Exactness baseline — cost is |Q| × N, linear in the corpus; each
+    * side's norm is computed once, so a pair costs one 64-wide fold.
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val pairs = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val e = emb.repartition(col("vec_id")).select(col("vec_id"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cos_sim"))
+        cosFrom(dot(col("qv"), col("embedding")), col("qnrm"), col("nrm"))
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -55,17 +64,27 @@ object Similarity {
   def lshBucket(v: Column, bits: Int): Column = {
     val dims = 64
     val bitCols = (0 until bits).map { p =>
-      // component sign for (plane p, dim i): +1 if seeded hash is even
+      // hyperplane components are plan-time constants — evaluate the hash
+      // family in Scala once and embed a literal array, instead of paying
+      // bits×dims md5 calls per ROW (the oracle derives the same ±1s from
+      // the same "p|i" construction in SQL)
+      val signs: Seq[Double] = (0 until dims).map { i =>
+        val h = graft.core.HashKeyOps.md5Hi64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$p|$i"))
+        if (h % 2 == 0) 1.0 else -1.0
+      }
       val proj = aggregate(
-        zip_with(v,
-          transform(sequence(lit(0), lit(dims - 1)),
-            i => when(seededHash(p, i) % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d))),
-          (x, s) => x * s),
+        zip_with(v, typedlit(signs), (x, s) => x * s),
         lit(0.0d), (acc, x) => acc + x)
       when(round(proj, 6) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
+
+  private def bucketed(emb: DataFrame, bits: Int): DataFrame =
+    emb.repartition(col("vec_id")).select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      lshBucket(col("embedding"), bits).as("bucket"))
 
   /** ANN via LSH buckets: queries probe only their own bucket, then exact
     * rounded-cosine ranking inside it. Recall < 1 by design; the join is
@@ -73,14 +92,15 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 3,
       bits: Int = 4): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), bits))
-    val q = bucketed.filter(col("vec_id") < nQueries)
+    val e = bucketed(emb, bits)
+    val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("bucket").as("qbucket"))
-    val pairs = bucketed.join(broadcast(q),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val pairs = e.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cos_sim"))
+        cosFrom(dot(col("qv"), col("embedding")), col("qnrm"), col("nrm"))
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -96,16 +116,15 @@ object Similarity {
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.35,
       bits: Int = 4): DataFrame = {
-    val bucketed = emb
-      .select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding"), bits).as("bucket"))
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
+    val bk = bucketed(emb, bits)
+    val a = bk.as("a")
+    val b = bk.as("b")
     a.join(b,
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        cosFrom(dot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

@@ -19,7 +19,7 @@ object TextAnalysis {
     * fr, zh) on ties.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
+    val t = col("t")
     val sEn = stopHits(t, StopEn)
     val sDe = stopHits(t, StopDe)
     val sEs = stopHits(t, StopEs)
@@ -31,7 +31,7 @@ object TextAnalysis {
         .when(sEs >= greatest(sFr, sZh), "es")
         .when(sFr >= sZh, "fr")
         .otherwise("zh")
-    docs.select(col("doc_id"), predicted.as("predicted"), col("lang"))
+    withTokens(docs).select(col("doc_id"), predicted.as("predicted"), col("lang"))
       .withColumn("is_match", col("predicted") === col("lang"))
       .orderBy("doc_id")
   }
@@ -41,8 +41,8 @@ object TextAnalysis {
     * expensive curation stages.
     */
   def quality(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    docs
+    val t = col("t")
+    withTokens(docs)
       .withColumn("n_chars_", length(col("text")).cast("long"))
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("sum_tok_len",
@@ -82,7 +82,7 @@ object TextAnalysis {
     * minhash-of-shingles form of a rolling content signature).
     */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val normed = docs.select(col("doc_id"),
+    val normed = docs.repartition(col("doc_id")).select(col("doc_id"),
       lower(trim(col("text"))).as("txt"))
     val grams = normed.select(col("doc_id"), col("txt"),
       explode(expr(

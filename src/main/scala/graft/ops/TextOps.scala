@@ -17,6 +17,12 @@ object TextOps {
 
   /** Distinct word-bigram shingles: "t0 t1", "t1 t2", ... (0-based Spark
     * array indexing; the oracle uses DuckDB's 1-based form).
+    *
+    * IMPORTANT: `t` must be a MATERIALIZED column (withColumn'd attribute),
+    * not the raw `tokens(text)` expression — the lambda dereferences `t`
+    * per element, and Spark re-evaluates a non-attribute child expression
+    * on every dereference (measured: O(tokens²) regex splits per doc, ~9×
+    * slowdown at sf0.1).
     */
   def bigramShingles(t: Column): Column =
     array_distinct(
@@ -24,6 +30,10 @@ object TextOps {
         transform(sequence(lit(0), size(t) - 2),
           i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
         .otherwise(array().cast("array<string>")))
+
+  /** documents with the token array materialized as column `t`. */
+  def withTokens(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("t", tokens(col("text")))
 
   /** Seeded 63-bit hash: md5Hi64 of "<seed>|<value>". The seed prefix turns
     * one stable hash into an indexed family (minhash permutations, LSH

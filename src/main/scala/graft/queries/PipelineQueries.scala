@@ -26,15 +26,15 @@ object PipelineQueries {
   private def seededHash(seed: Int, expr: String): String =
     Sql.hash64(s"'$seed|' || CAST($expr AS VARCHAR)")
 
-  /** Mirror of Similarity.cosine for two embedding columns (1-based DuckDB
-    * list indexing; float products cast to double, sequential list_sum,
-    * rounded to 6 dp).
+  /** Mirror of Similarity.dot/norm (1-based DuckDB list indexing; float
+    * products cast to double, sequential list_sum; norms precomputed once
+    * per vector exactly like the Spark side).
     */
-  private def cosSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum([CAST($x[i] * $y[i] AS DOUBLE) for i in generate_series(1, 64)])"
-    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
-  }
+  private def dotSql(x: String, y: String): String =
+    s"list_sum([CAST($x[i] * $y[i] AS DOUBLE) for i in generate_series(1, 64)])"
+  private def nrmSql(v: String): String = s"sqrt(${dotSql(v, v)})"
+  private def cosSql(a: String, b: String, na: String, nb: String): String =
+    s"round(${dotSql(a, b)} / ($na * $nb), 6)"
 
   /** Mirror of Similarity.lshBucket (4-bit default). */
   private def bucketSql(v: String, bits: Int): String = {
@@ -66,43 +66,33 @@ object PipelineQueries {
 
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.read(s, dir, "documents")),
-      Some(s"""WITH toks AS ($toksCte),
-              |shl AS (SELECT doc_id, $shinglesExpr AS shingles FROM toks),
-              |sizes AS (SELECT doc_id, len(shingles) AS n FROM shl),
-              |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shl),
-              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-              |          FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-              |          GROUP BY 1, 2)
-              |SELECT doc_a, doc_b, jaccard FROM (
-              |  SELECT doc_a, doc_b,
-              |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-              |  FROM inter
-              |  JOIN sizes sa ON sa.doc_id = doc_a
-              |  JOIN sizes sb ON sb.doc_id = doc_b)
-              |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(ngramJaccardOracle)),
 
     QueryDef("dedup_embedding",
       (s, dir) => Similarity.embeddingNearDups(Tables.read(s, dir, "embeddings")),
       Some(s"""WITH bk AS (SELECT vec_id, embedding,
+              |  ${nrmSql("embedding")} AS nrm,
               |  ${bucketSql("embedding", 4)} AS bucket FROM embeddings)
               |SELECT vec_a, vec_b, cos_sim FROM (
               |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-              |    ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+              |    ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
               |  FROM bk a JOIN bk b
               |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
 
     QueryDef("ann_bruteforce",
       (s, dir) => Similarity.bruteForceTopK(Tables.read(s, dir, "embeddings")),
-      Some(s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |  ${nrmSql("embedding")} AS nrm FROM embeddings)
+              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
               |FROM (
               |  SELECT query_id, neighbor_id, cos_sim,
               |    row_number() OVER (PARTITION BY query_id
               |                       ORDER BY cos_sim DESC, neighbor_id) AS rank
               |  FROM (
-              |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-              |      ${cosSql("q.embedding", "e.embedding")} AS cos_sim
-              |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+              |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              |      ${cosSql("q.embedding", "n.embedding", "q.nrm", "n.nrm")} AS cos_sim
+              |    FROM e q JOIN e n ON n.vec_id <> q.vec_id
               |    WHERE q.vec_id < 5))
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
@@ -110,6 +100,7 @@ object PipelineQueries {
       (s, dir) => Similarity.lshTopK(Tables.read(s, dir, "embeddings"),
         nQueries = 5, k = 3, bits = 4),
       Some(s"""WITH bk AS (SELECT vec_id, embedding,
+              |  ${nrmSql("embedding")} AS nrm,
               |  ${bucketSql("embedding", 4)} AS bucket FROM embeddings)
               |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
               |FROM (
@@ -118,7 +109,7 @@ object PipelineQueries {
               |                       ORDER BY cos_sim DESC, neighbor_id) AS rank
               |  FROM (
               |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-              |      ${cosSql("q.embedding", "e.embedding")} AS cos_sim
+              |      ${cosSql("q.embedding", "e.embedding", "q.nrm", "e.nrm")} AS cos_sim
               |    FROM bk q JOIN bk e
               |      ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
               |    WHERE q.vec_id < 5))
@@ -184,9 +175,14 @@ object PipelineQueries {
 
   // ---- generated oracles --------------------------------------------------
 
-  private lazy val minhashOracle: String = {
+  /** Shared CTE chain: tokens -> exploded shingles -> 16-col signatures ->
+    * banded rows (mirror of Dedup.bandedSignatures). `shl` additionally
+    * exposes each doc's full shingle array for exact-verify stages.
+    */
+  private lazy val bandedCtesSql: String = {
     val sigCols = (0 until Dedup.MinhashSigs)
-      .map(s => s"min(${seededHash(s, "sh")}) AS s$s").mkString(",\n  ")
+      .map(i => s"min((${Dedup.minhashA(i)} * h + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP}) AS s$i")
+      .mkString(",\n  ")
     val rowsPerBand = Dedup.MinhashSigs / Dedup.MinhashBands
     val bandSelects = (0 until Dedup.MinhashBands).map { b =>
       val bh = Sql.hash64(
@@ -196,17 +192,22 @@ object PipelineQueries {
       val sigs = (0 until Dedup.MinhashSigs).map(i => s"s$i").mkString(", ")
       s"SELECT doc_id, $b AS band, $bh AS bh, $sigs FROM sig"
     }.mkString("\nUNION ALL\n")
-    val matches = (0 until Dedup.MinhashSigs)
-      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH toks AS ($toksCte),
-       |sh AS (SELECT doc_id, unnest($shinglesExpr) AS sh FROM
-       |       (SELECT doc_id, t FROM toks)),
+    s"""toks AS ($toksCte),
+       |shl AS (SELECT doc_id, $shinglesExpr AS shingles FROM toks),
+       |sh AS (SELECT doc_id, ${Sql.hash64("sh")} % ${Dedup.MinhashP} AS h FROM
+       |       (SELECT doc_id, unnest(shingles) AS sh FROM shl)),
        |sig AS (SELECT doc_id,
        |  $sigCols
        |  FROM sh GROUP BY doc_id),
        |banded AS (
-       |$bandSelects)
+       |$bandSelects)""".stripMargin
+  }
+
+  private lazy val minhashOracle: String = {
+    val matches = (0 until Dedup.MinhashSigs)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $bandedCtesSql
        |SELECT doc_a, doc_b, est_sim FROM (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST($matches AS DOUBLE) / ${Dedup.MinhashSigs} AS est_sim
@@ -214,6 +215,21 @@ object PipelineQueries {
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
        |WHERE est_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  private lazy val ngramJaccardOracle: String =
+    s"""WITH $bandedCtesSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |      (len(sa.shingles) + len(sb.shingles)
+       |       - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+       |  FROM cand
+       |  JOIN shl sa ON sa.doc_id = doc_a
+       |  JOIN shl sb ON sb.doc_id = doc_b)
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   private lazy val simhashOracle: String = {
     val bitSums = (0 until Dedup.SimhashBits)
