@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.core.{Md5Hi64, Md5Mod1e9}
+
+/** Installable session extensions: register graft's native expressions at
+  * session build time —
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // programmatic
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * This is the deployment path for a shared cluster (spark-defaults.conf);
+  * `GraftFunctions.ensureRegistered` remains the in-process fallback used
+  * by the query registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_md5_mod_1e9"),
+      new ExpressionInfo(classOf[Md5Mod1e9].getName, "graft_md5_mod_1e9"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Mod1e9(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_md5_hi64"),
+      new ExpressionInfo(classOf[Md5Hi64].getName, "graft_md5_hi64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Hi64(exprs.head)))
+  }
+}

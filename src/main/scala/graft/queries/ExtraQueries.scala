@@ -1,0 +1,113 @@
+package graft.queries
+
+import java.io.{File, PrintWriter}
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.{Skew, Tables}
+import graft.streaming.Streams
+
+/** Source/skew/session operators beyond the core inventory: the DSv2
+  * pushdown source (S1's live-API analog), salted skew joins, and batch
+  * sessionization.
+  */
+object ExtraQueries {
+
+  private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val tsFmtDuck = "%Y-%m-%d %H:%M:%S.%f"
+
+  /** Materialize the events table as daily JSONL "pages" (the simulated
+    * remote paged API) — once per sf dir.
+    */
+  private def ensurePages(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val pages = s"/tmp/graft_rest_pages_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val root = new File(pages)
+    if (!root.exists()) {
+      root.mkdirs()
+      val rows = Tables.read(s, dir, "events")
+        .select(col("event_id"), date_format(col("ts"), tsFmtSpark).as("ts"),
+          col("event_type"), col("value"),
+          date_format(col("ts"), "yyyyMMdd").as("day"))
+        .orderBy("event_id")
+        .collect()
+      rows.groupBy(_.getString(4)).toSeq.sortBy(_._1).zipWithIndex.foreach {
+        case ((day, rs), i) =>
+          val pw = new PrintWriter(
+            new File(root, f"page_${i}%03d_${day}_$day.jsonl"), "UTF-8")
+          rs.foreach { r =>
+            pw.println(s"""{"event_id":${r.getLong(0)},"ts":"${r.getString(1)}","event_type":"${r.getString(2)}","value":${r.getDouble(3)}}""")
+          }
+          pw.close()
+      }
+    }
+    pages
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // S1 live-source analog: DSv2 TableProvider with ts-range filter
+    // pushdown (page pruning) + limit pushdown — the SoQL $where/$limit
+    // made native (graft.sources.RestSource).
+    QueryDef("scan_rest_pushdown",
+      (s, dir) => {
+        val pages = ensurePages(s, dir)
+        s.read.format("graft.sources.RestSourceProvider")
+          .option("path", pages).load()
+          .filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-05 00:00:00").cast("timestamp"))
+          .select(col("event_id"),
+            date_format(col("ts"), tsFmtSpark).as("ts_str"),
+            col("event_type"), col("value"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, strftime(ts, '$tsFmtDuck') AS ts_str,
+              |event_type, value FROM events
+              |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+              |  AND ts <  TIMESTAMP '2024-01-05 00:00:00'
+              |ORDER BY event_id""".stripMargin)),
+
+    // Skew-mitigated join: salted (key, salt) shuffle — row-identical to
+    // the plain join, verified against the unsalted oracle.
+    QueryDef("join_salted",
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem")
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        Skew.saltedJoin(li, o, "l_orderkey", salts = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+              .as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Sessionization (gaps-and-islands, 30-minute quiet gap).
+    QueryDef("sessionize",
+      (s, dir) => Streams.sessionizeBatch(s, dir),
+      Some("""SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             |count(*) AS n_events,
+             |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+             |  FROM (
+             |    SELECT user_id, event_id, ts, value,
+             |      CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+             |           THEN 1 ELSE 0 END AS new_sess
+             |    FROM (
+             |      SELECT user_id, event_id, ts, value,
+             |        lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |                                ORDER BY ts, event_id) AS prev_us
+             |      FROM events)))
+             |GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin))
+  )
+}

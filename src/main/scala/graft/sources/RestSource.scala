@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 analog of the reference's Socrata REST scan (S1,
+  * `etl/fact_loaders/load_311.py:11-17`): a paged remote dataset where the
+  * time-range predicate and row limit are pushed INTO the source — the
+  * `$where`/`$limit` SoQL parameters become page pruning + early reader
+  * termination.
+  *
+  * Pages live as JSONL files named `page_<i>_<minDate>_<maxDate>.jsonl`
+  * (dates yyyyMMdd, the page's event-time coverage — the analog of the
+  * server's index). `pushFilters` keeps ts-range filters: pages whose
+  * coverage misses the range are never opened; Spark re-applies the exact
+  * predicate post-scan (pruning is day-granular). `pushLimit` caps rows per
+  * reader.
+  */
+object RestPages {
+  val Schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  val TsFmt: DateTimeFormatter =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+  val DateFmt: DateTimeFormatter = DateTimeFormatter.ofPattern("yyyyMMdd")
+
+  def micros(ts: String): Long = {
+    val i = LocalDateTime.parse(ts, TsFmt).toInstant(ZoneOffset.UTC)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Test/plan observability: partitions planned by the last scan. */
+  @volatile var lastPlannedPartitions: Int = -1
+}
+
+class RestSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RestPages.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RestTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class RestTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"rest($path)"
+  override def schema(): StructType = RestPages.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(path)
+}
+
+class RestScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownLimit {
+  private var tsLo: Option[Long] = None // micros, inclusive
+  private var tsHi: Option[Long] = None // micros, exclusive
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = Int.MaxValue
+
+  private def asMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case GreaterThanOrEqual("ts", v) =>
+        asMicros(v).foreach { m => tsLo = Some(m); pushed :+= GreaterThanOrEqual("ts", v) }
+      case LessThan("ts", v) =>
+        asMicros(v).foreach { m => tsHi = Some(m); pushed :+= LessThan("ts", v) }
+      case _ => ()
+    }
+    // pruning is page-granular: Spark must still evaluate the exact
+    // predicates, so everything is returned as residual
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def build(): Scan = new RestScan(path, tsLo, tsHi, limit)
+}
+
+class RestScan(path: String, tsLo: Option[Long], tsHi: Option[Long],
+    limit: Int) extends Scan with Batch {
+  override def readSchema(): StructType = RestPages.Schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"RestScan(path=$path, pushedLo=$tsLo, pushedHi=$tsHi, limit=$limit)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("page_\\d+_\\d{8}_\\d{8}\\.jsonl"))
+      .sortBy(_.getName)
+    val kept = files.filter { f =>
+      val parts = f.getName.stripSuffix(".jsonl").split("_")
+      val minDay = LocalDate.parse(parts(2), RestPages.DateFmt)
+      val maxDay = LocalDate.parse(parts(3), RestPages.DateFmt)
+      val pageLo = minDay.atStartOfDay.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L
+      val pageHi = maxDay.plusDays(1).atStartOfDay.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L
+      tsLo.forall(_ < pageHi) && tsHi.forall(_ > pageLo)
+    }
+    RestPages.lastPlannedPartitions = kept.length
+    kept.map(f => RestInputPartition(f.getAbsolutePath, tsLo, tsHi, limit)
+      : InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory
+}
+
+case class RestInputPartition(file: String, lo: Option[Long],
+    hi: Option[Long], limit: Int) extends InputPartition
+
+class RestReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new RestReader(p.asInstanceOf[RestInputPartition])
+}
+
+/** Streams one page's JSONL records, applying the pushed range + limit. */
+class RestReader(p: RestInputPartition) extends PartitionReader[InternalRow] {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val source = scala.io.Source.fromFile(p.file, "UTF-8")
+  private val lines = source.getLines()
+  private var current: InternalRow = _
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    while (emitted < p.limit && lines.hasNext) {
+      val node = mapper.readTree(lines.next())
+      val us = RestPages.micros(node.get("ts").asText())
+      if (p.lo.forall(us >= _) && p.hi.forall(us < _)) {
+        current = new GenericInternalRow(Array[Any](
+          node.get("event_id").asLong(), us,
+          UTF8String.fromString(node.get("event_type").asText()),
+          node.get("value").asDouble()))
+        emitted += 1
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = source.close()
+}

@@ -32,6 +32,63 @@ object Streams {
     windowedAgg(Tables.read(spark, dir, "events"))
       .orderBy("window_start", "event_type")
 
+  /** Sessionization, batch form (gaps-and-islands): a new session starts
+    * after a quiet gap > `gapMinutes`. Classic curation/analytics shape;
+    * all arithmetic in epoch-microsecond integers so the DuckDB oracle is
+    * bit-exact.
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val events = Tables.read(spark, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum("new_sess")
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx").cast("long").as("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Stateful streaming aggregation (`mapGroupsWithState`): a per-user
+    * running event count maintained in GroupState across micro-batches —
+    * the custom-state face of the streaming layer (used by StreamingSpec).
+    */
+  def runningCountsStreaming(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    val rawSchema = spark.read.parquet(Tables.path(dir, "events")).schema
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .format("parquet")
+      .load(dir)
+      .select(col("user_id").as[Long], col("event_id").as[Long])
+      .as[(Long, Long)]
+    val counted = events.groupByKey(_._1).mapGroupsWithState(
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+      (user: Long, rows: Iterator[(Long, Long)],
+          state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+        val total = state.getOption.getOrElse(0L) + rows.size
+        state.update(total)
+        (user, total)
+    }.toDF("user_id", "n_events")
+    counted.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** True streaming run over the same parquet: file source -> watermark ->
     * windowed agg -> memory sink, driven synchronously (used by
     * StreamingSpec; the reference's daily-batch loop is the degenerate

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Skew
+import graft.sources.RestPages
+import graft.streaming.Streams
+
+class RestSourceSpec extends SparkSpec {
+
+  test("DSv2 source: pushdown prunes pages, data matches the parquet scan") {
+    // build pages + read everything through the source
+    val q = SparkEntry.queries("scan_rest_pushdown")
+    val viaSource = q(spark, sf).collect()
+    assert(viaSource.nonEmpty)
+    val prunedPartitions = RestPages.lastPlannedPartitions
+    // unfiltered read plans more pages than the filtered one
+    val pages = s"/tmp/graft_rest_pages_${sf.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val allRows = spark.read.format("graft.sources.RestSourceProvider")
+      .option("path", pages).load().count()
+    val allPartitions = RestPages.lastPlannedPartitions
+    assert(prunedPartitions < allPartitions,
+      s"expected pruning: $prunedPartitions !< $allPartitions")
+    // row parity with the parquet table under the same predicate
+    val expected = graft.core.Tables.read(spark, sf, "events")
+      .filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-05 00:00:00").cast("timestamp")).count()
+    assert(viaSource.length.toLong === expected)
+    assert(allRows === graft.core.Tables.read(spark, sf, "events").count())
+  }
+
+  test("limit pushdown caps reader output") {
+    val pages = s"/tmp/graft_rest_pages_${sf.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val n = spark.read.format("graft.sources.RestSourceProvider")
+      .option("path", pages).load().limit(7).count()
+    assert(n === 7)
+  }
+}
+
+class SkewSpec extends SparkSpec {
+
+  test("salted join is row-identical to the plain join") {
+    val li = graft.core.Tables.read(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = graft.core.Tables.read(spark, sf, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", salts = 4)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+}
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions registers functions at session build time") {
+    val base = spark // force shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val got = ext.sql("SELECT graft_md5_mod_1e9('hello|world') AS h")
+        .collect().head.getLong(0)
+      assert(got === 854764784L)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
+
+class SlicesSpec extends SparkSpec {
+  import java.time.LocalDate
+
+  test("slice bounds: yesterday / year / month") {
+    assert(graft.io.Slices.yesterday(LocalDate.parse("2024-03-01")) ===
+      ("2024-02-29", "2024-03-01"))
+    assert(graft.io.Slices.year(2023) === ("2023-01-01", "2024-01-01"))
+    assert(graft.io.Slices.month(LocalDate.parse("2024-02-15")) ===
+      ("2024-02-01", "2024-03-01"))
+  }
+}
+
+class StatefulStreamingSpec extends SparkSpec {
+
+  test("mapGroupsWithState running counts equal the batch group count") {
+    val q = Streams.runningCountsStreaming(spark, sf, "running_counts_out")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, max(n_events) AS n FROM running_counts_out GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.core.Tables.read(spark, sf, "events")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+}
