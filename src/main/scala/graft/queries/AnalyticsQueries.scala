@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Analytical surface beyond the reference (SURVEY §2.4-2.5 "not present"
+  * rows): the query shapes the star schema exists to serve — distinct
+  * counts, rollup with grouping indicators, semi/anti joins, pivot,
+  * JSON extraction.
+  */
+object AnalyticsQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // exact distinct counts per region (shuffle-on-key + distinct agg)
+    QueryDef("agg_distinct_counts",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+        val c = Tables.read(s, dir, "customer")
+        val n = Tables.read(s, dir, "nation")
+        val r = Tables.read(s, dir, "region")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name")
+          .agg(countDistinct(col("c_custkey")).as("n_customers"),
+            countDistinct(col("o_orderpriority")).as("n_priorities"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r.r_name, COUNT(DISTINCT c.c_custkey) AS n_customers,
+             |COUNT(DISTINCT o.o_orderpriority) AS n_priorities,
+             |count(*) AS n_orders
+             |FROM orders o
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)),
+
+    // hierarchical rollup with grouping indicators
+    QueryDef("agg_rollup",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+        o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+          .orderBy(asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             |CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             |CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // left-semi (EXISTS) and left-anti (NOT EXISTS) in one labeled union
+    QueryDef("join_semi_anti",
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer").select("c_custkey")
+        val o = Tables.read(s, dir, "orders").select("o_custkey")
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .withColumn("kind", lit("has_orders"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .withColumn("kind", lit("no_orders"))
+        semi.unionByName(anti).orderBy("c_custkey", "kind")
+      },
+      Some("""SELECT c_custkey, 'has_orders' AS kind FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, 'no_orders' FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey, kind""".stripMargin)),
+
+    // pivot: order counts per priority × status
+    QueryDef("pivot_status",
+      (s, dir) => Tables.read(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             |count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // JSON extraction from the props column
+    QueryDef("fn_json_extract",
+      (s, dir) => Tables.read(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_long"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |json_extract_string(props, '$.k') AS k_str,
+             |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
+             |FROM events ORDER BY event_id""".stripMargin))
+  )
+}
