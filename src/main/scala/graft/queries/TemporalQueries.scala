@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Temporal join operators Spark lacks as built-ins (SURVEY §2.3 "not
+  * present" row): as-of join and range (interval) join. The as-of is
+  * implemented as the scalable union+running-window composition — one
+  * shuffle on the key, no join explosion — and oracled against DuckDB's
+  * native ASOF JOIN.
+  */
+object TemporalQueries {
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // As-of: for every click, the latest purchase at-or-before it, per
+    // user. Range-framed running max over the event-time axis == greatest
+    // p.ts <= c.ts (ties included), exactly ASOF LEFT JOIN semantics.
+    QueryDef("join_asof",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("us", unix_micros(col("ts")))
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(Window.unboundedPreceding, 0)
+        ev.withColumn("last_purchase_us",
+            max(when(col("event_type") === "purchase", col("us"))).over(w))
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), tsFmt).as("click_ts"),
+            date_format(timestamp_micros(col("last_purchase_us")), tsFmt)
+              .as("last_purchase"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH clicks AS (SELECT event_id, user_id, ts FROM events
+              |               WHERE event_type = 'click'),
+              |purchases AS (SELECT user_id, ts FROM events
+              |              WHERE event_type = 'purchase')
+              |SELECT c.event_id, c.user_id,
+              |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+              |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase
+              |FROM clicks c ASOF LEFT JOIN purchases p
+              |  ON c.user_id = p.user_id AND p.ts <= c.ts
+              |ORDER BY c.event_id""".stripMargin)),
+
+    // Range join: band assignment by value interval — small interval table
+    // broadcast, nested-loop on the range predicate.
+    QueryDef("join_range",
+      (s, dir) => {
+        val bands = s.range(0, 10).select(
+          col("id").as("band_id"),
+          (col("id") * 50.0d).as("lo"),
+          ((col("id") + 1) * 50.0d).as("hi"))
+        Tables.read(s, dir, "events")
+          .join(broadcast(bands),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .select(col("event_id"), col("band_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, b.band_id FROM events e
+             |JOIN (SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+             |      FROM generate_series(0, 9) t(i)) b
+             |  ON e.value >= b.lo AND e.value < b.hi
+             |ORDER BY e.event_id""".stripMargin))
+  )
+}
