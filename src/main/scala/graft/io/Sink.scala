@@ -30,4 +30,25 @@ object Sink {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Idempotent dim append — the documented fix for the reference's
+    * append-duplication quirk (SURVEY §2.8/§7.4.6: per-slice dedup + append
+    * means dims accumulate duplicate natural keys across runs). Anti-joins
+    * the incoming dim against the already-written natural keys and appends
+    * only genuinely new rows. At scale this is the file-format analog of a
+    * MERGE: one broadcast-able anti-join per slice against a small dim.
+    */
+  def upsertDim(spark: SparkSession, dim: DataFrame, path: String,
+      naturalKeys: Seq[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) dim
+      else {
+        val existing = read(spark, path)
+          .select(naturalKeys.map(org.apache.spark.sql.functions.col): _*)
+        dim.join(existing, naturalKeys, "left_anti")
+      }
+    append(fresh, path)
+  }
 }

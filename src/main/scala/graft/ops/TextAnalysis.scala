@@ -77,6 +77,41 @@ object TextAnalysis {
         .cast("long").as("n_subword_tokens"))
       .orderBy("doc_id")
 
+  /** Corpus n-gram statistics: global top-k word bigrams by frequency
+    * (with multiplicity — explode + count + TakeOrdered, the canonical
+    * "what's in this corpus" profile).
+    */
+  def ngramStats(docs: DataFrame, k: Int = 20): DataFrame = {
+    val t = col("t")
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    withTokens(docs)
+      .select(explode(bigrams).as("sh"))
+      .groupBy("sh")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("sh"))
+      .limit(k)
+  }
+
+  /** Scrubbing/masking: replace curation-flagged tokens (here: the EN
+    * stopword list, standing in for a PII lexicon) with a mask token —
+    * token-level transform, no regex, embarrassingly parallel.
+    */
+  def scrub(docs: DataFrame): DataFrame = {
+    val t = col("t")
+    withTokens(docs)
+      .select(
+        col("doc_id"),
+        substring(concat_ws(" ",
+          transform(t, x =>
+            when(x.isin(StopEn: _*), lit("<sw>")).otherwise(x))), 1, 120)
+          .as("scrubbed_head"),
+        stopHits(t, StopEn).cast("long").as("n_masked"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: whole-text 128-bit-MD5-mod-1e9 content hash +
     * a rolling-window fingerprint (min over 8-char-gram hashes — the
     * minhash-of-shingles form of a rolling content signature).

@@ -31,7 +31,10 @@ object Pipeline {
       sfDir: String,
       outDir: String,
       start: String, // inclusive, yyyy-MM-dd (slice predicate on l_shipdate)
-      end: String)   // exclusive
+      end: String,   // exclusive
+      // false = faithful reference semantics (dims re-append per run,
+      // SURVEY §2.8 quirk); true = idempotent anti-join upsert (§7.4.6)
+      idempotentDims: Boolean = false)
 
   def run(spark: SparkSession, cfg: Config): Map[String, Long] = {
     // 1. static dims — regenerated and appended per run, preserving the
@@ -59,7 +62,9 @@ object Pipeline {
       ("dim_nation", NationDim))
       .map { case (name, loader) =>
         val dim = loader.build(cleaned).cache()
-        Sink.append(dim, s"${cfg.outDir}/$name")
+        if (cfg.idempotentDims)
+          Sink.upsertDim(spark, dim, s"${cfg.outDir}/$name", loader.naturalCols)
+        else Sink.append(dim, s"${cfg.outDir}/$name")
         (name, loader, dim)
       }
 
@@ -69,9 +74,12 @@ object Pipeline {
     }
     val fact = stamped
       .withColumn("ship_date_key", TimeParse.dateKey(col("l_shipdate")))
+      .withColumn("ship_year", (col("ship_date_key") / 10000).cast("int"))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
-        "l_discount", "ship_date_key", "part_key", "supplier_key", "nation_key")
-    Sink.append(fact, s"${cfg.outDir}/fact_lineitem")
+        "l_discount", "ship_date_key", "ship_year", "part_key",
+        "supplier_key", "nation_key")
+    // facts land partitioned by year so incremental reads partition-prune
+    Sink.append(fact, s"${cfg.outDir}/fact_lineitem", Seq("ship_year"))
 
     val counts = Map(
       "dim_date" -> dateDim.count(),

@@ -165,6 +165,24 @@ object PipelineQueries {
               |CAST(octet_length(encode(text)) % 240 AS BIGINT) AS n_frames
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("text_ngram_stats",
+      (s, dir) => TextAnalysis.ngramStats(Tables.read(s, dir, "documents")),
+      Some(s"""WITH toks AS ($toksCte),
+              |b AS (SELECT unnest(CASE WHEN len(t) >= 2
+              |        THEN [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]
+              |        ELSE []::VARCHAR[] END) AS sh FROM toks)
+              |SELECT sh, count(*) AS n FROM b GROUP BY sh
+              |ORDER BY n DESC, sh LIMIT 20""".stripMargin)),
+
+    QueryDef("text_scrub",
+      (s, dir) => TextAnalysis.scrub(Tables.read(s, dir, "documents")),
+      Some(s"""SELECT doc_id,
+              |substr(array_to_string(list_transform(t, x ->
+              |  CASE WHEN x IN (${TextOps.StopEn.map(w => s"'$w'").mkString(", ")})
+              |       THEN '<sw>' ELSE x END), ' '), 1, 120) AS scrubbed_head,
+              |CAST(len(list_filter(t, x -> x IN (${TextOps.StopEn.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_masked
+              |FROM ($toksCte) ORDER BY doc_id""".stripMargin)),
+
     QueryDef("stream_window_agg",
       (s, dir) => Streams.windowedAggBatch(s, dir),
       Some("""SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -41,6 +41,25 @@ class PipelineSpec extends SparkSpec {
     assert(twice === once * 2) // per-slice dedup only, append sink
   }
 
+  test("idempotent dim upsert: re-running a slice adds no dim rows") {
+    val out = freshDir("idem")
+    val cfg = Pipeline.Config(sf, out, "1995-01-01", "1996-01-01",
+      idempotentDims = true)
+    Pipeline.run(spark, cfg)
+    val once = Pipeline.table(spark, out, "dim_nation").count()
+    Pipeline.run(spark, cfg)
+    val twice = Pipeline.table(spark, out, "dim_nation").count()
+    assert(twice === once)
+  }
+
+  test("fact lands partitioned by ship_year") {
+    val out = freshDir("part")
+    Pipeline.run(spark, Pipeline.Config(sf, out, "1995-01-01", "1997-01-01"))
+    val dirs = new java.io.File(s"$out/fact_lineitem").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("ship_year="))
+    assert(dirs.toSet === Set("ship_year=1995", "ship_year=1996"))
+  }
+
   test("backfill slices a range into month windows") {
     val slices = Backfill.monthSlices("1995-01-15", "1995-04-01")
     assert(slices === Seq(
