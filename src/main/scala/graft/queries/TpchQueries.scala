@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** TPC-H-shaped flagship analytics (SURVEY §5.5: the driver testdata is
+  * TPC-H-ish, so the flagship queries adopt TPC-H shapes). Sums/averages
+  * route through DECIMAL for order-independence; doubles only at the edge.
+  */
+object TpchQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Q1 pricing summary: the canonical scan-heavy aggregation
+    QueryDef("tpch_q1",
+      (s, dir) => Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          sum(((col("l_extendedprice") * (lit(1) - col("l_discount"))) *
+            (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double")
+            .as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             |CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+             |count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Q3 shipping-priority: selective join + agg + top-k revenue
+    QueryDef("tpch_q3",
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.read(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1997-03-15 00:00:00").cast("timestamp"))
+        val l = Tables.read(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1997-03-15 00:00:00").cast("timestamp"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+          .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+             |FROM customer c
+             |JOIN orders o ON o.o_custkey = c.c_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |WHERE c.c_mktsegment = 'BUILDING'
+             |  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+             |  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+             |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // sink breadth: JSON round-trip (write json, read back with the source
+    // schema, prove lossless)
+    QueryDef("sink_json_roundtrip",
+      (s, dir) => {
+        val src = Tables.read(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        val path = "/tmp/graft_sink_json_demo"
+        src.coalesce(1).write.mode("overwrite").json(path)
+        s.read.schema(src.schema).json(path).orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+  )
+}
