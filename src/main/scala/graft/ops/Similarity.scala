@@ -110,6 +110,58 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into inverted
+    * lists; queries probe only the `nprobe` nearest lists, then rank
+    * exactly inside them. The quantizer here is deterministic (centroids =
+    * the first `nlists` vectors) so the oracle reproduces it; swap in
+    * trained centroids (e.g. ml.KMeans) without changing the plan shape —
+    * assignment stays a broadcast argmax, probing stays a list-keyed join.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 3,
+      nlists: Int = 16, nprobe: Int = 2): DataFrame = {
+    val e = emb.repartition(col("vec_id")).select(col("vec_id"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    val cents = e.filter(col("vec_id") < nlists)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("nrm").as("cnrm"))
+    // coarse assignment: nearest centroid by rounded cosine (tie: cent_id)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("ccos",
+        cosFrom(dot(col("embedding"), col("cv")), col("nrm"), col("cnrm")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("list_id"))
+    // queries probe their nprobe nearest lists
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+      .join(broadcast(cents))
+      .withColumn("ccos",
+        cosFrom(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        col("cent_id").as("list_id"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes),
+        assigned("list_id") === probes("list_id") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosFrom(dot(col("qv"), col("embedding")), col("qnrm"), col("nrm"))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding near-dup pairs, LSH-blocked: pairs only form inside a
     * 4-bit bucket (the blocking key), then exact rounded cosine >=
     * threshold. The 100 TB shape for "find semantic duplicates".

@@ -115,6 +115,11 @@ object PipelineQueries {
               |    WHERE q.vec_id < 5))
               |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    QueryDef("ann_ivf",
+      (s, dir) => Similarity.ivfTopK(Tables.read(s, dir, "embeddings"),
+        nQueries = 5, k = 3, nlists = 16, nprobe = 2),
+      Some(ivfOracle)),
+
     QueryDef("text_langid",
       (s, dir) => TextAnalysis.langId(Tables.read(s, dir, "documents")),
       Some(langIdOracle)),
@@ -275,6 +280,43 @@ object PipelineQueries {
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
        |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Mirror of Similarity.ivfTopK: deterministic coarse quantizer
+    * (centroids = first 16 vectors), nprobe=2, exact rank inside lists.
+    */
+  private lazy val ivfOracle: String = {
+    def cos(a: String, na: String, b: String, nb: String) =
+      cosSql(a, b, na, nb)
+    s"""WITH e AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |          FROM e WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id AS list_id FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "e.nrm", "c.cv", "c.cnrm")} DESC,
+       |                 c.cent_id) AS crank
+       |    FROM e, cents c) WHERE crank = 1),
+       |probes AS (
+       |  SELECT query_id, qv, qnrm, cent_id AS list_id FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qv, q.nrm AS qnrm,
+       |      c.cent_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.embedding", "q.nrm", "c.cv", "c.cnrm")} DESC,
+       |                 c.cent_id) AS crank
+       |    FROM e q, cents c WHERE q.vec_id < 5) WHERE crank <= 2)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+       |FROM (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cos("p.qv", "p.qnrm", "a.embedding", "a.nrm")} AS cos_sim,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${cos("p.qv", "p.qnrm", "a.embedding", "a.nrm")} DESC,
+       |               a.vec_id) AS rank
+       |  FROM assigned a JOIN probes p
+       |    ON a.list_id = p.list_id AND a.vec_id <> p.query_id)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   private lazy val langIdOracle: String = {

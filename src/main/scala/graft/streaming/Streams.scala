@@ -89,6 +89,34 @@ object Streams {
       .start()
   }
 
+  /** S7's streaming analog: the incremental append pipeline as
+    * `foreachBatch` — every micro-batch is one reference "slice", cleaned
+    * (date/time keys derived) and appended to the sink, exactly the
+    * daily-slice + append model of `load_history.py` but driven by the
+    * stream engine's offset tracking instead of a subprocess loop.
+    */
+  def incrementalAppend(spark: SparkSession, dir: String,
+      outPath: String): StreamingQuery = {
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    val rawSchema = spark.read.parquet(Tables.path(dir, "events")).schema
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .format("parquet")
+      .load(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cleaned = batch
+          .withColumn("date_key", graft.core.TimeParse.dateKey(col("ts")))
+          .withColumn("time_key", graft.core.TimeParse.timeKey(col("ts")))
+        graft.io.Sink.append(cleaned, outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .start()
+  }
+
   /** True streaming run over the same parquet: file source -> watermark ->
     * windowed agg -> memory sink, driven synchronously (used by
     * StreamingSpec; the reference's daily-batch loop is the degenerate

@@ -23,6 +23,26 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class IncrementalAppendSpec extends SparkSpec {
+
+  test("foreachBatch incremental append lands every event with derived keys") {
+    val out = "/tmp/graft_incr_append"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val q = Streams.incrementalAppend(spark, sf, out)
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(out)
+    val src = graft.core.Tables.read(spark, sf, "events")
+    assert(written.count() === src.count())
+    assert(written.columns.contains("date_key") &&
+      written.columns.contains("time_key"))
+    assert(written.filter(org.apache.spark.sql.functions.col("date_key").isNull)
+      .count() === 0)
+  }
+}
+
 /** Driver-contract sanity: every declared query runs on sf0.001, every
   * oracle key points at a declared query, and the flagship entry is
   * non-empty (the driver's smoke check).
