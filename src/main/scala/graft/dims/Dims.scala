@@ -63,6 +63,12 @@ object PriorityDim extends DimLoader {
   val keyName = "prio_key"
 }
 
+/** Market-segment dim (parking_location-like single-attribute dim). */
+object SegmentDim extends DimLoader {
+  val naturalCols = Seq("c_mktsegment")
+  val keyName = "segment_key"
+}
+
 /** G1/G2 row generators (date_loader.py:10-20, time_loader.py:8-21) — pure
   * relational generation via `sequence`+`explode` / `range`; no driver-side
   * loops, so the generated dim parallelizes like any other table.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Normalize, Tables, TimeParse}
-import graft.dims.{Generators, NationDim, PartDim, SupplierDim}
+import graft.dims.{Generators, NationDim, PartDim, PriorityDim, SegmentDim, SupplierDim}
 import graft.facts.Star
 import graft.io.Sink
 
@@ -81,12 +81,55 @@ object Pipeline {
     // facts land partitioned by year so incremental reads partition-prune
     Sink.append(fact, s"${cfg.outDir}/fact_lineitem", Seq("ship_year"))
 
+    // 5. second fact domain (reference's parking fact, main.py:148-181):
+    // orders enriched with customer attributes, two dims stamped
+    val rawOrders = Tables.read(spark, cfg.sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(cfg.start).cast("timestamp") &&
+        col("o_orderdate") < lit(cfg.end).cast("timestamp"))
+      .join(broadcast(Tables.read(spark, cfg.sfDir, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .drop("c_custkey")
+    val ordersCleaned = Normalize.normalizeStrings(rawOrders,
+      PriorityDim.naturalCols ++ SegmentDim.naturalCols)
+    val ordersDims = Seq(
+      ("dim_priority", PriorityDim: graft.dims.DimLoader),
+      ("dim_segment", SegmentDim))
+      .map { case (name, loader) =>
+        val dim = loader.build(ordersCleaned).cache()
+        if (cfg.idempotentDims)
+          Sink.upsertDim(spark, dim, s"${cfg.outDir}/$name", loader.naturalCols)
+        else Sink.append(dim, s"${cfg.outDir}/$name")
+        (name, loader, dim)
+      }
+    val ordersFact = ordersDims.foldLeft(ordersCleaned) {
+      case (f, (_, loader, dim)) =>
+        graft.core.KeyMapper.assignKeys(f, dim, loader.naturalCols, loader.keyName)
+    }
+      .withColumn("order_date_key", TimeParse.dateKey(col("o_orderdate")))
+      .select("o_orderkey", "o_totalprice", "order_date_key", "prio_key",
+        "segment_key")
+    Sink.append(ordersFact, s"${cfg.outDir}/fact_orders")
+
+    // 6. integrated fact (load_integrated_fact.py:6-24): both domains
+    // union-by-name'd onto the shared (domain, date_key, amount) shape
+    val integrated = fact
+      .select(lit("lineitem").as("domain"),
+        col("ship_date_key").as("date_key"),
+        col("l_extendedprice").as("amount"))
+      .unionByName(ordersFact.select(lit("orders").as("domain"),
+        col("order_date_key").as("date_key"),
+        col("o_totalprice").as("amount")))
+    Sink.append(integrated, s"${cfg.outDir}/fact_integrated")
+
     val counts = Map(
       "dim_date" -> dateDim.count(),
       "dim_time" -> timeDim.count(),
-      "fact_lineitem" -> fact.count()) ++
-      dims.map { case (name, _, dim) => name -> dim.count() }
-    dims.foreach(_._3.unpersist())
+      "fact_lineitem" -> fact.count(),
+      "fact_orders" -> ordersFact.count(),
+      "fact_integrated" -> integrated.count()) ++
+      (dims ++ ordersDims).map { case (name, _, dim) => name -> dim.count() }
+    (dims ++ ordersDims).foreach(_._3.unpersist())
     counts
   }
 

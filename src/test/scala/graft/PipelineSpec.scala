@@ -30,6 +30,16 @@ class PipelineSpec extends SparkSpec {
     Seq("part_key", "supplier_key", "nation_key").foreach { k =>
       assert(fact.filter(fact(k).isNull).count() === 0, s"null $k")
     }
+    // second fact domain + integrated fact (reference main.py:148-181,
+    // load_integrated_fact.py)
+    val orders = Pipeline.table(spark, out, "fact_orders")
+    assert(counts("fact_orders") === orders.count() && orders.count() > 0)
+    Seq("prio_key", "segment_key").foreach { k =>
+      assert(orders.filter(orders(k).isNull).count() === 0, s"null $k")
+    }
+    val integrated = Pipeline.table(spark, out, "fact_integrated")
+    assert(integrated.count() === counts("fact_lineitem") + counts("fact_orders"))
+    assert(integrated.select("domain").distinct().count() === 2)
   }
 
   test("append-duplication quirk: dims accumulate across runs (§2.8)") {
