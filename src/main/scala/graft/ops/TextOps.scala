@@ -35,13 +35,6 @@ object TextOps {
   def withTokens(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.withColumn("t", tokens(col("text")))
 
-  /** Seeded 63-bit hash: md5Hi64 of "<seed>|<value>". The seed prefix turns
-    * one stable hash into an indexed family (minhash permutations, LSH
-    * hyperplanes) with a public, oracle-reproducible construction.
-    */
-  def seededHash(seed: Int, c: Column): Column =
-    GraftFunctions.hash64(concat(lit(s"$seed|"), c.cast("string")))
-
   /** English stopword sample used by quality scoring / language ID. */
   val StopEn: Seq[String] =
     Seq("the", "and", "of", "to", "in", "is", "for", "on", "with", "at")

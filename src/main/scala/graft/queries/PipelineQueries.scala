@@ -279,7 +279,7 @@ object PipelineQueries {
        |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-       |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Mirror of Similarity.ivfTopK: deterministic coarse quantizer
