@@ -131,6 +131,11 @@ object GraftFunctions {
         "graft_md5_mod_1e9", exprs => Md5Mod1e9(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_md5_hi64", exprs => Md5Hi64(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_top_k_by",
+        exprs => TopKBy(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue()),
+        "built-in")
     }
 
   /** `hash_key(cols)`: surrogate key over already-normalized natural-key

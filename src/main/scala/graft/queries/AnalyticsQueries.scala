@@ -95,6 +95,40 @@ object AnalyticsQueries {
              |FROM orders GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // group-wise top-k via the custom TypedImperativeAggregate (bounded
+    // per-partition heaps + partial merge — no per-group sort; see
+    // core/TopKBy.scala). Oracle: the equivalent window row_number form.
+    QueryDef("topk_per_group",
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem")
+        val sup = Tables.read(s, dir, "supplier")
+        val n = Tables.read(s, dir, "nation")
+        val rev = li.groupBy("l_suppkey")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+        rev.join(broadcast(sup), rev("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(call_function("graft_top_k_by",
+            col("revenue"), col("s_suppkey"), lit(3)).as("topk"))
+          .select(col("n_name"), posexplode(col("topk")))
+          .select(col("n_name"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("s_suppkey"), col("col.value").as("revenue"))
+          .orderBy("n_name", "rank")
+      },
+      Some("""SELECT n_name, CAST(rank AS BIGINT) AS rank, s_suppkey, revenue
+             |FROM (
+             |  SELECT n.n_name, s.s_suppkey,
+             |    CAST(rev.revenue AS DOUBLE) AS revenue,
+             |    row_number() OVER (PARTITION BY n.n_name
+             |      ORDER BY CAST(rev.revenue AS DOUBLE) DESC, s.s_suppkey) AS rank
+             |  FROM (SELECT l_suppkey,
+             |          SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+             |        FROM lineitem GROUP BY l_suppkey) rev
+             |  JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+             |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+             |WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin)),
+
     // JSON extraction from the props column
     QueryDef("fn_json_extract",
       (s, dir) => Tables.read(s, dir, "events")

@@ -105,6 +105,28 @@ class TimeParseSpec extends SparkSpec {
   }
 }
 
+class TopKBySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("top-k aggregate: ordering, ties by id, small groups") {
+    val df = Seq(
+      ("a", 3.0, 1L), ("a", 5.0, 2L), ("a", 5.0, 3L), ("a", 1.0, 4L),
+      ("b", 2.0, 9L))
+      .toDF("g", "v", "id")
+    val out = df.groupBy("g")
+      .agg(call_function("graft_top_k_by", col("v"), col("id"), lit(2))
+        .as("topk"))
+      .select(col("g"), posexplode(col("topk")))
+      .select(col("g"), col("pos"), col("col.value"), col("col.id"))
+      .orderBy("g", "pos")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    // ties broken by smaller id; group smaller than k returns all rows
+    assert(out.toSeq === Seq(
+      ("a", 0, 5.0, 2L), ("a", 1, 5.0, 3L), ("b", 0, 2.0, 9L)))
+  }
+}
+
 class KeyMapperSpec extends SparkSpec {
   import spark.implicits._
 
