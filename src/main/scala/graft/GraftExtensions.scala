@@ -31,5 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Hi64].getName, "graft_md5_hi64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5Hi64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_top_k_by"),
+      new ExpressionInfo(classOf[graft.core.TopKBy].getName, "graft_top_k_by"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.core.TopKBy(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }
