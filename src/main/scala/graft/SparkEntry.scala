@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     ReferenceQueries.all ++ graft.queries.PipelineQueries.all ++
       graft.queries.ExtraQueries.all ++ graft.queries.AnalyticsQueries.all ++
-      graft.queries.TemporalQueries.all ++ graft.queries.TpchQueries.all
+      graft.queries.TemporalQueries.all ++ graft.queries.TpchQueries.all ++
+      graft.queries.FunctionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full star build — clean fact, three broadcast dim stampings,

@@ -45,6 +45,24 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over the binary payload: one row per sampled window —
+    * 8 "frame" bytes every 32-byte stride (the video-frame-sampling shape:
+    * explode positions, slice bytes). Pure expressions over the hex string
+    * so the oracle mirrors byte-for-byte.
+    */
+  def frameSample(docs: DataFrame): DataFrame = {
+    val p = payloads(docs)
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("n_frames",
+        greatest(floor((octet_length(col("payload")) - 8) / 32), lit(0))
+          .cast("int"))
+    p.select(col("doc_id"), col("hx"),
+        explode(expr("sequence(0, n_frames)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        upper(expr("substr(hx, frame_idx * 64 + 1, 16)")).as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Partition-wise decode path: the real-world shape for codec work —
     * one decoder instance per partition, streaming records through it.
     * Used by MultimodalSpec; not oracle-declared (the stub is the point).

@@ -59,6 +59,45 @@ object AnalyticsQueries {
              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
+    // full grouping-sets lattice (CUBE) with grouping indicators
+    QueryDef("agg_cube",
+      (s, dir) => Tables.read(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             |CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             |CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // set operations: INTERSECT / EXCEPT (set semantics, deduped)
+    QueryDef("set_ops",
+      (s, dir) => {
+        val building = Tables.read(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val withOrders = Tables.read(s, dir, "orders")
+          .select(col("o_custkey").as("c_custkey"))
+        building.intersect(withOrders)
+          .withColumn("kind", lit("building_with_orders"))
+          .unionByName(building.except(withOrders)
+            .withColumn("kind", lit("building_without_orders")))
+          .orderBy("c_custkey", "kind")
+      },
+      Some("""SELECT c_custkey, kind FROM (
+             |  SELECT c_custkey, 'building_with_orders' AS kind FROM (
+             |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |    INTERSECT SELECT o_custkey FROM orders)
+             |  UNION ALL
+             |  SELECT c_custkey, 'building_without_orders' FROM (
+             |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |    EXCEPT SELECT o_custkey FROM orders))
+             |ORDER BY c_custkey, kind""".stripMargin)),
+
     // left-semi (EXISTS) and left-anti (NOT EXISTS) in one labeled union
     QueryDef("join_semi_anti",
       (s, dir) => {

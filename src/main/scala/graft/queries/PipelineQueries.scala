@@ -188,6 +188,17 @@ object PipelineQueries {
               |CAST(len(list_filter(t, x -> x IN (${TextOps.StopEn.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_masked
               |FROM ($toksCte) ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("multimodal_frames",
+      (s, dir) => Multimodal.frameSample(Tables.read(s, dir, "documents")),
+      Some("""SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             |upper(substr(hx, frame_idx * 64 + 1, 16)) AS frame_hex
+             |FROM (
+             |  SELECT doc_id, hex(encode(text)) AS hx,
+             |    unnest(generate_series(0,
+             |      greatest((octet_length(encode(text)) - 8) // 32, 0))) AS frame_idx
+             |  FROM documents)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     QueryDef("stream_window_agg",
       (s, dir) => Streams.windowedAggBatch(s, dir),
       Some("""SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
