@@ -109,21 +109,29 @@ object Dedup {
   val SimhashBandBits = 12
 
   /** SimHash fingerprints (48-bit) over the token multiset: explode tokens,
-    * 48 signed bit-sums in ONE hash aggregate, fold the signs back into a
-    * single long. No joins, map-side combinable.
+    * then ONE hash aggregate where each sum packs FOUR per-bit set-counts
+    * into 16-bit lanes of a long (12 sums + a count instead of 48 signed
+    * sums — 4× fewer agg buffers and generated updates). Bit j of the
+    * fingerprint is set iff 2*count_set(j) > n, identical to the classic
+    * signed-sum > 0 form. Lane-safe for documents up to 65,535 tokens.
     */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val toks = docs.repartition(col("doc_id")).select(col("doc_id"),
       explode(tokens(col("text"))).as("tok"))
       .withColumn("th", GraftFunctions.hash64(col("tok")))
-    val bitSums = (0 until SimhashBits).map(j =>
-      sum(when(expr(s"(shiftright(th, $j) & 1) = 1"), 1).otherwise(-1))
-        .as(s"b$j"))
-    val withSums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until SimhashBits)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    withSums.select(col("doc_id"), fp.as("fp"))
+    val laneSums = (0 until SimhashBits / 4).map { g =>
+      val lanes = (0 until 4)
+        .map(k => s"shiftleft(shiftright(th, ${4 * g + k}) & 1, ${16 * k})")
+        .mkString(" + ")
+      sum(expr(lanes)).as(s"p$g")
+    }
+    val agg = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), laneSums: _*)
+    val fp = (0 until SimhashBits).map { j =>
+      val n1 = expr(s"shiftright(p${j / 4}, ${16 * (j % 4)}) & 65535")
+      when(n1 * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("fp"))
   }
 
   /** SimHash near-dup pairs: band the 48-bit fingerprint into 4×12-bit
