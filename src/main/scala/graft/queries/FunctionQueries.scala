@@ -112,6 +112,68 @@ object FunctionQueries {
              |CAST(event_id % 7 AS BIGINT) AS mod7
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // datetime-function pack
+    QueryDef("fn_datetime_funcs",
+      (s, dir) => Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(date_add(to_date(col("l_shipdate")), 30), "yyyy-MM-dd")
+            .as("plus30"),
+          datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_95"),
+          date_format(trunc(to_date(col("l_shipdate")), "MM"), "yyyy-MM-dd")
+            .as("month_start"),
+          date_format(last_day(to_date(col("l_shipdate"))), "yyyy-MM-dd")
+            .as("month_end"),
+          quarter(col("l_shipdate")).cast("long").as("qtr"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |strftime(CAST(l_shipdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+             |CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS days_since_95,
+             |strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_start,
+             |strftime(last_day(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS month_end,
+             |CAST(quarter(l_shipdate) AS BIGINT) AS qtr
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // statistical aggregates from DECIMAL-exact moments — identical
+    // double arithmetic in both engines, no streaming-variance drift
+    QueryDef("agg_stats",
+      (s, dir) => {
+        val q = col("l_quantity")
+        val p = col("l_extendedprice")
+        Tables.read(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(q.cast("decimal(18,6)")).cast("double").as("sx"),
+            sum((q * q).cast("decimal(20,6)")).cast("double").as("sxx"),
+            sum(p.cast("decimal(20,6)")).cast("double").as("sy"),
+            sum((p * p).cast("decimal(28,6)")).cast("double").as("syy"),
+            sum((q * p).cast("decimal(24,6)")).cast("double").as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            round((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1), 6).as("var_qty"),
+            round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1)), 6).as("stddev_qty"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, n,
+             |round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+             |round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+             |round((n * sxy - sx * sy) /
+             |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+             |FROM (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // array-function pack over tokenized text (string-joined outputs)
     QueryDef("fn_array_funcs",
       (s, dir) => graft.ops.TextOps.withTokens(Tables.read(s, dir, "documents"))
