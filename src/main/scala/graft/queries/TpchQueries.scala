@@ -79,6 +79,19 @@ object TpchQueries {
              |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    // sink breadth: CSV round-trip (header + explicit schema read-back)
+    QueryDef("sink_csv_roundtrip",
+      (s, dir) => {
+        val src = Tables.read(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        val path = "/tmp/graft_sink_csv_demo"
+        src.coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(path)
+        s.read.schema(src.schema).option("header", "true").csv(path)
+          .orderBy("s_suppkey")
+      },
+      Some("SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey")),
+
     // sink breadth: JSON round-trip (write json, read back with the source
     // schema, prove lossless)
     QueryDef("sink_json_roundtrip",

@@ -23,6 +23,36 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class StreamingDedupSpec extends SparkSpec {
+
+  test("streaming dropDuplicates dedups users across the stream (§2.8 quirk fixed in-stream)") {
+    import org.apache.spark.sql.functions._
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    val rawSchema = spark.read
+      .parquet(graft.core.Tables.path(sf, "events")).schema
+    val q = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .format("parquet")
+      .load(sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id")
+      .select("user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT count(*) FROM stream_dedup_out")
+      .collect().head.getLong(0)
+    val distinctUsers = graft.core.Tables.read(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(streamed === distinctUsers)
+  }
+}
+
 class IncrementalAppendSpec extends SparkSpec {
 
   test("foreachBatch incremental append lands every event with derived keys") {
