@@ -20,16 +20,13 @@ object Guards {
   }
 
   /** P4: if any required column is absent, emit an empty frame with the
-    * declared schema instead of failing (reference `vehicle_loader.py:12-15`,
-    * `key_mapper.py:11-19`).
+    * declared output schema instead of failing (reference
+    * `vehicle_loader.py:12-15`, `key_mapper.py:11-19`).
     */
-  def requireColsOrEmpty(
-      spark: SparkSession,
-      df: DataFrame,
-      required: Seq[String],
-      emptySchema: StructType): Option[DataFrame] =
-    if (required.forall(df.columns.contains)) Some(df)
-    else None
+  def requireColsOrEmpty(df: DataFrame, required: Seq[String],
+      emptySchema: StructType): DataFrame =
+    if (required.forall(df.columns.contains)) df
+    else emptyWithSchema(df.sparkSession, emptySchema)
 
   def emptyWithSchema(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
