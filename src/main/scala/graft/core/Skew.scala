@@ -18,11 +18,20 @@ object Skew {
   /** Inner equi-join of `large` and `small` on `key`, salted `salts` ways.
     * Result is row-identical to `large.join(small, key)` (asserted in
     * SkewSpec and the join_salted oracle).
+    *
+    * The salt must vary WITHIN a hot key, so it is derived from the hash of
+    * the entire large-side row — a salt that is a function of the join key
+    * alone would send every row of the hot key to the same (key, salt)
+    * partition and mitigate nothing. Identical duplicate rows still
+    * co-locate (their full-row hashes collide), which is harmless: skew in
+    * practice comes from many distinct rows sharing a key. SkewSpec asserts
+    * the resulting (key, salt) bucket bound on a deliberately hot-keyed
+    * frame.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int = 8): DataFrame = {
     val salted = large.withColumn("__salt",
-      pmod(hash(col(key)), lit(salts)))
+      pmod(hash(large.columns.map(col): _*), lit(salts)))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -52,7 +52,7 @@ object PipelineQueries {
 
     QueryDef("dedup_exact",
       (s, dir) => Dedup.exact(Tables.read(s, dir, "documents")),
-      Some(s"""SELECT ${Sql.hashKey(Sql.norm("text"))} AS text_hash,
+      Some(s"""SELECT ${Sql.hash64(Sql.norm("text"))} AS text_hash,
               |min(doc_id) AS canonical_id, count(*) AS n_copies
               |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin)),
 

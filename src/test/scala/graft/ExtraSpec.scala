@@ -51,6 +51,38 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() === 0)
     assert(plain.exceptAll(salted).count() === 0)
   }
+
+  test("salting spreads a hot key across (key, salt) buckets") {
+    import spark.implicits._
+    val salts = 8
+    val hotRows = 8000
+    // one pathological key carrying 8000 distinct rows + a long tail
+    val hot = spark.range(hotRows)
+      .select(lit(1L).as("k"), col("id").as("payload"))
+    val tail = spark.range(100)
+      .select((col("id") + 2).as("k"), col("id").as("payload"))
+    val large = hot.unionAll(tail)
+    val small = Seq((1L, "hot"), (2L, "cold")).toDF("k", "dim")
+
+    // unsalted: the hot key is ONE shuffle group of size 8000
+    val salted = large.withColumn("__salt",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(large.columns.map(col): _*),
+        lit(salts)))
+    val bucketSizes = salted.filter(col("k") === 1L)
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(bucketSizes.length === salts,
+      s"hot key must occupy all $salts salt buckets, got ${bucketSizes.length}")
+    val ideal = hotRows.toDouble / salts
+    assert(bucketSizes.max <= ideal * 1.5,
+      s"max bucket ${bucketSizes.max} exceeds 1.5x ideal $ideal")
+
+    // and the salted join still returns exactly the plain-join rows
+    val plain = large.join(small, Seq("k"))
+    val viaSalt = Skew.saltedJoin(large, small, "k", salts)
+    assert(viaSalt.count() === plain.count())
+    assert(viaSalt.exceptAll(plain).count() === 0)
+  }
 }
 
 class ExtensionsSpec extends SparkSpec {
