@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.io.{File, PrintWriter}
+import java.io.File
 
 import org.apache.spark.sql.functions._
 
@@ -17,30 +17,59 @@ object ExtraQueries {
   private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
   private val tsFmtDuck = "%Y-%m-%d %H:%M:%S.%f"
 
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Materialize the events table as daily JSONL "pages" (the simulated
     * remote paged API) — once per sf dir.
+    *
+    * The pages are produced by a distributed Spark JSON write partitioned
+    * by day: executors write every byte; the driver only renames the part
+    * files into the `page_<i>_<minDay>_<maxDay>.jsonl` layout RestSource
+    * indexes (pure metadata ops, O(#files) regardless of data volume — no
+    * `collect()`, so the fixture scales with the cluster, not the driver
+    * heap). A day may yield several part files; each becomes its own page,
+    * which is exactly how a real paged API behaves. The staging → rename →
+    * atomic directory move keeps a concurrent reader from ever seeing a
+    * half-built page set.
     */
   private def ensurePages(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val pages = s"/tmp/graft_rest_pages_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
     val root = new File(pages)
     if (!root.exists()) {
-      root.mkdirs()
-      val rows = Tables.read(s, dir, "events")
+      val stage = new File(pages + "_stage")
+      val built = new File(pages + "_build")
+      deleteRecursively(stage)
+      deleteRecursively(built)
+      Tables.read(s, dir, "events")
         .select(col("event_id"), date_format(col("ts"), tsFmtSpark).as("ts"),
           col("event_type"), col("value"),
           date_format(col("ts"), "yyyyMMdd").as("day"))
-        .orderBy("event_id")
-        .collect()
-      rows.groupBy(_.getString(4)).toSeq.sortBy(_._1).zipWithIndex.foreach {
-        case ((day, rs), i) =>
-          val pw = new PrintWriter(
-            new File(root, f"page_${i}%03d_${day}_$day.jsonl"), "UTF-8")
-          rs.foreach { r =>
-            pw.println(s"""{"event_id":${r.getLong(0)},"ts":"${r.getString(1)}","event_type":"${r.getString(2)}","value":${r.getDouble(3)}}""")
-          }
-          pw.close()
-      }
+        .repartition(col("day"))
+        .sortWithinPartitions("day", "event_id")
+        .write.mode("overwrite").partitionBy("day")
+        .json(stage.getAbsolutePath)
+      built.mkdirs()
+      var i = 0
+      Option(stage.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .sortBy(_.getName)
+        .foreach { dayDir =>
+          val day = dayDir.getName.stripPrefix("day=")
+          dayDir.listFiles().filter(_.getName.startsWith("part-"))
+            .sortBy(_.getName)
+            .foreach { part =>
+              require(part.renameTo(
+                new File(built, f"page_${i}%03d_${day}_$day.jsonl")),
+                s"rename failed for $part")
+              i += 1
+            }
+        }
+      require(built.renameTo(root), s"atomic move to $root failed")
+      deleteRecursively(stage)
     }
     pages
   }

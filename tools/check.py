@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check.py [sfDir] [outDir]
+Usage: python3 tools/check.py [sfDir] [outDir] [queryName...]
+
+Extra args restrict the comparison to the named queries (for local
+iteration against a filtered graft.Verify dump).
 
 Reads each query's Spark result (parquet written by graft.Verify) and its
 oracle SQL (oracle_sql.json), runs the oracle in DuckDB over views named after
@@ -58,6 +61,9 @@ def main():
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    only = set(sys.argv[3:])
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
