@@ -56,35 +56,50 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding width, read once from a single row — an O(1) driver lookup
+    * (LocalLimit 1), not a data materialization. Callers that know the
+    * width statically can pass it to `lshBucket` directly.
+    */
+  def embDims(emb: DataFrame, c: String = "embedding"): Int =
+    emb.select(size(col(c))).head.getInt(0)
+
+  /** ±1 hyperplane components for plane `p` (optionally inside band `band`)
+    * over `dims` components, derived from the seeded hash of the public
+    * "band|p|i" / "p|i" construction — plan-time constants embedded as a
+    * literal array, instead of paying bits×dims md5 calls per ROW (the
+    * oracle derives the same ±1s from the same construction in SQL).
+    */
+  private def planeSigns(p: Int, dims: Int, band: Option[Int]): Seq[Double] =
+    (0 until dims).map { i =>
+      val key = band.fold(s"$p|$i")(b => s"$b|$p|$i")
+      val h = graft.core.HashKeyOps.md5Hi64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key))
+      if (h % 2 == 0) 1.0 else -1.0
+    }
+
   /** Random-hyperplane sketch: bit p = sign of <v, h_p> where hyperplane
     * h_p has components ±1 derived from the seeded hash of (p, i) — a
     * public construction the oracle reproduces. Projections are rounded
     * before the sign test so summation order can't flip a boundary bit.
+    * `dims` must match the embedding width (derive it with `embDims`).
     */
-  def lshBucket(v: Column, bits: Int): Column = {
-    val dims = 64
+  def lshBucket(v: Column, bits: Int, dims: Int,
+      band: Option[Int] = None): Column = {
     val bitCols = (0 until bits).map { p =>
-      // hyperplane components are plan-time constants — evaluate the hash
-      // family in Scala once and embed a literal array, instead of paying
-      // bits×dims md5 calls per ROW (the oracle derives the same ±1s from
-      // the same "p|i" construction in SQL)
-      val signs: Seq[Double] = (0 until dims).map { i =>
-        val h = graft.core.HashKeyOps.md5Hi64(
-          org.apache.spark.unsafe.types.UTF8String.fromString(s"$p|$i"))
-        if (h % 2 == 0) 1.0 else -1.0
-      }
       val proj = aggregate(
-        zip_with(v, typedlit(signs), (x, s) => x * s),
+        zip_with(v, typedlit(planeSigns(p, dims, band)), (x, s) => x * s),
         lit(0.0d), (acc, x) => acc + x)
       when(round(proj, 6) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
 
-  private def bucketed(emb: DataFrame, bits: Int): DataFrame =
+  private def bucketed(emb: DataFrame, bits: Int): DataFrame = {
+    val dims = embDims(emb)
     emb.repartition(col("vec_id")).select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
-      lshBucket(col("embedding"), bits).as("bucket"))
+      lshBucket(col("embedding"), bits, dims).as("bucket"))
+  }
 
   /** ANN via LSH buckets: queries probe only their own bucket, then exact
     * rounded-cosine ranking inside it. Recall < 1 by design; the join is
@@ -177,6 +192,47 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosFrom(dot(col("a.embedding"), col("b.embedding")),
           col("a.nrm"), col("b.nrm")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Banded OR-amplified near-dup pairs — the corpus-scale variant of
+    * `embeddingNearDups`. Each vector gets `bands` independent bucket keys
+    * (band b hashes `bitsPerBand` hyperplanes seeded "b|p|i"); a pair is a
+    * candidate if it collides in ANY band, then exact rounded cosine >=
+    * threshold verifies. The blocking-key count is bands × 2^bitsPerBand,
+    * so within-bucket pair counts stay bounded as N grows — raise
+    * bitsPerBand for selectivity, bands for recall (classic b×r
+    * amplification: P(candidate) = 1-(1-s^r)^b for sign-agreement rate s).
+    *
+    * Shuffle shape: the self-join is keyed on (band, bucket) over an
+    * id+key projection only (embeddings are NOT replicated bands×); the
+    * distinct candidate id-pairs then join back to the vectors for the
+    * verify pass.
+    */
+  def embeddingNearDupsBanded(emb: DataFrame, threshold: Double = 0.35,
+      bands: Int = 4, bitsPerBand: Int = 6): DataFrame = {
+    val dims = embDims(emb)
+    val e = emb.repartition(col("vec_id")).select(col("vec_id"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        lshBucket(col("embedding"), bitsPerBand, dims, Some(b)).as("bh"))
+    }: _*)
+    val keyed = e
+      .select(col("vec_id"), explode(bandKeys).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
+      .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        cosFrom(dot(col("ea.embedding"), col("eb.embedding")),
+          col("ea.nrm"), col("eb.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

@@ -23,9 +23,6 @@ object PipelineQueries {
   private val shinglesExpr =
     "list_distinct(CASE WHEN len(t) >= 2 THEN [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)] ELSE []::VARCHAR[] END)"
 
-  private def seededHash(seed: Int, expr: String): String =
-    Sql.hash64(s"'$seed|' || CAST($expr AS VARCHAR)")
-
   /** Mirror of Similarity.dot/norm (1-based DuckDB list indexing; float
     * products cast to double, sequential list_sum; norms precomputed once
     * per vector exactly like the Spark side).
@@ -36,11 +33,15 @@ object PipelineQueries {
   private def cosSql(a: String, b: String, na: String, nb: String): String =
     s"round(${dotSql(a, b)} / ($na * $nb), 6)"
 
-  /** Mirror of Similarity.lshBucket (4-bit default). */
-  private def bucketSql(v: String, bits: Int): String = {
+  /** Mirror of Similarity.lshBucket: plane p's ±1 signs come from the
+    * "p|i" hash (or "band|p|i" for the banded family).
+    */
+  private def bucketSql(v: String, bits: Int, band: Option[Int] = None): String = {
     val bitTerms = (0 until bits).map { p =>
+      val seed = band.fold(s"$p")(b => s"$b|$p")
+      val signs = s"CASE WHEN ${Sql.hash64(s"'$seed|' || CAST(i AS VARCHAR)")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
       val proj =
-        s"round(list_sum([CAST($v[i+1] AS DOUBLE) * (CASE WHEN ${seededHash(p, "i")} % 2 = 0 THEN 1.0 ELSE -1.0 END) for i in generate_series(0, 63)]), 6)"
+        s"round(list_sum([CAST($v[i+1] AS DOUBLE) * ($signs) for i in generate_series(0, 63)]), 6)"
       s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
     }
     bitTerms.mkString("(", " + ", ")")
@@ -79,6 +80,12 @@ object PipelineQueries {
               |  FROM bk a JOIN bk b
               |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    QueryDef("dedup_embedding_banded",
+      (s, dir) => Similarity.embeddingNearDupsBanded(
+        Tables.read(s, dir, "embeddings"),
+        threshold = 0.35, bands = 4, bitsPerBand = 6),
+      Some(bandedEmbeddingOracle)),
 
     QueryDef("ann_bruteforce",
       (s, dir) => Similarity.bruteForceTopK(Tables.read(s, dir, "embeddings")),
@@ -291,6 +298,27 @@ object PipelineQueries {
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Mirror of Similarity.embeddingNearDupsBanded (4 bands × 6 bits,
+    * "band|p|i" hyperplane seeds, OR-amplified candidates, exact verify).
+    */
+  private lazy val bandedEmbeddingOracle: String = {
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT vec_id, $b AS band, ${bucketSql("embedding", 6, Some(b))} AS bh FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm
+       |           FROM embeddings),
+       |keyed AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM keyed x JOIN keyed y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT vec_a, vec_b,
+       |    ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
+       |  FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id)
+       |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
   }
 
   /** Mirror of Similarity.ivfTopK: deterministic coarse quantizer

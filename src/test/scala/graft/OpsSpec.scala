@@ -87,12 +87,38 @@ class SimilaritySpec extends SparkSpec {
 
   test("LSH bucket is deterministic and bounded") {
     val emb = graft.core.Tables.read(spark, sf, "embeddings").limit(50)
-    val b1 = emb.select(Similarity.lshBucket(col("embedding"), 4).as("b"))
+    val dims = Similarity.embDims(emb)
+    assert(dims === 64)
+    val b1 = emb.select(Similarity.lshBucket(col("embedding"), 4, dims).as("b"))
       .as[Long].collect().toSeq
-    val b2 = emb.select(Similarity.lshBucket(col("embedding"), 4).as("b"))
+    val b2 = emb.select(Similarity.lshBucket(col("embedding"), 4, dims).as("b"))
       .as[Long].collect().toSeq
     assert(b1 === b2)
     assert(b1.forall(b => b >= 0 && b < 16))
+  }
+
+  test("banded near-dups are a superset of any single band's pairs") {
+    val emb = graft.core.Tables.read(spark, sf, "embeddings")
+    val banded = Similarity.embeddingNearDupsBanded(emb,
+      threshold = 0.35, bands = 4, bitsPerBand = 6)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every banded pair is symmetric-ordered and above threshold by construction;
+    // the OR over 4 bands must find at least as much as one 6-bit blocking key
+    val dims = Similarity.embDims(emb)
+    val oneBand = emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 6, dims, Some(0)).as("bh"))
+    val single = oneBand.as("x").join(oneBand.as("y"),
+        col("x.bh") === col("y.bh") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"))
+      .join(emb.as("ea"), col("x.vec_id") === col("ea.vec_id"))
+      .join(emb.as("eb"), col("y.vec_id") === col("eb.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        Similarity.cosine(col("ea.embedding"), col("eb.embedding")).as("c"))
+      .filter(col("c") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(banded),
+      s"missing pairs from band 0: ${single.diff(banded).take(5)}")
   }
 }
 
