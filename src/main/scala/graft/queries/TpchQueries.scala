@@ -79,27 +79,103 @@ object TpchQueries {
              |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
-    // sink breadth: CSV round-trip (header + explicit schema read-back)
+    // Q5 local-supplier volume: the canonical multi-join star — six tables,
+    // two selective filters, small dims broadcast, one agg shuffle on n_name
+    QueryDef("tpch_q5",
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer")
+        val o = Tables.read(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        val l = Tables.read(s, dir, "lineitem")
+        val su = Tables.read(s, dir, "supplier")
+        val n = Tables.read(s, dir, "nation")
+        val r = Tables.read(s, dir, "region").filter(col("r_name") === "ASIA")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM customer c
+             |JOIN orders o ON o.o_custkey = c.c_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |  AND c.c_nationkey = s.s_nationkey
+             |JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |WHERE r.r_name = 'ASIA'
+             |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // Q18 large-volume customers: big groupBy + HAVING semi-join back into
+    // the fact — the heavy hash-agg plan class
+    QueryDef("tpch_q18",
+      (s, dir) => {
+        val l = Tables.read(s, dir, "lineitem")
+        val big = l.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("q"))
+          .filter(col("q") > 250)
+          .select(col("l_orderkey").as("big_orderkey"))
+        val o = Tables.read(s, dir, "orders")
+        val c = Tables.read(s, dir, "customer")
+        l.join(big, l("l_orderkey") === big("big_orderkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_totalprice"))
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+             |strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM customer c
+             |JOIN orders o ON o.o_custkey = c.c_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |WHERE o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+             |GROUP BY c_name, c_custkey, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // sink breadth: CSV round-trip (header + explicit schema read-back).
+    // Parallel multi-file write — the read-back re-sorts, so no coalesce(1)
+    // single-writer funnel; the path is keyed by the input dir so runs at
+    // different scale factors never clobber each other mid-query.
     QueryDef("sink_csv_roundtrip",
       (s, dir) => {
         val src = Tables.read(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
-        val path = "/tmp/graft_sink_csv_demo"
-        src.coalesce(1).write.mode("overwrite")
-          .option("header", "true").csv(path)
+        val path =
+          s"/tmp/graft_sink_csv_demo_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        src.write.mode("overwrite").option("header", "true").csv(path)
         s.read.schema(src.schema).option("header", "true").csv(path)
           .orderBy("s_suppkey")
       },
       Some("SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey")),
 
     // sink breadth: JSON round-trip (write json, read back with the source
-    // schema, prove lossless)
+    // schema, prove lossless) — parallel write, sf-keyed path, as above
     QueryDef("sink_json_roundtrip",
       (s, dir) => {
         val src = Tables.read(s, dir, "nation")
           .select("n_nationkey", "n_name", "n_regionkey")
-        val path = "/tmp/graft_sink_json_demo"
-        src.coalesce(1).write.mode("overwrite").json(path)
+        val path =
+          s"/tmp/graft_sink_json_demo_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        src.write.mode("overwrite").json(path)
         s.read.schema(src.schema).json(path).orderBy("n_nationkey")
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
