@@ -1,0 +1,94 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** One logical table's physical binding: where it lives, what format, and
+  * any reader options.
+  */
+final case class TableSpec(
+    name: String,
+    path: String,
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty)
+
+/** Logical-name → physical-binding catalog — the engine's analog of the
+  * reference's config indirection (`config/settings.toml:1-16` maps dataset
+  * ids to table names; `config/env.py:5-7` overlays environment secrets).
+  * Queries name tables logically; the catalog decides path + format, so
+  * re-pointing the engine at a different lake layout is a config change,
+  * not a code change.
+  *
+  * The reserved option `tsNanosCol` names a column stored as parquet
+  * TIMESTAMP(NANOS) (which Spark 4 reads as long via
+  * `spark.sql.legacy.parquet.nanosAsLong`); the catalog rebuilds it as a
+  * µs timestamp on read.
+  */
+final case class Catalog(tables: Map[String, TableSpec]) {
+
+  def spec(name: String): TableSpec =
+    tables.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown table '$name'; catalog has: " +
+        tables.keys.toSeq.sorted.mkString(", ")))
+
+  def read(spark: SparkSession, name: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val t = spec(name)
+    val df = spark.read.format(t.format)
+      .options(t.options - Catalog.TsNanosCol)
+      .load(t.path)
+    t.options.get(Catalog.TsNanosCol).fold(df) { c =>
+      df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+    }
+  }
+}
+
+object Catalog {
+  val TsNanosCol = "tsNanosCol"
+
+  /** Driver testdata layout: every table at `$sfDir/<name>.parquet`. */
+  def forDir(sfDir: String): Catalog = Catalog(
+    Tables.All.map { n =>
+      val opts =
+        if (n == "events") Map(TsNanosCol -> "ts")
+        else Map.empty[String, String]
+      n -> TableSpec(n, s"$sfDir/$n.parquet", "parquet", opts)
+    }.toMap)
+
+  /** Parse a properties-style catalog (JDK parser, no extra dependency):
+    *
+    * {{{
+    * table.lineitem.path   = /lake/tpch/lineitem
+    * table.lineitem.format = parquet
+    * table.events.path     = /lake/events
+    * table.events.option.tsNanosCol = ts
+    * }}}
+    *
+    * `overrides` layers key→value replacements on top of the parsed text —
+    * the analog of the reference's env-secret overlay (`config/env.py:5-7`),
+    * e.g. `Map("table.lineitem.path" -> sys.env("LINEITEM_PATH"))`.
+    */
+  def fromProperties(text: String,
+      overrides: Map[String, String] = Map.empty): Catalog = {
+    val props = new java.util.Properties()
+    props.load(new java.io.StringReader(text))
+    val kv = {
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap ++ overrides
+    }
+    val names = kv.keys
+      .filter(_.startsWith("table."))
+      .map(_.split('.')(1))
+      .toSet
+    Catalog(names.map { n =>
+      val path = kv.getOrElse(s"table.$n.path",
+        throw new IllegalArgumentException(s"table.$n.path missing"))
+      val fmt = kv.getOrElse(s"table.$n.format", "parquet")
+      val optPrefix = s"table.$n.option."
+      val opts = kv.collect {
+        case (k, v) if k.startsWith(optPrefix) => k.stripPrefix(optPrefix) -> v
+      }
+      n -> TableSpec(n, path, fmt, opts)
+    }.toMap)
+  }
+}

@@ -14,22 +14,18 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  /** Scan one logical table. Column pruning + predicate pushdown reach the
-    * parquet reader automatically because this stays a plain DataSource scan.
+  /** Scan one logical table through the catalog binding for `sfDir`
+    * (see [[Catalog.forDir]]). Column pruning + predicate pushdown reach
+    * the parquet reader automatically because this stays a plain
+    * DataSource scan.
     *
     * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 will
-    * not map to its µs TimestampType directly — we read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild the timestamp with
-    * integer ns→µs division (the testdata has zero sub-µs precision, so this
-    * is lossless; double division would corrupt ~1.7e18 epoch values).
+    * not map to its µs TimestampType directly — the catalog's `tsNanosCol`
+    * option reads nanos as long (`spark.sql.legacy.parquet.nanosAsLong`)
+    * and rebuilds the timestamp with integer ns→µs division (the testdata
+    * has zero sub-µs precision, so this is lossless; double division would
+    * corrupt ~1.7e18 epoch values).
     */
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val df = spark.read.parquet(path(sfDir, name))
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
-  }
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Catalog.forDir(sfDir).read(spark, name)
 }

@@ -3,9 +3,11 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Append-mode sink layer (reference S5/S6, `etl/core/dim_loader.py:23-30`,
-  * `load_311.py:113-126`): skip-if-empty, append disposition. Local format is
-  * parquet; the format string is pluggable the way the reference's BigQuery
-  * table ids are config-driven (`config/settings.toml`).
+  * `load_311.py:113-126`): skip-if-empty, append disposition. The format
+  * string is a real `DataFrameWriter.format` plug point — parquet by
+  * default, csv/json for local breadth, and a warehouse connector name
+  * (the reference loads to BigQuery via a pandas-gbq call; here any DSv2
+  * writer on the classpath slots in) without touching call sites.
   *
   * Scale: append of a partitioned DataFrame is embarrassingly parallel —
   * one file per partition, no shuffle. Callers control layout with
@@ -13,23 +15,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sink {
 
-  def append(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil): Unit = {
+  def append(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): Unit = {
     // skip-if-empty guard (dim_loader.py:26-27) without a full count: limit 1.
     if (!df.isEmpty) {
-      val w = df.write.mode("append")
+      val w = df.write.mode("append").format(format).options(options)
       (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
-        .parquet(path)
+        .save(path)
     }
   }
 
-  def overwrite(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+  def overwrite(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode("overwrite").format(format).options(options)
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
-      .parquet(path)
+      .save(path)
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def read(spark: SparkSession, path: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format(format).options(options).load(path)
 
   /** Idempotent dim append — the documented fix for the reference's
     * append-duplication quirk (SURVEY §2.8/§7.4.6: per-slice dedup + append
