@@ -15,23 +15,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sink {
 
+  /** Append `df`; returns the number of rows written, observed DURING the
+    * write job (`Dataset.observe` piggybacks a CollectMetrics node on the
+    * write's own pass) — callers get load observability without re-running
+    * the DataFrame's DAG for a count.
+    */
   def append(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil,
       format: String = "parquet",
-      options: Map[String, String] = Map.empty): Unit = {
+      options: Map[String, String] = Map.empty): Long = {
     // skip-if-empty guard (dim_loader.py:26-27) without a full count: limit 1.
-    if (!df.isEmpty) {
-      val w = df.write.mode("append").format(format).options(options)
+    if (df.isEmpty) 0L
+    else {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = df.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+      val w = observed.write.mode("append").format(format).options(options)
       (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
         .save(path)
+      obs.get("rows").asInstanceOf[Long]
     }
   }
 
+  /** Overwrite `df` at `path`; returns rows written (observed in-flight,
+    * as in [[append]]).
+    */
   def overwrite(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil,
       format: String = "parquet",
-      options: Map[String, String] = Map.empty): Unit = {
-    val w = df.write.mode("overwrite").format(format).options(options)
+      options: Map[String, String] = Map.empty): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    val w = observed.write.mode("overwrite").format(format).options(options)
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
       .save(path)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   def read(spark: SparkSession, path: String, format: String = "parquet",
@@ -46,7 +65,7 @@ object Sink {
     * MERGE: one broadcast-able anti-join per slice against a small dim.
     */
   def upsertDim(spark: SparkSession, dim: DataFrame, path: String,
-      naturalKeys: Seq[String]): Unit = {
+      naturalKeys: Seq[String]): Long = {
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
     val fresh =

@@ -42,8 +42,8 @@ object Pipeline {
     // the idempotent variant.
     val dateDim = Generators.dateDim(spark, "2020-01-01", "2026-12-31")
     val timeDim = Generators.timeDim(spark)
-    Sink.append(dateDim, s"${cfg.outDir}/dim_date")
-    Sink.append(timeDim, s"${cfg.outDir}/dim_time")
+    val nDateDim = Sink.append(dateDim, s"${cfg.outDir}/dim_date")
+    val nTimeDim = Sink.append(timeDim, s"${cfg.outDir}/dim_time")
 
     // 2. extract: the incremental slice (P2 pushed to the scan)
     val raw = Star.rawFact(spark, cfg.sfDir)
@@ -78,8 +78,10 @@ object Pipeline {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "ship_date_key", "ship_year", "part_key",
         "supplier_key", "nation_key")
-    // facts land partitioned by year so incremental reads partition-prune
-    Sink.append(fact, s"${cfg.outDir}/fact_lineitem", Seq("ship_year"))
+    // facts land partitioned by year so incremental reads partition-prune;
+    // the row count is observed inside the write job (no DAG re-run)
+    val nFact = Sink.append(fact, s"${cfg.outDir}/fact_lineitem",
+      Seq("ship_year"))
 
     // 5. second fact domain (reference's parking fact, main.py:148-181):
     // orders enriched with customer attributes, two dims stamped
@@ -109,7 +111,7 @@ object Pipeline {
       .withColumn("order_date_key", TimeParse.dateKey(col("o_orderdate")))
       .select("o_orderkey", "o_totalprice", "order_date_key", "prio_key",
         "segment_key")
-    Sink.append(ordersFact, s"${cfg.outDir}/fact_orders")
+    val nOrdersFact = Sink.append(ordersFact, s"${cfg.outDir}/fact_orders")
 
     // 6. integrated fact (load_integrated_fact.py:6-24): both domains
     // union-by-name'd onto the shared (domain, date_key, amount) shape
@@ -120,14 +122,16 @@ object Pipeline {
       .unionByName(ordersFact.select(lit("orders").as("domain"),
         col("order_date_key").as("date_key"),
         col("o_totalprice").as("amount")))
-    Sink.append(integrated, s"${cfg.outDir}/fact_integrated")
+    val nIntegrated = Sink.append(integrated, s"${cfg.outDir}/fact_integrated")
 
+    // observability counts (main.py:60-63): the write-observed row counts —
+    // no sink's DAG runs twice. Dim counts come off the cached dims.
     val counts = Map(
-      "dim_date" -> dateDim.count(),
-      "dim_time" -> timeDim.count(),
-      "fact_lineitem" -> fact.count(),
-      "fact_orders" -> ordersFact.count(),
-      "fact_integrated" -> integrated.count()) ++
+      "dim_date" -> nDateDim,
+      "dim_time" -> nTimeDim,
+      "fact_lineitem" -> nFact,
+      "fact_orders" -> nOrdersFact,
+      "fact_integrated" -> nIntegrated) ++
       (dims ++ ordersDims).map { case (name, _, dim) => name -> dim.count() }
     (dims ++ ordersDims).foreach(_._3.unpersist())
     counts

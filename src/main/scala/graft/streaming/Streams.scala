@@ -110,7 +110,7 @@ object Streams {
         val cleaned = batch
           .withColumn("date_key", graft.core.TimeParse.dateKey(col("ts")))
           .withColumn("time_key", graft.core.TimeParse.timeKey(col("ts")))
-        graft.io.Sink.append(cleaned, outPath)
+        graft.io.Sink.append(cleaned, outPath): Unit
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$outPath/_checkpoint")

@@ -77,4 +77,22 @@ class PipelineSpec extends SparkSpec {
       ("1995-02-01", "1995-03-01"),
       ("1995-03-01", "1995-04-01")))
   }
+
+  test("CLI main runs a slice end-to-end from argv") {
+    val out = freshDir("cli")
+    graft.pipeline.Main.main(Array(
+      "--sf", sf, "--out", out,
+      "--start", "1995-01-01", "--end", "1996-01-01"))
+    assert(Pipeline.table(spark, out, "fact_lineitem").count() > 0)
+    assert(Pipeline.table(spark, out, "dim_time").count() === 1440)
+  }
+
+  test("CLI main rejects missing and unknown flags") {
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Main.parse(Seq("--sf", "x", "--out", "y", "--start", "z"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Main.parse(Seq("--bogus"))
+    }
+  }
 }
