@@ -35,7 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_top_k_by"),
       new ExpressionInfo(classOf[graft.core.TopKBy].getName, "graft_top_k_by"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.core.TopKBy(exprs(0), exprs(1),
-          exprs(2).eval().asInstanceOf[Number].intValue())))
+        graft.core.TopKBy.withCasts(exprs(0), exprs(1), exprs(2))))
   }
 }

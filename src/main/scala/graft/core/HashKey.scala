@@ -133,8 +133,7 @@ object GraftFunctions {
         "graft_md5_hi64", exprs => Md5Hi64(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_top_k_by",
-        exprs => TopKBy(exprs(0), exprs(1),
-          exprs(2).eval().asInstanceOf[Number].intValue()),
+        exprs => TopKBy.withCasts(exprs(0), exprs(1), exprs(2)),
         "built-in")
     }
 

@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -58,7 +58,10 @@ case class TopKBy(
       input: InternalRow): mutable.ArrayBuffer[(Double, Long)] = {
     val v = valueExpr.eval(input)
     val id = idExpr.eval(input)
-    if (v != null && id != null)
+    // NaN is dropped like null: it can't be ranked, and once inside the
+    // buffer it would make lt() non-total (never evictable, comparator
+    // inconsistent under sortWith)
+    if (v != null && id != null && !v.asInstanceOf[Double].isNaN)
       insert(buf, (v.asInstanceOf[Double], id.asInstanceOf[Long]))
     buf
   }
@@ -102,4 +105,15 @@ case class TopKBy(
       newChildren: IndexedSeq[Expression]): TopKBy =
     copy(valueExpr = newChildren(0), idExpr = newChildren(1))
   override def prettyName: String = "graft_top_k_by"
+}
+
+object TopKBy {
+  /** Registration-time builder: casts value→double and id→long, so
+    * int/float/decimal callers work and structurally un-castable inputs
+    * (arrays, maps) fail at analysis — never a ClassCastException mid-job.
+    * (The cleaner `ImplicitCastInputTypes` mixin is `private[sql]`.)
+    */
+  def withCasts(value: Expression, id: Expression, k: Expression): TopKBy =
+    TopKBy(Cast(value, DoubleType), Cast(id, LongType),
+      k.eval().asInstanceOf[Number].intValue())
 }

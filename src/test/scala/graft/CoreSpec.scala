@@ -148,6 +148,38 @@ class TopKBySpec extends SparkSpec {
     assert(out.toSeq === Seq(
       ("a", 0, 5.0, 2L), ("a", 1, 5.0, 3L), ("b", 0, 2.0, 9L)))
   }
+
+  test("int/float inputs are coerced; NaN values are dropped") {
+    val df = Seq(
+      ("a", 3, 1), ("a", 7, 2), ("a", 5, 3))
+      .toDF("g", "v", "id") // int value, int id
+    val coerced = df.groupBy("g")
+      .agg(call_function("graft_top_k_by", col("v"), col("id"), lit(1))
+        .as("topk"))
+      .select(explode(col("topk")))
+      .select(col("col.value"), col("col.id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(coerced.toSeq === Seq((7.0, 2L)))
+
+    val withNaN = Seq(
+      ("a", Double.NaN, 1L), ("a", 2.0, 2L), ("a", Double.NaN, 3L))
+      .toDF("g", "v", "id")
+    val out = withNaN.groupBy("g")
+      .agg(call_function("graft_top_k_by", col("v"), col("id"), lit(3))
+        .as("topk"))
+      .select(explode(col("topk")))
+      .select(col("col.value"), col("col.id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.toSeq === Seq((2.0, 2L)))
+
+    // structurally un-castable value is a clean analysis error, not a
+    // mid-job ClassCastException
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", Array(1.0), 1L)).toDF("g", "v", "id").groupBy("g")
+        .agg(call_function("graft_top_k_by", col("v"), col("id"), lit(1)))
+        .collect()
+    }
+  }
 }
 
 class KeyMapperSpec extends SparkSpec {
