@@ -1,30 +1,51 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every declared query at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Methodology: one untimed warmup pass over all queries (JIT, codegen
+  * cache, parquet footer cache, the one-time REST-page fixture), then
+  * SPARK_GRAFT_BENCH_ITERS (default 3) measured passes. Per-query time is
+  * the MEDIAN across passes and "value" is the sum of medians, so
+  * round-over-round comparisons measure the steady state, not whichever
+  * pass paid first-run codegen. The per-pass totals are included under
+  * "totals" for dispersion.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/parquet-reader warmup so session init isn't charged to
-    // whichever query happens to run first
-    try {
-      graft.core.Tables.read(spark, sfDir, "lineitem")
-        .groupBy("l_returnflag").count().count()
-    } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def onePass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
+    onePass() // warmup: codegen + caches, not charged to anyone
+    val passes = (1 to iters).map(_ => onePass())
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val names = SparkEntry.queries.keys.toSeq
+    val med = names.map(n => n -> median(passes.map(_(n)))).toMap
+    val qs = names.map(n => s"\"$n\":" + med(n)).mkString("{", ",", "}")
+    val total = med.values.sum
+    val totals = passes.map(_.values.sum)
+      .map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"totals":$totals}""")
     spark.stop()
   }
 }
