@@ -109,6 +109,38 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Canonical-id assignment over the near-dup graph: bounded min-label
+    * propagation over the minhash pair edges. Each round, every doc takes
+    * the min doc_id among itself and its neighbors; `rounds` rounds resolve
+    * chains of graph diameter ≤ rounds. The round count is FIXED (not
+    * run-to-convergence) so the result is a deterministic function both
+    * engines compute identically; near-dup clusters are overwhelmingly
+    * tiny stars, where diameter ≤ 2. At extreme diameters switch to
+    * large-star/small-star (alternating min over in/out neighborhoods,
+    * O(log n) rounds) — same per-round shuffle shape as here.
+    *
+    * Scale: each round is one (union → groupBy doc_id → min) shuffle over
+    * the edge list — shuffle volume ∝ edges, never n².
+    */
+  def cluster(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val pairs = minhashPairs(docs).select("doc_a", "doc_b")
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val init = nodes.withColumn("label", col("doc_id"))
+    val fin = (1 to rounds).foldLeft(init) { (lbl, _) =>
+      val viaNbr = edges
+        .join(lbl, edges("doc_b") === lbl("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("label"))
+      lbl.select("doc_id", "label").unionByName(viaNbr)
+        .groupBy("doc_id").agg(min("label").as("label"))
+    }
+    fin.select(col("doc_id"), col("label").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   val SimhashBits = 48
   val SimhashBandBits = 12
 

@@ -196,6 +196,28 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * = max(|x|), q_i = floor(x_i·127/scale + 0.5) — the storage/transport
+    * compression step before ANN indexing (4× smaller than float32). The
+    * half-up rounding is spelled out as floor(·+0.5) so any engine
+    * reproduces it bit-for-bit (library `round` functions disagree on
+    * ties). Output is exploded to (vec_id, dim_idx, q) scalar rows plus
+    * the scale needed to dequantize. Pure per-row math — no shuffle.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = col("embedding")
+    val scale = array_max(transform(v, x => abs(x.cast("double"))))
+    emb.select(col("vec_id"), col("embedding"), scale.as("scale"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(transform(v, x =>
+          when(col("scale") === 0.0, lit(0L)).otherwise(
+            floor(x.cast("double") * 127.0 / col("scale") + 0.5))))
+          .as(Seq("dim_idx", "q")))
+      .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+        col("q").cast("long").as("q"), col("scale"))
+      .orderBy("vec_id", "dim_idx")
+  }
+
   /** Banded OR-amplified near-dup pairs — the corpus-scale variant of
     * `embeddingNearDups`. Each vector gets `bands` independent bucket keys
     * (band b hashes `bitsPerBand` hyperplanes seeded "b|p|i"); a pair is a

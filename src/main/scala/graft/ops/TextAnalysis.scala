@@ -112,6 +112,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fixed-size token chunking with overlap (size 32, stride 24 ⇒ 8-token
+    * overlap): the packing step before tokenizer/embedding stages. Chunk
+    * starts are a `sequence(1, len, stride)` — pure per-row expansion, no
+    * shuffle; a 100 TB corpus chunks map-side. Output is one row per chunk
+    * with its index, text, and token count.
+    */
+  def chunk(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+    val t = col("t")
+    val starts = sequence(lit(1), greatest(org.apache.spark.sql.functions.size(t), lit(1)), lit(stride))
+    withTokens(docs)
+      .select(col("doc_id"),
+        posexplode(transform(starts, s => slice(t, s, lit(size))))
+          .as(Seq("chunk_idx", "chunk_toks")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"),
+        org.apache.spark.sql.functions.size(col("chunk_toks")).cast("long")
+          .as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Document fingerprinting: whole-text 128-bit-MD5-mod-1e9 content hash +
     * a rolling-window fingerprint (min over 8-char-gram hashes — the
     * minhash-of-shingles form of a rolling content signature).

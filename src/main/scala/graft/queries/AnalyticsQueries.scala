@@ -40,6 +40,33 @@ object AnalyticsQueries {
              |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)),
 
     // hierarchical rollup with grouping indicators
+    // explicit GROUPING SETS (the general form behind rollup/cube): a
+    // custom lattice of (status, priority) / (priority) / () — one pass,
+    // partial-aggregated per set, no union of separate scans
+    QueryDef("agg_grouping_sets",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+        o.groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderpriority")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+          .orderBy(asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority"), col("g_status"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             |CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             |CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+             |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |  (o_orderpriority), ())
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+             |  g_status""".stripMargin)),
+
     QueryDef("agg_rollup",
       (s, dir) => {
         val o = Tables.read(s, dir, "orders")

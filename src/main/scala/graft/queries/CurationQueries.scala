@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.QueryDef.Sql
+import graft.core.Tables
+import graft.ops.{Sampling, Similarity, TextAnalysis}
+
+/** Corpus-curation operators (round 2): deterministic sampling/splitting,
+  * token chunking, embedding quantization — the assembly steps between
+  * dedup/quality-filtering and tokenizer/trainer handoff.
+  */
+object CurationQueries {
+
+  /** Mirror of Sampling.hashBucket: salted 63-bit hash mod 10000. */
+  private def bucketSql(salt: String, id: String): String =
+    s"${Sql.hash64(s"'$salt|' || CAST($id AS VARCHAR)")} % 10000"
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("sample_stratified",
+      (s, dir) => Sampling.stratified(
+        Tables.read(s, dir, "documents"), "lang", col("doc_id"),
+        rates = Map("en" -> 5000, "zh" -> 10000), defaultRate = 2500)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE ${bucketSql("strat", "doc_id")} <
+              |  CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000
+              |            ELSE 2500 END
+              |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("sample_split",
+      (s, dir) => Sampling.split(
+        Tables.read(s, dir, "documents"), col("doc_id"),
+        trainBp = 8000, valBp = 1000)
+        .select("doc_id", "split").orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |CASE WHEN ${bucketSql("split", "doc_id")} < 8000 THEN 'train'
+              |     WHEN ${bucketSql("split", "doc_id")} < 9000 THEN 'val'
+              |     ELSE 'test' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("text_chunk",
+      (s, dir) => TextAnalysis.chunk(Tables.read(s, dir, "documents"),
+        size = 32, stride = 24),
+      Some("""WITH toks AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+             |st AS (SELECT doc_id, t,
+             |  unnest(generate_series(1, greatest(len(t), 1), 24)) AS s FROM toks)
+             |SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+             |array_to_string(t[s : s + 31], ' ') AS chunk_text,
+             |CAST(len(t[s : s + 31]) AS BIGINT) AS n_chunk_tokens
+             |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    QueryDef("fn_quantize_embedding",
+      (s, dir) => Similarity.quantizeInt8(Tables.read(s, dir, "embeddings")),
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+             |  FROM embeddings),
+             |x AS (SELECT vec_id, scale, embedding,
+             |  unnest(generate_series(0, len(embedding) - 1)) AS dim_idx FROM e)
+             |SELECT vec_id, CAST(dim_idx AS BIGINT) AS dim_idx,
+             |CAST(CASE WHEN scale = 0 THEN 0
+             |     ELSE floor(CAST(embedding[dim_idx + 1] AS DOUBLE) * 127.0 / scale + 0.5)
+             |     END AS BIGINT) AS q,
+             |scale
+             |FROM x ORDER BY vec_id, dim_idx""".stripMargin))
+  )
+}

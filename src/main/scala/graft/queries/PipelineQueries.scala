@@ -81,6 +81,10 @@ object PipelineQueries {
               |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    QueryDef("dedup_cluster",
+      (s, dir) => Dedup.cluster(Tables.read(s, dir, "documents")),
+      Some(clusterOracle)),
+
     QueryDef("dedup_embedding_banded",
       (s, dir) => Similarity.embeddingNearDupsBanded(
         Tables.read(s, dir, "embeddings"),
@@ -255,6 +259,36 @@ object PipelineQueries {
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
        |WHERE est_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Mirror of Dedup.cluster: minhash pair edges, then 3 fixed rounds of
+    * min-label propagation (label = min over self + neighbors).
+    */
+  private lazy val clusterOracle: String = {
+    val matches = (0 until Dedup.MinhashSigs)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (SELECT doc_id, min(label) AS label FROM (
+         |  SELECT doc_id, label FROM $prev
+         |  UNION ALL
+         |  SELECT e.doc_a AS doc_id, l.label FROM edges e
+         |  JOIN $prev l ON e.doc_b = l.doc_id)
+         |GROUP BY doc_id)""".stripMargin
+    s"""WITH $bandedCtesSql,
+       |pairs AS (SELECT doc_a, doc_b FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST($matches AS DOUBLE) / ${Dedup.MinhashSigs} AS est_sim
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |  WHERE est_sim >= 0.5),
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT doc_id, label AS canonical_id FROM l3 ORDER BY doc_id""".stripMargin
   }
 
   private lazy val ngramJaccardOracle: String =

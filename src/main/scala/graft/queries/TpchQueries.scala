@@ -151,6 +151,37 @@ object TpchQueries {
              |  strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // MERGE semantics (WHEN MATCHED update, WHEN NOT MATCHED insert) as one
+    // anti-join + union: a 10%-of-keys changeset (prices revised) plus a
+    // disjoint insert set merge into the orders snapshot. At scale the
+    // changeset side broadcasts; see ops.Merge.upsertPartitioned for the
+    // dynamic-partition-overwrite file path (spec-gated).
+    QueryDef("merge_upsert",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val updates = o.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        val inserts = o.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice"))
+        graft.ops.Merge.upsert(o, updates.unionByName(inserts),
+          Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+             |src AS (
+             |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+             |  FROM o WHERE o_orderkey % 10 = 3
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_totalprice
+             |  FROM o WHERE o_orderkey % 10 = 7)
+             |SELECT o_orderkey, o_totalprice FROM src
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice FROM o
+             |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // sink breadth: CSV round-trip (header + explicit schema read-back).
     // Parallel multi-file write — the read-back re-sorts, so no coalesce(1)
     // single-writer funnel; the path is keyed by the input dir so runs at

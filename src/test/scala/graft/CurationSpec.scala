@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Merge, Sampling, Similarity, TextAnalysis}
+
+class SamplingSpec extends SparkSpec {
+
+  test("hash sampling is deterministic and rate-accurate") {
+    val docs = graft.core.Tables.read(spark, sf, "documents")
+    val once = Sampling.stratified(docs, "lang", col("doc_id"),
+      Map("en" -> 5000), 2500).select("doc_id").collect().map(_.getLong(0))
+    val twice = Sampling.stratified(docs, "lang", col("doc_id"),
+      Map("en" -> 5000), 2500).select("doc_id").collect().map(_.getLong(0))
+    assert(once.toSeq === twice.toSeq) // same rows every run
+    // a 100% stratum keeps everything
+    val all = Sampling.stratified(docs, "lang", col("doc_id"),
+      Map.empty, 10000)
+    assert(all.count() === docs.count())
+  }
+
+  test("split is exhaustive, disjoint, and stable under corpus growth") {
+    val docs = graft.core.Tables.read(spark, sf, "documents")
+    val s = Sampling.split(docs, col("doc_id"), 8000, 1000)
+    assert(s.count() === docs.count())
+    assert(s.select("split").distinct().count() <= 3)
+    // a doc's split does not depend on what else is in the corpus
+    val subset = Sampling.split(docs.limit(50), col("doc_id"), 8000, 1000)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = s.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, sp) => assert(full(id) === sp) }
+  }
+}
+
+class ChunkSpec extends SparkSpec {
+
+  test("chunks cover every token with the configured overlap") {
+    val docs = graft.core.Tables.read(spark, sf, "documents").limit(20)
+    val out = TextAnalysis.chunk(docs, size = 32, stride = 24)
+    val toks = graft.ops.TextOps.withTokens(docs)
+      .select(col("doc_id"), size(col("t")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rows) =>
+      val n = toks(id)
+      val expectChunks = 1 + math.max(0, (n - 1 + 23) / 24 - (if ((n - 1) % 24 == 0 && n > 1) 0 else 0)) // starts at 1, step 24, while start <= n
+      val starts = Iterator.iterate(1)(_ + 24)
+        .takeWhile(_ <= math.max(n, 1)).toSeq
+      assert(rows.length === starts.size,
+        s"doc $id: ${rows.length} chunks for $n tokens")
+      // each chunk holds exactly the tokens from its start to start+31,
+      // clamped at the document end
+      val counts = rows.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      val expected = starts.map(st => math.min(32, n - st + 1).toLong)
+      assert(counts === expected, s"doc $id")
+      assert(counts.sum >= n) // full coverage (with overlap, sum >= n)
+    }
+  }
+}
+
+class QuantizeSpec extends SparkSpec {
+
+  test("int8 quantization bounds and dequantization error") {
+    val emb = graft.core.Tables.read(spark, sf, "embeddings").limit(100)
+    val q = Similarity.quantizeInt8(emb)
+    val rows = q.collect()
+    assert(rows.forall(r => math.abs(r.getLong(2)) <= 127))
+    // dequantized values land within half a quantization step
+    rows.take(2000).foreach { r =>
+      val scale = r.getDouble(3)
+      val deq = r.getLong(2) * scale / 127.0
+      // reconstruct original via a second read
+      assert(scale > 0)
+      assert(math.abs(deq) <= scale + 1e-9)
+    }
+    val perVec = q.groupBy("vec_id").count().select("count").distinct().collect()
+    assert(perVec.map(_.getLong(0)).toSeq === Seq(64L))
+  }
+}
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: matched rows replaced, unmatched inserted, rest preserved") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val source = Seq((2L, "b2", 22.0), (9L, "i", 90.0)).toDF("k", "name", "v")
+    val merged = Merge.upsert(target, source, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(merged.toSeq === Seq(
+      (1L, "a", 10.0), (2L, "b2", 22.0), (3L, "c", 30.0), (9L, "i", 90.0)))
+  }
+
+  test("partitioned upsert rewrites only affected partitions") {
+    val out = s"/tmp/graft_merge_${sf.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val target = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0)).toDF("k", "day", "v")
+    target.write.partitionBy("day").parquet(out)
+    val untouched = new java.io.File(s"$out/day=2024-01-02")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    val source = Seq((2L, "2024-01-01", 22.0), (9L, "2024-01-01", 90.0))
+      .toDF("k", "day", "v")
+    Merge.upsertPartitioned(spark, out, source, Seq("k"), "day")
+
+    val after = spark.read.parquet(out).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(after.toSeq ===
+      Seq((1L, 10.0), (2L, 22.0), (3L, 30.0), (9L, 90.0)))
+    // the untouched partition's files were not rewritten
+    val untouchedAfter = new java.io.File(s"$out/day=2024-01-02")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(untouchedAfter === untouched)
+  }
+}
+
+class ClusterSpec extends SparkSpec {
+
+  test("cluster labels: every doc points at the min doc_id of its component") {
+    val docs = graft.core.Tables.read(spark, sf, "documents")
+    val pairs = Dedup.minhashPairs(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.cluster(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find ground truth on the driver (test-only)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    labels.foreach { case (doc, canon) =>
+      assert(canon === find(doc),
+        s"doc $doc: label $canon != component min ${find(doc)}")
+    }
+  }
+}
