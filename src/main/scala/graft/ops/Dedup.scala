@@ -121,16 +121,26 @@ object Dedup {
     *
     * Scale: each round is one (union → groupBy doc_id → min) shuffle over
     * the edge list — shuffle volume ∝ edges, never n².
+    *
+    * The edge list is materialized ONCE (`localCheckpoint`) before the
+    * rounds, and each round's label frame is checkpointed too: the round
+    * body references labels twice (self ∪ via-neighbor), so leaving the
+    * lineage declarative recomputes the whole minhash pipeline 2^rounds
+    * times (measured: 60 parquet scans, 9.9 s vs 2-ish with a linear DAG
+    * at sf0.1). On a multi-executor cluster swap `localCheckpoint` for a
+    * reliable `checkpoint` dir so executor loss can't drop edge blocks —
+    * the same trade GraphX makes in iterative Pregel.
     */
   def cluster(docs: DataFrame, rounds: Int = 3): DataFrame = {
-    val pairs = minhashPairs(docs).select("doc_a", "doc_b")
+    val pairs = minhashPairs(docs).select("doc_a", "doc_b").localCheckpoint()
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
     val init = nodes.withColumn("label", col("doc_id"))
-    val fin = (1 to rounds).foldLeft(init) { (lbl, _) =>
+    val fin = (1 to rounds).foldLeft(init) { (lbl0, _) =>
+      val lbl = lbl0.localCheckpoint()
       val viaNbr = edges
         .join(lbl, edges("doc_b") === lbl("doc_id"))
         .select(edges("doc_a").as("doc_id"), col("label"))

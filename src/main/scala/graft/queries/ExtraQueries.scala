@@ -137,6 +137,33 @@ object ExtraQueries {
              |                                ORDER BY ts, event_id) AS prev_us
              |      FROM events)))
              |GROUP BY user_id, session_idx
-             |ORDER BY user_id, session_idx""".stripMargin))
+             |ORDER BY user_id, session_idx""".stripMargin)),
+
+    // Native session-window sessionization (SessionWindow operator; the
+    // streaming-capable form of `sessionize`). Session end = last event +
+    // gap; an event exactly `gap` after the previous starts a new session
+    // (Spark merges only strict overlaps), hence >= in the oracle.
+    QueryDef("session_window_agg",
+      (s, dir) => Streams.sessionWindowBatch(s, dir),
+      Some("""SELECT user_id,
+             |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+             |count(*) AS n_events,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM (
+             |    SELECT user_id, event_id, ts, value,
+             |      CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+             |           THEN 1 ELSE 0 END AS new_sess
+             |    FROM (
+             |      SELECT user_id, event_id, ts, value,
+             |        lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |                                ORDER BY ts, event_id) AS prev_us
+             |      FROM events)))
+             |GROUP BY user_id, sess
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }

@@ -57,6 +57,153 @@ object Streams {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Native session-window sessionization (Spark's SessionWindow state
+    * operator): a session absorbs every event that arrives within
+    * `gapMinutes` of the last one; window end = last event + gap. One
+    * transform for batch AND streaming — in streaming the state store
+    * merges/evicts sessions by watermark, which is exactly the shape that
+    * scales: state ∝ open sessions, emission ∝ closed sessions, no
+    * per-event driver anything.
+    *
+    * Session membership boundary: an event at exactly `gap` after the
+    * previous one starts a NEW session (Spark merges only when the next
+    * start is strictly inside the open window) — the oracle mirrors this
+    * with `>=` on the microsecond diff.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Batch face of the session-window aggregate (declared as a query). */
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(Tables.read(spark, dir, "events"))
+      .orderBy("user_id", "session_start")
+
+  /** Streaming face of the session-window aggregate: file source →
+    * watermark → session_window → append-mode memory sink. Sessions emit
+    * once the watermark passes their end (used by SessionStreamSpec, which
+    * drives multiple event waves through `dir`/`glob` and checks emitted
+    * sessions equal the batch transform's).
+    */
+  def sessionWindowStreaming(spark: SparkSession, dir: String, glob: String,
+      queryName: String, gapMinutes: Int = 30): StreamingQuery = {
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    val rawSchema = spark.read.parquet(Tables.path(dir, "events")).schema
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", glob)
+      .format("parquet")
+      .load(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    sessionWindowAgg(events.withWatermark("ts", "10 minutes"), gapMinutes)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
+  /** One closed session, as emitted by [[sessionizeClosedStreaming]]. */
+  final case class ClosedSession(user_id: Long, session_idx: Long,
+      n_events: Long, session_start: String, total_value: Double)
+
+  /** Open-session state carried across micro-batches per user: next
+    * session ordinal, first/last event micros, running count, and the
+    * value sum as a scale-6 fixed-point long (order-independent, exactly
+    * the DECIMAL(18,6) the batch form sums through).
+    */
+  final case class OpenSession(idx: Long, startUs: Long, lastUs: Long,
+      n: Long, sumScaled: Long)
+
+  /** Custom-state sessionization (`flatMapGroupsWithState`): emits each
+    * session the moment a later event closes it (> gap of quiet), keeping
+    * only the single open session per user in state — the
+    * arbitrary-state face of what [[sessionWindowAgg]] does declaratively.
+    * Matches `sessionizeBatch` row-for-row on closed sessions (same gap
+    * rule `diff > gap`, same (ts, event_id) ordering, same fixed-point
+    * value sum).
+    *
+    * Scale notes: state is O(1) per user (one open session, never the
+    * event list); a group's per-batch events are sorted in memory, which
+    * is bounded by events-per-user-per-micro-batch, not corpus size.
+    * In-order arrival across batches is assumed (file slices arrive in
+    * time order, the reference's operating model); a production feed with
+    * stragglers would add an event-time timeout + lateness tolerance.
+    */
+  def sessionizeClosedStreaming(spark: SparkSession, dir: String,
+      glob: String, queryName: String, gapMinutes: Int = 30): StreamingQuery = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    implicit val stateEnc: Encoder[OpenSession] = Encoders.product[OpenSession]
+    implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    implicit val rowEnc: Encoder[(Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val gapUs = gapMinutes * 60L * 1000000L
+    val rawSchema = spark.read.parquet(Tables.path(dir, "events")).schema
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", glob)
+      .format("parquet")
+      .load(dir)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        expr("ts div 1000").cast("long"),
+        (col("value").cast("decimal(18,6)") * 1000000L).cast("long"))
+      .as[(Long, Long, Long, Long)](rowEnc)
+
+    val sessions = events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: org.apache.spark.sql.streaming.GroupState[OpenSession]) =>
+          // formatter built per invocation: DateTimeFormatter is not
+          // serializable, so it must not be captured by this closure
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss")
+            .withZone(java.time.ZoneOffset.UTC)
+          def emit(u: Long, s: OpenSession): ClosedSession =
+            ClosedSession(u, s.idx, s.n,
+              fmt.format(java.time.Instant.ofEpochSecond(
+                Math.floorDiv(s.startUs, 1000000L))),
+              java.math.BigDecimal.valueOf(s.sumScaled, 6).doubleValue())
+          val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          var open = state.getOption
+          sorted.foreach { case (_, _, us, vScaled) =>
+            open match {
+              case Some(s) if us - s.lastUs <= gapUs =>
+                open = Some(s.copy(lastUs = us, n = s.n + 1,
+                  sumScaled = s.sumScaled + vScaled))
+              case Some(s) =>
+                closed += emit(user, s)
+                open = Some(OpenSession(s.idx + 1, us, us, 1L, vScaled))
+              case None =>
+                open = Some(OpenSession(1L, us, us, 1L, vScaled))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+
+    sessions.toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   /** Stateful streaming aggregation (`mapGroupsWithState`): a per-user
     * running event count maintained in GroupState across micro-batches —
     * the custom-state face of the streaming layer (used by StreamingSpec).

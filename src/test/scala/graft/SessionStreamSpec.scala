@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Streaming sessionization parity: events flow through a temp directory in
+  * waves; a far-future sentinel wave closes every open session, after which
+  * the streamed output must equal the batch transform over the original
+  * events. Sentinel sessions stay open (or beyond the comparison horizon)
+  * and are excluded by construction.
+  */
+class SessionStreamSpec extends SparkSpec {
+
+  private def fs = org.apache.hadoop.fs.FileSystem
+    .get(spark.sparkContext.hadoopConfiguration)
+
+  /** Fresh stream dir seeded with the raw events file as wave 1. */
+  private def setupDir(name: String): String = {
+    val out = s"/tmp/graft_sessstream_$name"
+    fs.delete(new Path(out), true)
+    fs.mkdirs(new Path(out))
+    FileUtil.copy(fs, new Path(graft.core.Tables.path(sf, "events")),
+      fs, new Path(s"$out/events.parquet"), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    out
+  }
+
+  /** One sentinel event per user at globalMax + `hoursAhead`, dropped into
+    * the stream dir as a new wave (part files renamed in so the file
+    * source's next listing picks them up atomically).
+    */
+  private def writeSentinels(dir: String, hoursAhead: Int,
+      wave: String): Unit = {
+    val raw = spark.read.parquet(graft.core.Tables.path(sf, "events"))
+    val globalMaxNs = raw.agg(max("ts")).collect().head.getLong(0)
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val sentinels = raw
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .withColumn("ts", lit(globalMaxNs + hoursAhead * 3600L * 1000000000L))
+      .withColumn("event_id", col("event_id") + 1000000000L)
+    val tmp = s"$dir-tmp-$wave"
+    fs.delete(new Path(tmp), true)
+    sentinels.write.parquet(tmp)
+    fs.listStatus(new Path(tmp)).filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath, new Path(s"$dir/$wave-$i.parquet"))
+      }
+    fs.delete(new Path(tmp), true)
+  }
+
+  test("flatMapGroupsWithState emits exactly the batch sessions once a later wave closes them") {
+    val dir = setupDir("fmg")
+    val q = Streams.sessionizeClosedStreaming(spark, dir, "*.parquet", "sess_fmg_out")
+    try {
+      q.processAllAvailable()
+      writeSentinels(dir, 2, "wave2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      """SELECT user_id, session_idx, n_events, session_start, total_value
+        |FROM sess_fmg_out""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.sessionizeBatch(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    // sentinel sessions never close, so the streamed set IS the batch set
+    assert(streamed === batch)
+  }
+
+  test("session_window streaming emits the batch sessions after the watermark passes") {
+    val dir = setupDir("sw")
+    val raw = spark.read.parquet(graft.core.Tables.path(sf, "events"))
+    val globalMaxNs = raw.agg(max("ts")).collect().head.getLong(0)
+    val horizon = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(globalMaxNs, 1000000000L)))
+    val q = Streams.sessionWindowStreaming(spark, dir, "*.parquet", "sess_sw_out")
+    try {
+      q.processAllAvailable()
+      // wave 2 pushes the watermark past every original session's end;
+      // wave 3's data batch then applies that watermark and emits them
+      writeSentinels(dir, 2, "wave2")
+      q.processAllAvailable()
+      writeSentinels(dir, 4, "wave3")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      s"""SELECT user_id, session_start, session_end, n_events, total_value
+         |FROM sess_sw_out WHERE session_start <= '$horizon'""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.sessionWindowBatch(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+}
