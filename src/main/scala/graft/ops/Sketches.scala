@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate sketches — the sub-linear answers a 100 TB engine reaches for
+  * when exact distinct/quantile shuffles get too big. Oracle strategy: a
+  * sketch's estimate is engine-specific, so each query emits the EXACT
+  * value (oracle-matchable) plus a boolean verdict that the estimate lands
+  * inside its published error bound; the oracle asserts the verdict is
+  * uniformly true. The bound claim is thus hash-checked, not just spec'd.
+  */
+object Sketches {
+
+  /** Per-group HyperLogLog++ distinct-count estimate vs exact, with a
+    * ±5% verdict (rsd default 0.05). At scale the exact branch disappears
+    * and only the one-pass, fixed-memory sketch runs; here the exact value
+    * rides along to *prove* the bound.
+    */
+  def approxDistinct(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"),
+        approx_count_distinct(col("user_id"), rsd).as("approx"))
+      .select(col("event_type"), col("exact_distinct"),
+        (abs(col("approx") - col("exact_distinct")) <=
+          col("exact_distinct") * (3 * rsd)).as("within_bound"))
+      .orderBy("event_type")
+
+  /** Per-group approximate percentiles (GK sketch, accuracy knob) judged
+    * against a ±2-percentile-rank window computed exactly: the estimate
+    * for p must lie within [exact(p-0.02), exact(p+0.02)]. Rank windows
+    * (not value tolerances) are the right acceptance test for quantile
+    * sketches — value error is unbounded on skewed data, rank error isn't.
+    */
+  def approxQuantiles(events: DataFrame, accuracy: Int = 1000): DataFrame = {
+    val ps = Seq(0.5, 0.9)
+    val aggs = ps.flatMap { p =>
+      val tag = (p * 100).toInt
+      Seq(
+        percentile_approx(col("value"), lit(p), lit(accuracy)).as(s"approx_p$tag"),
+        expr(s"percentile(value, ${p - 0.02})").as(s"lo_p$tag"),
+        expr(s"percentile(value, ${math.min(p + 0.02, 1.0)})").as(s"hi_p$tag"))
+    }
+    events.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type") +: ps.map { p =>
+        val tag = (p * 100).toInt
+        (col(s"approx_p$tag") >= col(s"lo_p$tag") &&
+          col(s"approx_p$tag") <= col(s"hi_p$tag")).as(s"within_p$tag")
+      }: _*)
+      .orderBy("event_type")
+  }
+
+  /** Mergeable-sketch distributivity (Apache DataSketches HLL): per-group
+    * sketches unioned then estimated must agree with a single sketch over
+    * the whole input — THE property that lets 1000 executors sketch their
+    * partitions independently and a tiny reduce merge the results. Emits
+    * the exact distinct count (oracle-matchable) + the agreement verdict.
+    */
+  def hllMerge(events: DataFrame): DataFrame = {
+    val perGroup = events.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+    val direct = events
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_est"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+    direct.crossJoin(perGroup)
+      .select(col("exact_distinct"),
+        (col("merged_est") === col("direct_est")).as("merge_lossless"),
+        (abs(col("direct_est") - col("exact_distinct")) <=
+          greatest(col("exact_distinct") * 0.05, lit(16.0))).as("within_bound"))
+  }
+}

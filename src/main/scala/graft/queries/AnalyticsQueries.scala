@@ -39,6 +39,30 @@ object AnalyticsQueries {
              |JOIN region r ON n.n_regionkey = r.r_regionkey
              |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)),
 
+    // Approximate sketches: the estimate itself is engine-specific, so the
+    // query emits the exact value + a boolean "estimate inside its error
+    // bound" verdict, and the oracle asserts the verdict is uniformly true
+    // — the bound claim is hash-checked, not just spec'd.
+    QueryDef("sketch_distinct",
+      (s, dir) => graft.ops.Sketches.approxDistinct(
+        Tables.read(s, dir, "events")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+             |TRUE AS within_bound
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("sketch_quantile",
+      (s, dir) => graft.ops.Sketches.approxQuantiles(
+        Tables.read(s, dir, "events")),
+      Some("""SELECT event_type, TRUE AS within_p50, TRUE AS within_p90
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("sketch_hll_merge",
+      (s, dir) => graft.ops.Sketches.hllMerge(
+        Tables.read(s, dir, "events")),
+      Some("""SELECT count(DISTINCT user_id) AS exact_distinct,
+             |TRUE AS merge_lossless, TRUE AS within_bound
+             |FROM events""".stripMargin)),
+
     // hierarchical rollup with grouping indicators
     // explicit GROUPING SETS (the general form behind rollup/cube): a
     // custom lattice of (status, priority) / (priority) / () — one pass,
