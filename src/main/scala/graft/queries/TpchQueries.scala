@@ -151,6 +151,33 @@ object TpchQueries {
              |  strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // Correlated subqueries, exercised through spark.sql so Catalyst's
+    // decorrelation does the planning: the scalar subquery becomes an
+    // aggregate + outer join, EXISTS becomes a left-semi join — both
+    // shuffle-on-key shapes, never per-row re-execution (the nested-loop
+    // a naive reading implies would be quadratic at scale).
+    QueryDef("subquery_correlated",
+      (s, dir) => {
+        Tables.read(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+        Tables.read(s, dir, "orders").createOrReplaceTempView("orders_sq")
+        s.sql("""SELECT o_orderkey, o_totalprice,
+                |  (SELECT max(l_quantity) FROM lineitem_sq
+                |   WHERE l_orderkey = o_orderkey) AS max_qty
+                |FROM orders_sq
+                |WHERE EXISTS (SELECT 1 FROM lineitem_sq
+                |              WHERE l_orderkey = o_orderkey
+                |                AND l_returnflag = 'R')
+                |ORDER BY o_orderkey LIMIT 1000""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  (SELECT max(l_quantity) FROM lineitem
+             |   WHERE l_orderkey = o_orderkey) AS max_qty
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_returnflag = 'R')
+             |ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
     // MERGE semantics (WHEN MATCHED update, WHEN NOT MATCHED insert) as one
     // anti-join + union: a 10%-of-keys changeset (prices revised) plus a
     // disjoint insert set merge into the orders snapshot. At scale the
