@@ -54,8 +54,11 @@ object Sketches {
   /** Mergeable-sketch distributivity (Apache DataSketches HLL): per-group
     * sketches unioned then estimated must agree with a single sketch over
     * the whole input — THE property that lets 1000 executors sketch their
-    * partitions independently and a tiny reduce merge the results. Emits
-    * the exact distinct count (oracle-matchable) + the agreement verdict.
+    * partitions independently and a tiny reduce merge the results. The
+    * union gadget re-buckets registers (HLL_8 target), so once sketches
+    * leave sparse mode the two estimates differ at sub-percent order, not
+    * bit-for-bit — the verdict checks agreement within 1% (or ±1). Emits
+    * the exact distinct count (oracle-matchable) + the verdicts.
     */
   def hllMerge(events: DataFrame): DataFrame = {
     val perGroup = events.groupBy("event_type")
@@ -66,7 +69,8 @@ object Sketches {
         countDistinct(col("user_id")).as("exact_distinct"))
     direct.crossJoin(perGroup)
       .select(col("exact_distinct"),
-        (col("merged_est") === col("direct_est")).as("merge_lossless"),
+        (abs(col("merged_est") - col("direct_est")) <=
+          greatest(col("direct_est") * 0.01, lit(1.0))).as("merge_consistent"),
         (abs(col("direct_est") - col("exact_distinct")) <=
           greatest(col("exact_distinct") * 0.05, lit(16.0))).as("within_bound"))
   }

@@ -60,7 +60,7 @@ object AnalyticsQueries {
       (s, dir) => graft.ops.Sketches.hllMerge(
         Tables.read(s, dir, "events")),
       Some("""SELECT count(DISTINCT user_id) AS exact_distinct,
-             |TRUE AS merge_lossless, TRUE AS within_bound
+             |TRUE AS merge_consistent, TRUE AS within_bound
              |FROM events""".stripMargin)),
 
     // hierarchical rollup with grouping indicators
