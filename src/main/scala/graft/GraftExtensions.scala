@@ -36,5 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.core.TopKBy].getName, "graft_top_k_by"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.core.TopKBy.withCasts(exprs(0), exprs(1), exprs(2))))
+    // whole-operator extension: the native as-of join's planner strategy
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

@@ -48,6 +48,40 @@ object TemporalQueries {
               |  ON c.user_id = p.user_id AND p.ts <= c.ts
               |ORDER BY c.event_id""".stripMargin)),
 
+    // The same ASOF LEFT JOIN through the engine's whole-operator Catalyst
+    // extension (plans/AsOfJoin.scala: custom LogicalPlan -> Strategy ->
+    // SparkPlan): co-partitioned sort-merge with an O(1) carry, able to
+    // attach arbitrary right payload columns. Same DuckDB oracle as
+    // `join_asof` — the two implementations must agree bit-for-bit.
+    QueryDef("join_asof_native",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        graft.plans.AsOf.asofJoin(clicks, purchases,
+            key = "user_id", leftTime = "us", rightTime = "us",
+            payload = Seq("us"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), tsFmt).as("click_ts"),
+            date_format(timestamp_micros(col("us__r")), tsFmt)
+              .as("last_purchase"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH clicks AS (SELECT event_id, user_id, ts FROM events
+              |               WHERE event_type = 'click'),
+              |purchases AS (SELECT user_id, ts FROM events
+              |              WHERE event_type = 'purchase')
+              |SELECT c.event_id, c.user_id,
+              |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+              |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase
+              |FROM clicks c ASOF LEFT JOIN purchases p
+              |  ON c.user_id = p.user_id AND p.ts <= c.ts
+              |ORDER BY c.event_id""".stripMargin)),
+
     // Range join: band assignment by value interval — small interval table
     // broadcast, nested-loop on the range predicate.
     QueryDef("join_range",
