@@ -100,6 +100,37 @@ object TemporalQueries {
              |JOIN (SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
              |      FROM generate_series(0, 9) t(i)) b
              |  ON e.value >= b.lo AND e.value < b.hi
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // The same range join, binned: every interval explodes to the fixed-
+    // width bins it overlaps, points key to their bin, and the range
+    // predicate becomes an EQUI-join on bin + a residual filter. This is
+    // the shape that survives a LARGE interval table — a hash shuffle on
+    // bin instead of a broadcast nested loop. Bin width 32 is deliberately
+    // unaligned with the 50-wide bands (intervals span 2-3 bins; an
+    // over-covered edge bin is eliminated by the residual). Same oracle as
+    // `join_range` — the rewrite must be result-identical.
+    QueryDef("join_range_binned",
+      (s, dir) => {
+        val binW = 32.0d
+        val bands = s.range(0, 10).select(
+          col("id").as("band_id"),
+          (col("id") * 50.0d).as("lo"),
+          ((col("id") + 1) * 50.0d).as("hi"))
+        val binned = bands.withColumn("bin",
+          explode(sequence(floor(col("lo") / binW).cast("long"),
+            floor(col("hi") / binW).cast("long"))))
+        Tables.read(s, dir, "events")
+          .withColumn("bin", floor(col("value") / binW).cast("long"))
+          .join(binned, "bin")
+          .filter(col("value") >= col("lo") && col("value") < col("hi"))
+          .select(col("event_id"), col("band_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, b.band_id FROM events e
+             |JOIN (SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+             |      FROM generate_series(0, 9) t(i)) b
+             |  ON e.value >= b.lo AND e.value < b.hi
              |ORDER BY e.event_id""".stripMargin))
   )
 }
