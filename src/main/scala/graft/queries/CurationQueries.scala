@@ -53,6 +53,41 @@ object CurationQueries {
              |CAST(len(t[s : s + 31]) AS BIGINT) AS n_chunk_tokens
              |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // The composed curation funnel: length -> token-count -> exact-dedup
+    // stages in ONE pass (each doc labeled by its first failing stage),
+    // then a tiny aggregate — the per-stage drop accounting every real
+    // curation pipeline reports. One scan + one window shuffle (dedup
+    // keeper) + one agg; no per-stage rescans.
+    QueryDef("curation_funnel",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy("doc_id")
+        Tables.read(s, dir, "documents")
+          .withColumn("n_chars", length(col("text")))
+          .withColumn("n_toks", size(split(trim(col("text")), "\\s+")))
+          .withColumn("keeper", row_number().over(w) === 1)
+          .withColumn("stage",
+            when(col("n_chars") < 400, "1_too_short")
+              .when(col("n_toks") < 80, "2_too_few_tokens")
+              .when(!col("keeper"), "3_exact_dup")
+              .otherwise("4_pass"))
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("stage")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, length(text) AS n_chars,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_toks,
+             |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+             |      AS keeper
+             |  FROM documents)
+             |SELECT CASE WHEN n_chars < 400 THEN '1_too_short'
+             |            WHEN n_toks < 80 THEN '2_too_few_tokens'
+             |            WHEN NOT keeper THEN '3_exact_dup'
+             |            ELSE '4_pass' END AS stage,
+             |count(*) AS n_docs
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("fn_quantize_embedding",
       (s, dir) => Similarity.quantizeInt8(Tables.read(s, dir, "embeddings")),
       Some("""WITH e AS (SELECT vec_id, embedding,
