@@ -85,6 +85,43 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+/** The automatic complement to Skew.saltedJoin: with AQE's skew-join
+  * handling on, a pathologically hot key in a sort-merge join is split at
+  * runtime — no manual salting. Salting remains for the cases AQE can't
+  * touch (aggregations, first-shuffle skew); this pins down that the
+  * engine gets the join case for free.
+  */
+class AqeSkewSpec extends SparkSpec {
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(200000).select(lit(1L).as("k"), col("id").as("p"))
+      val tail = spark.range(1000)
+        .select((col("id") % 50 + 2).as("k"), col("id").as("p"))
+      val large = hot.unionAll(tail)
+      val right = spark.range(0, 60)
+        .select(col("id").as("k"), (col("id") * 10).as("v"))
+      val joined = large.join(right, Seq("k"))
+      // collect() drives THIS QueryExecution (count() would build its own)
+      assert(joined.collect().length === 200000 + 1000)
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew"),
+        s"expected runtime skew handling in:\n$planStr")
+    } finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+}
+
 class ExtensionsSpec extends SparkSpec {
 
   test("GraftExtensions registers functions at session build time") {
