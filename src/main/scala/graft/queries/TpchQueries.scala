@@ -151,6 +151,89 @@ object TpchQueries {
              |  strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // Q7 volume-shipping shape: 6-way join with a DISJUNCTIVE cross-nation
+    // predicate — the join-filter class the optimizer cannot push into
+    // either scan alone; both nation dims broadcast, the fact pipeline
+    // stays map-side until the final 3-key aggregate.
+    QueryDef("tpch_q7",
+      (s, dir) => {
+        val l = Tables.read(s, dir, "lineitem")
+          .filter(col("l_shipdate").between(
+            lit("1995-01-01 00:00:00").cast("timestamp"),
+            lit("1996-12-31 23:59:59").cast("timestamp")))
+        val sup = Tables.read(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")
+        val o = Tables.read(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val c = Tables.read(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")
+        val n1 = Tables.read(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.read(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "NATION_9" && col("cust_nation") === "NATION_10") ||
+            (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_9"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+             |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+             |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+             |                     AND TIMESTAMP '1996-12-31 23:59:59'
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Q10 returned-item shape: selective quarter + returnflag filter, 4-way
+    // join, revenue top-20 -> TakeOrderedAndProject (never a global sort)
+    QueryDef("tpch_q10",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-10-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val l = Tables.read(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+        val c = Tables.read(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        val n = Tables.read(s, dir, "nation").select("n_nationkey", "n_name")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"),
+            col("c_acctbal").cast("double").as("c_acctbal"), col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+             |n_name,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_returnflag = 'R'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // Correlated subqueries, exercised through spark.sql so Catalyst's
     // decorrelation does the planning: the scalar subquery becomes an
     // aggregate + outer join, EXISTS becomes a left-semi join — both
