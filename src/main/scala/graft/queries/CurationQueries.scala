@@ -88,6 +88,30 @@ object CurationQueries {
              |count(*) AS n_docs
              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Vocabulary building: token -> (term frequency, document frequency),
+    // top 100 by tf. Explode is map-side; the counts partial-aggregate
+    // before the one shuffle on token; top-k is TakeOrderedAndProject.
+    // count(DISTINCT doc_id) per token demonstrates the two-level
+    // distinct-agg expansion at scale.
+    QueryDef("text_vocab",
+      (s, dir) => {
+        val toks = graft.ops.TextOps.withTokens(
+          Tables.read(s, dir, "documents"))
+          .select(col("doc_id"), explode(col("t")).as("token"))
+          .filter(length(col("token")) >= 2)
+        toks.groupBy("token")
+          .agg(count(lit(1)).as("tf"),
+            countDistinct(col("doc_id")).as("df"))
+          .orderBy(desc("tf"), col("token"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |  FROM documents)
+             |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |FROM toks WHERE length(token) >= 2
+             |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
+
     QueryDef("fn_quantize_embedding",
       (s, dir) => Similarity.quantizeInt8(Tables.read(s, dir, "embeddings")),
       Some("""WITH e AS (SELECT vec_id, embedding,
