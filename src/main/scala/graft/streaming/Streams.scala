@@ -236,6 +236,62 @@ object Streams {
       .start()
   }
 
+  /** Spark 4 state-API-v2 face of the running count: a typed
+    * `StatefulProcessor` with a named `ValueState` var — the successor to
+    * `mapGroupsWithState` (typed state vars, TTL, timers, state
+    * repartition-ability). Requires the RocksDB state store provider;
+    * the spec sets it for the run.
+    */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+    @transient private var count:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long)] = {
+      val total = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(total)
+      Iterator.single((user, total))
+    }
+  }
+
+  /** [[runningCountsStreaming]] re-expressed on `transformWithState`
+    * (state API v2). Same semantics, newer engine surface — both faces are
+    * spec-gated against the same batch ground truth.
+    */
+  def runningCountsTws(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    val rawSchema = spark.read.parquet(Tables.path(dir, "events")).schema
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .format("parquet")
+      .load(dir)
+      .select(col("user_id").as[Long], col("event_id").as[Long])
+      .as[(Long, Long)]
+    val counted = events.groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n_events")
+    counted.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** S7's streaming analog: the incremental append pipeline as
     * `foreachBatch` — every micro-batch is one reference "slice", cleaned
     * (date/time keys derived) and appended to the sink, exactly the

@@ -170,4 +170,24 @@ class StatefulStreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
   }
+
+  test("transformWithState (state API v2) running counts equal the batch group count") {
+    // the v2 state API requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streams.runningCountsTws(spark, sf, "running_counts_tws_out")
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM running_counts_tws_out GROUP BY user_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.core.Tables.read(spark, sf, "events")
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
