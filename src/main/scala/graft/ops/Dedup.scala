@@ -122,30 +122,34 @@ object Dedup {
     * Scale: each round is one (union → groupBy doc_id → min) shuffle over
     * the edge list — shuffle volume ∝ edges, never n².
     *
-    * The edge list is materialized ONCE (`localCheckpoint`) before the
-    * rounds, and each round's label frame is checkpointed too: the round
-    * body references labels twice (self ∪ via-neighbor), so leaving the
-    * lineage declarative recomputes the whole minhash pipeline 2^rounds
-    * times (measured: 60 parquet scans, 9.9 s vs 2-ish with a linear DAG
-    * at sf0.1). On a multi-executor cluster swap `localCheckpoint` for a
-    * reliable `checkpoint` dir so executor loss can't drop edge blocks —
-    * the same trade GraphX makes in iterative Pregel.
+    * The edge list (with self-loops) is materialized ONCE
+    * (`localCheckpoint`) before the rounds. Self-loops make "min over
+    * self ∪ neighbors" a single join — each round references the label
+    * frame exactly once, so the lineage stays LINEAR without per-round
+    * checkpoints. (The naive self-union form references labels twice per
+    * round: 2^rounds recompute of the whole minhash pipeline — measured
+    * 60 parquet scans, 9.9 s vs 2-ish with this shape at sf0.1.) On a
+    * multi-executor cluster swap `localCheckpoint` for a reliable
+    * `checkpoint` dir so executor loss can't drop edge blocks — the same
+    * trade GraphX makes in iterative Pregel.
     */
   def cluster(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    // one minhash evaluation total: pairs materialize first, nodes/edges
+    // derive from the materialized blocks
     val pairs = minhashPairs(docs).select("doc_a", "doc_b").localCheckpoint()
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .unionByName(nodes.select(col("doc_id").as("doc_a"),
+        col("doc_id").as("doc_b"))) // self-loops: min includes own label
+      .localCheckpoint()
     val init = nodes.withColumn("label", col("doc_id"))
-    val fin = (1 to rounds).foldLeft(init) { (lbl0, _) =>
-      val lbl = lbl0.localCheckpoint()
-      val viaNbr = edges
-        .join(lbl, edges("doc_b") === lbl("doc_id"))
-        .select(edges("doc_a").as("doc_id"), col("label"))
-      lbl.select("doc_id", "label").unionByName(viaNbr)
-        .groupBy("doc_id").agg(min("label").as("label"))
+    val fin = (1 to rounds).foldLeft(init) { (lbl, _) =>
+      edges.join(lbl, edges("doc_b") === lbl("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min("label").as("label"))
     }
     fin.select(col("doc_id"), col("label").as("canonical_id"))
       .orderBy("doc_id")
