@@ -16,6 +16,28 @@ object FunctionQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // distribution window functions: quartile assignment + rank fractions
+    // (one sort shuffle per partition key; rounded to 6 dp for FP parity)
+    QueryDef("window_distribution",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy("o_totalprice", "o_orderkey")
+        Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |round(percent_rank() OVER w, 6) AS pr,
+             |round(cume_dist() OVER w, 6) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus
+             |             ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // lead/lag/first/last over the event-time axis per user
     QueryDef("window_lead_lag",
       (s, dir) => {
