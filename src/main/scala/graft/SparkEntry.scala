@@ -16,7 +16,8 @@ object SparkEntry {
     ReferenceQueries.all ++ graft.queries.PipelineQueries.all ++
       graft.queries.ExtraQueries.all ++ graft.queries.AnalyticsQueries.all ++
       graft.queries.TemporalQueries.all ++ graft.queries.TpchQueries.all ++
-      graft.queries.FunctionQueries.all ++ graft.queries.CurationQueries.all
+      graft.queries.FunctionQueries.all ++ graft.queries.CurationQueries.all ++
+      graft.queries.ProfilingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full star build — clean fact, three broadcast dim stampings,

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ops.HeavyHitters
+
+/** Data-profiling and time-series operators (round 2, second wave):
+  * one-pass column profiling, sketch-gated exact heavy hitters, calendar
+  * gap-fill with forward fill, rolling z-score anomaly flagging, and
+  * wide→long unpivot. These are the observability/QA steps a production
+  * pipeline runs around every large load (the reference logs per-table
+  * counts at main.py:60-63 — this is that idea, industrialized).
+  */
+object ProfilingQueries {
+
+  /** Render a min/max value as a cross-engine-stable string: doubles via
+    * DECIMAL(18,2) (fixed scale, no float formatting drift), timestamps via
+    * an explicit pattern, everything else via plain cast.
+    */
+  private def render(c: Column, dt: String): Column = dt match {
+    case "double" => c.cast("decimal(18,2)").cast("string")
+    case "timestamp" => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _ => c.cast("string")
+  }
+
+  private def renderSql(c: String, dt: String): String = dt match {
+    case "double" => s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
+    case "timestamp" => s"strftime($c, '%Y-%m-%d %H:%M:%S')"
+    case _ => s"CAST($c AS VARCHAR)"
+  }
+
+  private val OrdersCols = Seq(
+    "o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+    "o_orderstatus" -> "string", "o_totalprice" -> "double",
+    "o_orderdate" -> "timestamp", "o_orderpriority" -> "string")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // One-pass table profiler: every column's null count, exact distinct
+    // count, min and max from a SINGLE scan (one wide aggregate; the
+    // multiple DISTINCTs plan as one Expand, not N scans), then the 1-row
+    // wide result is melted to long form with stack() — driver-side-free.
+    // The QA report every ingest of a 100 TB table should print.
+    QueryDef("profile_table",
+      (s, dir) => {
+        val t = Tables.read(s, dir, "orders")
+        val aggs = count(lit(1)).as("n_rows") +: OrdersCols.flatMap {
+          case (c, dt) => Seq(
+            (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+            countDistinct(col(c)).as(s"${c}__distinct"),
+            render(min(col(c)), dt).as(s"${c}__min"),
+            render(max(col(c)), dt).as(s"${c}__max"))
+        }
+        val wide = t.agg(aggs.head, aggs.tail: _*)
+        val stackExpr = s"stack(${OrdersCols.size}, " + OrdersCols.map {
+          case (c, _) =>
+            s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
+        }.mkString(", ") +
+          ") as (col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        wide.selectExpr("n_rows", stackExpr)
+          .select("col_name", "n_rows", "n_nulls", "n_distinct",
+            "min_repr", "max_repr")
+          .orderBy("col_name")
+      },
+      Some(OrdersCols.map { case (c, dt) =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |count(*) - count($c) AS n_nulls,
+           |count(DISTINCT $c) AS n_distinct,
+           |${renderSql(s"min($c)", dt)} AS min_repr,
+           |${renderSql(s"max($c)", dt)} AS max_repr FROM orders""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\nORDER BY col_name"))),
+
+    // Exact heavy hitters by approx-then-verify: per-partition Misra-Gries
+    // candidates (state O(k) per task, guaranteed superset of the true
+    // heavy hitters), then exact counts of candidates only. Output is
+    // EXACTLY {token : count * k > N} — the oracle is the plain
+    // GROUP BY ... HAVING the sketch avoids running at full width.
+    QueryDef("sketch_heavy_hitters",
+      (s, dir) => {
+        val toks = graft.ops.TextOps.withTokens(
+          Tables.read(s, dir, "documents"))
+          .select(explode(col("t")).as("token"))
+          .filter(length(col("token")) >= 2)
+        HeavyHitters.exact(s, toks, "token", k = 100)
+          .withColumnRenamed("item", "token")
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |  FROM documents),
+             |f AS (SELECT token FROM toks WHERE length(token) >= 2),
+             |tot AS (SELECT count(*) AS n_total FROM f)
+             |SELECT token, count(*) AS cnt, (SELECT n_total FROM tot) AS n_total
+             |FROM f GROUP BY token
+             |HAVING count(*) * 100 > (SELECT n_total FROM tot)
+             |ORDER BY cnt DESC, token""".stripMargin)),
+
+    // Calendar gap-fill + forward fill: per-user daily max, missing days
+    // materialized with sequence()+explode (no driver loop, no cross join
+    // against a global calendar — each user only generates its own span),
+    // then last(ignoreNulls) carries the prior observation forward.
+    QueryDef("ts_gapfill",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+        val daily = ev
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max(col("value")).as("day_max"))
+        val days = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        days.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            last(col("day_max"), ignoreNulls = true).over(w).as("filled"),
+            col("day_max").isNull.as("is_gap"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_max
+             |  FROM events GROUP BY 1, 2),
+             |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             |  FROM daily GROUP BY 1),
+             |days AS (SELECT user_id,
+             |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM spans),
+             |j AS (SELECT days.user_id, days.day, daily.day_max
+             |  FROM days LEFT JOIN daily USING (user_id, day))
+             |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+             |last_value(day_max IGNORE NULLS) OVER (PARTITION BY user_id
+             |  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |  AS filled,
+             |day_max IS NULL AS is_gap
+             |FROM j ORDER BY user_id, day""".stripMargin)),
+
+    // Rolling z-score outliers over the trailing 20 events per user.
+    // Cross-engine exactness trick: the window sums run over DECIMAL
+    // (order-independent, bit-exact), only the final mean/std/z math is
+    // double — written as the IDENTICAL expression in both engines, so
+    // the threshold test can't flip between Spark and the oracle.
+    QueryDef("ts_anomaly",
+      (s, dir) => {
+        val fr = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+        val vd = col("value").cast("decimal(18,6)")
+        val base = Tables.read(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            count(vd).over(fr).as("n"),
+            sum(vd).over(fr).cast("double").as("s1"),
+            sum(vd * vd).over(fr).cast("double").as("s2"))
+          .filter(col("n") >= 10)
+        val mean = col("s1") / col("n")
+        val std = sqrt(greatest(
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1),
+          lit(0.0)))
+        val z = (col("value") - mean) / std
+        base.filter(std > 0 && abs(z) > 2.5)
+          .select(col("event_id"), col("user_id"), col("value"),
+            round(z, 4).as("zscore"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH b AS (SELECT event_id, user_id, value, ts,
+             |  CAST(value AS DECIMAL(18,6)) AS vd FROM events),
+             |w AS (SELECT event_id, user_id, value,
+             |  count(vd) OVER fr AS n,
+             |  CAST(sum(vd) OVER fr AS DOUBLE) AS s1,
+             |  CAST(sum(vd * vd) OVER fr AS DOUBLE) AS s2
+             |  FROM b WINDOW fr AS (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+             |z AS (SELECT event_id, user_id, value, n, s1, s2,
+             |  s1 / n AS mean,
+             |  sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS std
+             |  FROM w WHERE n >= 10)
+             |SELECT event_id, user_id, value,
+             |round((value - mean) / std, 4) AS zscore
+             |FROM z WHERE std > 0 AND abs((value - mean) / std) > 2.5
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Wide→long unpivot of the lineitem measures (Dataset.unpivot — plans
+    // as a map-side Expand, no shuffle, no UDF; the inverse of
+    // pivot_status).
+    QueryDef("unpivot_melt",
+      (s, dir) => Tables.read(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(m => s"SELECT l_orderkey, l_linenumber, '$m' AS measure, " +
+          s"$m AS val FROM lineitem")
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY l_orderkey, l_linenumber, measure")))
+  )
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.HeavyHitters
+
+/** Profiling/heavy-hitter operators: the Misra-Gries candidate guarantee
+  * and the end-to-end exactness of the approx-then-verify pipeline.
+  */
+class ProfilingSpec extends SparkSpec {
+
+  test("misraGries retains every item with count > n/k") {
+    // skewed stream: item i appears 2^(10-i) times, shuffled deterministically
+    val xs = (0 until 10).flatMap(i => Seq.fill(1 << (10 - i))(s"x$i"))
+    val shuffled = new scala.util.Random(7).shuffle(xs)
+    val n = shuffled.size
+    for (k <- Seq(4, 8, 16)) {
+      val cands = HeavyHitters.misraGries(shuffled.iterator, k).toSet
+      val truth = xs.groupBy(identity).collect {
+        case (x, occ) if occ.size.toLong * k > n => x
+      }.toSet
+      assert(truth.subsetOf(cands), s"k=$k lost heavy hitters ${truth -- cands}")
+      assert(cands.size <= k, s"k=$k summary exceeded k counters")
+    }
+  }
+
+  test("exact() equals plain groupBy-count-filter on a skewed frame") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => if (i % 3 == 0) "hot" else s"cold$i")
+      .toDF("item").repartition(8)
+    val got = HeavyHitters.exact(spark, df, "item", k = 10)
+      .select("item", "cnt").as[(String, Long)].collect().toSet
+    val n = 2000L
+    val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 10 > n)
+      .as[(String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._1 == "hot"))
+  }
+}
