@@ -234,6 +234,110 @@ object TpchQueries {
              |GROUP BY 1, 2, 3, 4
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // Q2 shape (minimum-cost supplier): the testdata has no partsupp table,
+    // so the (part, supplier, cost) relation is derived from lineitem —
+    // min unit price per (l_partkey, l_suppkey). The correlated
+    // "= (SELECT min(cost) ...)" of real Q2 is planned here as it should
+    // be at scale: one grouped min per partkey joined back on equality,
+    // never a per-row subquery. Dims (supplier/nation/region) broadcast.
+    QueryDef("tpch_q2",
+      (s, dir) => {
+        val ps = Tables.read(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_cost"))
+        val sup = Tables.read(s, dir, "supplier")
+        val nat = Tables.read(s, dir, "nation")
+        val reg = Tables.read(s, dir, "region").filter(col("r_name") === "EUROPE")
+        val eu = ps
+          .join(broadcast(sup), col("s_suppkey") === col("ps_suppkey"))
+          .join(broadcast(nat), col("n_nationkey") === col("s_nationkey"))
+          .join(broadcast(reg), col("r_regionkey") === col("n_regionkey"))
+          .select("ps_partkey", "ps_suppkey", "ps_cost",
+            "s_acctbal", "s_name", "n_name")
+        val mn = eu.groupBy(col("ps_partkey").as("mn_partkey"))
+          .agg(min(col("ps_cost")).as("min_cost"))
+        val p = Tables.read(s, dir, "part").filter(col("p_size") === 15)
+        eu.join(mn, col("ps_partkey") === col("mn_partkey") &&
+            col("ps_cost") === col("min_cost"))
+          .join(p, col("p_partkey") === col("ps_partkey"))
+          .select(col("s_acctbal").cast("double").as("s_acctbal"),
+            col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
+            col("ps_cost"))
+          .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH partsupp AS (
+             |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             |    min(l_extendedprice / l_quantity) AS ps_cost
+             |  FROM lineitem GROUP BY 1, 2),
+             |eu AS (
+             |  SELECT ps_partkey, ps_suppkey, ps_cost, s_acctbal, s_name, n_name
+             |  FROM partsupp
+             |  JOIN supplier ON s_suppkey = ps_suppkey
+             |  JOIN nation ON n_nationkey = s_nationkey
+             |  JOIN region ON r_regionkey = n_regionkey
+             |  WHERE r_name = 'EUROPE'),
+             |mn AS (SELECT ps_partkey, min(ps_cost) AS min_cost
+             |  FROM eu GROUP BY 1)
+             |SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+             |p_partkey, p_name, ps_cost
+             |FROM eu
+             |JOIN mn ON eu.ps_partkey = mn.ps_partkey AND eu.ps_cost = mn.min_cost
+             |JOIN part ON p_partkey = eu.ps_partkey
+             |WHERE p_size = 15
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // Q21 shape (suppliers who kept orders waiting): no
+    // l_receiptdate/l_commitdate in the testdata, so "late" =
+    // shipped > 60 days after the order date. The EXISTS / NOT EXISTS
+    // pair plans as left-semi + left-anti joins on l_orderkey — the two
+    // shuffle shapes real Q21 stresses; lineitem∞orders joins once and
+    // the semi/anti sides reuse the derived frame.
+    QueryDef("tpch_q21",
+      (s, dir) => {
+        val l = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
+              .filter(col("o_orderstatus") === "F")
+              .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"))
+              .as("late"))
+        val l1 = l.filter(col("late"))
+        val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val l3 = l1.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        val waiting = l1
+          .join(l2, col("l_orderkey") === col("o2") &&
+            col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("o3") &&
+            col("l_suppkey") =!= col("s3"), "left_anti")
+        waiting
+          .join(broadcast(Tables.read(s, dir, "supplier")),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH l AS (
+             |  SELECT l_orderkey, l_suppkey,
+             |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |  WHERE o_orderstatus = 'F')
+             |SELECT s_name, count(*) AS numwait
+             |FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+             |WHERE l1.late
+             |AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+             |  AND l2.l_suppkey <> l1.l_suppkey)
+             |AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+             |  AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 100""".stripMargin)),
+
     // Correlated subqueries, exercised through spark.sql so Catalyst's
     // decorrelation does the planning: the scalar subquery becomes an
     // aggregate + outer join, EXISTS becomes a left-semi join — both
