@@ -215,7 +215,23 @@ object PipelineQueries {
       Some("""SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
              |event_type, count(*) AS n_events,
              |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Stream-stream interval join, declared through its batch twin (same
+    // transform; StreamJoinSpec proves the watermarked streaming pass over
+    // the same files emits exactly these rows): purchases within 10
+    // minutes after a click by the same user.
+    QueryDef("stream_join",
+      (s, dir) => graft.streaming.StreamJoins.clickPurchaseBatch(s, dir)
+        .orderBy("user_id", "c_id", "p_id"),
+      Some("""WITH c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT c_user AS user_id, c_id, p_id
+             |FROM c JOIN p ON c_user = p_user
+             |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTE
+             |ORDER BY user_id, c_id, p_id""".stripMargin))
   )
 
   // ---- generated oracles --------------------------------------------------
