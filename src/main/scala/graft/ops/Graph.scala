@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on edge DataFrames. Companion to the
+  * min-label-propagation connected components in [[Dedup.clusters]]: that
+  * one converges on a predicate, this one runs a fixed iteration count.
+  *
+  * Ranks are 1e9-scaled fixed-point BIGINTs and every step is integer
+  * arithmetic (`div`), so the result is bit-identical regardless of
+  * partitioning, summation order, or engine — the same trick the
+  * streaming sessionizer uses for its value sums. Float PageRank cannot
+  * be oracle-checked exactly; fixed-point PageRank can.
+  */
+object Graph {
+
+  val Scale: Long = 1000000000L // 1.0 in fixed point
+  val DampNum = 850L            // 0.85 damping, in thousandths
+  val BaseScaled: Long = 150000000L // 0.15 * Scale
+
+  /** PageRank after `iters` rounds over `edges(src, dst)`.
+    * r_{t+1}(v) = 0.15 + 0.85 * Σ_{u→v} r_t(u) div outdeg(u), all in
+    * scaled integers. Per iteration: one join on src (broadcast the
+    * outdegree table — it's one row per distinct source) + one hash agg
+    * on dst + one left join back to the node set. The DAG grows linearly
+    * with iters; for big graphs checkpoint every few rounds exactly as
+    * [[Dedup.clusters]] does (localCheckpoint keeps lineage flat).
+    */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    // fresh alias for the key: outdeg derives from e, so joining back on
+    // e("src") === outdeg("src") would resolve both sides to the SAME
+    // attribute (a trivially-true predicate — a cross join in disguise)
+    val outdeg = e.groupBy(col("src").as("od_src"))
+      .agg(count(lit(1)).as("deg"))
+
+    var ranks = nodes.withColumn("r", lit(Scale))
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(e, col("node") === e("src"))
+        .join(broadcast(outdeg), col("src") === col("od_src"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(BaseScaled) +
+            expr(s"($DampNum * coalesce(contrib, 0L)) div 1000")).as("r"))
+    }
+    ranks
+  }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ops.{Graph, Scd2}
+
+/** Graph analytics, versioned-dimension maintenance, and range-frame
+  * windows (round 2, second wave).
+  */
+object GraphQueries {
+
+  private val PrIters = 3
+
+  /** Oracle twin of [[Graph.pagerank]]: the iteration unrolled as chained
+    * CTEs, same fixed-point integer arithmetic (`//` = `div`).
+    */
+  private def pagerankSql(iters: Int): String = {
+    val base =
+      s"""WITH edges AS (
+         |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         |    'c' || CAST(o_custkey AS VARCHAR) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |it0 AS (SELECT node, CAST(${Graph.Scale} AS BIGINT) AS r FROM nodes)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |it$i AS (SELECT n.node,
+         |  CAST(${Graph.BaseScaled} +
+         |    (${Graph.DampNum} * COALESCE(s.contrib, 0)) // 1000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r // d.deg) AS contrib
+         |    FROM it${i - 1} p
+         |    JOIN edges e ON e.src = p.node
+         |    JOIN outdeg d ON d.src = p.node
+         |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    }.mkString
+    base + its +
+      s"\nSELECT node, r FROM it$iters ORDER BY r DESC, node LIMIT 50"
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Fixed-point PageRank over the supplier→customer fulfillment graph
+    // (who supplies whose orders). Integer-scaled ranks make an iterative
+    // float algorithm exactly oracle-checkable; per round one join + one
+    // agg, outdegree broadcast. 3 rounds here; big graphs checkpoint
+    // every few rounds like dedup_cluster.
+    QueryDef("graph_pagerank",
+      (s, dir) => {
+        val edges = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(
+            concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+            concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+        Graph.pagerank(edges, PrIters)
+          .orderBy(desc("r"), col("node")).limit(50)
+      },
+      Some(pagerankSql(PrIters))),
+
+    // SCD2 dimension maintenance: a change batch closes the current
+    // version (valid_to stamped) and inserts the new current one —
+    // keep-history counterpart of merge_upsert. Changes: +100 acctbal
+    // for every 10th customer, effective 2024-06-01.
+    QueryDef("scd2_dim",
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+        val dim0 = c
+          .withColumn("valid_from", lit("2024-01-01"))
+          .withColumn("valid_to", lit(null).cast("string"))
+          .withColumn("is_current", lit(true))
+        val changes = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        Scd2(dim0, changes, "c_custkey", "2024-06-01")
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+             |'2024-01-01' AS valid_from,
+             |CASE WHEN c_custkey % 10 = 0 THEN '2024-06-01' END AS valid_to,
+             |c_custkey % 10 <> 0 AS is_current
+             |FROM customer
+             |UNION ALL
+             |SELECT c_custkey, c_name, c_acctbal + 100, '2024-06-01', NULL, true
+             |FROM customer WHERE c_custkey % 10 = 0
+             |ORDER BY c_custkey, valid_from""".stripMargin)),
+
+    // RANGE-frame rolling window: trailing 24h sum/count per user on the
+    // exact event-time axis (µs precision both engines — no float epoch).
+    // DECIMAL window sum keeps partial-order independence.
+    QueryDef("window_rolling_range",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-86400000000L, 0)
+        Tables.read(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .select(col("event_id"), col("user_id"),
+            sum(col("value").cast("decimal(18,6)")).over(w)
+              .cast("double").as("w24h_sum"),
+            count(lit(1)).over(w).as("w24h_n"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS w24h_sum,
+             |count(*) OVER w AS w24h_n
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin))
+  )
+}
