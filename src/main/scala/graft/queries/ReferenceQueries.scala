@@ -411,8 +411,11 @@ object ReferenceQueries {
     // scratch path, read it back. The oracle is the generator's oracle: the
     // sink must round-trip exactly.
     QueryDef("sink_append",
-      (s, _) => {
-        val path = "/tmp/graft_sink_demo"
+      (s, dir) => {
+        // keyed by the input dir (as the csv/json round-trips are) so runs
+        // at different scale factors never clobber each other mid-read
+        val path =
+          s"/tmp/graft_sink_demo_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
         val fs = org.apache.hadoop.fs.FileSystem
           .get(s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(path), true)
