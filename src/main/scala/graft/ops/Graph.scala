@@ -28,24 +28,33 @@ object Graph {
     * [[Dedup.clusters]] does (localCheckpoint keeps lineage flat).
     */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select("src", "dst").distinct()
+    // materialize the loop invariants once (same trick as Dedup.clusters):
+    // without this every iteration re-derives edges/nodes/outdegree from
+    // the source scans — iters× recompute and a lineage that grows per round
+    val e = edges.select("src", "dst").distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
     // fresh alias for the key: outdeg derives from e, so joining back on
     // e("src") === outdeg("src") would resolve both sides to the SAME
     // attribute (a trivially-true predicate — a cross join in disguise)
     val outdeg = e.groupBy(col("src").as("od_src"))
-      .agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
 
+    // ranks is one row per node — tiny next to the edge list — so both
+    // per-iteration joins broadcast it and the EDGES NEVER SHUFFLE: each
+    // round is a map-side join over the checkpointed edge partitions plus
+    // one partial-agg shuffle of ≤|nodes| rows per partition. (At a node
+    // count too large to broadcast, drop the hints and Spark falls back
+    // to shuffle joins on the same plan.)
     var ranks = nodes.withColumn("r", lit(Scale))
     for (_ <- 1 to iters) {
-      val contribs = ranks
-        .join(e, col("node") === e("src"))
+      val contribs = e
+        .join(broadcast(ranks), col("node") === e("src"))
         .join(broadcast(outdeg), col("src") === col("od_src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
       ranks = nodes
-        .join(contribs, Seq("node"), "left")
+        .join(broadcast(contribs), Seq("node"), "left")
         .select(col("node"),
           (lit(BaseScaled) +
             expr(s"($DampNum * coalesce(contrib, 0L)) div 1000")).as("r"))

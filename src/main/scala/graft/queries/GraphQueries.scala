@@ -51,14 +51,20 @@ object GraphQueries {
     // every few rounds like dedup_cluster.
     QueryDef("graph_pagerank",
       (s, dir) => {
+        // nodes ride the shuffles as LONGs (suppliers even, customers odd)
+        // — numeric keys hash/compare far cheaper than 's…'/'c…' strings;
+        // the labels are rebuilt only on the 50-row output
         val edges = Tables.read(s, dir, "lineitem")
           .join(Tables.read(s, dir, "orders")
               .select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
-          .select(
-            concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-            concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("o_custkey") * 2 + 1).as("dst"))
         Graph.pagerank(edges, PrIters)
+          .select(concat(
+            when(col("node") % 2 === 0, "s").otherwise("c"),
+            (col("node") / 2).cast("long").cast("string")).as("node"),
+            col("r"))
           .orderBy(desc("r"), col("node")).limit(50)
       },
       Some(pagerankSql(PrIters))),
