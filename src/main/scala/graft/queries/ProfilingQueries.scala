@@ -181,6 +181,32 @@ object ProfilingQueries {
              |FROM z WHERE std > 0 AND abs((value - mean) / std) > 2.5
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // OHLC resample: per (user, day) open/high/low/close from ONE hash
+    // aggregate — min_by/max_by carry the first/last value by exact
+    // event-time micros, so no window pass and no second shuffle. (The
+    // testdata has no (user, ts) ties; a tie-prone feed would key the
+    // min_by on a composite micros|id value.)
+    QueryDef("ts_resample_ohlc",
+      (s, dir) => Tables.read(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          min_by(col("value"), col("us")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("us")).as("close"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("open"), col("high"), col("low"), col("close"), col("n_events"))
+        .orderBy("user_id", "day"),
+      Some("""SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             |arg_min(value, epoch_us(ts)) AS open,
+             |max(value) AS high, min(value) AS low,
+             |arg_max(value, epoch_us(ts)) AS close,
+             |count(*) AS n_events
+             |FROM events GROUP BY 1, 2
+             |ORDER BY user_id, day""".stripMargin)),
+
     // Wide→long unpivot of the lineitem measures (Dataset.unpivot — plans
     // as a map-side Expand, no shuffle, no UDF; the inverse of
     // pivot_status).

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Graph, Scd2}
+
+/** Structural invariants of the graph/SCD2 operators (the oracle pins the
+  * exact values; these pin the shape on hand-built frames).
+  */
+class GraphSpec extends SparkSpec {
+
+  test("pagerank: one rank per node, floor 0.15, sinks keep the floor") {
+    import spark.implicits._
+    // star: 1 -> {2,3,4}; 2..4 are sinks, 1 has no in-edges
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = Graph.pagerank(edges, 2).as[(Long, Long)].collect().toMap
+    assert(r.size === 4)
+    // source node: no in-edges => exactly the 0.15 floor every round
+    assert(r(1L) === Graph.BaseScaled)
+    // each sink gets 0.15 + 0.85 * (r(1)/3): round 2 uses r(1)=0.15*Scale
+    val expected = Graph.BaseScaled +
+      (Graph.DampNum * (Graph.BaseScaled / 3)) / 1000
+    assert(r(2L) === expected && r(3L) === expected && r(4L) === expected)
+  }
+
+  test("scd2: changed keys get a closed old version and one current new one") {
+    import spark.implicits._
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .withColumn("valid_from", lit("2024-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    val changes = Seq((2L, "b2")).toDF("k", "v")
+    val out = Scd2(dim, changes, "k", "2024-06-01").cache()
+    assert(out.count() === 4) // 3 originals + 1 new version
+    val k2 = out.filter(col("k") === 2)
+      .select("v", "valid_to", "is_current")
+      .as[(String, Option[String], Boolean)].collect().toSet
+    assert(k2 === Set(("b", Some("2024-06-01"), false),
+      ("b2", None, true)))
+    // untouched keys: still a single current row with open validity
+    assert(out.filter(col("k") === 1 && col("is_current") &&
+      col("valid_to").isNull).count() === 1)
+  }
+}
