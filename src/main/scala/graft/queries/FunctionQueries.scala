@@ -196,6 +196,48 @@ object FunctionQueries {
              |  FROM lineitem GROUP BY l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Exact per-group mode with a deterministic tiebreak: two-level agg —
+    // count per (group, value), then max_by on a single encoded BIGINT
+    // (count major, LOWEST value wins ties). Encoding instead of a struct
+    // key because the oracle's arg_max only orders scalars; both shuffles
+    // are map-side combinable.
+    QueryDef("agg_mode",
+      (s, dir) => {
+        val counts = Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        counts.groupBy("event_type")
+          .agg(max_by(col("user_id"),
+            col("cnt") * 10000000L - col("user_id")).as("mode_user"),
+            max(col("cnt")).as("mode_cnt"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type,
+             |arg_max(user_id, cnt * 10000000 - user_id) AS mode_user,
+             |max(cnt) AS mode_cnt
+             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Exact interpolated percentiles. l_quantity is integer-valued and the
+    // quartile fractions are exact binary doubles, so Spark's percentile()
+    // and DuckDB's quantile_cont() interpolate bit-identically — no
+    // rounding slack needed (round(6) kept as belt-and-braces).
+    QueryDef("agg_percentile",
+      (s, dir) => Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+             |round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             |round(quantile_cont(l_quantity, 0.75), 6) AS p75
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // array-function pack over tokenized text (string-joined outputs)
     QueryDef("fn_array_funcs",
       (s, dir) => graft.ops.TextOps.withTokens(Tables.read(s, dir, "documents"))
