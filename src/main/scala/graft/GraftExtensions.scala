@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.core.{Md5Hi64, Md5Mod1e9}
+import graft.core.{DotFold, Md5Hi64, Md5Mod1e9, SumSqFold}
 
 /** Installable session extensions: register graft's native expressions at
   * session build time —
@@ -36,6 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.core.TopKBy].getName, "graft_top_k_by"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.core.TopKBy.withCasts(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotFold].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotFold(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sumsq"),
+      new ExpressionInfo(classOf[SumSqFold].getName, "graft_sumsq"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SumSqFold(exprs.head)))
     // whole-operator extension: the native as-of join's planner strategy
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }

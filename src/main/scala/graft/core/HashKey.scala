@@ -135,6 +135,10 @@ object GraftFunctions {
         "graft_top_k_by",
         exprs => TopKBy.withCasts(exprs(0), exprs(1), exprs(2)),
         "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotFold(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_sumsq", exprs => SumSqFold(exprs.head), "built-in")
     }
 
   /** `hash_key(cols)`: surrogate key over already-normalized natural-key

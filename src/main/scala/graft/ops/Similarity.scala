@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float vectors, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two float vectors, in double — the
+    * native codegen'd expression ([[graft.core.DotFold]]), bit-compatible
+    * with the HOF form `aggregate(zip_with(a,b,_*_), 0.0, _+_)` it
+    * replaced (HOFs are CodegenFallback: interpreted lambda dispatch per
+    * element; the native loop is pure primitive code).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  def norm(v: Column): Column = sqrt(call_function("graft_sumsq", v))
 
   /** Cosine from a pairwise dot and two precomputed norms. */
   private def cosFrom(dotCol: Column, na: Column, nb: Column): Column =
