@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.core.{DotFold, Md5Hi64, Md5Mod1e9, SumSqFold}
+import graft.core.{DotFold, DotMixed, Md5Hi64, Md5Mod1e9, SumSqFold}
 
 /** Installable session extensions: register graft's native expressions at
   * session build time —
@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SumSqFold].getName, "graft_sumsq"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SumSqFold(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot_mixed"),
+      new ExpressionInfo(classOf[DotMixed].getName, "graft_dot_mixed"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotMixed(exprs(0), exprs(1))))
     // whole-operator extension: the native as-of join's planner strategy
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }

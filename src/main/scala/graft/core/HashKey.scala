@@ -139,6 +139,8 @@ object GraftFunctions {
         "graft_dot", exprs => DotFold(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_sumsq", exprs => SumSqFold(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_dot_mixed", exprs => DotMixed(exprs(0), exprs(1)), "built-in")
     }
 
   /** `hash_key(cols)`: surrogate key over already-normalized natural-key

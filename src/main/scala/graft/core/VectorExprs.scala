@@ -33,6 +33,23 @@ object VectorOps {
     java.lang.Double.valueOf(acc)
   }
 
+  /** float-vector × double-vector fold — the hyperplane-projection
+    * semantics (`zip_with(v, signs, _*_)` widens the float element to
+    * double BEFORE the multiply, unlike the float-product [[dotFold]]).
+    */
+  def dotMixed(a: ArrayData, s: ArrayData): java.lang.Double = {
+    val na = a.numElements(); val ns = s.numElements()
+    val n = if (na > ns) na else ns
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (i >= na || i >= ns || a.isNullAt(i) || s.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * s.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   def sumSqFold(v: ArrayData): java.lang.Double = {
     val n = v.numElements()
     var acc = 0.0
@@ -76,6 +93,38 @@ case class DotFold(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotFold =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_dot"
+}
+
+/** `graft_dot_mixed(array<float>, array<double>) -> double` — projection
+  * fold for hyperplane sketches, codegen'd.
+  */
+case class DotMixed(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_mixed requires (array<float>, array<double>), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotMixed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotMixedRes")
+      s"""
+         |java.lang.Double $tmp = graft.core.VectorOps.dotMixed($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotMixed =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot_mixed"
 }
 
 /** `graft_sumsq(array<float>) -> double` — sum of squares (norm² — callers

@@ -89,9 +89,10 @@ object Similarity {
   def lshBucket(v: Column, bits: Int, dims: Int,
       band: Option[Int] = None): Column = {
     val bitCols = (0 until bits).map { p =>
-      val proj = aggregate(
-        zip_with(v, typedlit(planeSigns(p, dims, band)), (x, s) => x * s),
-        lit(0.0d), (acc, x) => acc + x)
+      // native mixed fold (graft.core.DotMixed): same widen-then-multiply
+      // double semantics as the zip_with/aggregate chain it replaced
+      val proj = call_function("graft_dot_mixed",
+        v, typedlit(planeSigns(p, dims, band)))
       when(round(proj, 6) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
