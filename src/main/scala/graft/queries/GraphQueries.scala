@@ -96,6 +96,40 @@ object GraphQueries {
              |FROM customer WHERE c_custkey % 10 = 0
              |ORDER BY c_custkey, valid_from""".stripMargin)),
 
+    // Z-order (Morton) interleave of two bounded dimension keys — the
+    // layout primitive behind multi-column data skipping: writing files
+    // sorted by zkey keeps BOTH dimensions locally clustered, so min/max
+    // row-group stats prune on either predicate. Pure bit arithmetic
+    // (shift/or folds), identical in both engines; demo output is the
+    // first 200 (zkey-ordered) rows, i.e. the layout a writer would emit.
+    QueryDef("fn_zorder",
+      (s, dir) => {
+        val bits = 10
+        val x = pmod(col("l_partkey"), lit(1024L))
+        val y = pmod(col("l_suppkey"), lit(1024L))
+        val zkey = (0 until bits).map { i =>
+          shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+            .bitwiseOR(
+              shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        }.reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
+        Tables.read(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            x.as("zx"), y.as("zy"), zkey.as("zkey"))
+          .orderBy("zkey", "l_orderkey", "l_linenumber")
+          .limit(200)
+      },
+      Some {
+        val terms = (0 until 10).map { i =>
+          s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i}) | " +
+            s"((((l_suppkey % 1024) >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" | ")
+        s"""SELECT l_orderkey, l_linenumber,
+           |l_partkey % 1024 AS zx, l_suppkey % 1024 AS zy,
+           |($terms) AS zkey
+           |FROM lineitem
+           |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 200""".stripMargin
+      }),
+
     // RANGE-frame rolling window: trailing 24h sum/count per user on the
     // exact event-time axis (µs precision both engines — no float epoch).
     // DECIMAL window sum keeps partial-order independence.
