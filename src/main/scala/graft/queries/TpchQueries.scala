@@ -338,6 +338,156 @@ object TpchQueries {
              |ORDER BY numwait DESC, s_name
              |LIMIT 100""".stripMargin)),
 
+    // Q9 shape (product-type profit): 5-way join with a computed measure
+    // (revenue minus a cost term) aggregated by nation × year. No partsupp
+    // in the testdata, so cost = p_retailprice × 0.5 × quantity. The
+    // selective p_name filter lands on the part scan; nation broadcasts;
+    // one agg shuffle on (nation, year).
+    QueryDef("tpch_q9",
+      (s, dir) => {
+        val p = Tables.read(s, dir, "part")
+          .filter(col("p_name").contains("widget"))
+          .select("p_partkey", "p_retailprice")
+        val sup = Tables.read(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")
+        val o = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate")
+        val n = Tables.read(s, dir, "nation")
+          .select("n_nationkey", "n_name")
+        Tables.read(s, dir, "lineitem")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            col("p_retailprice") * lit(0.5) * col("l_quantity"))
+            .cast("decimal(18,6)")).cast("double").as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             |  - p_retailprice * 0.5 * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |WHERE p_name LIKE '%widget%'
+             |GROUP BY 1, 2
+             |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // Q13 shape (customer order-count distribution): LEFT OUTER join that
+    // must keep zero-order customers, then a two-level aggregate — count
+    // per customer, then distribution over counts. The ON-clause filter is
+    // applied to the orders side BEFORE the outer join (equivalent, and it
+    // shrinks the shuffle).
+    QueryDef("tpch_q13",
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer").select("c_custkey")
+        val o = Tables.read(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer
+             |  LEFT OUTER JOIN (
+             |    SELECT o_orderkey, o_custkey FROM orders
+             |    WHERE o_orderpriority <> '1-URGENT') o
+             |    ON c_custkey = o_custkey
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q17 shape (small-quantity revenue): the correlated
+    // "l_quantity < 0.2 * (SELECT avg(...) WHERE same part)" decorrelated
+    // the way Catalyst would — one grouped threshold per part joined back,
+    // never a per-row subquery. The brand filter broadcasts into both the
+    // threshold build and the probe.
+    QueryDef("tpch_q17",
+      (s, dir) => {
+        val pk = Tables.read(s, dir, "part")
+          .filter(col("p_brand") === "Brand#13").select("p_partkey")
+        val l = Tables.read(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        val th = l.groupBy(col("l_partkey").as("t_partkey"))
+          .agg((sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+            count(lit(1)) * 0.2).as("qty_threshold"))
+        l.join(th, col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("qty_threshold"))
+          .agg((sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+             |l AS (SELECT l_partkey, l_quantity, l_extendedprice
+             |      FROM lineitem JOIN pk ON l_partkey = p_partkey),
+             |th AS (SELECT l_partkey AS t_partkey,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             |    / count(*) * 0.2 AS qty_threshold
+             |  FROM l GROUP BY 1)
+             |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             |  / 7.0 AS avg_yearly
+             |FROM l JOIN th ON l_partkey = t_partkey
+             |WHERE l_quantity < qty_threshold""".stripMargin)),
+
+    // Q20 shape (concentrated-supplier promotion): nested IN subqueries →
+    // two left-semi joins. partsupp derived from lineitem (as in Q2);
+    // "availqty > half of shipments" becomes "1996 shipments > half of
+    // all-time" — suppliers whose small-part volume concentrated in 1996.
+    // Both IN lists stay distributed: the part filter broadcasts, the
+    // qualifying-supplier set is a grouped filter, the nation pin is a
+    // broadcast semi join.
+    QueryDef("tpch_q20",
+      (s, dir) => {
+        val smallParts = Tables.read(s, dir, "part")
+          .filter(col("p_name").startsWith("small")).select("p_partkey")
+        val ps = Tables.read(s, dir, "lineitem")
+          .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+              .as("total_qty"),
+            sum(when(year(col("l_shipdate")) === 1996, col("l_quantity"))
+              .otherwise(lit(0)).cast("decimal(12,2)")).cast("double")
+              .as("qty_1996"))
+        val qual = ps.filter(col("qty_1996") > col("total_qty") * 0.5)
+          .select("l_suppkey").distinct()
+        val natPin = Tables.read(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3").select("n_nationkey")
+        Tables.read(s, dir, "supplier")
+          .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(natPin),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .select("s_name", "s_acctbal")
+          .orderBy("s_name", "s_acctbal")
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+             |    CAST(SUM(CAST(CASE WHEN year(l_shipdate) = 1996
+             |      THEN l_quantity ELSE 0 END AS DECIMAL(12,2))) AS DOUBLE) AS qty_1996
+             |  FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM part
+             |                      WHERE p_name LIKE 'small%')
+             |  GROUP BY 1, 2)
+             |SELECT s_name, s_acctbal
+             |FROM supplier
+             |WHERE s_suppkey IN (SELECT l_suppkey FROM ps
+             |                    WHERE qty_1996 > total_qty * 0.5)
+             |  AND s_nationkey IN (SELECT n_nationkey FROM nation
+             |                      WHERE n_name = 'NATION_3')
+             |ORDER BY s_name, s_acctbal""".stripMargin)),
+
     // Correlated subqueries, exercised through spark.sql so Catalyst's
     // decorrelation does the planning: the scalar subquery becomes an
     // aggregate + outer join, EXISTS becomes a left-semi join — both
