@@ -488,6 +488,288 @@ object TpchQueries {
              |                      WHERE n_name = 'NATION_3')
              |ORDER BY s_name, s_acctbal""".stripMargin)),
 
+    // Q4 shape (order-priority checking): EXISTS with a correlated
+    // condition referencing BOTH sides (l_shipdate > o_orderdate + 30d) —
+    // plans as a left-semi join whose condition mixes the equi key with a
+    // non-equi residual. No l_commitdate/l_receiptdate in the testdata, so
+    // "late" = shipped > 30 days after order date.
+    QueryDef("tpch_q4",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-07-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+        val l = Tables.read(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("interval 30 days"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey
+             |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Q6 shape (forecasting revenue change): the pure scan-filter-agg
+    // class — every predicate pushes to the parquet scan, zero joins, one
+    // partial+final agg. The canonical "is pushdown actually happening"
+    // probe.
+    QueryDef("tpch_q6",
+      (s, dir) => Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).cast("double").as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // Q8 shape (national market share): the deepest join tree in the suite
+    // — lineitem joins orders/customer/nation/region on the demand side and
+    // supplier/nation/part on the supply side; share = conditional sum over
+    // total per year. Both sums fold into ONE aggregate pass.
+    QueryDef("tpch_q8",
+      (s, dir) => {
+        val l = Tables.read(s, dir, "lineitem")
+        val o = Tables.read(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") <= lit("1996-12-31 23:59:59").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val c = Tables.read(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val nc = Tables.read(s, dir, "nation")
+          .select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+        val r = Tables.read(s, dir, "region").filter(col("r_name") === "ASIA")
+        val sup = Tables.read(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val ns = Tables.read(s, dir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        val p = Tables.read(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY").select("p_partkey")
+        val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nc), col("c_nationkey") === col("cnk"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(ns), col("s_nationkey") === col("snk"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg((sum(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
+            sum(vol).cast("double")).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_5'
+             |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+             |  AS DECIMAL(18,6))) AS DOUBLE)
+             |/ CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             |  AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation n1 ON n1.n_nationkey = c_nationkey
+             |JOIN region ON r_regionkey = n1.n_regionkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation n2 ON n2.n_nationkey = s_nationkey
+             |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+             |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+             |                      AND TIMESTAMP '1996-12-31 23:59:59'
+             |GROUP BY 1 ORDER BY o_year""".stripMargin)),
+
+    // Q12 shape (shipping-mode priority): join + two conditional counts in
+    // one agg pass. No l_shipmode in the testdata, so groups are
+    // l_linestatus and "late" = shipped > 30 days after order date.
+    QueryDef("tpch_q12",
+      (s, dir) => {
+        val l = Tables.read(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+          .select("l_orderkey", "l_shipdate", "l_linestatus")
+        val o = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("interval 30 days"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+             |GROUP BY l_linestatus
+             |ORDER BY l_linestatus""".stripMargin)),
+
+    // Q14 shape (promotion effect): conditional-over-total revenue ratio
+    // for one month of shipments — broadcast part join, both sums in one
+    // agg, identical double expression order in both engines.
+    QueryDef("tpch_q14",
+      (s, dir) => {
+        val l = Tables.read(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        val p = Tables.read(s, dir, "part").select("p_partkey", "p_type")
+        val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", vol)
+            .otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
+            sum(vol).cast("double")).as("promo_revenue"))
+      },
+      Some("""SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+             |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+             |  AS DECIMAL(18,6))) AS DOUBLE)
+             |/ CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             |  AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)),
+
+    // Q15 shape (top supplier): grouped revenue, then "= max" — the
+    // argmax-by-join class. The comparison stays DECIMAL (exact) until the
+    // output edge; max is a 1-row broadcast, never a driver collect.
+    QueryDef("tpch_q15",
+      (s, dir) => {
+        val rev = Tables.read(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).as("rev_d"))
+        val mx = rev.agg(max(col("rev_d")).as("max_rev"))
+        rev.join(broadcast(mx), col("rev_d") === col("max_rev"))
+          .join(Tables.read(s, dir, "supplier"),
+            col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev_d").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_d
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+             |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE rev_d = (SELECT max(rev_d) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // Q16 shape (supplier-count by part attributes): COUNT(DISTINCT) per
+    // 3-key group after an anti-join exclusion list ("complaint" suppliers
+    // = negative balance — no s_comment in the testdata). The NOT IN plans
+    // as a broadcast left-anti, never a collected list.
+    QueryDef("tpch_q16",
+      (s, dir) => {
+        val p = Tables.read(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#13" &&
+            col("p_size").between(1, 8))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        val bad = Tables.read(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        Tables.read(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#13' AND p_size BETWEEN 1 AND 8
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // Q19 shape (discounted revenue, disjunctive predicates): the
+    // OR-of-ANDs join class — Catalyst extracts the common l_partkey =
+    // p_partkey equi-key for the (broadcast) hash join and keeps the
+    // disjunction as a residual filter; no predicate is lost.
+    QueryDef("tpch_q19",
+      (s, dir) => {
+        val l = Tables.read(s, dir, "lineitem")
+        val p = Tables.read(s, dir, "part")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             |  AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             |       AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             |       AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // Q22 shape (global sales opportunity): scalar-subquery threshold
+    // (avg positive balance) against an anti-joined customer set, grouped
+    // by country code (= c_nationkey — no phone column in the testdata).
+    // The scalar avg rides along as a broadcast 1-row frame; "never placed
+    // an urgent order" is the left-anti leg (the testdata's dense
+    // order-per-customer ratio makes plain "no orders" empty).
+    QueryDef("tpch_q22",
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg((sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") /
+            count(lit(1))).as("avg_bal"))
+        val o = Tables.read(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        c.join(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast("decimal(12,2)")).cast("double")
+              .as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      Some("""SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+             |CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (
+             |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             |      / count(*)
+             |    FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                  AND o_orderpriority = '1-URGENT')
+             |GROUP BY 1 ORDER BY cntrycode""".stripMargin)),
+
     // Correlated subqueries, exercised through spark.sql so Catalyst's
     // decorrelation does the planning: the scalar subquery becomes an
     // aggregate + outer join, EXISTS becomes a left-semi join — both
