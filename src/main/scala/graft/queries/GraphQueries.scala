@@ -104,14 +104,9 @@ object GraphQueries {
     // first 200 (zkey-ordered) rows, i.e. the layout a writer would emit.
     QueryDef("fn_zorder",
       (s, dir) => {
-        val bits = 10
         val x = pmod(col("l_partkey"), lit(1024L))
         val y = pmod(col("l_suppkey"), lit(1024L))
-        val zkey = (0 until bits).map { i =>
-          shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
-            .bitwiseOR(
-              shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-        }.reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
+        val zkey = graft.io.Layout.mortonInterleave(x, y, bits = 10)
         Tables.read(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"),
             x.as("zx"), y.as("zy"), zkey.as("zkey"))
