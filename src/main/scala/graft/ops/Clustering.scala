@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over an embedding column — the corpus
+  * clustering step of a training-data pipeline (topic balancing, IVF
+  * coarse-quantizer training, dedup blocking).
+  *
+  * Every quantity that feeds the argmin assignment is EXACT DECIMAL:
+  * coordinates quantize once to DECIMAL(12,8) at explode time, and dot
+  * products / centroid norms are decimal sums (order-independent, no
+  * float partial-sum nondeterminism) — so the cluster decisions are
+  * bit-reproducible across engines and across partitionings. Doubles
+  * appear only in the per-dim mean (then re-quantized) and the reported
+  * norm.
+  *
+  * Scale shape per iteration: one (dim)-keyed join of the exploded corpus
+  * against the k×dims centroid frame (broadcast — centroids are tiny), a
+  * (vec, cluster) partial agg for dots, a window argmin per vector, and a
+  * (cluster, dim) partial agg for the new means. The corpus never
+  * collects; centroid frames are the only small side. Init = first k
+  * vectors (deterministic; swap in kmeans|| sampling at scale).
+  */
+object Clustering {
+
+  def kmeansLloyd(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        col("x").cast("double").cast("decimal(12,8)").as("xq"))
+
+    var cen = ex.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("dim"),
+        col("xq").as("cd"))
+    var assign: DataFrame = null
+
+    for (_ <- 0 until iters) {
+      val cnorm = cen.groupBy("cluster")
+        .agg(sum(col("cd") * col("cd")).as("cnorm"))
+      val dots = ex.join(broadcast(cen), "dim")
+        .groupBy("vec_id", "cluster")
+        .agg(sum(col("xq") * col("cd")).as("dot"))
+      // squared distance ranking: ||x||^2 is constant per vector, so
+      // argmin(||c||^2 - 2 x·c) — exact decimal, ties to the lowest cluster
+      val rn = row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cnorm") - lit(2) * col("dot"), col("cluster")))
+      assign = dots.join(broadcast(cnorm), "cluster")
+        .withColumn("rn", rn).filter(col("rn") === 1)
+        .select("vec_id", "cluster")
+      cen = ex.join(assign, "vec_id")
+        .groupBy("cluster", "dim")
+        .agg((sum(col("xq")).cast("double") / count(lit(1)))
+          .cast("decimal(12,8)").as("cd"))
+    }
+
+    val norms = cen.groupBy("cluster")
+      .agg(round(sqrt(sum(col("cd") * col("cd")).cast("double")), 6)
+        .as("centroid_norm"))
+    assign.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      .join(broadcast(norms), "cluster")
+      .select(col("cluster").cast("long").as("cluster"), col("n_members"),
+        col("centroid_norm"))
+      .orderBy("cluster")
+  }
+}

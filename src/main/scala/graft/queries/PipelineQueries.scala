@@ -47,6 +47,43 @@ object PipelineQueries {
     bitTerms.mkString("(", " + ", ")")
   }
 
+  /** Mirror of ops.Clustering.kmeansLloyd: unrolled Lloyd iterations,
+    * coordinates quantized to DECIMAL(12,8), exact-decimal dot/norm
+    * scoring, per-dim double mean re-quantized. DuckDB's `range(64)` dim
+    * axis is 0-based like posexplode (indices never leave the query).
+    */
+  private def kmeansOracle(k: Int = 4, iters: Int = 2): String = {
+    def iterCtes(i: Int, prev: String): String =
+      s"""s$i AS (SELECT e.vec_id, c.cluster, sum(e.xq * c.cd) AS dot
+         |       FROM ex e JOIN $prev c ON c.dim = e.dim GROUP BY 1, 2),
+         |n$i AS (SELECT cluster, sum(cd*cd) AS cnorm FROM $prev GROUP BY 1),
+         |a$i AS (SELECT vec_id, cluster FROM (
+         |        SELECT s$i.vec_id, s$i.cluster,
+         |          row_number() OVER (PARTITION BY s$i.vec_id
+         |            ORDER BY n$i.cnorm - 2*s$i.dot, s$i.cluster) AS rn
+         |        FROM s$i JOIN n$i USING (cluster)) WHERE rn = 1),
+         |cen$i AS (SELECT cluster, dim,
+         |          CAST(CAST(sum(xq) AS DOUBLE)/count(*) AS DECIMAL(12,8)) AS cd
+         |         FROM ex JOIN a$i USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    val iterSql = (1 to iters)
+      .map(i => iterCtes(i, if (i == 1) "cen0" else s"cen${i - 1}"))
+      .mkString(",\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, t.dim,
+       |    CAST(CAST(embedding[t.dim + 1] AS DOUBLE) AS DECIMAL(12,8)) AS xq
+       |  FROM embeddings CROSS JOIN range(64) t(dim)),
+       |cen0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, xq AS cd
+       |         FROM ex WHERE vec_id < $k),
+       |$iterSql,
+       |nf AS (SELECT cluster,
+       |         round(sqrt(CAST(sum(cd*cd) AS DOUBLE)), 6) AS centroid_norm
+       |       FROM cen$iters GROUP BY 1)
+       |SELECT CAST(a$iters.cluster AS BIGINT) AS cluster,
+       |  count(*) AS n_members, nf.centroid_norm
+       |FROM a$iters JOIN nf USING (cluster)
+       |GROUP BY 1, nf.centroid_norm ORDER BY cluster""".stripMargin
+  }
+
   // ---- queries ------------------------------------------------------------
 
   val all: Seq[QueryDef] = Seq(
@@ -130,6 +167,16 @@ object PipelineQueries {
       (s, dir) => Similarity.ivfTopK(Tables.read(s, dir, "embeddings"),
         nQueries = 5, k = 3, nlists = 16, nprobe = 2),
       Some(ivfOracle)),
+
+    // Lloyd k-means over the embedding corpus (k=4, 2 iterations,
+    // first-k init): all assignment math in exact DECIMAL, so the
+    // cluster decisions — and hence the whole result — are
+    // bit-reproducible in both engines. See ops/Clustering for the
+    // per-iteration plan shape.
+    QueryDef("cluster_kmeans",
+      (s, dir) => graft.ops.Clustering.kmeansLloyd(
+        Tables.read(s, dir, "embeddings"), k = 4, iters = 2),
+      Some(kmeansOracle())),
 
     QueryDef("text_langid",
       (s, dir) => TextAnalysis.langId(Tables.read(s, dir, "documents")),
