@@ -35,6 +35,26 @@ object Sampling {
     df.filter(hashBucket(id, salt) < rate)
   }
 
+  /** Downsample every stratum to ≈`cap` rows: the per-stratum keep-rate is
+    * derived from the stratum's own size (one tiny group-count broadcast
+    * back onto the scan), so dominant strata shrink and small strata pass
+    * through whole — the "cap the top languages / sources" data-mix step.
+    * floor() before the long cast keeps the rate arithmetic identical
+    * across engines (double→long casts truncate in Spark but round in
+    * some engines).
+    */
+  def balanceToCap(df: DataFrame, strataCol: String, id: Column, cap: Int,
+      salt: String = "balance"): DataFrame = {
+    val counts = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__keep_bp",
+        least(lit(10000L), floor(lit(cap) * lit(10000.0) / col("__n"))
+          .cast("long")))
+    df.join(broadcast(counts), strataCol)
+      .filter(hashBucket(id, salt) < col("__keep_bp"))
+      .drop("__n", "__keep_bp")
+  }
+
   /** Deterministic train/val/test split by hash range:
     * [0, train) / [train, train+val) / rest, in basis points.
     * A document's split NEVER changes as the corpus grows — the property

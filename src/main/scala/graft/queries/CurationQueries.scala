@@ -41,6 +41,33 @@ object CurationQueries {
               |     ELSE 'test' END AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Language rebalancing: downsample every language to ≈120 docs using a
+    // rate derived from the language's own size (group counts broadcast
+    // back onto the scan; per-row salted-hash keep decision — run-stable).
+    // Summary output proves both the rate math and the selection.
+    QueryDef("curation_lang_balance",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val kept = Sampling.balanceToCap(docs, "lang", col("doc_id"),
+          cap = 120)
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        counts.join(
+            kept.groupBy("lang").agg(count(lit(1)).as("n_kept")), "lang")
+          .select(col("lang"), col("n_docs"), col("n_kept"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n_docs
+              |          FROM documents GROUP BY 1),
+              |r AS (SELECT lang, n_docs,
+              |  least(10000, CAST(floor(120 * 10000.0 / n_docs) AS BIGINT))
+              |    AS keep_bp FROM c),
+              |k AS (SELECT d.lang, count(*) AS n_kept
+              |      FROM documents d JOIN r USING (lang)
+              |      WHERE ${bucketSql("balance", "d.doc_id")} < r.keep_bp
+              |      GROUP BY 1)
+              |SELECT r.lang, r.n_docs, k.n_kept
+              |FROM r JOIN k USING (lang) ORDER BY lang""".stripMargin)),
+
     QueryDef("text_chunk",
       (s, dir) => TextAnalysis.chunk(Tables.read(s, dir, "documents"),
         size = 32, stride = 24),

@@ -828,6 +828,46 @@ object TpchQueries {
              |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Bucketed co-located join: both tables written bucketBy(orderkey) +
+    // sortBy ONCE, so the join AND the follow-on aggregate on the same key
+    // run with zero Exchange (the write is the only shuffle — the
+    // amortize-across-queries layout for repeatedly joined 100 TB facts;
+    // BucketingSpec pins the shuffle-free plan). External tables under
+    // /tmp keyed by the input dir; broadcast disabled per-query would be
+    // implicit — bucketed SMJ wins below the broadcast threshold only via
+    // the sort-merge path, so the demo keys on the bucket metadata, not
+    // join strategy luck.
+    QueryDef("join_bucketed",
+      (s, dir) => {
+        val sfx = dir.replaceAll("[^0-9a-zA-Z]", "_")
+        val o = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val l = Tables.read(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity")
+        def writeExt(df: org.apache.spark.sql.DataFrame, name: String,
+            key: String): Unit =
+          df.write.mode("overwrite")
+            .option("path", s"/tmp/graft_bucketed_${name}_$sfx")
+            .bucketBy(8, key).sortBy(key)
+            .format("parquet").saveAsTable(s"graft_${name}_$sfx")
+        writeExt(o, "orders", "o_orderkey")
+        writeExt(l, "lineitem", "l_orderkey")
+        s.table(s"graft_lineitem_$sfx")
+          .join(s.table(s"graft_orders_$sfx"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"),
+            max(col("o_totalprice")).as("o_totalprice"))
+          .orderBy("o_orderkey")
+          .limit(1000)
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |max(o_totalprice) AS o_totalprice
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
     // sink breadth: CSV round-trip (header + explicit schema read-back).
     // Parallel multi-file write — the read-back re-sorts, so no coalesce(1)
     // single-writer funnel; the path is keyed by the input dir so runs at
