@@ -98,6 +98,34 @@ object ProfilingQueries {
              |HAVING count(*) * 100 > (SELECT n_total FROM tot)
              |ORDER BY cnt DESC, token""".stripMargin)),
 
+    // Incremental-aggregation maintenance: the 100 TB pattern where
+    // yesterday's stored per-key partials merge with today's delta instead
+    // of rescanning history. Both legs here derive from the same table
+    // (filters pushed to the scan) to keep the query self-contained; at
+    // scale the "hist" leg is a read of the stored aggregate. The oracle
+    // is a FULL recompute over all events — proving merge(partials) ≡
+    // recompute, the invariant that makes incremental ETL safe. Sums ride
+    // DECIMAL so partial merge order cannot drift.
+    QueryDef("incr_agg_merge",
+      (s, dir) => {
+        val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+        val ev = Tables.read(s, dir, "events")
+          .select(col("user_id"), col("ts"),
+            col("value").cast("decimal(18,6)").as("v"))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_v"))
+        partial(ev.filter(col("ts") < cutoff))
+          .unionByName(partial(ev.filter(col("ts") >= cutoff)))
+          .groupBy("user_id")
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("sum_v")).cast("double").as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     // Calendar gap-fill + forward fill: per-user daily max, missing days
     // materialized with sequence()+explode (no driver loop, no cross join
     // against a global calendar — each user only generates its own span),
