@@ -588,6 +588,44 @@ object TpchQueries {
              |                      AND TIMESTAMP '1996-12-31 23:59:59'
              |GROUP BY 1 ORDER BY o_year""".stripMargin)),
 
+    // Q11 shape (important stock identification): per-part value within one
+    // nation's suppliers, kept where the part's share exceeds a fraction of
+    // the nation total — a grouped agg re-filtered against its own grand
+    // total. The total rides along as a broadcast 1-row frame (never a
+    // collect); value sums stay DECIMAL until the output/threshold edge.
+    QueryDef("tpch_q11",
+      (s, dir) => {
+        val natSup = Tables.read(s, dir, "supplier")
+          .join(broadcast(Tables.read(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val pv = Tables.read(s, dir, "lineitem")
+          .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey").as("ps_partkey"))
+          .agg(sum((col("l_extendedprice") * col("l_quantity"))
+            .cast("decimal(18,6)")).as("value_d"))
+        val tot = pv.agg(sum(col("value_d")).as("total_d"))
+        pv.join(broadcast(tot))
+          .filter(col("value_d").cast("double") >
+            col("total_d").cast("double") * 0.001)
+          .select(col("ps_partkey"), col("value_d").cast("double").as("value"))
+          .orderBy(desc("value"), col("ps_partkey"))
+      },
+      Some("""WITH pv AS (
+             |  SELECT l_partkey AS ps_partkey,
+             |    SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS value_d
+             |  FROM lineitem
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON n_nationkey = s_nationkey
+             |  WHERE n_name = 'NATION_3'
+             |  GROUP BY 1),
+             |tot AS (SELECT SUM(value_d) AS total_d FROM pv)
+             |SELECT ps_partkey, CAST(value_d AS DOUBLE) AS value
+             |FROM pv CROSS JOIN tot
+             |WHERE CAST(value_d AS DOUBLE) > CAST(total_d AS DOUBLE) * 0.001
+             |ORDER BY value DESC, ps_partkey""".stripMargin)),
+
     // Q12 shape (shipping-mode priority): join + two conditional counts in
     // one agg pass. No l_shipmode in the testdata, so groups are
     // l_linestatus and "late" = shipped > 30 days after order date.
