@@ -53,5 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotMixed(exprs(0), exprs(1))))
     // whole-operator extension: the native as-of join's planner strategy
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    // optimizer extension: transparently fold the hand-written HOF dot
+    // product into the codegen'd graft_dot kernel
+    e.injectOptimizerRule(_ => graft.plans.FoldVectorHofs)
   }
 }

@@ -141,6 +141,13 @@ object GraftFunctions {
         "graft_sumsq", exprs => SumSqFold(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_dot_mixed", exprs => DotMixed(exprs(0), exprs(1)), "built-in")
+      // sessions built without GraftExtensions still get the HOF→kernel
+      // optimizer rewrite through the experimental hook
+      if (!spark.experimental.extraOptimizations
+            .contains(graft.plans.FoldVectorHofs)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.FoldVectorHofs
+      }
     }
 
   /** `hash_key(cols)`: surrogate key over already-normalized natural-key

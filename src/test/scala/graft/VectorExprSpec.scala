@@ -43,6 +43,24 @@ class VectorExprSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)))
   }
 
+  test("optimizer folds the hand-written HOF dot into graft_dot") {
+    GraftFunctions.ensureRegistered(spark)
+    val hof = aggregate(zip_with(col("embedding"), col("embedding"),
+      (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val df = graft.core.Tables.read(spark, sf, "embeddings")
+      .select(col("vec_id"), hof.as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot"),
+      s"HOF fold not rewritten to the native kernel:\n$plan")
+    assert(!plan.contains("zip_with") && !plan.contains("lambdafunction"))
+    // and the rewrite is value-identical to the explicit kernel call
+    val native = graft.core.Tables.read(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        Similarity.dot(col("embedding"), col("embedding")).as("d"))
+    assert(df.orderBy("vec_id").collect().map(_.toSeq).toSeq ==
+      native.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("dot stays inside whole-stage codegen (no CodegenFallback)") {
     GraftFunctions.ensureRegistered(spark)
     // a real file scan — a local relation would be constant-folded away
