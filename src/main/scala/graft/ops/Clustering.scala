@@ -20,14 +20,42 @@ import org.apache.spark.sql.functions._
   * against the k×dims centroid frame (broadcast — centroids are tiny), a
   * (vec, cluster) partial agg for dots, a window argmin per vector, and a
   * (cluster, dim) partial agg for the new means. The corpus never
-  * collects; centroid frames are the only small side. Init = first k
-  * vectors (deterministic; swap in kmeans|| sampling at scale).
+  * collects; centroid frames are the only small side. Init = the k
+  * smallest vec_ids by default, or kmeans||-style salted-hash sampling
+  * when an `initSeed` is given — both deterministic (see [[seedIds]]).
   */
 object Clustering {
 
-  def kmeansLloyd(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The k seed vector ids for init. Default (no seed): the k SMALLEST
+    * vec_ids — ids need not be dense or zero-based; TakeOrdered pulls the
+    * k minima without a global sort. With a seed: kmeans||-style
+    * deterministic sampling — the k ids with the smallest salted hash
+    * (same device as [[Sampling]]), which spreads the seeds uniformly
+    * over the corpus instead of taking whatever happens to sort first.
+    * Either way the pick is a k-row TakeOrdered: no collect, no RNG
+    * state, reproducible across partitionings.
+    */
+  private[graft] def seedIds(emb: DataFrame, k: Int,
+      initSeed: Option[Long]): DataFrame = {
+    val ids = emb.select("vec_id").distinct()
+    val picked = initSeed match {
+      case Some(seed) =>
+        ids.orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id")).limit(k)
+      case None => ids.orderBy("vec_id").limit(k)
+    }
+    // cluster index 0..k-1 by ascending vec_id — a window over k rows
+    picked.withColumn("cluster",
+      (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+  }
+
+  /** Fit internals: (exploded corpus, final assignment, final centroids).
+    * Shared by the reported summary and the cost diagnostic.
+    */
+  private[graft] def kmeansFit(emb: DataFrame, k: Int, iters: Int,
+      initSeed: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
+    require(iters >= 1, s"kmeansLloyd needs at least one iteration, got $iters")
     // the exploded corpus is read 2× per iteration (dots + means) plus the
-    // init filter — materialize it once (MEMORY_AND_DISK; measured −25% at
+    // init join — materialize it once (MEMORY_AND_DISK; measured −25% at
     // sf0.1). At 100 TB flip this to a plain lazy frame: re-running the
     // map-side explode is cheaper than spilling the materialization.
     val ex = emb
@@ -40,9 +68,8 @@ object Clustering {
     // both each round so the iterative lineage never re-executes prior
     // rounds (cen is referenced 3× per iteration — uncheckpointed, each
     // reference replays the whole history)
-    var cen = ex.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"), col("dim"),
-        col("xq").as("cd"))
+    var cen = ex.join(broadcast(seedIds(emb, k, initSeed)), "vec_id")
+      .select(col("cluster"), col("dim"), col("xq").as("cd"))
       .localCheckpoint()
     var assign: DataFrame = null
 
@@ -66,6 +93,25 @@ object Clustering {
           .cast("decimal(12,8)").as("cd"))
         .localCheckpoint()
     }
+    (ex, assign, cen)
+  }
+
+  /** Exact within-cluster sum of squared distances of a fit — the
+    * quantity a better init should shrink. One join + one agg over the
+    * exploded corpus.
+    */
+  private[graft] def kmeansCost(fit: (DataFrame, DataFrame, DataFrame)): Double = {
+    val (ex, assign, cen) = fit
+    ex.join(assign, "vec_id").join(cen, Seq("cluster", "dim"))
+      .select(
+        sum(pow(col("xq").cast("double") - col("cd").cast("double"), 2))
+          .as("cost"))
+      .head.getDouble(0)
+  }
+
+  def kmeansLloyd(emb: DataFrame, k: Int, iters: Int,
+      initSeed: Option[Long] = None): DataFrame = {
+    val (_, assign, cen) = kmeansFit(emb, k, iters, initSeed)
 
     val norms = cen.groupBy("cluster")
       .agg(round(sqrt(sum(col("cd") * col("cd")).cast("double")), 6)

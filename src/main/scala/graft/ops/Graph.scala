@@ -19,6 +19,14 @@ object Graph {
   val DampNum = 850L            // 0.85 damping, in thousandths
   val BaseScaled: Long = 150000000L // 0.15 * Scale
 
+  /** Max node count for which the per-iteration rank/contrib frames get a
+    * `broadcast()` hint. A rank row is ~16 bytes, so 2M nodes ≈ 32 MB —
+    * comfortably inside executor/driver memory; beyond that a forced
+    * broadcast would OOM the driver, so the loop degrades to shuffle
+    * joins (the same plan, exchange-bound instead of map-side).
+    */
+  val BroadcastMaxNodes: Long = 2000000L
+
   /** PageRank after `iters` rounds over `edges(src, dst)`.
     * r_{t+1}(v) = 0.15 + 0.85 * Σ_{u→v} r_t(u) div outdeg(u), all in
     * scaled integers. Per iteration: one join on src (broadcast the
@@ -26,8 +34,16 @@ object Graph {
     * on dst + one left join back to the node set. The DAG grows linearly
     * with iters; for big graphs checkpoint every few rounds exactly as
     * [[Dedup.clusters]] does (localCheckpoint keeps lineage flat).
+    *
+    * @param broadcastMaxNodes gate for the per-round broadcast hints: the
+    *   hints apply only when the (checkpointed, already-counted) node set
+    *   is at most this many rows. A hint FORCES the broadcast regardless
+    *   of `autoBroadcastJoinThreshold`, so an ungated hint is a
+    *   driver-OOM at 100× nodes; gated off, every round runs shuffle
+    *   joins on the identical logical plan.
     */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     // materialize the loop invariants once (same trick as Dedup.clusters):
     // without this every iteration re-derives edges/nodes/outdegree from
     // the source scans — iters× recompute and a lineage that grows per round
@@ -40,21 +56,25 @@ object Graph {
     val outdeg = e.groupBy(col("src").as("od_src"))
       .agg(count(lit(1)).as("deg")).localCheckpoint()
 
-    // ranks is one row per node — tiny next to the edge list — so both
-    // per-iteration joins broadcast it and the EDGES NEVER SHUFFLE: each
-    // round is a map-side join over the checkpointed edge partitions plus
-    // one partial-agg shuffle of ≤|nodes| rows per partition. (At a node
-    // count too large to broadcast, drop the hints and Spark falls back
-    // to shuffle joins on the same plan.)
+    // ranks is one row per node — tiny next to the edge list — so when the
+    // node set fits the broadcast gate, both per-iteration joins broadcast
+    // it and the EDGES NEVER SHUFFLE: each round is a map-side join over
+    // the checkpointed edge partitions plus one partial-agg shuffle of
+    // ≤|nodes| rows per partition. The gate reads the node count off the
+    // ALREADY-CHECKPOINTED node set (a cheap count, paid once, not per
+    // round); past the gate the hints vanish and the same plan runs as
+    // shuffle joins — degraded throughput, never a driver OOM.
+    val hint: DataFrame => DataFrame =
+      if (nodes.count() <= broadcastMaxNodes) broadcast else identity
     var ranks = nodes.withColumn("r", lit(Scale))
     for (_ <- 1 to iters) {
       val contribs = e
-        .join(broadcast(ranks), col("node") === e("src"))
-        .join(broadcast(outdeg), col("src") === col("od_src"))
+        .join(hint(ranks), col("node") === e("src"))
+        .join(hint(outdeg), col("src") === col("od_src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
       ranks = nodes
-        .join(broadcast(contribs), Seq("node"), "left")
+        .join(hint(contribs), Seq("node"), "left")
         .select(col("node"),
           (lit(BaseScaled) +
             expr(s"($DampNum * coalesce(contrib, 0L)) div 1000")).as("r"))

@@ -46,33 +46,44 @@ object HeavyHitters {
   }
 
   /** Exact items with count(item) * k > N over `df(col)`, with their exact
-    * counts. One sketch pass (also tallies N per partition via a null-item
-    * marker row) + one exact pass over candidates only.
+    * counts — including a genuine NULL value. One sketch pass (a
+    * marker-flagged row per partition carries N_p and the partition's
+    * exact null tally — NULL is a single "value", so its count needs no
+    * sketch) + one exact pass over non-null candidates only.
     */
   def exact(spark: SparkSession, df: DataFrame, itemCol: String, k: Int): DataFrame = {
     import spark.implicits._
     val items = df.select(col(itemCol).cast("string").as("item"))
 
-    // Pass 1: per-partition (candidates, partition row count). The null-item
-    // row carries N_p so the total N needs no extra scan.
+    // Pass 1: per-partition (candidates, partition row count, null count).
+    // The marker row is flagged explicitly — NOT by a null item, so a real
+    // NULL heavy hitter can't be confused with the tally row.
     val summary = items.as[String].mapPartitions { it =>
       var n = 0L
-      val counted = it.map { x => n += 1; x }
-      val cands = misraGries(counted, k).map(x => (x, 0L)).toVector
-      (cands :+ ((null: String, n))).iterator
-    }.toDF("item", "np")
+      var nulls = 0L
+      val counted = it.map { x => n += 1; if (x == null) nulls += 1; x }
+      val cands = misraGries(counted.filter(_ != null), k)
+        .map(x => (x, false, 0L, 0L)).toVector
+      (cands :+ ((null: String, true, n, nulls))).iterator
+    }.toDF("item", "marker", "np", "nulls_p")
 
-    val cands = summary.filter(col("item").isNotNull).select("item").distinct()
-    val total = summary.filter(col("item").isNull)
-      .agg(sum(col("np")).as("n_total"))
+    val cands = summary.filter(!col("marker")).select("item").distinct()
+    val totals = summary.filter(col("marker"))
+      .agg(sum(col("np")).as("n_total"), sum(col("nulls_p")).as("n_nulls"))
 
     // Pass 2: exact counts of candidates only (broadcast semi-join keeps it
-    // map-side), then the exact threshold test against N.
-    items.join(broadcast(cands), Seq("item"), "left_semi")
+    // map-side), then the exact threshold test against N. The semi-join
+    // can't match NULL items (SQL equality), so the null tally from pass 1
+    // joins back as its own row when it clears the threshold.
+    val nonNull = items.join(broadcast(cands), Seq("item"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(totals))
       .filter(col("cnt") * k > col("n_total"))
       .select(col("item"), col("cnt"), col("n_total"))
-      .orderBy(desc("cnt"), col("item"))
+    val nullRow = totals
+      .filter(col("n_nulls") * k > col("n_total"))
+      .select(lit(null).cast("string").as("item"),
+        col("n_nulls").as("cnt"), col("n_total"))
+    nonNull.unionByName(nullRow).orderBy(desc("cnt"), col("item"))
   }
 }

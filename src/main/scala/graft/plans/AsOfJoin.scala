@@ -100,14 +100,31 @@ case class AsOfJoinExec(
         private var rHead: InternalRow = _
         private var matchKey: UnsafeRow = _
         private var matchPayload: UnsafeRow = _
+        // pull the next right row whose key AND time are both non-null:
+        // a null right key can never equal any left key (SQL equi-join
+        // semantics — the natural ordering would treat NULL==NULL as a
+        // match) and a null right time has no "getLong" value, so both
+        // kinds of row are skipped outright
+        private def advanceRight(): Unit =
+          while (rHead == null && rIter.hasNext) {
+            val cand = rIter.next()
+            if (!rKeyProj(cand).isNullAt(0) && !rTimeProj(cand).isNullAt(0))
+              rHead = cand
+          }
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKeyRow = lKeyProj(l)
-          val lTimeUs = lTimeProj(l).getLong(0)
+          val lTimeRow = lTimeProj(l)
+          // null left key or time: no right row can match (equality and
+          // the <= comparison are both NULL-valued in SQL) — emit the
+          // null payload without touching the right stream
+          if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0))
+            return outProj(joined(l, nullPayload))
+          val lTimeUs = lTimeRow.getLong(0)
           var done = false
           while (!done) {
-            if (rHead == null && rIter.hasNext) rHead = rIter.next()
+            if (rHead == null) advanceRight()
             if (rHead == null) done = true
             else {
               val c = keyOrd.compare(rKeyProj(rHead), lKeyRow)

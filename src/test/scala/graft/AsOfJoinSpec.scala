@@ -53,6 +53,30 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 50L, "-", -1L)))     // no right rows for k=2 -> null payload
   }
 
+  test("nulls: NULL keys/times never match (SQL equi-join semantics, not null==null)") {
+    // left: a null-key row and a null-time row alongside a normal one;
+    // right: a null-key row and a null-time row that would sort FIRST
+    // (nulls-first ascending) and, under natural-ordering comparison,
+    // would wrongly donate their payload to null-key left rows
+    val left = Seq(
+      (None: Option[Long], Some(100L), "lnullk"),
+      (Some(1L), None: Option[Long], "lnullt"),
+      (Some(1L), Some(100L), "lok"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (None: Option[Long], Some(50L), "rnullk"),
+      (Some(1L), None: Option[Long], "rnullt"),
+      (Some(1L), Some(90L), "rok"))
+      .toDF("k", "t", "note")
+    val rows = AsOf.asofJoin(left, right, "k", "t", "t", Seq("note"))
+      .select("tag", "note__r").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows === Map(
+      "lnullk" -> None,       // null left key: matches nothing
+      "lnullt" -> None,       // null left time: <= comparison is NULL
+      "lok" -> Some("rok")))  // normal row: unaffected, skips null right rows
+  }
+
   test("ties: a right row at exactly the left time is matched (ASOF <= semantics)") {
     val left = Seq((1L, 100L)).toDF("k", "t")
     val right = Seq((1L, 100L, "exact")).toDF("k", "t", "note")

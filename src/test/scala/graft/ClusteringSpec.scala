@@ -21,4 +21,41 @@ class ClusteringSpec extends SparkSpec {
       .collect()
     assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
   }
+
+  test("iters == 0 is rejected up front, not an NPE at the final groupBy") {
+    val emb = Tables.read(spark, sf, "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kmeansLloyd(emb, k = 4, iters = 0)
+    }
+    assert(e.getMessage.contains("at least one iteration"))
+  }
+
+  test("sparse / offset vec_ids still seed k centroids") {
+    import spark.implicits._
+    // ids start at 100 with gaps — the old `vec_id < k` init would seed
+    // ZERO centroids here; the k-smallest-ids init must seed exactly k
+    val emb = Seq(
+      (100L, Array(0.0f, 0.0f)), (205L, Array(10.0f, 0.0f)),
+      (317L, Array(0.0f, 10.0f)), (999L, Array(10.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.kmeansLloyd(emb, k = 2, iters = 1).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).sum == 4L)
+  }
+
+  test("seeded (kmeans||-style sampled) init beats a pathological first-k init") {
+    import spark.implicits._
+    // first two ids are the SAME point, so first-k init starts both
+    // centroids on top of each other and one Lloyd round can't separate
+    // them; the salted-hash sample spreads the seeds over the corpus
+    val emb = (Seq((0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.0f))) ++
+      (2L to 9L).map(i => (i, Array(i.toFloat * 10, i.toFloat * 10))))
+      .toDF("vec_id", "embedding")
+    val firstK = Clustering.kmeansCost(
+      Clustering.kmeansFit(emb, k = 2, iters = 1, initSeed = None))
+    val seeded = Clustering.kmeansCost(
+      Clustering.kmeansFit(emb, k = 2, iters = 1, initSeed = Some(42L)))
+    assert(seeded < firstK,
+      s"sampled init cost $seeded should beat degenerate first-k $firstK")
+  }
 }

@@ -83,6 +83,22 @@ class SkewSpec extends SparkSpec {
     assert(viaSalt.count() === plain.count())
     assert(viaSalt.exceptAll(plain).count() === 0)
   }
+
+  test("salted join tolerates unhashable (MapType) columns on the large side") {
+    import spark.implicits._
+    // hash() raises an analysis error on maps — the salt fingerprint must
+    // skip them (and maps nested in structs) instead of failing the join
+    val large = spark.range(200)
+      .select((col("id") % 3).as("k"), col("id").as("payload"),
+        map(lit("a"), col("id")).as("m"),
+        struct(map(lit("b"), col("id")).as("inner")).as("s"))
+    val small = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "dim")
+    val plain = large.join(small, Seq("k"))
+    val viaSalt = Skew.saltedJoin(large, small, "k", salts = 4)
+    assert(viaSalt.count() === plain.count())
+    assert(viaSalt.select("k", "payload").exceptAll(
+      plain.select("k", "payload")).count() === 0)
+  }
 }
 
 /** The automatic complement to Skew.saltedJoin: with AQE's skew-join

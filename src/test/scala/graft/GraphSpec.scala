@@ -23,6 +23,34 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) === expected && r(3L) === expected && r(4L) === expected)
   }
 
+  test("pagerank: broadcast hints are gated — same ranks, shuffle joins past the gate") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val hinted = Graph.pagerank(edges, 2)
+    // past the gate (broadcastMaxNodes = 0) the hints must vanish; with
+    // auto-broadcast disabled the SAME logical plan has to degrade to
+    // SortMergeJoin/ShuffledHashJoin — this is what saves the driver at
+    // 100× nodes, where a forced broadcast would OOM instead of shuffle
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(spark.conf.set(_, "-1"))
+    try {
+      val gated = Graph.pagerank(edges, 2, broadcastMaxNodes = 0L)
+      val rows = gated.as[(Long, Long)].collect().toMap
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan)
+      // bit-identical fixed-point ranks regardless of join strategy
+      assert(rows === hinted.as[(Long, Long)].collect().toMap)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("scd2: changed keys get a closed old version and one current new one") {
     import spark.implicits._
     val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")

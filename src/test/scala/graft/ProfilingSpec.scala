@@ -37,4 +37,19 @@ class ProfilingSpec extends SparkSpec {
     assert(got == want)
     assert(got.exists(_._1 == "hot"))
   }
+
+  test("exact() reports a genuine NULL heavy hitter (marker no longer overloads null)") {
+    import spark.implicits._
+    // 40% NULLs (heavy), one hot string (heavy), long cold tail
+    val df = (1 to 1000).map { i =>
+      if (i % 5 <= 1) None
+      else if (i % 5 <= 3) Some("hot")
+      else Some(s"cold$i")
+    }.toDF("item").repartition(8)
+    // threshold: cnt * 4 > 1000 → both NULL (400) and "hot" (400) qualify
+    val got = HeavyHitters.exact(spark, df, "item", k = 4)
+      .select("item", "cnt").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map((None: Option[String]) -> 400L, Some("hot") -> 400L))
+  }
 }
