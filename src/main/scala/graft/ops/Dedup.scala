@@ -155,6 +155,88 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical-id assignment via large-star/small-star connected
+    * components — the O(log n)-round, convergence-detected upgrade that
+    * [[cluster]]'s fixed-3-round propagation documents for extreme
+    * diameters (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14). Each round alternates:
+    *   - large-star: every node u links its LARGER neighbors to
+    *     m(u) = min(N(u) ∪ u) — halves long chains;
+    *   - small-star: every node u links its smaller-or-self neighborhood
+    *     to m(u) — collapses the partial stars.
+    * Both are one (groupBy u → min) agg + one join, shuffle ∝ edges —
+    * the same per-round shape as [[cluster]] — and the edge set provably
+    * converges to per-component stars in O(log n) rounds regardless of
+    * diameter. Convergence is DETECTED (edge-set checksum: count +
+    * xxhash64 sum, both order-independent), not assumed, so the result is
+    * the true component minimum and still a deterministic function of the
+    * input.
+    */
+  def clusterLss(docs: DataFrame): DataFrame =
+    lssComponents(minhashPairs(docs).select("doc_a", "doc_b"))
+
+  /** The LSS core over an explicit undirected edge list `(doc_a, doc_b)`.
+    * Exposed for specs (ClusterSpec drives it with a diameter-5 chain the
+    * fixed-3-round form under-merges).
+    */
+  private[graft] def lssComponents(pairs0: DataFrame): DataFrame = {
+    val spark = pairs0.sparkSession
+    val pairs = pairs0.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().localCheckpoint()
+
+    // symmetric, loop-free, distinct edge set — the state each round rewrites
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .unionByName(e.filter(col("u") =!= col("v"))
+        .select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+
+    // m(u) = min(N(u) ∪ {u}); star(u, keepLarger) re-links the kept side
+    // of every neighborhood to m(u)
+    def minOfStar(e: DataFrame): DataFrame = e.groupBy("u")
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))),
+        lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint()
+    var prev = checksum(edges)
+    var converged = edges.isEmpty
+    var round = 0
+    val maxRounds = 40 // 2^40 nodes — far past any real component
+    while (!converged && round < maxRounds) {
+      val large = edges.filter(col("v") > col("u"))
+        .join(minOfStar(edges), "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      val afterLarge = canon(large).localCheckpoint()
+      val small = afterLarge.filter(col("v") < col("u"))
+        .join(minOfStar(afterLarge), "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(minOfStar(afterLarge)
+          .select(col("u"), col("m").as("v")))
+      edges = canon(small).localCheckpoint()
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+
+    // converged edges are per-component stars: every non-min node has the
+    // component min among its neighbors; isolated nodes label themselves
+    val neighborMin = edges.groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("nmin"))
+    nodes.join(neighborMin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(coalesce(col("nmin"), col("doc_id")), col("doc_id"))
+          .as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   val SimhashBits = 48
   val SimhashBandBits = 12
 

@@ -131,16 +131,26 @@ object Similarity {
 
   /** IVF-style ANN: a coarse quantizer partitions the corpus into inverted
     * lists; queries probe only the `nprobe` nearest lists, then rank
-    * exactly inside them. The quantizer here is deterministic (centroids =
-    * the first `nlists` vectors) so the oracle reproduces it; swap in
-    * trained centroids (e.g. ml.KMeans) without changing the plan shape —
-    * assignment stays a broadcast argmax, probing stays a list-keyed join.
+    * exactly inside them. The quantizer is deterministic either way:
+    * centroids = the `nlists` smallest vec_ids by default (oracle-exact,
+    * sparse-id safe), or — with a `seed` — a kmeans||-style salted-hash
+    * sample spread over the corpus (same device as
+    * [[Clustering.seedIds]]). Both are a TakeOrdered of `nlists` rows, no
+    * collect; swap in fully trained centroids (e.g. [[Clustering]] means)
+    * without changing the plan shape — assignment stays a broadcast
+    * argmax, probing stays a list-keyed join.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 3,
-      nlists: Int = 16, nprobe: Int = 2): DataFrame = {
+      nlists: Int = 16, nprobe: Int = 2,
+      seed: Option[Long] = None): DataFrame = {
     val e = emb.repartition(col("vec_id")).select(col("vec_id"),
       col("embedding"), norm(col("embedding")).as("nrm"))
-    val cents = e.filter(col("vec_id") < nlists)
+    val cents = (seed match {
+        case Some(sd) =>
+          e.orderBy(xxhash64(lit(sd), col("vec_id")), col("vec_id"))
+            .limit(nlists)
+        case None => e.orderBy(col("vec_id")).limit(nlists)
+      })
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         col("nrm").as("cnrm"))
     // coarse assignment: nearest centroid by rounded cosine (tie: cent_id)
@@ -179,6 +189,32 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of the two approximate indexes against the exact baseline —
+    * the observability face of [[lshTopK]]/[[ivfTopK]]: one row per
+    * method with hit/total counts and the recall ratio. The exact top-k
+    * is computed ONCE ([[bruteForceTopK]], localCheckpoint'd — it is the
+    * expensive |Q|×N scan) and each approximate result semi-joins against
+    * it on (query, neighbor); everything downstream of the three top-k
+    * frames is a few-row agg, so the cost is the three indexes
+    * themselves.
+    */
+  def annRecall(emb: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val exact = bruteForceTopK(emb, nQueries, k)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val exactN = exact.agg(count(lit(1)).as("n_exact"))
+    def hits(approx: DataFrame, name: String): DataFrame =
+      approx.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(name).as("method"), col("n_hit"))
+    hits(ivfTopK(emb, nQueries, k, nlists = 16, nprobe = 2), "ivf")
+      .unionByName(hits(lshTopK(emb, nQueries, k, bits = 4), "lsh"))
+      .crossJoin(broadcast(exactN))
+      .select(col("method"), col("n_hit"), col("n_exact"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy("method")
   }
 
   /** Embedding near-dup pairs, LSH-blocked: pairs only form inside a

@@ -122,6 +122,10 @@ object PipelineQueries {
       (s, dir) => Dedup.cluster(Tables.read(s, dir, "documents")),
       Some(clusterOracle)),
 
+    QueryDef("dedup_cluster_lss",
+      (s, dir) => Dedup.clusterLss(Tables.read(s, dir, "documents")),
+      Some(lssOracle)),
+
     QueryDef("dedup_embedding_banded",
       (s, dir) => Similarity.embeddingNearDupsBanded(
         Tables.read(s, dir, "embeddings"),
@@ -167,6 +171,13 @@ object PipelineQueries {
       (s, dir) => Similarity.ivfTopK(Tables.read(s, dir, "embeddings"),
         nQueries = 5, k = 3, nlists = 16, nprobe = 2),
       Some(ivfOracle)),
+
+    // recall@k of both approximate indexes against the exact baseline —
+    // turns "the index runs" into "the index is measured"
+    QueryDef("ann_recall",
+      (s, dir) => Similarity.annRecall(Tables.read(s, dir, "embeddings"),
+        nQueries = 5, k = 3),
+      Some(annRecallOracle)),
 
     // Lloyd k-means over the embedding corpus (k=4, 2 iterations,
     // first-k init): all assignment math in exact DECIMAL, so the
@@ -354,6 +365,33 @@ object PipelineQueries {
        |SELECT doc_id, label AS canonical_id FROM l3 ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of Dedup.clusterLss: the converged large-star/small-star
+    * result is the TRUE component minimum, so the oracle is exact
+    * reachability — a recursive CTE walking the minhash pair edges and
+    * taking min over everything reachable. (No round unrolling: LSS
+    * detects convergence, so the answer is round-count-independent.)
+    */
+  private lazy val lssOracle: String = {
+    val matches = (0 until Dedup.MinhashSigs)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE $bandedCtesSql,
+       |pairs AS (SELECT doc_a, doc_b FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST($matches AS DOUBLE) / ${Dedup.MinhashSigs} AS est_sim
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |  WHERE est_sim >= 0.5),
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(doc_id, reach) AS (
+       |  SELECT DISTINCT doc_a, doc_a FROM edges
+       |  UNION
+       |  SELECT w.doc_id, e.doc_b FROM walk w JOIN edges e ON e.doc_a = w.reach)
+       |SELECT doc_id, min(reach) AS canonical_id FROM walk
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val ngramJaccardOracle: String =
     s"""WITH $bandedCtesSql,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -453,6 +491,73 @@ object PipelineQueries {
        |  FROM assigned a JOIN probes p
        |    ON a.list_id = p.list_id AND a.vec_id <> p.query_id)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirror of Similarity.annRecall: the three top-k pipelines (exact,
+    * LSH, IVF — same constructions as the ann_* oracles, k=3 throughout)
+    * as CTEs over one shared normed corpus, then hit counts vs the exact
+    * set per method.
+    */
+  private lazy val annRecallOracle: String = {
+    def cos(a: String, na: String, b: String, nb: String) =
+      cosSql(a, b, na, nb)
+    s"""WITH e AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm
+       |           FROM embeddings),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.embedding", "q.nrm", "n.embedding", "n.nrm")} DESC,
+       |                 n.vec_id) AS rank
+       |    FROM e q JOIN e n ON n.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 5) WHERE rank <= 3),
+       |bk AS (SELECT vec_id, embedding, nrm,
+       |  ${bucketSql("embedding", 4)} AS bucket FROM e),
+       |lsh AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.embedding", "q.nrm", "n.embedding", "n.nrm")} DESC,
+       |                 n.vec_id) AS rank
+       |    FROM bk q JOIN bk n
+       |      ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 5) WHERE rank <= 3),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |          FROM e WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id AS list_id FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "e.nrm", "c.cv", "c.cnrm")} DESC,
+       |                 c.cent_id) AS crank
+       |    FROM e, cents c) WHERE crank = 1),
+       |probes AS (
+       |  SELECT query_id, qv, qnrm, cent_id AS list_id FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qv, q.nrm AS qnrm,
+       |      c.cent_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.embedding", "q.nrm", "c.cv", "c.cnrm")} DESC,
+       |                 c.cent_id) AS crank
+       |    FROM e q, cents c WHERE q.vec_id < 5) WHERE crank <= 2),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY ${cos("p.qv", "p.qnrm", "a.embedding", "a.nrm")} DESC,
+       |                 a.vec_id) AS rank
+       |    FROM assigned a JOIN probes p
+       |      ON a.list_id = p.list_id AND a.vec_id <> p.query_id)
+       |  WHERE rank <= 3),
+       |n_ex AS (SELECT count(*) AS n_exact FROM bf),
+       |hits AS (
+       |  SELECT 'ivf' AS method, count(*) AS n_hit
+       |  FROM ivf JOIN bf USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, count(*) AS n_hit
+       |  FROM lsh JOIN bf USING (query_id, neighbor_id))
+       |SELECT method, n_hit, n_exact,
+       |  round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+       |FROM hits, n_ex ORDER BY method""".stripMargin
   }
 
   private lazy val langIdOracle: String = {

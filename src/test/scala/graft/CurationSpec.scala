@@ -141,4 +141,29 @@ class ClusterSpec extends SparkSpec {
         s"doc $doc: label $canon != component min ${find(doc)}")
     }
   }
+
+  test("lssComponents: diameter-5 chain fully merges + agrees with union-find") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 (diameter 5 — the fixed-3-round propagation
+    // under-merges this), a separate pair, and a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.lssComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("lssComponents and cluster() agree on the real near-dup graph") {
+    val docs = graft.core.Tables.read(spark, sf, "documents")
+    val viaLss = Dedup.clusterLss(docs).collect().map(_.toSeq).toSeq
+    val viaProp = Dedup.cluster(docs).collect().map(_.toSeq).toSeq
+    // real near-dup clusters are tiny stars (diameter ≤ 2), where both
+    // algorithms give the exact component min
+    assert(viaLss.nonEmpty)
+    assert(viaLss === viaProp)
+  }
 }

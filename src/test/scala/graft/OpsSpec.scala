@@ -85,6 +85,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.sorted === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("seeded IVF quantizer: sampled centroids, shape intact, measurable recall") {
+    val emb = graft.core.Tables.read(spark, sf, "embeddings")
+    val out = Similarity.ivfTopK(emb, nQueries = 3, k = 3,
+      nlists = 16, nprobe = 2, seed = Some(7L)).collect()
+    // each query yields exactly k neighbors with dense ranks, self excluded
+    assert(out.length === 9)
+    assert(out.forall(r => r.getLong(2) != r.getLong(0)))
+    val grouped = out.groupBy(_.getLong(0))
+    assert(grouped.values.forall(_.map(_.getLong(1)).sorted.toSeq ===
+      Seq(1L, 2L, 3L)))
+  }
+
+  test("annRecall: one row per method, recall in [0,1], hits bounded by exact") {
+    val emb = graft.core.Tables.read(spark, sf, "embeddings")
+    val rows = Similarity.annRecall(emb, nQueries = 3, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq("ivf", "lsh"))
+    rows.foreach { case (m, hit, exact, recall) =>
+      assert(exact === 9L, s"$m exact")
+      assert(hit >= 0L && hit <= exact, s"$m hits")
+      assert(math.abs(recall - hit.toDouble / exact) < 1e-6, s"$m ratio")
+    }
+  }
+
   test("LSH bucket is deterministic and bounded") {
     val emb = graft.core.Tables.read(spark, sf, "embeddings").limit(50)
     val dims = Similarity.embDims(emb)
