@@ -43,9 +43,16 @@ object Bench {
     val med = names.map(n => n -> median(passes.map(_(n)))).toMap
     val qs = names.map(n => s"\"$n\":" + med(n)).mkString("{", ",", "}")
     val total = med.values.sum
-    val totals = passes.map(_.values.sum)
-      .map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"totals":$totals}""")
+    val passTotals = passes.map(_.values.sum)
+    val totals = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // noise indicator: pass-to-pass spread relative to the median-of-sums
+    // headline. Shared-host jitter shows up here, not in "value" (per-query
+    // medians are stable) — a spread past ~15% marks the RUN as noisy, not
+    // the engine as slower.
+    val spreadPct =
+      if (passTotals.size < 2 || total == 0) 0.0
+      else (passTotals.max - passTotals.min) / total * 100
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"totals":$totals,"spread_pct":$spreadPct%.1f}""")
     spark.stop()
   }
 }

@@ -26,6 +26,15 @@ object Merge {
     * table. The read-back of affected target partitions prunes on
     * `partCol` (the changeset's distinct partition values are a
     * broadcast-able semi-join).
+    *
+    * ATOMICITY: dynamic overwrite defers deletion to job commit, but the
+    * commit swaps partition directories one at a time — a failure in that
+    * window can leave SOME affected partitions updated and others not
+    * (each individual partition stays intact; the cross-partition set is
+    * what can tear), and the read-your-own-write on `targetPath` relies on
+    * that deferred deletion. Readers that need a consistent cross-partition
+    * snapshot under concurrent merges should use [[Txn.upsertPartitioned]],
+    * which publishes every merge as one atomic manifest swap.
     */
   def upsertPartitioned(spark: SparkSession, targetPath: String,
       source: DataFrame, keys: Seq[String], partCol: String): Unit = {

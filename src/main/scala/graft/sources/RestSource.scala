@@ -47,6 +47,45 @@ object RestPages {
   @volatile var lastPlannedPartitions: Int = -1
 }
 
+/** The simulated remote endpoint with SoQL-style `$offset`/`$limit`
+  * cursor semantics: one call returns rows `[offset, offset+limit)` of a
+  * page resource in stable server order. The reference issues a SINGLE
+  * `$limit`-capped fetch (`load_311.py:11-17`) — that is the degenerate
+  * `limit >= resource size` case of the cursor loop in [[RestReader]].
+  */
+object RestFetch {
+  /** Test observability: endpoint calls since the last reset. */
+  @volatile var fetchCalls: Int = 0
+
+  def fetch(file: String, offset: Int, limit: Int): Seq[String] = {
+    fetchCalls += 1
+    val src = scala.io.Source.fromFile(file, "UTF-8")
+    try src.getLines().slice(offset, offset + limit).toList
+    finally src.close()
+  }
+
+  /** Lazy client-side cursor: keeps issuing `fetch($offset += pageSize)`
+    * calls until a short page signals exhaustion. Downstream early
+    * termination (a pushed LIMIT) simply stops pulling, so no further
+    * fetches are issued — cursor and limit pushdown compose.
+    */
+  def pagedLines(file: String, pageSize: Int): Iterator[String] =
+    new Iterator[String] {
+      private var offset = 0
+      private var cur: Iterator[String] = Iterator.empty
+      private var done = false
+      private def advance(): Unit =
+        while (!cur.hasNext && !done) {
+          val batch = fetch(file, offset, pageSize)
+          offset += batch.size
+          if (batch.size < pageSize) done = true
+          cur = batch.iterator
+        }
+      override def hasNext: Boolean = { advance(); cur.hasNext }
+      override def next(): String = { advance(); cur.next() }
+    }
+}
+
 class RestSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RestPages.Schema
@@ -62,10 +101,10 @@ class RestTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(path)
+    new RestScanBuilder(path, options.getInt("pageSize", 0))
 }
 
-class RestScanBuilder(path: String) extends ScanBuilder
+class RestScanBuilder(path: String, pageSize: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var tsLo: Option[Long] = None // micros, inclusive
   private var tsHi: Option[Long] = None // micros, exclusive
@@ -94,15 +133,15 @@ class RestScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(l: Int): Boolean = { limit = l; true }
-  override def build(): Scan = new RestScan(path, tsLo, tsHi, limit)
+  override def build(): Scan = new RestScan(path, tsLo, tsHi, limit, pageSize)
 }
 
 class RestScan(path: String, tsLo: Option[Long], tsHi: Option[Long],
-    limit: Int) extends Scan with Batch {
+    limit: Int, pageSize: Int) extends Scan with Batch {
   override def readSchema(): StructType = RestPages.Schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"RestScan(path=$path, pushedLo=$tsLo, pushedHi=$tsHi, limit=$limit)"
+    s"RestScan(path=$path, pushedLo=$tsLo, pushedHi=$tsHi, limit=$limit, pageSize=$pageSize)"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
@@ -117,7 +156,8 @@ class RestScan(path: String, tsLo: Option[Long], tsHi: Option[Long],
       tsLo.forall(_ < pageHi) && tsHi.forall(_ > pageLo)
     }
     RestPages.lastPlannedPartitions = kept.length
-    kept.map(f => RestInputPartition(f.getAbsolutePath, tsLo, tsHi, limit)
+    kept.map(f =>
+      RestInputPartition(f.getAbsolutePath, tsLo, tsHi, limit, pageSize)
       : InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -125,18 +165,26 @@ class RestScan(path: String, tsLo: Option[Long], tsHi: Option[Long],
 }
 
 case class RestInputPartition(file: String, lo: Option[Long],
-    hi: Option[Long], limit: Int) extends InputPartition
+    hi: Option[Long], limit: Int, pageSize: Int) extends InputPartition
 
 class RestReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new RestReader(p.asInstanceOf[RestInputPartition])
 }
 
-/** Streams one page's JSONL records, applying the pushed range + limit. */
+/** Streams one page's JSONL records, applying the pushed range + limit.
+  * With `pageSize > 0` the lines arrive through the `$offset` cursor loop
+  * ([[RestFetch.pagedLines]]) instead of one whole-resource read — the
+  * Socrata client's pagination, with the single-fetch form as the
+  * `pageSize = 0` default.
+  */
 class RestReader(p: RestInputPartition) extends PartitionReader[InternalRow] {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  private val source = scala.io.Source.fromFile(p.file, "UTF-8")
-  private val lines = source.getLines()
+  private val source =
+    if (p.pageSize > 0) null else scala.io.Source.fromFile(p.file, "UTF-8")
+  private val lines =
+    if (p.pageSize > 0) RestFetch.pagedLines(p.file, p.pageSize)
+    else source.getLines()
   private var current: InternalRow = _
   private var emitted = 0
 
@@ -156,5 +204,5 @@ class RestReader(p: RestInputPartition) extends PartitionReader[InternalRow] {
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = source.close()
+  override def close(): Unit = if (source != null) source.close()
 }

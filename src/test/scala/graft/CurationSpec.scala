@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Merge, Sampling, Similarity, TextAnalysis}
@@ -115,6 +117,48 @@ class MergeSpec extends SparkSpec {
     val untouchedAfter = new java.io.File(s"$out/day=2024-01-02")
       .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     assert(untouchedAfter === untouched)
+  }
+
+  test("txn upsert: readers never see a half-written state; untouched files carried") {
+    import graft.ops.Txn
+    val root = s"/tmp/graft_txn_${sf.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+
+    // v0: initial snapshot across two partitions
+    val target = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0)).toDF("k", "day", "v")
+    assert(Txn.commit(spark, root, target, "day") === 0)
+    def snapshot(): Seq[(Long, Double)] = Txn.read(spark, root)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(snapshot() === Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+
+    // simulate a writer that crashed mid-commit: v1 data files fully on
+    // disk, manifest never published — readers must still see v0 exactly
+    val orphan = new java.io.File(root, "data/v1/__p=2024-01-01")
+    orphan.mkdirs()
+    Seq((99L, "2024-01-01", 999.0)).toDF("k", "day", "v")
+      .write.mode("overwrite").parquet(orphan.getAbsolutePath)
+    // plus a torn manifest tmp that never got renamed
+    val tornTmp = new java.io.File(root, "_txn/.v1.manifest.tmp")
+    java.nio.file.Files.write(tornTmp.toPath, "garbage\thalf".getBytes)
+    assert(Txn.latestVersion(root) === 0)
+    assert(snapshot() === Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+
+    // v1: a real merge commit touching only 2024-01-01 — retried OVER the
+    // crash debris (uncommitted v1 data + torn tmp), which recovery clobbers
+    val source = Seq((2L, "2024-01-01", 22.0), (9L, "2024-01-01", 90.0))
+      .toDF("k", "day", "v")
+    assert(Txn.upsertPartitioned(spark, root, source, Seq("k"), "day") === 1)
+    assert(snapshot() === Seq((1L, 10.0), (2L, 22.0), (3L, 30.0), (9L, 90.0)))
+    // the untouched partition's v0 files are carried forward, not rewritten
+    val v1Manifest = java.nio.file.Files
+      .readAllLines(new java.io.File(root, "_txn/v1.manifest").toPath)
+    assert(v1Manifest.asScala.exists(l =>
+      l.startsWith("2024-01-02\t") && l.contains("data/v0/")))
+    assert(!v1Manifest.asScala.exists(l =>
+      l.startsWith("2024-01-01\t") && l.contains("data/v0/")))
   }
 }
 

@@ -36,6 +36,36 @@ class RestSourceSpec extends SparkSpec {
       .option("path", pages).load().limit(7).count()
     assert(n === 7)
   }
+
+  test("$offset cursor paging: same rows as single-fetch, short page terminates") {
+    import graft.sources.RestFetch
+    // materialize pages via the declared query path first
+    SparkEntry.queries("scan_rest_pushdown")(spark, sf).count()
+    val pages = s"/tmp/graft_rest_pages_${sf.replaceAll("[^0-9a-zA-Z]", "_")}"
+    def readAll(opts: Map[String, String]) = {
+      var r = spark.read.format("graft.sources.RestSourceProvider")
+        .option("path", pages)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      // no orderBy on the source: a global sort adds a range-partitioner
+      // sampling pass that would read (and fetch) everything twice
+      r.load().collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    }
+    val single = readAll(Map.empty)
+    RestFetch.fetchCalls = 0
+    val paged = readAll(Map("pageSize" -> "7"))
+    val calls = RestFetch.fetchCalls
+    assert(paged === single, "cursor paging must be lossless")
+    // every page resource needs ceil(rows/7) fetches plus at most one
+    // terminating short/empty fetch — far more than one call per page,
+    // proving the cursor actually looped
+    val nPages = RestPages.lastPlannedPartitions
+    assert(calls > nPages,
+      s"expected cursor loops, got $calls calls over $nPages pages")
+    val totalRows = single.size
+    assert(calls <= totalRows / 7 + 2 * nPages,
+      s"$calls fetch calls is too many for $totalRows rows over $nPages pages")
+  }
 }
 
 class SkewSpec extends SparkSpec {
