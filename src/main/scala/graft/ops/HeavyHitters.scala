@@ -86,4 +86,50 @@ object HeavyHitters {
         col("n_nulls").as("cnt"), col("n_total"))
     nonNull.unionByName(nullRow).orderBy(desc("cnt"), col("item"))
   }
+
+  /** Approximate top-k frequent items with a self-certifying exactness
+    * verdict — the frequent-items-sketch face of [[exact]] (DataSketches'
+    * ItemsSketch shape, rebuilt on Misra-Gries).
+    *
+    * Same approx-then-verify plan as [[exact]]: per-partition Misra-Gries
+    * with `m` counters proposes ≤ m·P candidates, a broadcast-semi-join
+    * second pass counts ONLY the candidates, and the k most frequent come
+    * back with EXACT counts. The `guaranteed` column proves when that
+    * top-k is the true one: every item with global count > N/m survives
+    * some partition's sketch (pigeonhole over partition sums), so if the
+    * k-th reported count clears N/m, no unsketched item can outrank it —
+    * the result is certified exact, which is what makes an approximate
+    * sketch oracle-checkable against a full GROUP BY.
+    *
+    * Scale: state is O(m) per task and the candidate set is tiny, so cost
+    * is two scans + one small shuffle — never a full-width groupBy over
+    * all distinct items. NULL items are excluded (rank queries are over
+    * values; [[exact]] handles the NULL-tally case).
+    */
+  def approxTopK(spark: SparkSession, df: DataFrame, itemCol: String,
+                 k: Int, m: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(m >= k, s"need at least k=$k sketch counters, got m=$m")
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+
+    val summary = items.as[String].mapPartitions { it =>
+      var n = 0L
+      val counted = it.map { x => n += 1; x }
+      val cands = misraGries(counted, m).map(x => (x, false, 0L)).toVector
+      (cands :+ ((null: String, true, n))).iterator
+    }.toDF("item", "marker", "np")
+
+    val cands = summary.filter(!col("marker")).select("item").distinct()
+    val totals = summary.filter(col("marker")).agg(sum(col("np")).as("n_total"))
+
+    val top = items.join(broadcast(cands), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("item")).limit(k) // TakeOrderedAndProject
+    val kth = top.agg(min(col("cnt")).as("kth_cnt"))
+    top.crossJoin(broadcast(kth)).crossJoin(broadcast(totals))
+      .select(col("item"), col("cnt"),
+        (col("kth_cnt") * m > col("n_total")).as("guaranteed"))
+      .orderBy(desc("cnt"), col("item"))
+  }
 }

@@ -98,6 +98,31 @@ object ProfilingQueries {
              |HAVING count(*) * 100 > (SELECT n_total FROM tot)
              |ORDER BY cnt DESC, token""".stripMargin)),
 
+    // Approximate top-k (frequent-items sketch face of the heavy hitters):
+    // Misra-Gries candidates + exact-count verify, top 20 by count with a
+    // `guaranteed` verdict that the k-th count clears the N/m sketch bound
+    // — when true (as on this corpus) the approximate answer IS the exact
+    // top-k, so the full-width GROUP BY ... LIMIT is a fair oracle.
+    QueryDef("agg_approx_topk",
+      (s, dir) => {
+        val toks = graft.ops.TextOps.withTokens(
+          Tables.read(s, dir, "documents"))
+          .select(explode(col("t")).as("token"))
+          .filter(length(col("token")) >= 2)
+        HeavyHitters.approxTopK(s, toks, "token", k = 20, m = 64)
+          .withColumnRenamed("item", "token")
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |  FROM documents),
+             |f AS (SELECT token FROM toks WHERE length(token) >= 2),
+             |c AS (SELECT token, count(*) AS cnt FROM f GROUP BY token),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+             |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20)
+             |SELECT token, cnt,
+             |(SELECT min(cnt) FROM top) * 64 > (SELECT n_total FROM tot) AS guaranteed
+             |FROM top ORDER BY cnt DESC, token""".stripMargin)),
+
     // Incremental-aggregation maintenance: the 100 TB pattern where
     // yesterday's stored per-key partials merge with today's delta instead
     // of rescanning history. Both legs here derive from the same table

@@ -52,4 +52,26 @@ class ProfilingSpec extends SparkSpec {
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(got == Map((None: Option[String]) -> 400L, Some("hot") -> 400L))
   }
+
+  test("approxTopK certifies and equals the exact top-k on a Zipfian frame") {
+    import spark.implicits._
+    // Zipf-ish: item j appears ~3000/j times; k-th count far above N/m
+    val rows = (1 to 50).flatMap(j => Seq.fill(3000 / j)(s"w$j"))
+    val df = rows.toDF("item").repartition(8)
+    val got = HeavyHitters.approxTopK(spark, df, "item", k = 10, m = 64)
+      .collect()
+    assert(got.forall(_.getBoolean(2)), "k-th count should clear N/m bound")
+    val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("item")).limit(10)
+      .as[(String, Long)].collect().toSeq
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+  }
+
+  test("approxTopK withdraws its guarantee on a uniform frame") {
+    import spark.implicits._
+    // 5000 distinct items once each: k-th cnt = 1, 1 * 64 <= 5000
+    val df = (1 to 5000).map(i => s"u$i").toDF("item").repartition(8)
+    val got = HeavyHitters.approxTopK(spark, df, "item", k = 5, m = 64)
+    assert(got.collect().forall(!_.getBoolean(2)))
+  }
 }
