@@ -51,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotMixed].getName, "graft_dot_mixed"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotMixed(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[graft.core.BloomMightContain].getName,
+        "graft_bloom_contains"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.core.BloomMightContain(exprs(0), exprs(1))))
     // whole-operator extension: the native as-of join's planner strategy
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     // optimizer extension: transparently fold the hand-written HOF dot

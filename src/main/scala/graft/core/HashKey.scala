@@ -141,6 +141,9 @@ object GraftFunctions {
         "graft_sumsq", exprs => SumSqFold(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_dot_mixed", exprs => DotMixed(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_bloom_contains",
+        exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
       // sessions built without GraftExtensions still get the HOF→kernel
       // optimizer rewrite through the experimental hook
       if (!spark.experimental.extraOptimizations

@@ -167,6 +167,36 @@ object AnalyticsQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY c_custkey, kind""".stripMargin)),
 
+    // Bloom semi-join reduction: lineitem is pruned map-side (codegen'd
+    // graft_bloom_contains at the scan) before the sort-merge shuffle, so
+    // the exchange moves only rows whose supplier survives the selective
+    // nation filter. Exact join afterwards removes bloom false positives —
+    // the result is exactly the plain 3-way join the oracle runs.
+    QueryDef("join_bloom_prune",
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem")
+          .select(col("l_suppkey").as("s_suppkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,6)").as("rev"))
+        val nat = Tables.read(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7").select("n_nationkey")
+        val dim = Tables.read(s, dir, "supplier")
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name")
+        graft.core.BloomJoinOps.prunedJoin(li, dim, "s_suppkey")
+          .groupBy("s_name")
+          .agg(sum(col("rev")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name,
+             |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |count(*) AS n_items
+             |FROM lineitem, supplier, nation
+             |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             |  AND n_name = 'NATION_7'
+             |GROUP BY s_name ORDER BY s_name""".stripMargin)),
+
     // pivot: order counts per priority × status
     QueryDef("pivot_status",
       (s, dir) => Tables.read(s, dir, "orders")
