@@ -151,6 +151,62 @@ object CurationQueries {
              |     ELSE floor(CAST(embedding[dim_idx + 1] AS DOUBLE) * 127.0 / scale + 0.5)
              |     END AS BIGINT) AS q,
              |scale
-             |FROM x ORDER BY vec_id, dim_idx""".stripMargin))
+             |FROM x ORDER BY vec_id, dim_idx""".stripMargin)),
+
+    // End-to-end curation pipeline, one declared plan: cheap per-row gates
+    // FIRST (length/token floors — map-side, prunes before any shuffle),
+    // then exact dedup keep-first among survivors, then the deterministic
+    // salted-hash stratified sample and train/val/test split, closed by a
+    // per-(lang, split) mix summary. This is the composition story: every
+    // stage is one of the declared operators, chained without collect() or
+    // materialization, so Catalyst sees ONE plan — the gates reach the
+    // scan, the only wide ops are the dedup window and the final agg.
+    QueryDef("curation_pipeline_e2e",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy("doc_id")
+        val gated = Tables.read(s, dir, "documents")
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("n_toks",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+          .filter(col("n_chars") >= 400 && col("n_toks") >= 80)
+        val deduped = gated
+          .withColumn("keeper", row_number().over(w) === 1)
+          .filter(col("keeper"))
+        val sampled = Sampling.stratified(deduped, "lang", col("doc_id"),
+          rates = Map("en" -> 5000, "zh" -> 10000), defaultRate = 2500)
+        Sampling.split(sampled, col("doc_id"), trainBp = 8000, valBp = 1000)
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            round(avg(col("n_chars")), 6).as("avg_chars"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""WITH gated AS (
+              |  SELECT doc_id, lang, text, length(text) AS n_chars,
+              |    len(string_split_regex(trim(text), '\\s+')) AS n_toks
+              |  FROM documents
+              |  WHERE length(text) >= 400
+              |    AND len(string_split_regex(trim(text), '\\s+')) >= 80),
+              |deduped AS (
+              |  SELECT * FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+              |      ORDER BY doc_id) AS rn FROM gated)
+              |  WHERE rn = 1),
+              |sampled AS (
+              |  SELECT * FROM deduped
+              |  WHERE ${bucketSql("strat", "doc_id")} <
+              |    CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000
+              |              ELSE 2500 END),
+              |labeled AS (
+              |  SELECT *, CASE WHEN ${bucketSql("split", "doc_id")} < 8000
+              |                 THEN 'train'
+              |                 WHEN ${bucketSql("split", "doc_id")} < 9000
+              |                 THEN 'val' ELSE 'test' END AS split
+              |  FROM sampled)
+              |SELECT lang, split, count(*) AS n_docs,
+              |CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              |round(avg(n_chars), 6) AS avg_chars
+              |FROM labeled GROUP BY lang, split ORDER BY lang, split""".stripMargin))
   )
 }
