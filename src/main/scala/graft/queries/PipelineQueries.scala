@@ -217,6 +217,16 @@ object PipelineQueries {
              |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_subword_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // BPE merge-table training (ops/Bpe.scala): iterative argmax over the
+    // word-frequency table — data-dependent control flow per merge, so not
+    // expressible as one DuckDB statement; declared rows-only. The strong
+    // gate is BpeSpec: a hand-computed merge table plus an independent
+    // single-threaded reference trainer cross-checked on real testdata.
+    QueryDef("text_bpe_train",
+      (s, dir) => graft.ops.Bpe.train(
+        Tables.read(s, dir, "documents"), merges = 8),
+      None),
+
     QueryDef("text_fingerprint",
       (s, dir) => TextAnalysis.fingerprints(Tables.read(s, dir, "documents")),
       Some(s"""WITH n AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),

@@ -1,0 +1,76 @@
+package graft
+
+import scala.collection.mutable
+
+import graft.ops.Bpe
+
+class BpeSpec extends SparkSpec {
+
+  /** Independent single-threaded BPE trainer (textbook formulation) used as
+    * ground truth: word-freq table, then per round count adjacent pairs,
+    * take (freq desc, left, right) argmax, greedy left-to-right merge.
+    */
+  private def referenceBpe(words: Map[String, Long], merges: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var tbl = words.map { case (w, f) => (w.map(_.toString).toVector, f) }.toVector
+    val out = mutable.Buffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to merges) {
+      val counts = mutable.Map.empty[(String, String), Long]
+      tbl.foreach { case (sym, f) =>
+        sym.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, n))
+        tbl = tbl.map { case (sym, f) =>
+          val acc = mutable.Buffer.empty[String]
+          sym.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc(acc.length - 1) = l + r
+            else acc += x
+          }
+          (acc.toVector, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("train matches the hand-computed table on a toy corpus") {
+    import spark.implicits._
+    val docs = Seq("ab ab ab", "abc").toDF("text")
+    val got = Bpe.train(docs, merges = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // pairs: (a,b)x4, (b,c)x1 -> merge1 = (a,b,4); then (ab,c)x1
+    assert(got == Seq((1, "a", "b", 4L), (2, "ab", "c", 1L)))
+  }
+
+  test("train agrees with the reference trainer on real documents") {
+    import spark.implicits._
+    val docs = graft.core.Tables.read(spark, sf, "documents")
+    val words = docs
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ops.TextOps.tokens(org.apache.spark.sql.functions.col("text")))
+        .as("w"))
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("w")) >= 1)
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    val want = referenceBpe(words, merges = 6)
+    val got = Bpe.train(docs, merges = 6)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("ties break lexicographically, deterministically") {
+    import spark.implicits._
+    // (b,a) and (a,b) both occur twice; (a,b) must win the tie
+    val docs = Seq("ba ba ab ab").toDF("text")
+    val got = Bpe.train(docs, merges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 2L)))
+  }
+}
