@@ -69,4 +69,27 @@ class GraphSpec extends SparkSpec {
     assert(out.filter(col("k") === 1 && col("is_current") &&
       col("valid_to").isNull).count() === 1)
   }
+
+  test("triangle stats: K4 counts 4 triangles despite dups/reversals/loops") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} with noisy input: duplicates, both orientations, a
+    // self-loop — normalization must reduce to the 6 canonical edges.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (3L, 2L), (2L, 4L), (3L, 4L), (3L, 4L), (4L, 4L)
+    ).toDF("u", "v")
+    val row = Graph.triangleStats(edges).collect().head
+    assert(row.getLong(0) == 4L, "n_nodes")
+    assert(row.getLong(1) == 6L, "n_edges")
+    assert(row.getLong(2) == 4L, "n_triangles")
+    // K4: every vertex has degree 3 -> 4 * C(3,2) = 12 wedges, cc = 1
+    assert(row.getDouble(3) == 1.0, "global_cc")
+  }
+
+  test("triangle stats: path graph has zero triangles, cc 0") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val row = Graph.triangleStats(edges).collect().head
+    assert(row.getLong(2) == 0L && row.getDouble(3) == 0.0)
+  }
 }
