@@ -95,6 +95,48 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Bigram-LM document scoring — the statistical stand-in for model-based
+    * quality filtering: documents whose word transitions are rare under
+    * the corpus's own bigram model (gibberish, boilerplate splices, OCR
+    * noise) score low; fluent text scores high.
+    *
+    * Two corpus passes train the "model" (unigram counts, bigram counts —
+    * both plain partial-agg groupBys), then each document's bigrams join
+    * their counts and average the conditional probability
+    * P(w2|w1) = c(w1,w2)/c(w1). The probability is held in FIXED POINT
+    * (ppm, integer `div`) until the final per-doc average, so the score is
+    * bit-stable across engines, partitionings, and aggregation orders —
+    * the same determinism discipline as the integer PageRank.
+    *
+    * Scale: token→bigram explode is map-side; the count tables shuffle
+    * (bigram, n) pairs; the scoring join shuffles on bigram. Nothing is
+    * ever collected; the model tables are data, not driver state.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val t = col("t")
+    val bigramArr = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + 1).as("w1"),
+          element_at(t, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val docBigrams = withTokens(docs)
+      .select(col("doc_id"), explode(bigramArr).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = docBigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    docBigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("p_ppm", expr("(c12 * 1000000) div c1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p_ppm")).cast("double") / count(lit(1)))
+          .as("avg_p_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_p_ppm"), 6).as("avg_p_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Scrubbing/masking: replace curation-flagged tokens (here: the EN
     * stopword list, standing in for a PII lexicon) with a mask token —
     * token-level transform, no regex, embarrassingly parallel.

@@ -258,6 +258,23 @@ object PipelineQueries {
               |SELECT sh, count(*) AS n FROM b GROUP BY sh
               |ORDER BY n DESC, sh LIMIT 20""".stripMargin)),
 
+    // Bigram-LM scoring (ops/TextAnalysis.bigramLmScore): the corpus's own
+    // bigram model scores each document's transition fluency. Fixed-point
+    // ppm `div` keeps the aggregate bit-identical to the oracle.
+    QueryDef("text_ngram_lm",
+      (s, dir) => TextAnalysis.bigramLmScore(Tables.read(s, dir, "documents")),
+      Some(s"""WITH toks AS ($toksCte),
+              |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+              |    THEN [{'w1': t[i], 'w2': t[i+1]} for i in generate_series(1, len(t)-1)]
+              |    ELSE [] END, recursive := true) FROM toks),
+              |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+              |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+              |SELECT doc_id, count(*) AS n_bigrams,
+              |round(CAST(sum((c12 * 1000000) // c1) AS DOUBLE) / count(*), 6)
+              |  AS avg_p_ppm
+              |FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     QueryDef("text_scrub",
       (s, dir) => TextAnalysis.scrub(Tables.read(s, dir, "documents")),
       Some(s"""SELECT doc_id,
