@@ -82,6 +82,7 @@ object Bpe {
         case None => done = true // no adjacent pairs left anywhere
       }
     }
+    words.unpersist() // merge table lives on the driver; free the last checkpoint
     spark.createDataFrame(table.result())
       .toDF("merge_rank", "left", "right", "pair_freq")
       .orderBy("merge_rank")

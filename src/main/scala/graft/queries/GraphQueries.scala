@@ -79,12 +79,23 @@ object GraphQueries {
     // triangles by id-ordered 3-way self-join.
     QueryDef("graph_triangles",
       (s, dir) => {
-        val li = Tables.read(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-        val a = li.toDF("ok", "u")
-        val b = li.toDF("ok", "v")
-        val co = a.join(b, "ok").filter(col("u") < col("v"))
-          .select("u", "v").distinct()
-        val sparse = co.filter(pmod(GraftFunctions.hash64(
+        // co-occurrence WITHOUT a fact self-join: one groupBy collapses the
+        // fact to per-order supplier sets (orders are small), pairs explode
+        // map-side from the sorted set, and the hash sparsifier runs BEFORE
+        // the distinct — the wide distinct shuffle sees 8% of pairs, and
+        // the fact table shuffles once, not twice
+        val sets = Tables.read(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey")
+          .groupBy("l_orderkey")
+          .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
+          .filter(size(col("ss")) >= 2)
+        val pairs = sets.select(explode(flatten(
+          transform(col("ss"), (x, i) =>
+            transform(slice(col("ss"), i + 2, size(col("ss"))),
+              y => struct(x.as("u"), y.as("v")))))).as("p"))
+          .select(col("p.u"), col("p.v"))
+        // no distinct here: triangleStats canonicalizes (and dedups) itself
+        val sparse = pairs.filter(pmod(GraftFunctions.hash64(
           concat_ws("|", lit("tri"), col("u").cast("string"),
             col("v").cast("string"))), lit(100L)) < 8)
         Graph.triangleStats(sparse)
