@@ -52,9 +52,22 @@ object BloomJoinOps {
     * The merge hint keeps the demo on the sort-merge path the operator
     * exists for — with a broadcastable dim Spark would already prune.
     */
+  /** Aggregate a long key column into a bloom filter: per-partition
+    * filters OR-merged up a tree. Unlike `DataFrameStatFunctions
+    * .bloomFilter`, an EMPTY build side yields an empty filter (prunes
+    * everything — the correct inner-join answer) instead of NPE-ing.
+    */
+  def buildLongFilter(df: DataFrame, key: String,
+                      expectedItems: Long, fpp: Double): BloomFilter =
+    df.select(col(key).cast("long")).na.drop().rdd
+      .map(_.getLong(0))
+      .treeAggregate(BloomFilter.create(expectedItems, fpp))(
+        (bf, v) => { bf.putLong(v); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+
   def prunedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
-    val bf = dim.stat.bloomFilter(key, expectedItems, fpp)
+    val bf = buildLongFilter(dim, key, expectedItems, fpp)
     val pruned = fact.filter(mightContain(col(key).cast("long"), serialize(bf)))
     pruned.join(dim.hint("merge"), Seq(key))
   }

@@ -52,6 +52,14 @@ class BloomSpec extends SparkSpec {
     assert(Set("a", "b").subsetOf(kept))
   }
 
+  test("an empty build side prunes everything instead of crashing") {
+    import spark.implicits._
+    val fact = Seq(1L, 2L, 3L).toDF("k")
+    val dim = Seq.empty[Long].toDF("k")
+    // DataFrameStatFunctions.bloomFilter NPEs on empty input; ours must not
+    assert(BloomJoinOps.prunedJoin(fact, dim, "k").count() == 0L)
+  }
+
   test("the prune sits below the shuffle of a sort-merge join") {
     // AQE wraps subtrees in query stages that plan.collect can't traverse;
     // the shape under test is the same either way.
