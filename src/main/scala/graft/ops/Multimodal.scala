@@ -45,6 +45,22 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Content-hash dedup over the binary payload: the "same image uploaded
+    * twice under different ids" case. One map-side md5 per payload (the
+    * digest, not the blob, rides the shuffle — at 100 TB of media this is
+    * the difference between shuffling 16-byte keys and shuffling the
+    * corpus), then keep-first per digest; output = the duplicate groups
+    * with their canonical (minimum) doc_id and member count.
+    */
+  def dedupPayloads(docs: DataFrame): DataFrame =
+    payloads(docs)
+      .select(col("doc_id"), md5(col("payload")).as("digest"))
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy("canonical_id")
+
   /** Frame sampling over the binary payload: one row per sampled window —
     * 8 "frame" bytes every 32-byte stride (the video-frame-sampling shape:
     * explode positions, slice bytes). Pure expressions over the hex string

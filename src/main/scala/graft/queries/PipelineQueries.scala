@@ -275,6 +275,15 @@ object PipelineQueries {
               |CAST(octet_length(encode(text)) % 240 AS BIGINT) AS n_frames
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // binary content-hash dedup: only the 16-byte digest shuffles, never
+    // the media payload — the multimodal face of dedup_exact
+    QueryDef("multimodal_dedup",
+      (s, dir) => Multimodal.dedupPayloads(Tables.read(s, dir, "documents")),
+      Some("""SELECT md5(text) AS digest,
+             |min(doc_id) AS canonical_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 HAVING count(*) > 1
+             |ORDER BY canonical_id""".stripMargin)),
+
     QueryDef("text_ngram_stats",
       (s, dir) => TextAnalysis.ngramStats(Tables.read(s, dir, "documents")),
       Some(s"""WITH toks AS ($toksCte),

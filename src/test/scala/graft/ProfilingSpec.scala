@@ -67,6 +67,21 @@ class ProfilingSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
   }
 
+  test("approxTopK survives adversarial partitioning (hot items clustered)") {
+    import spark.implicits._
+    // all copies of each hot item land in ONE partition (repartition by
+    // item): the pigeonhole containment must still hold per partition
+    val rows = (1 to 30).flatMap(j => Seq.fill(2000 / j)(s"w$j"))
+    val df = rows.toDF("item").repartition(8, col("item"))
+    val got = HeavyHitters.approxTopK(spark, df, "item", k = 5, m = 64)
+      .collect()
+    assert(got.forall(_.getBoolean(2)))
+    val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("item")).limit(5)
+      .as[(String, Long)].collect().toSeq
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+  }
+
   test("approxTopK withdraws its guarantee on a uniform frame") {
     import spark.implicits._
     // 5000 distinct items once each: k-th cnt = 1, 1 * 64 <= 5000
