@@ -249,6 +249,58 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** IVF with a TRAINED coarse quantizer: centroids come from
+    * [[Clustering.kmeansFit]] (exact-DECIMAL Lloyd) instead of the first-k
+    * seed vectors — the production shape for a 100 TB ANN index, where the
+    * quantizer is fit to the data distribution so the inverted lists are
+    * balanced and probes hit the dense regions. Assignment and probing run
+    * in the SAME exploded-decimal space as the trainer (decimal dots,
+    * double division rounded to 6 — bit-consistent across engines and
+    * partitionings); the final exact rank inside the probed lists runs in
+    * array space like [[ivfTopK]]. Centroid frames stay broadcast-sized;
+    * the corpus never collects.
+    */
+  def ivfTrainedTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 3,
+      nlists: Int = 8, nprobe: Int = 2, iters: Int = 1): DataFrame = {
+    val (ex, _, cen) = Clustering.kmeansFit(emb, nlists, iters, None)
+    val vnorm = ex.groupBy("vec_id")
+      .agg(sqrt(sum(col("xq") * col("xq")).cast("double")).as("vnrm"))
+    val cnorm = cen.groupBy("cluster")
+      .agg(sqrt(sum(col("cd") * col("cd")).cast("double")).as("cnrm"))
+    val dots = ex.join(broadcast(cen), "dim")
+      .groupBy("vec_id", "cluster").agg(sum(col("xq") * col("cd")).as("dt"))
+    val ccos = dots.join(vnorm, "vec_id").join(broadcast(cnorm), "cluster")
+      .withColumn("ccos",
+        round(col("dt").cast("double") / (col("vnrm") * col("cnrm")), 6))
+    val wA = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cluster"))
+    val assignedLists = ccos.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cluster").as("list_id"))
+    val probeLists = ccos.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cluster").as("list_id"))
+
+    val e = emb.repartition(col("vec_id")).select(col("vec_id"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    val cand = e.join(assignedLists, "vec_id")
+    val probes = probeLists.join(
+      e.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm")), "query_id")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(broadcast(probes),
+        cand("list_id") === probes("list_id") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosFrom(dot(col("qv"), col("embedding")), col("qnrm"), col("nrm"))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding near-dup pairs, LSH-blocked: pairs only form inside a
     * 4-bit bucket (the blocking key), then exact rounded cosine >=
     * threshold. The 100 TB shape for "find semantic duplicates".

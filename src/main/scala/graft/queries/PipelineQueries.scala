@@ -54,7 +54,10 @@ object PipelineQueries {
     * scoring, per-dim double mean re-quantized. DuckDB's `range(64)` dim
     * axis is 0-based like posexplode (indices never leave the query).
     */
-  private def kmeansOracle(k: Int = 4, iters: Int = 2): String = {
+  /** The shared Lloyd-iteration CTE chain (ex, cen0, s/n/a/cen per round)
+    * — reused by the kmeans summary oracle and the trained-IVF oracle.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def iterCtes(i: Int, prev: String): String =
       s"""s$i AS (SELECT e.vec_id, c.cluster, sum(e.xq * c.cd) AS dot
          |       FROM ex e JOIN $prev c ON c.dim = e.dim GROUP BY 1, 2),
@@ -70,13 +73,17 @@ object PipelineQueries {
     val iterSql = (1 to iters)
       .map(i => iterCtes(i, if (i == 1) "cen0" else s"cen${i - 1}"))
       .mkString(",\n")
-    s"""WITH ex AS (
+    s"""ex AS (
        |  SELECT vec_id, t.dim,
        |    CAST(CAST(embedding[t.dim + 1] AS DOUBLE) AS DECIMAL(12,8)) AS xq
        |  FROM embeddings CROSS JOIN range(64) t(dim)),
        |cen0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, xq AS cd
        |         FROM ex WHERE vec_id < $k),
-       |$iterSql,
+       |$iterSql""".stripMargin
+  }
+
+  private def kmeansOracle(k: Int = 4, iters: Int = 2): String = {
+    s"""WITH ${kmeansCtes(k, iters)},
        |nf AS (SELECT cluster,
        |         round(sqrt(CAST(sum(cd*cd) AS DOUBLE)), 6) AS centroid_norm
        |       FROM cen$iters GROUP BY 1)
@@ -85,6 +92,44 @@ object PipelineQueries {
        |FROM a$iters JOIN nf USING (cluster)
        |GROUP BY 1, nf.centroid_norm ORDER BY cluster""".stripMargin
   }
+
+  /** Mirror of Similarity.ivfTrainedTopK: kmeans-trained centroids
+    * (shared Lloyd CTEs), cosine assignment in the same exploded-decimal
+    * space, exact array-space rank inside the probed lists.
+    */
+  private def ivfTrainedOracle(nlists: Int = 8, iters: Int = 1,
+      nQueries: Int = 5, k: Int = 3, nprobe: Int = 2): String =
+    s"""WITH ${kmeansCtes(nlists, iters)},
+       |vn AS (SELECT vec_id, sqrt(CAST(sum(xq*xq) AS DOUBLE)) AS vnrm
+       |       FROM ex GROUP BY 1),
+       |cn AS (SELECT cluster, sqrt(CAST(sum(cd*cd) AS DOUBLE)) AS cnrm
+       |       FROM cen$iters GROUP BY 1),
+       |dt AS (SELECT e.vec_id, c.cluster, sum(e.xq * c.cd) AS dt
+       |       FROM ex e JOIN cen$iters c ON c.dim = e.dim GROUP BY 1, 2),
+       |cc AS (SELECT dt.vec_id, dt.cluster,
+       |         round(CAST(dt.dt AS DOUBLE) / (vn.vnrm * cn.cnrm), 6) AS ccos
+       |       FROM dt JOIN vn USING (vec_id) JOIN cn USING (cluster)),
+       |al AS (SELECT vec_id, cluster AS list_id FROM (
+       |        SELECT vec_id, cluster, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
+       |        FROM cc) WHERE rn = 1),
+       |pl AS (SELECT vec_id AS query_id, cluster AS list_id FROM (
+       |        SELECT vec_id, cluster, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
+       |        FROM cc WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
+       |ev AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm
+       |       FROM embeddings)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+       |FROM (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "a.embedding", "q.nrm", "a.nrm")} AS cos_sim,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${cosSql("q.embedding", "a.embedding", "q.nrm", "a.nrm")} DESC,
+       |               a.vec_id) AS rank
+       |  FROM ev a JOIN al ON al.vec_id = a.vec_id
+       |  JOIN pl p ON p.list_id = al.list_id AND a.vec_id <> p.query_id
+       |  JOIN ev q ON q.vec_id = p.query_id)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   // ---- queries ------------------------------------------------------------
 
@@ -197,6 +242,14 @@ object PipelineQueries {
       (s, dir) => Similarity.ivfTopK(Tables.read(s, dir, "embeddings"),
         nQueries = 5, k = 3, nlists = 16, nprobe = 2),
       Some(ivfOracle)),
+
+    // IVF with a kmeans-TRAINED coarse quantizer (the production 100 TB
+    // shape — balanced inverted lists fit to the data distribution);
+    // assignment bit-consistent with the trainer's decimal space
+    QueryDef("ann_ivf_trained",
+      (s, dir) => Similarity.ivfTrainedTopK(Tables.read(s, dir, "embeddings"),
+        nQueries = 5, k = 3, nlists = 8, nprobe = 2, iters = 1),
+      Some(ivfTrainedOracle())),
 
     // recall@k of both approximate indexes against the exact baseline —
     // turns "the index runs" into "the index is measured"
