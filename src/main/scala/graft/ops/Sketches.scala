@@ -26,6 +26,38 @@ object Sketches {
           col("exact_distinct") * (3 * rsd)).as("within_bound"))
       .orderBy("event_type")
 
+  /** Count-min-sketch frequency estimation, probe-verified: ONE pass
+    * builds a fixed-size CMS over the token stream (order-independent
+    * merge — the per-partition sketches sum cell-wise), then the top-k
+    * tokens' estimates are probed against their exact counts. CMS never
+    * under-counts and over-counts by ≤ eps·N with confidence `conf`; the
+    * seed is fixed, so on fixed data the verdict is fully deterministic —
+    * the oracle hash-checks the exact counts and the uniformly-true
+    * bounds. The sketch itself is KB-sized driver state (like the bloom
+    * build); the token stream never collects.
+    */
+  def countMinTopTokens(spark: org.apache.spark.sql.SparkSession,
+      toks: DataFrame, k: Int = 5, eps: Double = 0.001,
+      conf: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val top = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token")).limit(k)
+      .as[(String, Long)].collect()
+    val agg = toks.agg(
+      expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), " +
+        s"CAST($conf AS DOUBLE), 42)").as("sk"),
+      count(lit(1)).as("n")).head
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]]("sk")))
+    val slack = math.ceil(eps * agg.getAs[Long]("n")).toLong
+    val rows = top.toSeq.map { case (t, c) =>
+      val est = cms.estimateCount(t)
+      (t, c, est >= c && est <= c + slack)
+    }
+    spark.createDataFrame(rows).toDF("token", "cnt", "within_bound")
+      .orderBy(desc("cnt"), col("token"))
+  }
+
   /** Sketch-based audience-overlap analysis: |A∪B|, |A∩B|, |A\B| of two
     * event segments' user sets. The union estimate is native HLL (merge of
     * the two segment sketches — the one-pass answer at 100 TB); the

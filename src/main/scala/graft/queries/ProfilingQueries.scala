@@ -98,6 +98,25 @@ object ProfilingQueries {
              |HAVING count(*) * 100 > (SELECT n_total FROM tot)
              |ORDER BY cnt DESC, token""".stripMargin)),
 
+    // Count-min frequency estimates of the top tokens, probe-verified
+    // against exact counts (CMS never under-counts; over-count ≤ eps·N);
+    // fixed seed + fixed data ⇒ deterministic verdicts
+    QueryDef("sketch_count_min",
+      (s, dir) => {
+        val toks = graft.ops.TextOps.withTokens(
+          Tables.read(s, dir, "documents"))
+          .select(explode(col("t")).as("token"))
+          .filter(length(col("token")) >= 2)
+        graft.ops.Sketches.countMinTopTokens(s, toks, k = 5)
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |  FROM documents),
+             |f AS (SELECT token FROM toks WHERE length(token) >= 2),
+             |c AS (SELECT token, count(*) AS cnt FROM f GROUP BY token)
+             |SELECT token, cnt, TRUE AS within_bound
+             |FROM c ORDER BY cnt DESC, token LIMIT 5""".stripMargin)),
+
     // Approximate top-k (frequent-items sketch face of the heavy hitters):
     // Misra-Gries candidates + exact-count verify, top 20 by count with a
     // `guaranteed` verdict that the k-th count clears the N/m sketch bound
