@@ -2,6 +2,7 @@ package graft.queries
 
 import java.io.File
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -136,6 +137,47 @@ object ExtraQueries {
              |        lag(epoch_us(ts)) OVER (PARTITION BY user_id
              |                                ORDER BY ts, event_id) AS prev_us
              |      FROM events)))
+             |GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin)),
+
+    // Sessionization by RANGE-frame emptiness: an event opens a session
+    // iff the preceding (gap, 1µs] event-time window is EMPTY — the same
+    // 30-minute-gap semantic as `sessionize`, derived from a RANGE frame
+    // instead of lag() (the form that generalizes to "k events in the
+    // last T" trigger rules). One window pass + one agg; same shuffle key.
+    QueryDef("window_session_gap",
+      (s, dir) => {
+        val wRange = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-1800000000L, -1)
+        val wIdx = Window.partitionBy("user_id").orderBy(col("us"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.read(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("new_sess",
+            when(count(lit(1)).over(wRange) === 0, 1L).otherwise(0L))
+          .withColumn("session_idx", sum(col("new_sess")).over(wIdx))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("total_value"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""SELECT user_id, session_idx, count(*) AS n_events,
+             |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+             |  FROM (
+             |    SELECT user_id, ts, value,
+             |      CASE WHEN count(*) OVER (
+             |             PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 1800000000 PRECEDING AND 1 PRECEDING
+             |           ) = 0 THEN 1 ELSE 0 END AS new_sess
+             |    FROM events))
              |GROUP BY user_id, session_idx
              |ORDER BY user_id, session_idx""".stripMargin)),
 
