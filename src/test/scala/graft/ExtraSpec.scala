@@ -237,3 +237,13 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 }
+
+class SessionVariantsSpec extends SparkSpec {
+  test("RANGE-frame sessionization is row-identical to the lag-based form") {
+    val a = SparkEntry.queries("sessionize")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("window_session_gap")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+}
