@@ -95,6 +95,50 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Benchmark decontamination: which corpus documents leak into a
+    * (deterministically sampled) eval set? The standard n-gram overlap
+    * check — an eval doc is contaminated when a DIFFERENT corpus doc
+    * shares at least half of its distinct 8-token shingles. 8-gram
+    * windows make the inverted-index join sparse (random 8-token
+    * collisions are vanishingly rare; only genuine copies overlap), so
+    * candidate pairs track contamination density, not |eval|×|corpus| —
+    * the same candidate-generation-first discipline as the dedup family.
+    * The eval set is a salted-hash sample (run-stable, growth-stable);
+    * in production it would be the actual benchmark table.
+    *
+    * Returns one row per (eval doc, best-matching other doc): shared
+    * count, the eval doc's shingle count, and the contamination verdict.
+    */
+  def decontaminate(docs: DataFrame, evalBp: Int = 2000,
+      minShare: Double = 0.5): DataFrame = {
+    val t = col("t")
+    val octograms = array_distinct(
+      when(size(t) >= 8,
+        transform(sequence(lit(0), size(t) - 8),
+          i => concat_ws(" ", slice(t, i + 1, lit(8)))))
+        .otherwise(array().cast("array<string>")))
+    val sh = withTokens(docs)
+      .select(col("doc_id"), explode(octograms).as("sh"))
+    val ev = sh.filter(
+      Sampling.hashBucket(col("doc_id"), "eval") < evalBp)
+    val evSizes = ev.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shared = ev.as("e")
+      .join(sh.as("c"), col("e.sh") === col("c.sh") &&
+        col("e.doc_id") =!= col("c.doc_id"))
+      .groupBy(col("e.doc_id").as("doc_id"),
+        col("c.doc_id").as("match_doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("match_doc_id"))
+    shared.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(evSizes, "doc_id")
+      .select(col("doc_id"), col("match_doc_id"), col("n_shared"),
+        col("n_shingles"),
+        (col("n_shared") >= col("n_shingles") * minShare)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram-LM document scoring — the statistical stand-in for model-based
     * quality filtering: documents whose word transitions are rare under
     * the corpus's own bigram model (gibberish, boilerplate splices, OCR

@@ -153,6 +153,36 @@ object CurationQueries {
              |scale
              |FROM x ORDER BY vec_id, dim_idx""".stripMargin)),
 
+    // Benchmark decontamination: 8-token-shingle overlap between a salted-
+    // hash eval sample and the rest of the corpus; sparse inverted-index
+    // join (8-gram collisions ≈ only true copies), argmax match per eval
+    // doc, contaminated = ≥ half the shingles shared
+    QueryDef("curation_decontaminate",
+      (s, dir) => TextAnalysis.decontaminate(
+        Tables.read(s, dir, "documents")),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              |  FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, sh FROM (
+              |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+              |    THEN [array_to_string(t[i:i+7], ' ')
+              |          for i in generate_series(1, len(t) - 7)]
+              |    ELSE [] END) AS sh FROM tk)),
+              |ev AS (SELECT * FROM sh WHERE ${bucketSql("eval", "doc_id")} < 2000),
+              |sz AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+              |pr AS (SELECT e.doc_id, c.doc_id AS match_doc_id,
+              |         count(*) AS n_shared
+              |       FROM ev e JOIN sh c ON e.sh = c.sh
+              |         AND e.doc_id <> c.doc_id
+              |       GROUP BY 1, 2),
+              |top AS (SELECT doc_id, match_doc_id, n_shared FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY doc_id
+              |          ORDER BY n_shared DESC, match_doc_id) AS rn FROM pr)
+              |        WHERE rn = 1)
+              |SELECT t.doc_id, t.match_doc_id, t.n_shared, s.n_shingles,
+              |  t.n_shared >= s.n_shingles * 0.5 AS contaminated
+              |FROM top t JOIN sz s USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
     // End-to-end curation pipeline, one declared plan: cheap per-row gates
     // FIRST (length/token floors — map-side, prunes before any shuffle),
     // then exact dedup keep-first among survivors, then the deterministic
