@@ -98,6 +98,30 @@ object ProfilingQueries {
              |HAVING count(*) * 100 > (SELECT n_total FROM tot)
              |ORDER BY cnt DESC, token""".stripMargin)),
 
+    // Equal-width histogram of a measure: one tiny min/max agg broadcast
+    // back onto the scan (same shape as curation_lang_balance), then one
+    // partial+final agg on the bin id — the profiling staple that needs
+    // two passes at 100 TB no matter the engine, both map-side-combined.
+    // Bin = floor((v-lo)*n/(hi-lo)) clamped so v=hi lands in the last bin;
+    // identical double arithmetic in both engines.
+    QueryDef("profile_histogram",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+        val bounds = ev.agg(min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+        val n = 20
+        ev.crossJoin(broadcast(bounds))
+          .select(least(
+            floor((col("value") - col("lo")) * n / (col("hi") - col("lo"))),
+            lit(n - 1)).cast("long").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+          .orderBy("bin")
+      },
+      Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+             |SELECT CAST(least(floor((value - lo) * 20 / (hi - lo)), 19) AS BIGINT) AS bin,
+             |count(*) AS n_rows
+             |FROM events, b GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     // Count-min frequency estimates of the top tokens, probe-verified
     // against exact counts (CMS never under-counts; over-count ≤ eps·N);
     // fixed seed + fixed data ⇒ deterministic verdicts

@@ -48,6 +48,43 @@ object TemporalQueries {
               |  ON c.user_id = p.user_id AND p.ts <= c.ts
               |ORDER BY c.event_id""".stripMargin)),
 
+    // As-of with a MAX-GAP TOLERANCE (pandas merge_asof(tolerance=...)
+    // parity): a match older than 10 minutes is dropped back to NULL.
+    // Same single window pass as join_asof — the tolerance is a residual
+    // predicate on the matched time, zero extra shuffles.
+    QueryDef("join_asof_tolerance",
+      (s, dir) => {
+        val tolUs = 600000000L // 10 min
+        val ev = Tables.read(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("us", unix_micros(col("ts")))
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(Window.unboundedPreceding, 0)
+        ev.withColumn("last_purchase_us",
+            max(when(col("event_type") === "purchase", col("us"))).over(w))
+          .filter(col("event_type") === "click")
+          .withColumn("within_tol",
+            col("last_purchase_us") >= col("us") - tolUs)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), tsFmt).as("click_ts"),
+            date_format(timestamp_micros(
+              when(col("within_tol"), col("last_purchase_us"))), tsFmt)
+              .as("last_purchase"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH clicks AS (SELECT event_id, user_id, ts FROM events
+              |               WHERE event_type = 'click'),
+              |purchases AS (SELECT user_id, ts FROM events
+              |              WHERE event_type = 'purchase')
+              |SELECT c.event_id, c.user_id,
+              |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+              |  CASE WHEN p.ts >= c.ts - INTERVAL 10 MINUTE
+              |       THEN strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') END
+              |    AS last_purchase
+              |FROM clicks c ASOF LEFT JOIN purchases p
+              |  ON c.user_id = p.user_id AND p.ts <= c.ts
+              |ORDER BY c.event_id""".stripMargin)),
+
     // The same ASOF LEFT JOIN through the engine's whole-operator Catalyst
     // extension (plans/AsOfJoin.scala: custom LogicalPlan -> Strategy ->
     // SparkPlan): co-partitioned sort-merge with an O(1) carry, able to
