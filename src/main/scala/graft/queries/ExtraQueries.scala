@@ -140,6 +140,46 @@ object ExtraQueries {
              |GROUP BY user_id, session_idx
              |ORDER BY user_id, session_idx""".stripMargin)),
 
+    // Schema evolution across table generations: v1 parquet lacks a
+    // column that v2 added; a mergeSchema scan unions both layouts with
+    // NULL back-fill — the long-lived-lake read path (the reference's
+    // CSV loaders evolve headers the same way, SURVEY §2 F8). The
+    // two-generation layout is a once-per-dir fixture (same discipline as
+    // the REST pages: build to a staging dir, atomic rename); the
+    // declared query times the READ, not the write.
+    QueryDef("scan_schema_evolution",
+      (s, dir) => {
+        val root = new File(
+          s"/tmp/graft_evo_${dir.replaceAll("[^0-9a-zA-Z]", "_")}")
+        if (!root.exists()) {
+          val stage = new File(root.getPath + "_stage")
+          deleteRecursively(stage)
+          val o = Tables.read(s, dir, "orders")
+            .withColumn("yr", year(col("o_orderdate")))
+          o.filter(col("yr") < 1995)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.parquet(stage.getPath + "/v1")
+          o.filter(col("yr") >= 1995)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderpriority")) // the evolved column
+            .write.parquet(stage.getPath + "/v2")
+          if (!stage.renameTo(root)) deleteRecursively(stage)
+        }
+        s.read.option("mergeSchema", "true")
+          .parquet(root.getPath + "/v1", root.getPath + "/v2")
+          .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>"))
+            .as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .orderBy("priority")
+      },
+      Some("""SELECT CASE WHEN year(o_orderdate) >= 1995 THEN o_orderpriority
+             |            ELSE '<pre-schema>' END AS priority,
+             |count(*) AS n_orders,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
+
     // Sessionization by RANGE-frame emptiness: an event opens a session
     // iff the preceding (gap, 1µs] event-time window is EMPTY — the same
     // 30-minute-gap semantic as `sessionize`, derived from a RANGE frame
