@@ -204,7 +204,8 @@ object ExtraQueries {
               .as("total_value"))
           .orderBy("user_id", "session_idx")
       },
-      Some("""SELECT user_id, session_idx, count(*) AS n_events,
+      Some("""SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             |count(*) AS n_events,
              |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
              |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
              |FROM (

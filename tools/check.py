@@ -8,9 +8,15 @@ iteration against a filtered graft.Verify dump).
 
 Reads each query's Spark result (parquet written by graft.Verify) and its
 oracle SQL (oracle_sql.json), runs the oracle in DuckDB over views named after
-the testdata tables, and compares: column names (sorted), row count, and
-values (rows sorted by all columns). Exact match required; floats compared
-bit-exact first, then with 1e-9 tolerance reported separately.
+the testdata tables, and compares: column names (sorted), **Arrow column
+types**, row count, and values (rows sorted by all columns).
+
+The typed comparison is the load-bearing part: the driver hashes *typed*
+results, so an oracle whose windowed/plain SUM comes back as DuckDB HUGEINT
+(int128) against Spark's BIGINT must fail HERE, not only at the driver
+(round-3 lesson: window_session_gap passed a value-lenient local check and
+failed the driver's hash gate on exactly this). Pandas `.df()` erases that
+distinction; Arrow keeps it.
 """
 import json
 import math
@@ -22,18 +28,35 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(v):
-    if isinstance(v, float):
-        return v
-    return v
+def type_token(arrow_type):
+    """Collapse an Arrow type to the token the driver's hash discipline
+    cares about: integer width, float width, decimal, string, etc."""
+    s = str(arrow_type)
+    # Spark writes int64; DuckDB HUGEINT surfaces as decimal128(38,0) or
+    # float64 depending on version — any of those vs int64 is a real drift.
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s in ("string", "large_string", "utf8", "large_utf8"):
+        return "string"
+    if s in ("binary", "large_binary"):
+        return "binary"
+    if s.startswith("list") or s.startswith("large_list"):
+        return "list"
+    return s
 
 
-def rows_of(df):
-    cols = sorted(df.columns)
-    df = df[cols]
-    recs = [tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None)]
+def rows_of(tbl):
+    cols = sorted(tbl.column_names)
+    tbl = tbl.select(cols)
+    types = [type_token(tbl.schema.field(c).type) for c in cols]
+    recs = []
+    pydict = tbl.to_pydict()
+    n = tbl.num_rows
+    series = [pydict[c] for c in cols]
+    for i in range(n):
+        recs.append(tuple(s[i] for s in series))
     recs.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
-    return cols, recs
+    return cols, types, recs
 
 
 def eq(a, b):
@@ -43,6 +66,9 @@ def eq(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    if type(a) is not type(b) and not (
+            isinstance(a, (int, float)) and isinstance(b, (int, float))):
+        return str(a) == str(b)
     return a == b
 
 
@@ -73,21 +99,28 @@ def main():
             n_fail += 1
             continue
         try:
-            got = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+            got = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").arrow()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_fail += 1
             continue
         try:
-            want = con.sql(sql).df()
+            want = con.sql(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        gc, gr = rows_of(got)
-        wc, wr = rows_of(want)
+        gc, gt, gr = rows_of(got)
+        wc, wt, wr = rows_of(want)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
+            n_fail += 1
+            continue
+        if gt != wt:
+            drift = [f"{c}: spark={a} oracle={b}"
+                     for c, a, b in zip(gc, gt, wt) if a != b]
+            print(f"FAIL {name}: TYPE drift — " + "; ".join(drift) +
+                  "  (cast the oracle column, e.g. CAST(... AS BIGINT))")
             n_fail += 1
             continue
         if len(gr) != len(wr):
