@@ -1,6 +1,5 @@
 package graft.core
 
-import java.math.BigInteger
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, SparkSession}
@@ -55,12 +54,6 @@ object HashKeyOps {
     hi >>> 1
   }
 
-  /** Reference check helper for specs (hex-string route, like Python). */
-  def pythonSemantics(s: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    new BigInteger(hex, 16).mod(BigInteger.valueOf(1000000000L)).longValueExact()
-  }
 }
 
 /** Catalyst expression: `md5_mod_1e9(string) -> long`.

@@ -9,12 +9,26 @@ import graft.core.{GraftFunctions, HashKeyOps, KeyMapper, Normalize, TimeParse}
 /** F1/F2/F7/F9 scalar semantics + J1 join semantics (SURVEY §5.2-5.3). */
 class HashKeySpec extends SparkSpec {
 
+  /** Independent reference implementation of the surrogate-key hash,
+    * deliberately written the way the reference's Python does it (hex digest
+    * string → arbitrary-precision int → mod 1e9; `etl/core/utils.py:5-8`).
+    * Lives in TEST sources only: the engine hot path (`HashKeyOps.md5Mod1e9`)
+    * folds raw digest bytes with 64-bit arithmetic and never allocates a hex
+    * string — this copy exists purely to cross-check it.
+    */
+  private def pythonSemantics(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new java.math.BigInteger(hex, 16)
+      .mod(java.math.BigInteger.valueOf(1000000000L)).longValueExact()
+  }
+
   test("md5Mod1e9 matches the Python reference semantics (hex->int % 1e9)") {
     val vectors = Seq("hello|world", "", "a", "nation_0|africa",
       "null|", "|", "x" * 1000, "ünïcode|ok")
     vectors.foreach { v =>
       assert(HashKeyOps.md5Mod1e9(UTF8String.fromString(v)) ===
-        HashKeyOps.pythonSemantics(v), s"vector: $v")
+        pythonSemantics(v), s"vector: $v")
     }
   }
 
@@ -27,7 +41,7 @@ class HashKeySpec extends SparkSpec {
       val h = HashKeyOps.md5Mod1e9(UTF8String.fromString(s))
       h >= 0 && h < 1000000000L &&
         h == HashKeyOps.md5Mod1e9(UTF8String.fromString(s)) &&
-        h == HashKeyOps.pythonSemantics(s)
+        h == pythonSemantics(s)
     }
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
@@ -38,7 +52,7 @@ class HashKeySpec extends SparkSpec {
     val df = Seq("hello|world", "abc").toDF("s")
       .select(call_function("graft_md5_mod_1e9", col("s")).as("h"))
     assert(df.collect().map(_.getLong(0)).toSeq ===
-      Seq("hello|world", "abc").map(HashKeyOps.pythonSemantics))
+      Seq("hello|world", "abc").map(pythonSemantics))
   }
 }
 
