@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -10,18 +12,25 @@ import graft.ops.TextOps.tokens
   *
   * Scale shape: the corpus is scanned ONCE into a word-frequency table
   * (groupBy word — the only pass whose width scales with data volume;
-  * tokens shuffle as (word, count) pairs). Every merge iteration then runs
+  * tokens shuffle as (word, count) pairs). Every merge round then runs
   * on the distinct-word table, which is bounded by vocabulary size, not
   * corpus size — exactly how production BPE trainers handle trillion-token
-  * corpora. Per iteration: adjacent-pair explode → partial-agg count →
-  * TakeOrdered(1) argmax (ties broken lexicographically, so the table is
-  * deterministic) → a one-row collect steers the next map-side fold merge.
-  * The driver holds k rows total; the corpus is never collected.
+  * corpora.
   *
-  * The merge fold is a pure `aggregate` higher-order expression (greedy
-  * left-to-right, matching the reference BPE formulation): no UDF, stays
-  * in codegen. Lineage is truncated each round with localCheckpoint, the
-  * same loop idiom as [[Graph.pageRank]] / [[Clustering]].
+  * Driver round-trips are the scale bottleneck of the naive loop (one
+  * argmax job per merge → a 32k-merge vocabulary is 32k serial jobs), so
+  * [[train]] batches merges per round under a PROVABLY-EXACT rule (same
+  * merge table as the serial trainer, cross-checked by BpeSpec), and
+  * [[trainFast]] offers the standard skip-conflict batching used by
+  * distributed trainers when bit-identical serial order isn't required.
+  *
+  * Per round: adjacent-pair explode → partial-agg count → TakeOrdered(k)
+  * (ties broken lexicographically, so the table is deterministic) → a
+  * k-row collect steers the next map-side fold merges. The driver holds
+  * O(k + merges) rows total; the corpus is never collected. Lineage is
+  * truncated each round with a LAZY localCheckpoint that materializes
+  * inside the next round's count job (one job per round, the
+  * [[Dedup.lssComponents]] idiom).
   */
 object Bpe {
 
@@ -36,55 +45,160 @@ object Bpe {
         .otherwise(concat(acc, array(x)))
     })
 
-  /** Train `merges` BPE merges over the whitespace tokens of `docs(text)`.
-    * Returns the merge table: (merge_rank, left, right, pair_freq).
-    */
-  def train(docs: DataFrame, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    graft.core.GraftFunctions.ensureRegistered(spark)
-
-    // one corpus-wide pass: word frequencies, then chars as the seed symbols
-    var words = docs.select(explode(tokens(col("text"))).as("w"))
+  /** One corpus-wide pass: word frequencies, chars as the seed symbols. */
+  private def seedWords(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))).as("sym"), col("freq"))
-      .localCheckpoint()
 
+  /** Adjacent symbol pairs; guard: `sequence(0, -1)` DESCENDS for
+    * single-symbol words — fully-merged words contribute no pairs.
+    */
+  private val adjacentPairs: Column =
+    when(size(col("sym")) >= 2,
+      transform(sequence(lit(0), size(col("sym")) - 2),
+        i => struct(element_at(col("sym"), i + 1).as("l"),
+          element_at(col("sym"), i + 2).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** Exact batch selection over the collected top-k pair counts: the batch
+    * reproduces the serial argmax sequence bit-for-bit. Sound because:
+    *   - counts of pairs symbol-DISJOINT from every applied merge are
+    *     invariant under those merges (a merge only touches adjacencies
+    *     involving its own symbols);
+    *   - pairs sharing a symbol with the batch only DECREASE, and any such
+    *     pair sorted after the candidate already lost to it;
+    *   - a merge (l,r) with l≠r only creates new pairs (x,lr)/(lr,y) whose
+    *     counts are bounded by existing pairs (x,l)/(r,y) — pairs that
+    *     share a symbol with the batch and are NOT in it (disjointness) —
+    *     so requiring the candidate's count to STRICTLY exceed that bound
+    *     (and the k-th count, bounding everything uncollected) rules out
+    *     any new pair overtaking it;
+    *   - a self-pair merge (l==l) seeds runs ("aaa" → pair (aa,a)) bounded
+    *     only by its OWN count, so the batch stops after accepting one.
+    * Stop (never skip) at the first conflicting pair: its post-merge count
+    * is unknowable without a recount.
+    */
+  private def selectBatch(top: Seq[(String, String, Long)], kth: Long,
+      maxLeft: Int, maxBatch: Int): Seq[(String, String, Long)] = {
+    val batch = mutable.ArrayBuffer.empty[(String, String, Long)]
+    val used = mutable.Set.empty[String]
+    var open = true
+    for ((l, r, n) <- top if open && batch.size < math.min(maxLeft, maxBatch)) {
+      if (batch.isEmpty) {
+        batch += ((l, r, n)); used += l; used += r
+        if (l == r) open = false
+      } else if (used(l) || used(r)) {
+        open = false
+      } else {
+        val inBatch = batch.map(b => (b._1, b._2)).toSet
+        val bound = (top.collect {
+          case (ll, rr, nn) if (used(ll) || used(rr)) &&
+            !inBatch((ll, rr)) => nn
+        } :+ kth).max
+        if (n <= bound) open = false
+        else {
+          batch += ((l, r, n)); used += l; used += r
+          if (l == r) open = false
+        }
+      }
+    }
+    batch.toSeq
+  }
+
+  /** Train `merges` BPE merges over the whitespace tokens of `docs(text)`.
+    * Returns the merge table: (merge_rank, left, right, pair_freq) —
+    * bit-identical to the serial one-merge-per-round trainer, in a number
+    * of Spark jobs proportional to merge ROUNDS (batch ≥ 1 per round).
+    */
+  def train(docs: DataFrame, merges: Int, topK: Int = 64,
+      maxBatch: Int = 16): DataFrame =
+    trainLoop(docs, merges, topK, maxBatch, exact = true)._1
+
+  /** [[train]] plus the number of driver rounds it took (each round is one
+    * count job; the serial trainer's round count equals `merges`).
+    */
+  private[graft] def trainWithRounds(docs: DataFrame, merges: Int,
+      topK: Int = 64, maxBatch: Int = 16): (DataFrame, Int) =
+    trainLoop(docs, merges, topK, maxBatch, exact = true)
+
+  /** Scale mode: standard distributed-BPE batching — per round take the
+    * top pairs skipping any that share a symbol with an earlier pick, and
+    * apply them together. Counts are exact as of round START, so the table
+    * may deviate from the strict serial order (quality-neutral in
+    * practice; the standard trade on 32k-merge vocabularies, where exact
+    * serial order would mean 32k driver round-trips).
+    */
+  def trainFast(docs: DataFrame, merges: Int, maxBatch: Int = 16): DataFrame =
+    trainLoop(docs, merges, topK = 4 * maxBatch, maxBatch = maxBatch,
+      exact = false)._1
+
+  private[graft] def trainFastWithRounds(docs: DataFrame, merges: Int,
+      maxBatch: Int = 16): (DataFrame, Int) =
+    trainLoop(docs, merges, topK = 4 * maxBatch, maxBatch = maxBatch,
+      exact = false)
+
+  private def fastBatch(top: Seq[(String, String, Long)], maxLeft: Int,
+      maxBatch: Int): Seq[(String, String, Long)] = {
+    val batch = mutable.ArrayBuffer.empty[(String, String, Long)]
+    val used = mutable.Set.empty[String]
+    for ((l, r, n) <- top
+         if batch.size < math.min(maxLeft, maxBatch) && !used(l) && !used(r)) {
+      batch += ((l, r, n)); used += l; used += r
+    }
+    batch.toSeq
+  }
+
+  private def trainLoop(docs: DataFrame, merges: Int, topK: Int,
+      maxBatch: Int, exact: Boolean): (DataFrame, Int) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.GraftFunctions.ensureRegistered(spark)
+
+    var words = seedWords(docs).localCheckpoint() // eager seed
+    var prev: DataFrame = null
     val table = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
+    var rounds = 0
     var done = false
     while (rank <= merges && !done) {
-      // guard: sequence(0, -1) DESCENDS for single-symbol words, producing
-      // index 0 — words fully merged into one token contribute no pairs
-      val adjacent = when(size(col("sym")) >= 2,
-        transform(sequence(lit(0), size(col("sym")) - 2),
-          i => struct(element_at(col("sym"), i + 1).as("l"),
-            element_at(col("sym"), i + 2).as("r"))))
-        .otherwise(array().cast("array<struct<l:string,r:string>>"))
-      val pairs = words
-        .select(explode(adjacent).as("p"), col("freq"))
+      rounds += 1
+      // this count job also materializes `words`' lazy checkpoint, after
+      // which the previous round's blocks are safe to drop
+      val top = words
+        .select(explode(adjacentPairs).as("p"), col("freq"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(desc("n"), col("l"), col("r"))
-        .limit(1)
+        .limit(topK)
         .as[(String, String, Long)]
-        .collect()
-      pairs.headOption match {
-        case Some((l, r, n)) =>
-          table += ((rank, l, r, n))
-          val prev = words
-          words = words.select(mergeFold(col("sym"), l, r).as("sym"),
-            col("freq")).localCheckpoint()
-          prev.unpersist()
-          rank += 1
-        case None => done = true // no adjacent pairs left anywhere
+        .collect().toSeq
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (top.isEmpty) done = true // no adjacent pairs left anywhere
+      else {
+        val kth = if (top.length == topK) top.last._3 else 0L
+        val batch =
+          if (exact) selectBatch(top, kth, merges - rank + 1, maxBatch)
+          else fastBatch(top, merges - rank + 1, maxBatch)
+        batch.foreach { case (l, r, n) =>
+          table += ((rank, l, r, n)); rank += 1
+        }
+        // all of the round's merges in ONE projection, composed in rank
+        // order (disjoint, so composition == sequential application)
+        val sym = batch.foldLeft(col("sym")) { case (c, (l, r, _)) =>
+          mergeFold(c, l, r)
+        }
+        prev = words
+        words = words.select(sym.as("sym"), col("freq"))
+          .localCheckpoint(false) // lazy: materialized by next round's job
       }
     }
-    words.unpersist() // merge table lives on the driver; free the last checkpoint
-    spark.createDataFrame(table.result())
+    if (prev != null) prev.unpersist()
+    words.unpersist() // merge table lives on the driver; free the last ckpt
+    (spark.createDataFrame(table.result())
       .toDF("merge_rank", "left", "right", "pair_freq")
-      .orderBy("merge_rank")
+      .orderBy("merge_rank"), rounds)
   }
 }

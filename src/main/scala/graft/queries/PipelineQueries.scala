@@ -25,6 +25,47 @@ object PipelineQueries {
   private val shinglesExpr =
     "list_distinct(CASE WHEN len(t) >= 2 THEN [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)] ELSE []::VARCHAR[] END)"
 
+  /** Unrolled serial-BPE oracle (mirror of ops.Bpe.train, whose batched
+    * selection is proven bit-identical to serial order). Words are
+    * boundary-marked strings (' a  b  c ': single-space borders, two-space
+    * separators) so that `replace(s, ' l  r ', ' lr ')` — SQL replace is
+    * left-to-right and non-overlapping — is exactly the trainer's greedy
+    * fold, with no false sub-symbol matches (a match needs the full
+    * ' l  r ' context, and tokens are whitespace-split so symbols never
+    * contain the marker). Each merge generation: re-split symbols, explode
+    * adjacent pairs via zipped unnests, 1-row deterministic argmax
+    * (n DESC, l, r), cross-join the merge into the next word table.
+    */
+  private def bpeOracle(merges: Int): String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s, freq
+        |  FROM (
+        |    SELECT w, count(*) AS freq FROM (
+        |      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |      FROM documents)
+        |    WHERE length(w) >= 1 GROUP BY w))""".stripMargin
+    val gens = (1 to merges).map { i =>
+      s"""p$i AS (
+         |  SELECT unnest(li[1:len(li)-1]) AS l, unnest(li[2:len(li)]) AS r, freq
+         |  FROM (SELECT string_split(trim(s), '  ') AS li, freq FROM w${i - 1})),
+         |m$i AS (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS n FROM p$i
+         |  GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(s, ' '||l||'  '||r||' ', ' '||l||r||' ') AS s, freq
+         |  FROM w${i - 1}, m$i)""".stripMargin
+    }
+    val union = (1 to merges)
+      .map(i => s"SELECT $i AS merge_rank, l, r, n FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $w0,
+       |${gens.mkString(",\n")}
+       |SELECT merge_rank, l AS "left", r AS "right", n AS pair_freq FROM (
+       |  $union)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** Mirror of Similarity.dot/norm (1-based DuckDB list indexing; float
     * products cast to double, sequential list_sum; norms precomputed once
     * per vector exactly like the Spark side).
@@ -296,15 +337,17 @@ object PipelineQueries {
              |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_subword_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // BPE merge-table training (ops/Bpe.scala): iterative argmax over the
-    // word-frequency table — data-dependent control flow per merge, so not
-    // expressible as one DuckDB statement; declared rows-only. The strong
-    // gate is BpeSpec: a hand-computed merge table plus an independent
-    // single-threaded reference trainer cross-checked on real testdata.
+    // BPE merge-table training (ops/Bpe.scala): batched-exact distributed
+    // trainer (bit-identical to serial merge order, BpeSpec-gated). The
+    // oracle unrolls the serial algorithm's 8 merges as CTE generations
+    // (the graph_pagerank trick): each word is a boundary-marked string
+    // (' a  b  c '), a merge is a left-to-right non-overlapping
+    // replace(' l  r ' -> ' lr ') — exactly the greedy fold semantics —
+    // and each argmax is a 1-row ORDER BY n DESC, l, r LIMIT 1 CTE.
     QueryDef("text_bpe_train",
       (s, dir) => graft.ops.Bpe.train(
         Tables.read(s, dir, "documents"), merges = 8),
-      None),
+      Some(bpeOracle(8))),
 
     QueryDef("text_fingerprint",
       (s, dir) => TextAnalysis.fingerprints(Tables.read(s, dir, "documents")),

@@ -73,4 +73,57 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got == Seq((1, "a", "b", 2L)))
   }
+
+  test("batch selection survives the self-pair cascade (aaa-run corpus)") {
+    import spark.implicits._
+    // Serial order: (a,a,200) then (aa,a,100) — the pair CREATED by merge 1
+    // outranks the disjoint (b,c,99). A batcher that only checks symbol
+    // disjointness would wrongly emit (b,c) at rank 2; the exact rule stops
+    // the batch after a self-pair.
+    val docs = (Seq.fill(100)("aaa") ++ Seq.fill(99)("bc") ++
+      Seq.fill(98)("de") ++ Seq.fill(97)("fg")).map(w => s"$w").toDF("text")
+    val words = Map("aaa" -> 100L, "bc" -> 99L, "de" -> 98L, "fg" -> 97L)
+    val want = referenceBpe(words, merges = 5)
+    val got = Bpe.train(docs, merges = 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == want)
+    assert(want.take(2).map(t => (t._2, t._3)) == Seq(("a", "a"), ("aa", "a")))
+  }
+
+  test("exact batching needs far fewer driver rounds than one per merge") {
+    import spark.implicits._
+    val docs = graft.core.Tables.read(spark, sf, "documents")
+    val (df, rounds) = Bpe.trainWithRounds(docs, merges = 8)
+    val got = df.as[(Int, String, String, Long)].collect().toSeq
+    assert(got.size == 8)
+    // serial = 8 rounds (≈2 jobs each with eager checkpoints); on this
+    // corpus the exact batch rule does it in 3 one-job rounds
+    assert(rounds <= 4, s"expected <= 4 rounds for 8 merges, took $rounds")
+    // and the table is still the serial one
+    val words = docs
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ops.TextOps.tokens(org.apache.spark.sql.functions.col("text")))
+        .as("w"))
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("w")) >= 1)
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == referenceBpe(words, merges = 8))
+  }
+
+  test("trainFast: valid deterministic table, rounds <= merges/4") {
+    import spark.implicits._
+    val docs = graft.core.Tables.read(spark, sf, "documents")
+    val (df, rounds) = Bpe.trainFastWithRounds(docs, merges = 32)
+    val got = df.as[(Int, String, String, Long)].collect().toSeq
+    assert(got.size == 32)
+    assert(got.map(_._1) == (1 to 32))
+    assert(got.forall(_._4 > 0))
+    assert(rounds <= 8, s"expected <= 8 rounds for 32 merges, took $rounds")
+    // counts are exact at round start and ties are ordered, so re-run is
+    // bit-identical
+    val again = Bpe.trainFast(docs, merges = 32)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(again == got)
+  }
 }
