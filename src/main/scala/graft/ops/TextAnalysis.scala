@@ -110,15 +110,28 @@ object TextAnalysis {
     * count, the eval doc's shingle count, and the contamination verdict.
     */
   def decontaminate(docs: DataFrame, evalBp: Int = 2000,
-      minShare: Double = 0.5): DataFrame = {
+      minShare: Double = 0.5, maxShingleDf: Int = 64): DataFrame = {
     val t = col("t")
     val octograms = array_distinct(
       when(size(t) >= 8,
         transform(sequence(lit(0), size(t) - 8),
           i => concat_ws(" ", slice(t, i + 1, lit(8)))))
         .otherwise(array().cast("array<string>")))
-    val sh = withTokens(docs)
+    val shAll = withTokens(docs)
       .select(col("doc_id"), explode(octograms).as("sh"))
+    // Stop-shingle cap: a genuine-content 8-gram's document frequency is
+    // tiny (random 8-token collisions ≈ 0; testdata max DF = 3), but one
+    // boilerplate shingle shared by d documents puts d·|eval∩d| candidate
+    // pairs in ITS bucket — quadratic in the hot key at 100 TB. Shingles
+    // with DF > maxShingleDf carry no contamination signal (they're
+    // template text by construction), so drop them from the index on both
+    // sides. The hot set is small by its own definition, so this is a
+    // broadcast ANTI join — the big shingle table is not re-shuffled.
+    // (shAll is per-doc distinct, so count == distinct doc count.)
+    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("sh")
+    val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
     val ev = sh.filter(
       Sampling.hashBucket(col("doc_id"), "eval") < evalBp)
     val evSizes = ev.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

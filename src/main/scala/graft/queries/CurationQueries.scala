@@ -163,11 +163,13 @@ object CurationQueries {
       Some(s"""WITH tk AS (
               |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
               |  FROM documents),
-              |sh AS (SELECT DISTINCT doc_id, sh FROM (
+              |sh0 AS (SELECT DISTINCT doc_id, sh FROM (
               |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
               |    THEN [array_to_string(t[i:i+7], ' ')
               |          for i in generate_series(1, len(t) - 7)]
               |    ELSE [] END) AS sh FROM tk)),
+              |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 64),
+              |sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
               |ev AS (SELECT * FROM sh WHERE ${bucketSql("eval", "doc_id")} < 2000),
               |sz AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
               |pr AS (SELECT e.doc_id, c.doc_id AS match_doc_id,

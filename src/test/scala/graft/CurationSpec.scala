@@ -211,3 +211,48 @@ class ClusterSpec extends SparkSpec {
     assert(viaLss === viaProp)
   }
 }
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 9 distinct filler tokens per doc keep every non-boilerplate shingle
+  // unique to its doc; the boilerplate sentence is 8 tokens = exactly one
+  // shared shingle per doc that carries it.
+  private def uniq(id: Int): String =
+    (0 until 9).map(j => s"tok${id}x$j").mkString(" ")
+  private val boiler = "all rights reserved contact us terms of service"
+
+  test("stop-shingle cap bounds boilerplate candidates; real dups survive") {
+    // 60 docs share ONLY the boilerplate shingle; two docs are genuine
+    // near-copies of each other (share all their content shingles).
+    val copied = (0 until 16).map(j => s"copy${j}tok").mkString(" ")
+    val rows =
+      (0 until 60).map(i => (i.toLong, s"$boiler ${uniq(i)}")) ++
+        Seq((100L, s"$copied ${uniq(100)}"), (101L, s"$copied ${uniq(101)}"))
+    val docs = rows.toDF("doc_id", "text")
+
+    // eval = everything (bucket bound 10000), cap = 8 << 60 carriers
+    val out = TextAnalysis.decontaminate(docs, evalBp = 10000,
+      maxShingleDf = 8).collect()
+    // boilerplate-only docs match nothing: the hot shingle left the index
+    val boilerIds = (0 until 60).map(_.toLong).toSet
+    assert(out.forall(r => !boilerIds.contains(r.getLong(0))),
+      "boilerplate-only docs must produce no candidate pairs under the cap")
+    // the genuine copy pair is still found, in both directions
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.get(100L).contains(101L) && byId.get(101L).contains(100L))
+
+    // without the cap the same corpus explodes into 60*59 boilerplate pairs
+    val uncapped = TextAnalysis.decontaminate(docs, evalBp = 10000,
+      maxShingleDf = 1000000).collect()
+    assert(uncapped.count(r => boilerIds.contains(r.getLong(0))) === 60)
+  }
+
+  test("cap leaves real-corpus results unchanged (testdata max DF = 3)") {
+    val docs = graft.core.Tables.read(spark, sf, "documents")
+    val capped = TextAnalysis.decontaminate(docs).collect().toSeq
+    val uncapped = TextAnalysis.decontaminate(docs,
+      maxShingleDf = Int.MaxValue).collect().toSeq
+    assert(capped === uncapped)
+  }
+}
