@@ -137,6 +137,9 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "graft_bloom_contains",
         exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_image_dims",
+        exprs => graft.ops.ImageDims(exprs.head), "built-in")
       // sessions built without GraftExtensions still get the HOF→kernel
       // optimizer rewrite through the experimental hook
       if (!spark.experimental.extraOptimizations

@@ -8,18 +8,23 @@ import graft.core.GraftFunctions
 /** Multimodal-column plumbing (SURVEY §7.6): media payloads as opaque
   * `binary` columns with typed metadata, processed per-partition in batch.
   *
-  * The container ships no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB ([[MultimodalStub.decode]]); everything
-  * Spark-side — schema, binary column handling, partition-wise batch
-  * processing, metadata extraction — is real and tested. Swapping the stub
-  * for a JNI/FFI decoder changes nothing in the plan shape.
+  * The decode step is REAL: [[MediaCodec]] parses PNG/JPEG/GIF dimensions
+  * straight from header bytes (public container layouts, no native codec
+  * required), both as a codegen'd expression ([[ImageDims]]) and through
+  * the per-partition [[decodeAll]] path. Full pixel decode would swap a
+  * JNI/FFI codec into the same mapPartitions shape without changing the
+  * plan. [[syntheticMedia]] builds REAL container bytes (valid headers,
+  * content-dependent segment lengths) so the parser is exercised
+  * end-to-end and oracle-checked: DuckDB recomputes the dimensions the
+  * constructor embedded, and the gate passes only if the byte parser
+  * inverts the byte constructor.
   */
 object Multimodal {
 
   /** Typed record for the per-partition decode path. */
   case class MediaRecord(doc_id: Long, payload: Array[Byte])
-  case class DecodedMeta(doc_id: Long, byte_len: Long, width: Int,
-      height: Int, n_frames: Int)
+  case class DecodedMeta(doc_id: Long, byte_len: Long, format: String,
+      width: Int, height: Int)
 
   /** Build a binary "media" table from documents (payload = UTF-8 bytes of
     * the text — a stand-in for image/audio bytes with identical plumbing).
@@ -79,30 +84,77 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** REAL container bytes, built column-side: one of PNG / JPEG / GIF per
+    * doc (round-robin on doc_id), with dimensions derived from the stable
+    * hash and the document text embedded as body bytes (PNG trailing data,
+    * a variable-length JPEG COM segment — so the JPEG marker scan has to
+    * skip real content-dependent segments — GIF trailing data). Every
+    * payload is hex-assembled with plain expressions and `unhex`, entirely
+    * codegen'd; nothing leaves the executors.
+    */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    def dim(seed: String, mod: Int) =
+      (GraftFunctions.hash64(
+        concat(lit(seed + "|"), col("doc_id").cast("string"))) % mod) + 1
+    def hx(c: org.apache.spark.sql.Column, digits: Int) =
+      lpad(hex(c), digits, "0")
+    val w = dim("iw", 1920)
+    val h = dim("ih", 1080)
+    val bodyBin = encode(expr("substr(text, 1, 64)"), "UTF-8")
+    val bodyHex = hex(bodyBin)
+    val png = concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D49484452"), // IHDR chunk length + type
+      hx(w, 8), hx(h, 8), // 32-bit big-endian dims
+      lit("0806000000DEADBEEF"), // bit depth/color/etc + placeholder CRC
+      bodyHex)
+    val jpeg = concat(
+      lit("FFD8"), // SOI
+      lit("FFE000104A46494600010100004800480000"), // APP0/JFIF, 16 bytes
+      lit("FFFE"), hx(octet_length(bodyBin) + 2, 4), bodyHex, // COM segment
+      lit("FFC0001108"), hx(h, 4), hx(w, 4), // SOF0: len 17, precision 8
+      lit("03012200021101031101"), // 3 components
+      lit("FFD9")) // EOI
+    val hLe = hx(h, 4)
+    val wLe = hx(w, 4)
+    val gif = concat(
+      lit("474946383961"), // GIF89a
+      substring(wLe, 3, 2), substring(wLe, 1, 2), // 16-bit LITTLE-endian
+      substring(hLe, 3, 2), substring(hLe, 1, 2),
+      lit("F70000"), bodyHex, lit("3B"))
+    docs.select(col("doc_id"),
+      unhex(when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, jpeg)
+        .otherwise(gif)).as("payload"))
+  }
+
+  /** Header decode as a single codegen'd expression over the payload
+    * column — the oracle-declared face of the decode path (the oracle
+    * recomputes the constructed dimensions from doc_id; the gate passes
+    * only if [[MediaCodec.parseDims]] inverts [[syntheticMedia]]'s bytes).
+    */
+  def decodedDims(docs: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    syntheticMedia(docs)
+      .select(col("doc_id"),
+        call_function("graft_image_dims", col("payload")).as("d"))
+      .select(col("doc_id"), col("d.format").as("format"),
+        col("d.width").as("width"), col("d.height").as("height"))
+      .orderBy("doc_id")
+  }
+
   /** Partition-wise decode path: the real-world shape for codec work —
-    * one decoder instance per partition, streaming records through it.
-    * Used by MultimodalSpec; not oracle-declared (the stub is the point).
+    * one decoder instance per partition, streaming records through it
+    * (a full pixel decoder would slot into this exact loop).
     */
   def decodeAll(spark: SparkSession, docs: DataFrame): Dataset[DecodedMeta] = {
     import spark.implicits._
-    payloads(docs).as[MediaRecord].mapPartitions { it =>
-      val decoder = MultimodalStub // real code: open codec once per partition
+    syntheticMedia(docs).as[MediaRecord].mapPartitions { it =>
       it.map { rec =>
-        val (w, hgt, frames) = decoder.decode(rec.payload)
-        DecodedMeta(rec.doc_id, rec.payload.length.toLong, w, hgt, frames)
+        val (f, w, h) =
+          MediaCodec.parseDims(rec.payload).getOrElse(("unknown", 0, 0))
+        DecodedMeta(rec.doc_id, rec.payload.length.toLong, f, w, h)
       }
     }
-  }
-}
-
-/** STUB decoder — deterministic fake in place of an image/audio codec
-  * (libs not present in this container). Replace `decode` with a real
-  * codec call; the Spark plumbing above is unchanged.
-  */
-object MultimodalStub extends Serializable {
-  def decode(payload: Array[Byte]): (Int, Int, Int) = {
-    // ??? real codec goes here; deterministic fake derived from content:
-    val sum = payload.foldLeft(0L)((a, b) => a + (b & 0xff))
-    ((sum % 1920).toInt, (sum % 1080).toInt, (payload.length % 240))
   }
 }

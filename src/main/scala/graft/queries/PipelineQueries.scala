@@ -371,6 +371,21 @@ object PipelineQueries {
               |CAST(octet_length(encode(text)) % 240 AS BIGINT) AS n_frames
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL header decode: syntheticMedia builds valid PNG/JPEG/GIF bytes
+    // (dims from the stable hash, doc text as body / a variable-length
+    // JPEG COM segment), the codegen'd graft_image_dims expression parses
+    // them back (BE 32-bit IHDR, JPEG marker-segment scan to SOF0, LE
+    // 16-bit GIF screen descriptor). The oracle recomputes the embedded
+    // dims from doc_id — green only if the parser inverts the constructor.
+    QueryDef("multimodal_decode",
+      (s, dir) => Multimodal.decodedDims(Tables.read(s, dir, "documents")),
+      Some(s"""SELECT doc_id,
+              |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+              |     WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+              |CAST(${Sql.hash64("'iw|' || CAST(doc_id AS VARCHAR)")} % 1920 + 1 AS INT) AS width,
+              |CAST(${Sql.hash64("'ih|' || CAST(doc_id AS VARCHAR)")} % 1080 + 1 AS INT) AS height
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // binary content-hash dedup: only the 16-byte digest shuffles, never
     // the media payload — the multimodal face of dedup_exact
     QueryDef("multimodal_dedup",

@@ -185,23 +185,55 @@ class TextAnalysisSpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+  import graft.ops.MediaCodec
 
-  test("expression metadata and mapPartitions decode agree on byte_len") {
-    val docs = graft.core.Tables.read(spark, sf, "documents").limit(20)
-    val meta = Multimodal.metadata(docs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val decoded = Multimodal.decodeAll(spark, docs).collect()
-      .map(d => d.doc_id -> d.byte_len).toMap
-    assert(meta === decoded)
+  private def bytes(hex: String): Array[Byte] =
+    hex.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("PNG IHDR: big-endian 32-bit dims straight from the header") {
+    // 800x600, minimal IHDR
+    val png = bytes("89504E470D0A1A0A" + "0000000D49484452" +
+      "00000320" + "00000258" + "0806000000DEADBEEF")
+    assert(MediaCodec.parseDims(png) === Some(("png", 800, 600)))
+    // truncated mid-IHDR → unrecognized
+    assert(MediaCodec.parseDims(png.take(20)) === None)
   }
 
-  test("stub decode is deterministic") {
-    val p = "payload".getBytes("UTF-8")
-    assert(MultimodalStubCheck.twice(p))
+  test("JPEG: marker scan skips variable segments to the first SOF") {
+    // SOI, APP0(16B), COM("hi!", 5B), SOF0 with height=0x0101=257,
+    // width=0x0202=514
+    val jpg = bytes("FFD8" + "FFE000104A46494600010100004800480000" +
+      "FFFE0005686921" + "FFC000110801010202" + "03012200021101031101" +
+      "FFD9")
+    assert(MediaCodec.parseDims(jpg) === Some(("jpeg", 514, 257)))
+    // no SOF before the bytes run out → None, not a crash
+    assert(MediaCodec.parseDims(bytes("FFD8FFFE0005686921")) === None)
+    // lost marker sync → None
+    assert(MediaCodec.parseDims(bytes("FFD800FF")) === None)
   }
-}
 
-object MultimodalStubCheck {
-  def twice(p: Array[Byte]): Boolean =
-    graft.ops.MultimodalStub.decode(p) == graft.ops.MultimodalStub.decode(p)
+  test("GIF: little-endian 16-bit logical screen descriptor") {
+    val gif = bytes("474946383961" + "2003" + "5802" + "F70000" + "3B")
+    assert(MediaCodec.parseDims(gif) === Some(("gif", 0x0320, 0x0258)))
+    assert(MediaCodec.parseDims("GIF88a??".getBytes) === None)
+  }
+
+  test("garbage and empty payloads decode to null, not errors") {
+    assert(MediaCodec.parseDims(Array.emptyByteArray) === None)
+    assert(MediaCodec.parseDims("plain text".getBytes) === None)
+  }
+
+  test("expression path and mapPartitions path agree on real payloads") {
+    val docs = graft.core.Tables.read(spark, sf, "documents").limit(30)
+    val viaExpr = Multimodal.decodedDims(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    val viaPartitions = Multimodal.decodeAll(spark, docs).collect()
+      .map(d => d.doc_id -> ((d.format, d.width, d.height))).toMap
+    assert(viaExpr === viaPartitions)
+    assert(viaExpr.values.map(_._1).toSet === Set("png", "jpeg", "gif"))
+    // every parse succeeded (no "unknown" fallbacks from decodeAll)
+    assert(viaPartitions.values.forall(v => v._2 > 0 && v._3 > 0))
+  }
 }
