@@ -47,18 +47,66 @@ object RestPages {
   @volatile var lastPlannedPartitions: Int = -1
 }
 
+/** Auth failure — the endpoint rejected the request token. NOT retried:
+  * a 401/403 is deterministic, retrying it only burns the quota
+  * (reference parity: the Socrata client sends `X-App-Token` from
+  * `config/env.py:5-7` and treats auth errors as fatal).
+  */
+class RestAuthException(msg: String) extends RuntimeException(msg)
+
+/** Transient endpoint failure (the 429/5xx/connection-reset class) —
+  * retried with bounded exponential backoff.
+  */
+class RestTransientException(msg: String) extends RuntimeException(msg)
+
+/** Client-side transport policy shared by both read paths: bounded retry
+  * with exponential backoff on transient failures, fail-fast on auth.
+  */
+object RestRetry {
+  def withRetry[T](maxRetries: Int, backoffMs: Long)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: RestTransientException =>
+          if (attempt >= maxRetries) throw e
+          if (backoffMs > 0) Thread.sleep(backoffMs << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 /** The simulated remote endpoint with SoQL-style `$offset`/`$limit`
   * cursor semantics: one call returns rows `[offset, offset+limit)` of a
   * page resource in stable server order. The reference issues a SINGLE
   * `$limit`-capped fetch (`load_311.py:11-17`) — that is the degenerate
   * `limit >= resource size` case of the cursor loop in [[RestReader]].
+  *
+  * Server-side knobs for the spec harness: [[requiredToken]] makes the
+  * endpoint reject calls without the matching app token (the Socrata
+  * `X-App-Token` contract); [[failNextFetches]] injects that many
+  * transient failures to exercise the client's retry/backoff.
   */
 object RestFetch {
   /** Test observability: endpoint calls since the last reset. */
   @volatile var fetchCalls: Int = 0
+  /** When set, fetches must present this token or get an auth error. */
+  @volatile var requiredToken: Option[String] = None
+  /** Fault injection: the next N fetch calls fail transiently. */
+  val failNextFetches = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def fetch(file: String, offset: Int, limit: Int): Seq[String] = {
+  def fetch(file: String, offset: Int, limit: Int,
+      token: Option[String] = None): Seq[String] = {
     fetchCalls += 1
+    requiredToken.foreach { want =>
+      if (!token.contains(want))
+        throw new RestAuthException(
+          s"endpoint requires an app token (got ${token.getOrElse("none")})")
+    }
+    if (failNextFetches.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      throw new RestTransientException("injected transient endpoint failure")
     val src = scala.io.Source.fromFile(file, "UTF-8")
     try src.getLines().slice(offset, offset + limit).toList
     finally src.close()
@@ -67,16 +115,19 @@ object RestFetch {
   /** Lazy client-side cursor: keeps issuing `fetch($offset += pageSize)`
     * calls until a short page signals exhaustion. Downstream early
     * termination (a pushed LIMIT) simply stops pulling, so no further
-    * fetches are issued — cursor and limit pushdown compose.
+    * fetches are issued — cursor and limit pushdown compose. Each fetch
+    * carries the app token and is individually retried.
     */
-  def pagedLines(file: String, pageSize: Int): Iterator[String] =
+  def pagedLines(file: String, pageSize: Int, token: Option[String],
+      maxRetries: Int, backoffMs: Long): Iterator[String] =
     new Iterator[String] {
       private var offset = 0
       private var cur: Iterator[String] = Iterator.empty
       private var done = false
       private def advance(): Unit =
         while (!cur.hasNext && !done) {
-          val batch = fetch(file, offset, pageSize)
+          val batch = RestRetry.withRetry(maxRetries, backoffMs)(
+            fetch(file, offset, pageSize, token))
           offset += batch.size
           if (batch.size < pageSize) done = true
           cur = batch.iterator
@@ -95,16 +146,28 @@ class RestSourceProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 }
 
+/** Client/transport options, threaded from the reader options to every
+  * partition reader: the app token (reference `config/env.py:5-7`) plus the
+  * bounded-retry policy for transient endpoint failures.
+  */
+case class RestClientConf(appToken: Option[String], maxRetries: Int,
+    backoffMs: Long)
+
 class RestTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"rest($path)"
   override def schema(): StructType = RestPages.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(path, options.getInt("pageSize", 0))
+    new RestScanBuilder(path, options.getInt("pageSize", 0),
+      RestClientConf(
+        Option(options.get("appToken")),
+        options.getInt("maxRetries", 3),
+        options.getLong("retryBackoffMs", 100L)))
 }
 
-class RestScanBuilder(path: String, pageSize: Int) extends ScanBuilder
+class RestScanBuilder(path: String, pageSize: Int, client: RestClientConf)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var tsLo: Option[Long] = None // micros, inclusive
   private var tsHi: Option[Long] = None // micros, exclusive
@@ -133,11 +196,12 @@ class RestScanBuilder(path: String, pageSize: Int) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(l: Int): Boolean = { limit = l; true }
-  override def build(): Scan = new RestScan(path, tsLo, tsHi, limit, pageSize)
+  override def build(): Scan =
+    new RestScan(path, tsLo, tsHi, limit, pageSize, client)
 }
 
 class RestScan(path: String, tsLo: Option[Long], tsHi: Option[Long],
-    limit: Int, pageSize: Int) extends Scan with Batch {
+    limit: Int, pageSize: Int, client: RestClientConf) extends Scan with Batch {
   override def readSchema(): StructType = RestPages.Schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -157,15 +221,16 @@ class RestScan(path: String, tsLo: Option[Long], tsHi: Option[Long],
     }
     RestPages.lastPlannedPartitions = kept.length
     kept.map(f =>
-      RestInputPartition(f.getAbsolutePath, tsLo, tsHi, limit, pageSize)
-      : InputPartition)
+      RestInputPartition(f.getAbsolutePath, tsLo, tsHi, limit, pageSize,
+        client): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory
 }
 
 case class RestInputPartition(file: String, lo: Option[Long],
-    hi: Option[Long], limit: Int, pageSize: Int) extends InputPartition
+    hi: Option[Long], limit: Int, pageSize: Int, client: RestClientConf)
+    extends InputPartition
 
 class RestReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -174,17 +239,21 @@ class RestReaderFactory extends PartitionReaderFactory {
 
 /** Streams one page's JSONL records, applying the pushed range + limit.
   * With `pageSize > 0` the lines arrive through the `$offset` cursor loop
-  * ([[RestFetch.pagedLines]]) instead of one whole-resource read — the
+  * ([[RestFetch.pagedLines]]) instead of one whole-resource fetch — the
   * Socrata client's pagination, with the single-fetch form as the
-  * `pageSize = 0` default.
+  * `pageSize = 0` default. Both paths go through the endpoint
+  * ([[RestFetch.fetch]]) so the app token is presented and transient
+  * failures are retried regardless of paging mode.
   */
 class RestReader(p: RestInputPartition) extends PartitionReader[InternalRow] {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  private val source =
-    if (p.pageSize > 0) null else scala.io.Source.fromFile(p.file, "UTF-8")
   private val lines =
-    if (p.pageSize > 0) RestFetch.pagedLines(p.file, p.pageSize)
-    else source.getLines()
+    if (p.pageSize > 0)
+      RestFetch.pagedLines(p.file, p.pageSize, p.client.appToken,
+        p.client.maxRetries, p.client.backoffMs)
+    else
+      RestRetry.withRetry(p.client.maxRetries, p.client.backoffMs)(
+        RestFetch.fetch(p.file, 0, Int.MaxValue, p.client.appToken)).iterator
   private var current: InternalRow = _
   private var emitted = 0
 
@@ -204,5 +273,5 @@ class RestReader(p: RestInputPartition) extends PartitionReader[InternalRow] {
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = if (source != null) source.close()
+  override def close(): Unit = ()
 }

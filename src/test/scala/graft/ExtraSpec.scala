@@ -66,6 +66,59 @@ class RestSourceSpec extends SparkSpec {
     assert(calls <= totalRows / 7 + 2 * nPages,
       s"$calls fetch calls is too many for $totalRows rows over $nPages pages")
   }
+
+  test("app-token auth: rejected without, accepted with; auth is not retried") {
+    import graft.sources.RestFetch
+    SparkEntry.queries("scan_rest_pushdown")(spark, sf).count() // build pages
+    val pages = s"/tmp/graft_rest_pages_${sf.replaceAll("[^0-9a-zA-Z]", "_")}"
+    RestFetch.requiredToken = Some("sekrit")
+    try {
+      val ex = intercept[org.apache.spark.SparkException] {
+        spark.read.format("graft.sources.RestSourceProvider")
+          .option("path", pages).load().count()
+      }
+      assert(ex.getMessage.contains("app token") ||
+        Option(ex.getCause).exists(_.getMessage.contains("app token")))
+      // wrong token also fails; and fails FAST (one fetch per attempted
+      // partition, no retry storm against a 401)
+      RestFetch.fetchCalls = 0
+      intercept[org.apache.spark.SparkException] {
+        spark.read.format("graft.sources.RestSourceProvider")
+          .option("path", pages).option("appToken", "wrong")
+          .option("maxRetries", "5").option("retryBackoffMs", "0")
+          .load().count()
+      }
+      assert(RestFetch.fetchCalls <= RestPages.lastPlannedPartitions,
+        s"auth errors must not be retried: ${RestFetch.fetchCalls} calls")
+      // the right token reads everything
+      val n = spark.read.format("graft.sources.RestSourceProvider")
+        .option("path", pages).option("appToken", "sekrit").load().count()
+      assert(n === graft.core.Tables.read(spark, sf, "events").count())
+    } finally RestFetch.requiredToken = None
+  }
+
+  test("transient failures are retried with bounded backoff") {
+    import graft.sources.{RestFetch, RestRetry, RestTransientException}
+    SparkEntry.queries("scan_rest_pushdown")(spark, sf).count()
+    val pages = s"/tmp/graft_rest_pages_${sf.replaceAll("[^0-9a-zA-Z]", "_")}"
+    // inject 3 transient failures; default policy (3 retries) absorbs them
+    RestFetch.failNextFetches.set(3)
+    val n = spark.read.format("graft.sources.RestSourceProvider")
+      .option("path", pages).option("retryBackoffMs", "1").load().count()
+    assert(n === graft.core.Tables.read(spark, sf, "events").count())
+    assert(RestFetch.failNextFetches.get() === 0)
+    // the policy is BOUNDED: more consecutive failures than maxRetries
+    // surface the transient error instead of spinning forever
+    var attempts = 0
+    val boom = intercept[RestTransientException] {
+      RestRetry.withRetry(maxRetries = 2, backoffMs = 0) {
+        attempts += 1
+        throw new RestTransientException("still down")
+      }
+    }
+    assert(boom.getMessage === "still down")
+    assert(attempts === 3) // initial try + 2 retries
+  }
 }
 
 class SkewSpec extends SparkSpec {
