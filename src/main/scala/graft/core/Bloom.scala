@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -65,10 +65,34 @@ object BloomJoinOps {
         (bf, v) => { bf.putLong(v); bf },
         (a, b) => { a.mergeInPlace(b); a })
 
+  /** Aggregate a string key column into a bloom filter over its UTF-8
+    * bytes — the encoding [[BloomMightContain]] probes with
+    * (`UTF8String.getBytes`), so build and probe always agree.
+    */
+  def buildStringFilter(df: DataFrame, key: String,
+                        expectedItems: Long, fpp: Double): BloomFilter =
+    df.select(col(key).cast("string")).na.drop().rdd
+      .map(_.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .treeAggregate(BloomFilter.create(expectedItems, fpp))(
+        (bf, v) => { bf.putBinary(v); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+
   def prunedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
-    val bf = buildLongFilter(dim, key, expectedItems, fpp)
-    val pruned = fact.filter(mightContain(col(key).cast("long"), serialize(bf)))
+    GraftFunctions.ensureRegistered(fact.sparkSession)
+    // Build and probe in the key's own domain: casting a string key to
+    // long would NULL out non-numeric values and silently drop rows the
+    // plain join matches, breaking the "exactly the plain join" contract.
+    val pruned = fact.schema(key).dataType match {
+      case StringType =>
+        val bf = buildStringFilter(dim, key, expectedItems, fpp)
+        fact.filter(mightContain(col(key), serialize(bf)))
+      case ByteType | ShortType | IntegerType | LongType =>
+        val bf = buildLongFilter(dim, key, expectedItems, fpp)
+        fact.filter(mightContain(col(key).cast("long"), serialize(bf)))
+      case dt => throw new IllegalArgumentException(
+        s"prunedJoin supports integral/string join keys, got $dt")
+    }
     pruned.join(dim.hint("merge"), Seq(key))
   }
 

@@ -107,8 +107,11 @@ object Graph {
       .localCheckpoint()
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    // one sortable orientation key: degree-major, id-minor (both < 2^31)
-    val ord = deg.select(col("n"), (col("d") * 4294967296L + col("n")).as("o"))
+    // one sortable orientation key: degree-major, id-minor. A struct
+    // compares lexicographically, so the total order holds for ANY id
+    // range (negative or > 2^32) — a packed d*2^32+n long would collide
+    // or invert there and silently miscount.
+    val ord = deg.select(col("n"), struct(col("d"), col("n")).as("o"))
     val withOrd = e
       .join(ord.select(col("n").as("a"), col("o").as("oa")), "a")
       .join(ord.select(col("n").as("b"), col("o").as("ob")), "b")

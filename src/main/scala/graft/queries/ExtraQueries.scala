@@ -149,13 +149,17 @@ object ExtraQueries {
     // declared query times the READ, not the write.
     QueryDef("scan_schema_evolution",
       (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")))
+        // Key the fixture on a data fingerprint (row count) as well as the
+        // path, so a regenerated dataset at the same dir can never be
+        // served a stale fixture while the oracle reads the live table.
+        val fp = o.count()
         val root = new File(
-          s"/tmp/graft_evo_${dir.replaceAll("[^0-9a-zA-Z]", "_")}")
+          s"/tmp/graft_evo_${dir.replaceAll("[^0-9a-zA-Z]", "_")}_$fp")
         if (!root.exists()) {
-          val stage = new File(root.getPath + "_stage")
-          deleteRecursively(stage)
-          val o = Tables.read(s, dir, "orders")
-            .withColumn("yr", year(col("o_orderdate")))
+          // unique stage per attempt: concurrent builders never collide
+          val stage = new File(root.getPath + s"_stage_${System.nanoTime()}")
           o.filter(col("yr") < 1995)
             .select("o_orderkey", "o_custkey", "o_totalprice")
             .write.parquet(stage.getPath + "/v1")
@@ -163,7 +167,12 @@ object ExtraQueries {
             .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
               col("o_orderpriority")) // the evolved column
             .write.parquet(stage.getPath + "/v2")
-          if (!stage.renameTo(root)) deleteRecursively(stage)
+          if (!stage.renameTo(root)) {
+            deleteRecursively(stage)
+            // losing a rename race to a concurrent builder is fine; any
+            // other rename failure must fail loudly, not read nothing
+            require(root.exists(), s"atomic move to $root failed")
+          }
         }
         s.read.option("mergeSchema", "true")
           .parquet(root.getPath + "/v1", root.getPath + "/v2")

@@ -52,6 +52,17 @@ class BloomSpec extends SparkSpec {
     assert(Set("a", "b").subsetOf(kept))
   }
 
+  test("string-keyed prunedJoin keeps non-numeric keys (no silent drops)") {
+    import spark.implicits._
+    // a long-cast build/probe would NULL these keys out and drop every row
+    val fact = Seq("clerk-a", "clerk-b", "clerk-a", "clerk-z").toDF("k")
+    val dim = Seq(("clerk-a", 1), ("clerk-b", 2), ("clerk-q", 3)).toDF("k", "v")
+    val got = BloomJoinOps.prunedJoin(fact, dim, "k")
+      .as[(String, Int)].collect().sorted.toSeq
+    val want = fact.join(dim, Seq("k")).as[(String, Int)].collect().sorted.toSeq
+    assert(got == want && got.size == 3)
+  }
+
   test("an empty build side prunes everything instead of crashing") {
     import spark.implicits._
     val fact = Seq(1L, 2L, 3L).toDF("k")

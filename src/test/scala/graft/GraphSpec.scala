@@ -86,6 +86,19 @@ class GraphSpec extends SparkSpec {
     assert(row.getDouble(3) == 1.0, "global_cc")
   }
 
+  test("triangle stats: ids beyond 2^32 and negative ids still order correctly") {
+    import spark.implicits._
+    // a packed d*2^32+n orientation key overflows/inverts on these ids;
+    // the struct order must still count the single triangle exactly
+    val big = 1L << 40
+    val edges = Seq((-5L, big), (big, 7L), (7L, -5L), (7L, big + 1))
+      .toDF("u", "v")
+    val row = Graph.triangleStats(edges).collect().head
+    assert(row.getLong(0) == 4L, "n_nodes")
+    assert(row.getLong(1) == 4L, "n_edges")
+    assert(row.getLong(2) == 1L, "n_triangles")
+  }
+
   test("triangle stats: path graph has zero triangles, cc 0") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
