@@ -109,6 +109,36 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental dedup — flag NEW-batch documents that near-duplicate the
+    * EXISTING corpus, without re-pairing the corpus against itself. This
+    * is the production shape of dedup at 100 TB: the corpus's LSH band
+    * keys are a persisted signature store (KB per million docs of
+    * (band, bandHash) pairs, refreshed per ingest); each new snapshot
+    * computes only ITS signatures and probes the store with a semi-join on
+    * the band key. Shuffle ∝ |new batch| + |store|, never |corpus|², and
+    * the corpus text is not even read once the store exists. Candidate
+    * semantics are identical to [[minhashPairs]]' bucketing: a new doc is
+    * flagged iff ≥1 of its 4 bands collides with any corpus band.
+    *
+    * `isNew` is a predicate over `doc_id` (it is re-applied to the banded
+    * signatures, which carry only the id); every new doc appears in the
+    * output — docs too short to shingle (< 2 tokens) have no signature and
+    * report `is_dup = false`.
+    */
+  def incrementalFlags(docs: DataFrame, isNew: Column): DataFrame = {
+    val banded = bandedSignatures(docs).withColumn("is_new", isNew)
+    val store = banded.filter(!col("is_new"))
+      .select("band", "bh").distinct()
+    val hits = banded.filter(col("is_new"))
+      .join(store, Seq("band", "bh"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(true))
+    docs.filter(isNew).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical-id assignment over the near-dup graph: bounded min-label
     * propagation over the minhash pair edges. Each round, every doc takes
     * the min doc_id among itself and its neighbors; `rounds` rounds resolve

@@ -109,14 +109,44 @@ object TextAnalysis {
     * Returns one row per (eval doc, best-matching other doc): shared
     * count, the eval doc's shingle count, and the contamination verdict.
     */
-  def decontaminate(docs: DataFrame, evalBp: Int = 2000,
-      minShare: Double = 0.5, maxShingleDf: Int = 64): DataFrame = {
+  /** Distinct 8-token shingles of the tokenized text column `t` —
+    * the span unit shared by [[decontaminate]] and [[dupSpans]].
+    */
+  private def octograms: Column = {
     val t = col("t")
-    val octograms = array_distinct(
+    array_distinct(
       when(size(t) >= 8,
         transform(sequence(lit(0), size(t) - 8),
           i => concat_ws(" ", slice(t, i + 1, lit(8)))))
         .otherwise(array().cast("array<string>")))
+  }
+
+  /** Cross-document duplicated-span profile: for every document, how many
+    * of its distinct 8-token shingles also occur in at least one OTHER
+    * document (the RefinedWeb/C4-style "duplicated span" signal used to
+    * gate boilerplate-heavy pages). Two shuffles, both keyed small:
+    * shingle-DF by shingle hash (map-side combinable), then the per-doc
+    * rollup by doc_id. The ratio is fixed-point parts-per-million integer
+    * math so the result is bit-stable across engines.
+    *
+    * Docs with < 8 tokens have no spans and are absent — at scale they're
+    * gated earlier by the length filters (`curation_funnel`).
+    */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val sh = withTokens(docs)
+      .select(col("doc_id"), explode(octograms).as("sh"))
+    // per-doc distinct shingles => count(1) per shingle IS document freq
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ppm", expr("(n_dup_spans * 1000000) div n_spans"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminate(docs: DataFrame, evalBp: Int = 2000,
+      minShare: Double = 0.5, maxShingleDf: Int = 64): DataFrame = {
     val shAll = withTokens(docs)
       .select(col("doc_id"), explode(octograms).as("sh"))
     // Stop-shingle cap: a genuine-content 8-gram's document frequency is

@@ -264,6 +264,45 @@ object AnalyticsQueries {
              |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
              |WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin)),
 
+    // Blocked fuzzy join (entity resolution): probe names with one
+    // mutated character recover their source row via levenshtein <= 1,
+    // with equality on a 12-char prefix block as the candidate gate. The
+    // blocking key is the scale lever: the edit-distance predicate only
+    // runs inside prefix buckets, so the join is hash-equi on the block
+    // (broadcast here — probes are small; shuffle-on-block when not),
+    // never an all-pairs theta join. Standard record-linkage tradeoff,
+    // mirrored by the oracle: edits inside the block prefix are missed.
+    // Probes are derived deterministically from the table itself
+    // (every 19th customer, last char replaced) so the demo needs no
+    // side fixture.
+    QueryDef("join_fuzzy",
+      (s, dir) => {
+        val cust = Tables.read(s, dir, "customer")
+          .select("c_custkey", "c_name")
+        val probes = cust.filter(pmod(col("c_custkey"), lit(19)) === 0)
+          .select(col("c_custkey").as("probe_id"),
+            concat(expr("substring(c_name, 1, length(c_name) - 1)"),
+              lit("X")).as("probe_name"))
+        broadcast(probes.withColumn("blk", substring(col("probe_name"), 1, 12)))
+          .join(cust.withColumn("blk", substring(col("c_name"), 1, 12)), "blk")
+          .filter(levenshtein(col("probe_name"), col("c_name")) <= 1)
+          .select(col("probe_id"), col("probe_name"),
+            col("c_custkey"), col("c_name"),
+            levenshtein(col("probe_name"), col("c_name")).cast("long")
+              .as("edit_dist"))
+          .orderBy("probe_id", "c_custkey")
+      },
+      Some("""WITH probes AS (
+             |  SELECT c_custkey AS probe_id,
+             |    substring(c_name, 1, length(c_name) - 1) || 'X' AS probe_name
+             |  FROM customer WHERE c_custkey % 19 = 0)
+             |SELECT p.probe_id, p.probe_name, c.c_custkey, c.c_name,
+             |  CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS edit_dist
+             |FROM probes p JOIN customer c
+             |  ON substring(p.probe_name, 1, 12) = substring(c.c_name, 1, 12)
+             |WHERE levenshtein(p.probe_name, c.c_name) <= 1
+             |ORDER BY p.probe_id, c.c_custkey""".stripMargin)),
+
     // JSON extraction from the props column
     QueryDef("fn_json_extract",
       (s, dir) => Tables.read(s, dir, "events")

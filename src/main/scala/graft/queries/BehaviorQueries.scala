@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Product-analytics operators over the events stream: ordered funnel
+  * conversion and weekly cohort retention — the two queries every
+  * behavioral warehouse runs daily. Both are expressed as co-partitioned
+  * aggregations on `user_id` (the natural 100 TB shuffle key: one hash
+  * exchange per stage, reused across stages because every groupBy/join in
+  * the plan keys on the same column).
+  */
+object BehaviorQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Ordered funnel: view -> click (within 7 days of the first view) ->
+    // purchase (within 7 days of the qualifying click). Step N's entry
+    // time is the user's EARLIEST step-N event at-or-after their step-N-1
+    // entry — the standard "ordered funnel with conversion window"
+    // semantics. Each step is one filter + groupBy(user_id) + min(ts);
+    // the step-to-step joins are on user_id, co-partitioned with the
+    // aggregations, so the whole funnel is one exchange per step over
+    // ONLY that step's event type (the filters push to the scan).
+    QueryDef("events_funnel",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+          .select("user_id", "event_type", "ts")
+        val step1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val step2 = ev.filter(col("event_type") === "click")
+          .join(step1, "user_id")
+          .filter(col("ts") >= col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val step3 = ev.filter(col("event_type") === "purchase")
+          .join(step2, "user_id")
+          .filter(col("ts") >= col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        val counts = step1.agg(count(lit(1)).as("n1"))
+          .crossJoin(step2.agg(count(lit(1)).as("n2")))
+          .crossJoin(step3.agg(count(lit(1)).as("n3")))
+        counts.select(explode(array(
+            struct(lit(1L).as("step"), lit("view").as("event_type"),
+              col("n1").as("n_users"),
+              lit(1000000L).as("conv_ppm")),
+            struct(lit(2L).as("step"), lit("click").as("event_type"),
+              col("n2").as("n_users"),
+              expr("(n2 * 1000000) div n1").as("conv_ppm")),
+            struct(lit(3L).as("step"), lit("purchase").as("event_type"),
+              col("n3").as("n_users"),
+              expr("(n3 * 1000000) div n1").as("conv_ppm")))).as("r"))
+          .select("r.step", "r.event_type", "r.n_users", "r.conv_ppm")
+          .orderBy("step")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |            WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |       JOIN s1 USING (user_id)
+             |       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+             |         AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |       JOIN s2 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+             |         AND e.ts <= s2.t2 + INTERVAL 7 DAY GROUP BY 1),
+             |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             |             (SELECT count(*) FROM s2) AS n2,
+             |             (SELECT count(*) FROM s3) AS n3)
+             |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+             |  n1 AS n_users, CAST(1000000 AS BIGINT) AS conv_ppm FROM n
+             |UNION ALL
+             |SELECT 2, 'click', n2, n2 * 1000000 // n1 FROM n
+             |UNION ALL
+             |SELECT 3, 'purchase', n3, n3 * 1000000 // n1 FROM n
+             |ORDER BY step""".stripMargin)),
+
+    // Weekly cohort retention: users grouped by the Monday-truncated week
+    // of their FIRST event; a cell (cohort_week, week_offset) counts the
+    // cohort's users active in that later week. Two aggregations, both
+    // keyed on user_id until the final small rollup — the cohort join is
+    // co-partitioned with the first groupBy, and the (cohort, offset)
+    // rollup's distinct is bounded by |users| × |weeks|, tiny relative to
+    // the event count it reduces from.
+    QueryDef("events_retention",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events").select("user_id", "ts")
+        val cohort = ev.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).cast("date")
+            .as("cohort_week"))
+        ev.join(cohort, "user_id")
+          .select(col("cohort_week"), col("user_id"),
+            expr("datediff(CAST(ts AS DATE), cohort_week) div 7")
+              .cast("long").as("week_offset"))
+          .distinct()
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH cohort AS (
+             |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+             |    AS cohort_week
+             |  FROM events GROUP BY 1),
+             |act AS (SELECT DISTINCT c.cohort_week, e.user_id,
+             |  CAST(date_diff('day', c.cohort_week, CAST(e.ts AS DATE)) // 7
+             |       AS BIGINT) AS week_offset
+             |  FROM events e JOIN cohort c USING (user_id))
+             |SELECT cohort_week, week_offset, count(*) AS n_users
+             |FROM act GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
+  )
+}

@@ -185,6 +185,29 @@ object CurationQueries {
               |  t.n_shared >= s.n_shingles * 0.5 AS contaminated
               |FROM top t JOIN sz s USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
 
+    // Cross-document duplicated-span profile: per doc, the share of its
+    // distinct 8-token shingles that occur in >= 1 OTHER document — the
+    // RefinedWeb/C4 "duplicated span" gate. Fixed-point ppm keeps the
+    // ratio bit-stable across engines (TextAnalysis.dupSpans).
+    QueryDef("text_dup_spans",
+      (s, dir) => TextAnalysis.dupSpans(Tables.read(s, dir, "documents")),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              |  FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, sh FROM (
+              |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+              |    THEN [array_to_string(t[i:i+7], ' ')
+              |          for i in generate_series(1, len(t) - 7)]
+              |    ELSE [] END) AS sh FROM tk)),
+              |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+              |SELECT s.doc_id, count(*) AS n_spans,
+              |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_dup_spans,
+              |  CAST((sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1000000)
+              |    // count(*) AS BIGINT) AS dup_ppm
+              |FROM sh s JOIN df USING (sh)
+              |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
     // End-to-end curation pipeline, one declared plan: cheap per-row gates
     // FIRST (length/token floors — map-side, prunes before any shuffle),
     // then exact dedup keep-first among survivors, then the deterministic

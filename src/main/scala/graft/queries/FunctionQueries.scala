@@ -257,6 +257,37 @@ object FunctionQueries {
              |array_to_string(list_filter(t[1:8], x -> x <> 'the'), ',') AS head8_nothe
              |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
              |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // URL decomposition — the web-crawl curation primitive (domain mix,
+    // per-host dedup, query-param stripping all start here). Spark's
+    // parse_url is a codegen'd built-in; the URLs are built
+    // deterministically from table columns so the demo needs no fixture.
+    // DuckDB lacks parse_url, so the oracle mirrors with anchored
+    // regexp_extract — same component grammar.
+    QueryDef("fn_url_parse",
+      (s, dir) => {
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id").cast("string"),
+          lit("?lang="), col("lang"), lit("&sz="), col("n_chars").cast("string"))
+        Tables.read(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"),
+            parse_url(col("url"), lit("QUERY"), lit("sz")).as("q_sz"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+             |regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+             |regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang,
+             |regexp_extract(url, '[?&]sz=([^&#]*)', 1) AS q_sz
+             |FROM (SELECT doc_id,
+             |  'https://' || source || '.example.com/docs/' ||
+             |  CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&sz=' ||
+             |  CAST(n_chars AS VARCHAR) AS url FROM documents)
              |ORDER BY doc_id""".stripMargin))
   )
 }

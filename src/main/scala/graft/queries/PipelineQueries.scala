@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.QueryDef
 import graft.QueryDef.Sql
@@ -213,6 +213,16 @@ object PipelineQueries {
     QueryDef("dedup_cluster_lss",
       (s, dir) => Dedup.clusterLss(Tables.read(s, dir, "documents")),
       Some(lssOracle)),
+
+    // Incremental dedup: the NEW snapshot (every 10th doc id, standing in
+    // for an ingest batch) probes the CORPUS's persisted LSH band keys
+    // with a semi-join — corpus text is never re-paired against itself.
+    // The production shape of dedup-at-ingest (see Dedup.incrementalFlags).
+    QueryDef("dedup_incremental",
+      (s, dir) => Dedup.incrementalFlags(
+        Tables.read(s, dir, "documents"),
+        pmod(col("doc_id"), lit(10)) === 0),
+      Some(incrementalOracle)),
 
     QueryDef("dedup_embedding_banded",
       (s, dir) => Similarity.embeddingNearDupsBanded(
@@ -507,6 +517,20 @@ object PipelineQueries {
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
        |WHERE est_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Mirror of Dedup.incrementalFlags: corpus band keys distinct'd into
+    * the "store", new-batch bands semi-join it, unmatched new docs (and
+    * docs too short to shingle) report false.
+    */
+  private lazy val incrementalOracle: String =
+    s"""WITH $bandedCtesSql,
+       |store AS (SELECT DISTINCT band, bh FROM banded WHERE doc_id % 10 <> 0),
+       |hits AS (SELECT DISTINCT b.doc_id FROM banded b
+       |         JOIN store USING (band, bh) WHERE b.doc_id % 10 = 0)
+       |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+       |LEFT JOIN hits h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Mirror of Dedup.cluster: minhash pair edges, then 3 fixed rounds of
     * min-label propagation (label = min over self + neighbors).
