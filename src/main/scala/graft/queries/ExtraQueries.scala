@@ -256,6 +256,42 @@ object ExtraQueries {
              |                                ORDER BY ts, event_id) AS prev_us
              |      FROM events)))
              |GROUP BY user_id, sess
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Small-file compaction (Maintenance.compact): a deliberately
+    // fragmented 64-file copy of events is compacted to ~8 MB files
+    // (both steps once-per-dir fixtures, fingerprint-keyed like
+    // scan_schema_evolution); the declared query reads the compacted
+    // table and aggregates — the oracle checks the rewrite lost nothing
+    // against the ORIGINAL table. MaintenanceSpec gates the file-count /
+    // atomic-publish behavior itself.
+    QueryDef("maintenance_compact",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+        val fp = ev.count()
+        val frag = new File(
+          s"/tmp/graft_frag_${dir.replaceAll("[^0-9a-zA-Z]", "_")}_$fp")
+        if (!frag.exists()) {
+          val stage = new File(frag.getPath + s"_stage_${System.nanoTime()}")
+          ev.repartition(64).write.parquet(stage.getPath)
+          if (!stage.renameTo(frag)) {
+            deleteRecursively(stage)
+            require(frag.exists(), s"atomic move to $frag failed")
+          }
+        }
+        val compacted = new File(frag.getPath + "_compacted")
+        if (!compacted.exists())
+          graft.ops.Maintenance.compact(s, frag.getPath,
+            compacted.getPath, 8L << 20)
+        s.read.parquet(compacted.getPath)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

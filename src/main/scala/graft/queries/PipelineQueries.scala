@@ -472,7 +472,18 @@ object PipelineQueries {
              |SELECT c_user AS user_id, c_id, p_id
              |FROM c JOIN p ON c_user = p_user
              |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTE
-             |ORDER BY user_id, c_id, p_id""".stripMargin))
+             |ORDER BY user_id, c_id, p_id""".stripMargin)),
+
+    // Exactly-once under at-least-once delivery: duplicate-injected input
+    // (every 10th event re-delivered), dedup on the id, aggregate — the
+    // result must equal the clean table's aggregate, which is what the
+    // oracle runs. Streaming face: dropDuplicatesWithinWatermark
+    // (StreamDedupSpec drives replay waves through the file source).
+    QueryDef("stream_dedup",
+      (s, dir) => Streams.dedupBatch(s, dir),
+      Some("""SELECT event_type, count(*) AS n_events,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   // ---- generated oracles --------------------------------------------------

@@ -234,6 +234,79 @@ object ProfilingQueries {
              |day_max IS NULL AS is_gap
              |FROM j ORDER BY user_id, day""".stripMargin)),
 
+    // Linear gap interpolation — ts_gapfill's forward-fill upgraded to
+    // the line between the surrounding observations (sensor/metric
+    // imputation). All arithmetic in scale-6 fixed-point longs (DECIMAL
+    // extract, integer multiply, truncating div — Spark `div` and
+    // DuckDB `//` both truncate toward zero) so interpolated values are
+    // bit-identical across engines. Same grid and the same two
+    // window-pass shape as gapfill: one partition pass computes
+    // prev/next observation value AND day; boundary days are observed
+    // by construction (the grid spans min..max observed), so interior
+    // gaps always have both neighbors.
+    QueryDef("ts_interpolate",
+      (s, dir) => {
+        val daily = Tables.read(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg((max(col("value")).cast("decimal(18,6)") * 1000000)
+            .cast("long").as("v_us"))
+        val days = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val g = days.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("dnum",
+            datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        val wPrev = Window.partitionBy("user_id").orderBy("dnum")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy("user_id").orderBy("dnum")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        g.withColumn("pv", last(col("v_us"), ignoreNulls = true).over(wPrev))
+          .withColumn("pd", last(when(col("v_us").isNotNull, col("dnum")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("v_us"), ignoreNulls = true).over(wNext))
+          .withColumn("nd", first(when(col("v_us").isNotNull, col("dnum")),
+            ignoreNulls = true).over(wNext))
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            when(col("v_us").isNotNull, col("v_us"))
+              .otherwise(expr("pv + ((nv - pv) * (dnum - pd)) div (nd - pd)"))
+              .as("interp_us"),
+            col("v_us").isNull.as("is_gap"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(CAST(max(value) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+             |      AS v_us
+             |  FROM events GROUP BY 1, 2),
+             |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             |  FROM daily GROUP BY 1),
+             |days AS (SELECT user_id,
+             |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM spans),
+             |g AS (SELECT days.user_id, days.day, daily.v_us,
+             |  date_diff('day', DATE '1970-01-01', days.day) AS dnum
+             |  FROM days LEFT JOIN daily USING (user_id, day)),
+             |w AS (SELECT user_id, day, v_us, dnum,
+             |  last_value(v_us IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY dnum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |  last_value(CASE WHEN v_us IS NOT NULL THEN dnum END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id
+             |    ORDER BY dnum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             |  first_value(v_us IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY dnum ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |  first_value(CASE WHEN v_us IS NOT NULL THEN dnum END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id
+             |    ORDER BY dnum ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             |  FROM g)
+             |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+             |  CASE WHEN v_us IS NOT NULL THEN v_us
+             |       ELSE pv + ((nv - pv) * (dnum - pd)) // (nd - pd) END
+             |    AS interp_us,
+             |  v_us IS NULL AS is_gap
+             |FROM w ORDER BY user_id, day""".stripMargin)),
+
     // Rolling z-score outliers over the trailing 20 events per user.
     // Cross-engine exactness trick: the window sums run over DECIMAL
     // (order-independent, bit-exact), only the final mean/std/z math is

@@ -32,6 +32,53 @@ object Streams {
     windowedAgg(Tables.read(spark, dir, "events"))
       .orderBy("window_start", "event_type")
 
+  /** Exactly-once ingestion under at-least-once delivery, batch face: the
+    * input is the events table with every 10th event re-delivered (the
+    * injected duplicates stand in for a replaying feed); `dropDuplicates`
+    * on the event id restores exactly-once, and the aggregate equals the
+    * clean table's — which is precisely what the oracle checks. Scale:
+    * dedup-by-key is one hash exchange on the id; the streaming face
+    * below bounds its state by the watermark instead of keeping all ids.
+    */
+  def dedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(spark, dir, "events")
+    val redelivered = ev.unionAll(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+    redelivered
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Streaming face: `dropDuplicatesWithinWatermark` on the event id —
+    * duplicate arrivals inside the watermark window are suppressed while
+    * state stays bounded (ids older than the watermark are evicted; a
+    * replay later than the watermark would need an idempotent sink
+    * instead). Append-mode memory sink; StreamDedupSpec drives duplicate
+    * waves through `dir` and checks the output against the distinct set.
+    */
+  def dedupStreaming(spark: SparkSession, dir: String, glob: String,
+      queryName: String, schemaFrom: String): StreamingQuery = {
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    val rawSchema = spark.read.parquet(schemaFrom).schema
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", glob)
+      .format("parquet")
+      .load(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   /** Sessionization, batch form (gaps-and-islands): a new session starts
     * after a quiet gap > `gapMinutes`. Classic curation/analytics shape;
     * all arithmetic in epoch-microsecond integers so the DuckDB oracle is

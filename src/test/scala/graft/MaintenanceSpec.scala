@@ -1,0 +1,90 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Maintenance
+import graft.streaming.Streams
+
+/** Compaction + streaming-dedup invariants (round 4). */
+class MaintenanceSpec extends SparkSpec {
+
+  private def cleanDir(name: String): String = {
+    val d = new File(s"/tmp/graft_maint_$name")
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(d)
+    d.getPath
+  }
+
+  test("compact: 64 fragments become few files with identical data") {
+    val frag = cleanDir("frag")
+    val out = cleanDir("out")
+    val ev = Tables.read(spark, sf, "events")
+    ev.repartition(64).write.parquet(frag)
+    assert(new File(frag).listFiles().count(_.getName.endsWith(".parquet")) == 64)
+    val stats = Maintenance.compact(spark, frag, out, 1L << 30) // one big file
+    assert(stats.inFiles == 64 && stats.outFiles == 1L)
+    assert(stats.rows == ev.count())
+    // content identical, not just counted: compare full aggregates
+    val agg = (d: org.apache.spark.sql.DataFrame) => d
+      .agg(count(lit(1)), sum(col("event_id")),
+        sum(col("value").cast("decimal(18,6)"))).collect().head.toSeq
+    assert(agg(spark.read.parquet(out)) == agg(ev))
+  }
+
+  test("compact: target bytes controls the output file count") {
+    val frag = cleanDir("frag2")
+    val out = cleanDir("out2")
+    Tables.read(spark, sf, "events").repartition(16).write.parquet(frag)
+    val inBytes = new File(frag).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = inBytes / 4 + 1
+    val stats = Maintenance.compact(spark, frag, out, target)
+    // ceil(inBytes / target) = 4 (±0 — the sizing is driver metadata math)
+    assert(stats.outFiles == (inBytes + target - 1) / target)
+  }
+
+  test("streaming dedup suppresses replayed events within the watermark") {
+    import spark.implicits._
+    val dir = cleanDir("stream")
+    new File(dir).mkdirs()
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val raw = spark.read.parquet(Tables.path(sf, "events"))
+    def wave(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir-tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      new File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+            new org.apache.hadoop.fs.Path(s"$dir/$name-$i.parquet"))
+        }
+    }
+    // wave 1: the time-wise first half; wave 2: the WHOLE table — i.e.
+    // every wave-1 event replayed (at-least-once delivery) plus the
+    // fresh second half. Splitting on event TIME keeps the fresh rows
+    // ahead of the watermark (an id-based split could land fresh rows
+    // behind it and they'd be dropped as late, not as duplicates).
+    // Replayed rows are suppressed by dedup state (recent) or the
+    // watermark (old) — either way each id is emitted exactly once.
+    val midTs = raw.orderBy("ts").select("ts")
+      .collect()(raw.count().toInt / 2).getLong(0)
+    wave(raw.filter(col("ts") < midTs), "w1")
+    val q = Streams.dedupStreaming(spark, dir, "*.parquet", "dedup_out",
+      Tables.path(sf, "events"))
+    try {
+      q.processAllAvailable()
+      wave(raw, "w2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.sql("SELECT event_id FROM dedup_out")
+      .as[Long].collect()
+    assert(emitted.length == emitted.distinct.length, "duplicate emitted")
+    assert(emitted.toSet ==
+      raw.select("event_id").as[Long].collect().toSet, "missing or extra ids")
+  }
+}
