@@ -51,6 +51,16 @@ object Clustering {
   /** Fit internals: (exploded corpus, final assignment, final centroids).
     * Shared by the reported summary and the cost diagnostic.
     */
+  /** The shared exploded-decimal vector space: one row per (vec, dim),
+    * components quantized to DECIMAL(12,8) so every downstream sum is
+    * order-independent and bit-identical to the DuckDB oracle.
+    */
+  private[graft] def explodeDecimal(emb: DataFrame): DataFrame = emb
+    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    .select(col("vec_id"), col("dim"),
+      col("x").cast("double").cast("decimal(12,8)").as("xq"))
+    .localCheckpoint()
+
   private[graft] def kmeansFit(emb: DataFrame, k: Int, iters: Int,
       initSeed: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1, s"kmeansLloyd needs at least one iteration, got $iters")
@@ -58,11 +68,7 @@ object Clustering {
     // init join — materialize it once (MEMORY_AND_DISK; measured −25% at
     // sf0.1). At 100 TB flip this to a plain lazy frame: re-running the
     // map-side explode is cheaper than spilling the materialization.
-    val ex = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim"),
-        col("x").cast("double").cast("decimal(12,8)").as("xq"))
-      .localCheckpoint()
+    val ex = explodeDecimal(emb)
 
     // cen is k×dims rows and assign one row per vector; localCheckpoint
     // both each round so the iterative lineage never re-executes prior

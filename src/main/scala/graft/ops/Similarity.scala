@@ -260,9 +260,26 @@ object Similarity {
     * array space like [[ivfTopK]]. Centroid frames stay broadcast-sized;
     * the corpus never collects.
     */
+  /** Fit ONLY the coarse quantizer (the centroid table, nlists×dims rows
+    * of DECIMAL components) — the artifact a production index persists
+    * once per corpus and every probe run loads instead of re-fitting.
+    * Feed the result back through `ivfTrainedTopK(centroids = Some(...))`.
+    */
+  def fitQuantizer(emb: DataFrame, nlists: Int = 8, iters: Int = 1): DataFrame =
+    Clustering.kmeansFit(emb, nlists, iters, None)._3
+
   def ivfTrainedTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 3,
-      nlists: Int = 8, nprobe: Int = 2, iters: Int = 1): DataFrame = {
-    val (ex, _, cen) = Clustering.kmeansFit(emb, nlists, iters, None)
+      nlists: Int = 8, nprobe: Int = 2, iters: Int = 1,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    // a persisted quantizer skips the Lloyd iterations entirely — the
+    // exploded corpus is still needed for assignment, but that is one
+    // map-side explode, not an iterative fit
+    val (ex, cen) = centroids match {
+      case Some(c) => (Clustering.explodeDecimal(emb), c)
+      case None =>
+        val (e, _, c) = Clustering.kmeansFit(emb, nlists, iters, None)
+        (e, c)
+    }
     val vnorm = ex.groupBy("vec_id")
       .agg(sqrt(sum(col("xq") * col("xq")).cast("double")).as("vnrm"))
     val cnorm = cen.groupBy("cluster")

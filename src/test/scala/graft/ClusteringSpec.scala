@@ -58,4 +58,20 @@ class ClusteringSpec extends SparkSpec {
     assert(seeded < firstK,
       s"sampled init cost $seeded should beat degenerate first-k $firstK")
   }
+
+  test("persisted quantizer: parquet-roundtripped centroids reproduce the fresh fit") {
+    val emb = Tables.read(spark, sf, "embeddings")
+    val fresh = graft.ops.Similarity
+      .ivfTrainedTopK(emb, nQueries = 3, k = 3, nlists = 4, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    val dir = s"/tmp/graft_quantizer_spec_${System.nanoTime()}"
+    graft.ops.Similarity.fitQuantizer(emb, nlists = 4).write.parquet(dir)
+    val cached = graft.ops.Similarity
+      .ivfTrainedTopK(emb, nQueries = 3, k = 3, nlists = 4, nprobe = 2,
+        centroids = Some(spark.read.parquet(dir)))
+      .collect().map(_.toSeq).toSeq
+    // DECIMAL components survive the parquet roundtrip bit-exactly, so
+    // the probe results must be identical, not merely close
+    assert(cached == fresh)
+  }
 }
