@@ -70,7 +70,21 @@ object Txn {
   def read(spark: SparkSession, path: String): DataFrame = {
     val v = latestVersion(path)
     require(v >= 0, s"no committed version under $path")
-    spark.read.parquet(entries(path, v).map(e => s"$path/${e._2}"): _*)
+    readVersion(spark, path, v)
+  }
+
+  /** Time travel: snapshot read of a SPECIFIC committed version. Costs
+    * the same as a latest-read — resolve one manifest, scan exactly its
+    * files — because versions are immutable data + manifest pairs; no
+    * log replay, no undo. Old versions stay readable until a vacuum
+    * deletes their files (not implemented — retention policy is
+    * deployment-specific).
+    */
+  def readVersion(spark: SparkSession, path: String, version: Int): DataFrame = {
+    require(version >= 0 &&
+      new File(txnDir(path), s"v$version.manifest").exists(),
+      s"version $version is not committed under $path")
+    spark.read.parquet(entries(path, version).map(e => s"$path/${e._2}"): _*)
   }
 
   /** Write `df` as version `v`'s data files (one dir per partition value,

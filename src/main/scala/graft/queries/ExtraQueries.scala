@@ -292,6 +292,84 @@ object ExtraQueries {
       },
       Some("""SELECT event_type, count(*) AS n_events,
              |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Time travel over the versioned-manifest table (ops/Txn): v0 commits
+    // the pre-1995 orders, v1 the full table; the query reads BOTH
+    // versions by manifest — same cost as a latest-read (resolve one
+    // manifest, scan its files; versions are immutable, no log replay).
+    // Fixture is fingerprint-keyed; Txn's atomic manifest publish makes
+    // a half-built fixture invisible and double-builders fail loudly.
+    QueryDef("scan_time_travel",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+        val fp = o.count()
+        // split year in the key: the fixture layout is a function of it
+        val root =
+          s"/tmp/graft_tt_${dir.replaceAll("[^0-9a-zA-Z]", "_")}_${fp}_y1998"
+        if (graft.ops.Txn.latestVersion(root) < 1) {
+          if (graft.ops.Txn.latestVersion(root) < 0)
+            graft.ops.Txn.commit(s, root,
+              o.filter(year(col("o_orderdate")) < 1998), "o_orderpriority")
+          graft.ops.Txn.commit(s, root, o, "o_orderpriority")
+        }
+        def snap(v: Int) = graft.ops.Txn.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .select(lit(v.toLong).as("version"), col("n_orders"), col("total"))
+        snap(0).unionByName(snap(1)).orderBy("version")
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders WHERE year(o_orderdate) < 1998
+             |UNION ALL
+             |SELECT 1, count(*),
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders ORDER BY version""".stripMargin)),
+
+    // Bad-record quarantine on JSON ingestion (the reference's input is
+    // JSON APIs; a malformed payload must quarantine, not kill the job).
+    // The fixture corrupts every 50th line deterministically; the
+    // PERMISSIVE read routes garbage into a corrupt-record column, and
+    // the aggregate splits good/quarantined — the oracle derives the
+    // same split from the clean table by the corruption rule.
+    QueryDef("scan_badrecords",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+        val fp = ev.count()
+        val fix = new File(
+          s"/tmp/graft_badjson_${dir.replaceAll("[^0-9a-zA-Z]", "_")}_$fp")
+        if (!fix.exists()) {
+          val stage = new File(fix.getPath + s"_stage_${System.nanoTime()}")
+          ev.withColumn("l", to_json(struct(col("event_id"),
+              col("event_type"), col("value"))))
+            .select(
+              when(pmod(col("event_id"), lit(50)) === 0,
+                concat(expr("substring(l, 1, 12)"), lit(" <<truncated")))
+                .otherwise(col("l")).as("value"))
+            .write.text(stage.getPath)
+          if (!stage.renameTo(fix)) {
+            deleteRecursively(stage)
+            require(fix.exists(), s"atomic move to $fix failed")
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id LONG, event_type STRING, value DOUBLE, _bad STRING")
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(fix.getPath)
+          .agg(count(when(col("_bad").isNull, 1)).as("n_good"),
+            count(col("_bad")).as("n_quarantined"),
+            sum(when(col("_bad").isNull, col("value"))
+              .cast("decimal(18,6)")).cast("double").as("good_value"))
+      },
+      Some("""SELECT
+             |count(*) FILTER (WHERE event_id % 50 <> 0) AS n_good,
+             |count(*) FILTER (WHERE event_id % 50 = 0) AS n_quarantined,
+             |CAST(sum(CAST(value AS DECIMAL(18,6)))
+             |     FILTER (WHERE event_id % 50 <> 0) AS DOUBLE) AS good_value
+             |FROM events""".stripMargin))
   )
 }

@@ -159,6 +159,14 @@ class MergeSpec extends SparkSpec {
       l.startsWith("2024-01-02\t") && l.contains("data/v0/")))
     assert(!v1Manifest.asScala.exists(l =>
       l.startsWith("2024-01-01\t") && l.contains("data/v0/")))
+
+    // time travel: v0 stays readable as-committed after v1 replaced rows
+    assert(Txn.readVersion(spark, root, 0).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    intercept[IllegalArgumentException] {
+      Txn.readVersion(spark, root, 7)
+    }
   }
 }
 
