@@ -41,8 +41,12 @@ object Maintenance {
     * compaction (data is already random within a partition dir; byte
     * balance matters, key locality doesn't — callers wanting clustered
     * output compose with the z-order/bucketing writers instead). The
-    * output stages to a fresh temp dir and publishes by atomic rename, so
-    * a concurrent reader sees the old layout or the new one, never a mix.
+    * output stages to a fresh temp dir and publishes by delete + rename:
+    * a reader never sees a HALF-compacted mix, but there is a brief
+    * no-directory window between the two metadata ops — a table serving
+    * concurrent readers should publish through [[Txn]]'s versioned
+    * manifest instead (immutable files + one atomic manifest swap), which
+    * is why compaction output here is a fresh path, not an in-place swap.
     *
     * Output file count uses the INPUT's compressed bytes as the estimate
     * of the output's (same codec, same data — the error is a few percent
