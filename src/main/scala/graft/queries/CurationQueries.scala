@@ -139,6 +139,50 @@ object CurationQueries {
              |FROM toks WHERE length(token) >= 2
              |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
 
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df). Two shuffles — DF per term (map-side combinable),
+    // then the per-doc rank window — both key-bounded at 100 TB. The
+    // score is quantized to 6 decimals BEFORE ranking in BOTH engines:
+    // Java Math.log and libm log agree only to ~1 ulp, and ranking on
+    // raw doubles would let that last bit flip a rank; after
+    // quantization a flip needs two true scores within 5e-7 AND a
+    // rounding boundary between them. Ties break on the term.
+    QueryDef("text_tfidf",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val n = docs.count()
+        val tf = graft.ops.TextOps.withTokens(docs)
+          .select(col("doc_id"), explode(col("t")).as("term"))
+          .filter(length(col("term")) >= 2)
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term")
+          .agg(count(lit(1)).as("df")) // tf rows are per-doc distinct
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(desc("score_r6"), col("term"))
+        tf.join(df, "term")
+          .withColumn("score_r6",
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("term"), col("score_r6"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             |       WHERE length(term) >= 2 GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (SELECT doc_id, term,
+             |  round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score_r6
+             |  FROM tf JOIN df USING (term) CROSS JOIN n)
+             |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_r6
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY score_r6 DESC, term) AS rank FROM scored)
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     QueryDef("fn_quantize_embedding",
       (s, dir) => Similarity.quantizeInt8(Tables.read(s, dir, "embeddings")),
       Some("""WITH e AS (SELECT vec_id, embedding,
