@@ -108,6 +108,45 @@ object Bpe {
     batch.toSeq
   }
 
+  /** ENCODE with a trained merge table: every word seeds as characters
+    * and the merges replay in rank order through the SAME greedy
+    * left-to-right [[mergeFold]] the trainer folds with — so
+    * encode(train(corpus)) reproduces the trainer's final symbol state
+    * exactly (BpeSpec proves it against an independent serial encoder).
+    *
+    * The merge table collects to the driver — O(vocab) rows, the
+    * tokenizer artifact every production system ships to workers — and
+    * unrolls into a STATIC nested expression (one codegen'd projection;
+    * no joins, no shuffles, no per-row interpretation of the table). A
+    * 32k-merge vocabulary would switch to a broadcast trie walked in a
+    * mapPartitions encoder; the per-word semantics stay this function.
+    *
+    * Returns (doc_id, n_words, n_chars, n_bpe_tokens, compression_ppm):
+    * chars-per-token in fixed-point, the number a tokenizer team actually
+    * tracks per corpus slice.
+    */
+  def encode(docs: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val merges = mergeTable.orderBy("merge_rank")
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val encoded = merges.foldLeft(chars) {
+      case (sym, (l, r)) => mergeFold(sym, l, r)
+    }
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(col("doc_id"), length(col("w")).cast("long").as("nc"),
+        size(encoded).cast("long").as("nt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nt")).as("n_bpe_tokens"))
+      .withColumn("compression_ppm",
+        expr("(n_chars * 1000000) div n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Train `merges` BPE merges over the whitespace tokens of `docs(text)`.
     * Returns the merge table: (merge_rank, left, right, pair_freq) —
     * bit-identical to the serial one-merge-per-round trainer, in a number

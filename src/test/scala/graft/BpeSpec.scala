@@ -126,4 +126,53 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(again == got)
   }
+
+  /** Independent serial encoder: chars, then each merge greedy
+    * left-to-right — the same pass `referenceBpe` applies while training.
+    */
+  private def referenceEncode(w: String,
+      merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(w.map(_.toString).toVector) { case (sym, (l, r)) =>
+      val acc = mutable.Buffer.empty[String]
+      sym.foreach { x =>
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc(acc.length - 1) = l + r
+        else acc += x
+      }
+      acc.toVector
+    }
+
+  test("encode: token counts match the serial encoder on real documents") {
+    import spark.implicits._
+    val docs = graft.core.Tables.read(spark, sf, "documents")
+    val tbl = Bpe.train(docs, merges = 8)
+    val merges = tbl.orderBy("merge_rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val got = Bpe.encode(docs, tbl)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    val want = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        id -> text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          .map(w => referenceEncode(w, merges).length.toLong).sum
+      }.toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("encode: greedy order on repeated-pair runs matches the reference") {
+    import spark.implicits._
+    // 'aaaa' -> [aa][aa]; 'aaa' -> [aa][a]; cascades via the (aa,aa) merge
+    val docs = Seq((1L, "aaaa aaaa aaa aa a"), (2L, "aaaaaa ab"))
+      .toDF("doc_id", "text")
+    val tbl = Bpe.train(docs, merges = 3)
+    val merges = tbl.orderBy("merge_rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val got = Bpe.encode(docs, tbl)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    val want = Map(
+      1L -> "aaaa aaaa aaa aa a".split(" ")
+        .map(w => referenceEncode(w, merges).length.toLong).sum,
+      2L -> "aaaaaa ab".split(" ")
+        .map(w => referenceEncode(w, merges).length.toLong).sum)
+    assert(got == want)
+  }
 }
