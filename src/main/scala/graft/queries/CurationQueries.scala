@@ -139,6 +139,56 @@ object CurationQueries {
              |FROM toks WHERE length(token) >= 2
              |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
 
+    // Temperature-rebalanced source mix (the multilingual-training trick,
+    // α = 0.5): per-source keep rates ∝ sqrt(share), so over-represented
+    // sources are down-sampled and the tail keeps (relatively) more —
+    // here sized to keep ~half the corpus. DATA-DERIVED rates, unlike
+    // sample_stratified's static map: counts → sqrt weights → integer
+    // basis-point thresholds, then one salted-hash filter. All threshold
+    // arithmetic is integer (sqrt quantized to 1e-3 first — IEEE sqrt is
+    // correctly rounded in both engines, and the integer sum is
+    // order-independent where a double Σsqrt would drift with addition
+    // order). int64 bounds hold to ~1e12 docs/source; past that the
+    // threshold math moves to DECIMAL(38). The rates frame is tiny →
+    // broadcast onto the corpus scan; one shuffle total (the final
+    // per-source rollup).
+    QueryDef("curation_temperature_sample",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+          .withColumn("w",
+            floor(sqrt(col("n").cast("double")) * 1000).cast("long"))
+        val tot = counts.agg(sum("n").as("ntot"), sum("w").as("sumw"))
+        val rates = counts.crossJoin(broadcast(tot))
+          .withColumn("thr", least(lit(10000L),
+            expr("((ntot div 2) * w * 10000) div (sumw * n)")))
+          .select("source", "n", "thr")
+        docs.join(broadcast(rates), "source")
+          .withColumn("keep",
+            Sampling.hashBucket(col("doc_id"), "temp") < col("thr"))
+          .groupBy("source")
+          .agg(first(col("n")).as("n_docs"),
+            first(col("thr")).as("threshold_bp"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH counts AS (
+              |  SELECT source, count(*) AS n FROM documents GROUP BY 1),
+              |w AS (SELECT source, n,
+              |  CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w
+              |  FROM counts),
+              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot,
+              |              CAST(sum(w) AS BIGINT) AS sumw FROM w),
+              |rates AS (SELECT source, n,
+              |  least(CAST(10000 AS BIGINT),
+              |        ((ntot // 2) * w * 10000) // (sumw * n)) AS thr
+              |  FROM w CROSS JOIN tot)
+              |SELECT d.source, r.n AS n_docs, r.thr AS threshold_bp,
+              |  CAST(sum(CASE WHEN ${bucketSql("temp", "d.doc_id")} < r.thr
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              |FROM documents d JOIN rates r USING (source)
+              |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df). Two shuffles — DF per term (map-side combinable),
     // then the per-doc rank window — both key-bounded at 100 TB. The

@@ -961,6 +961,21 @@ object TpchQueries {
         src.write.mode("overwrite").json(path)
         s.read.schema(src.schema).json(path).orderBy("n_nationkey")
       },
-      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // sink breadth: ORC round-trip — the third columnar format Spark
+    // ships natively (predicate pushdown + column pruning work the same
+    // as parquet). Write is parallel, read proves losslessness; DECIMAL
+    // column included to exercise the typed path.
+    QueryDef("sink_orc_roundtrip",
+      (s, dir) => {
+        val src = Tables.read(s, dir, "part")
+          .select("p_partkey", "p_name", "p_retailprice")
+        val path =
+          s"/tmp/graft_sink_orc_demo_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        src.write.mode("overwrite").orc(path)
+        s.read.schema(src.schema).orc(path).orderBy("p_partkey")
+      },
+      Some("SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey"))
   )
 }
