@@ -55,6 +55,38 @@ object Sampling {
       .drop("__n", "__keep_bp")
   }
 
+  /** Temperature-rebalanced (α = 0.5) keep thresholds per stratum: rates
+    * ∝ sqrt(stratum share), sized so the expected kept total is half the
+    * corpus — over-represented strata are down-sampled hardest and the
+    * tail keeps (relatively) more, the multilingual data-mix trick. The
+    * returned frame is (stratum, n, thr) with thr in basis points of
+    * 10000, capped at 10000. All threshold arithmetic is integer after a
+    * single correctly-rounded IEEE sqrt quantized to 1e-3, so results are
+    * engine- and order-independent; int64 bounds hold to ~1e12 rows per
+    * stratum. Tiny output (one row per stratum) — broadcast it onto the
+    * corpus scan.
+    */
+  def temperatureThresholds(df: DataFrame, strataCol: String): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        floor(sqrt(col("n").cast("double")) * 1000).cast("long"))
+    val tot = counts.agg(sum("n").as("ntot"), sum("w").as("sumw"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("thr", least(lit(10000L),
+        expr("((ntot div 2) * w * 10000) div (sumw * n)")))
+      .select(strataCol, "n", "thr")
+  }
+
+  /** Apply [[temperatureThresholds]] as a salted-hash filter: one tiny
+    * agg broadcast back onto the scan, then a per-row filter — no second
+    * shuffle, re-run-identical.
+    */
+  def temperatureSample(df: DataFrame, strataCol: String, id: Column,
+      salt: String = "temp"): DataFrame =
+    df.join(broadcast(temperatureThresholds(df, strataCol)), strataCol)
+      .filter(hashBucket(id, salt) < col("thr"))
+      .drop("n", "thr")
+
   /** Deterministic train/val/test split by hash range:
     * [0, train) / [train, train+val) / rest, in basis points.
     * A document's split NEVER changes as the corpus grows — the property

@@ -155,14 +155,7 @@ object CurationQueries {
     QueryDef("curation_temperature_sample",
       (s, dir) => {
         val docs = Tables.read(s, dir, "documents")
-        val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
-          .withColumn("w",
-            floor(sqrt(col("n").cast("double")) * 1000).cast("long"))
-        val tot = counts.agg(sum("n").as("ntot"), sum("w").as("sumw"))
-        val rates = counts.crossJoin(broadcast(tot))
-          .withColumn("thr", least(lit(10000L),
-            expr("((ntot div 2) * w * 10000) div (sumw * n)")))
-          .select("source", "n", "thr")
+        val rates = Sampling.temperatureThresholds(docs, "source")
         docs.join(broadcast(rates), "source")
           .withColumn("keep",
             Sampling.hashBucket(col("doc_id"), "temp") < col("thr"))

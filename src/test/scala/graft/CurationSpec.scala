@@ -21,6 +21,46 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() === docs.count())
   }
 
+  test("temperature thresholds follow 1/sqrt(share), cap at 10000, and respect the half-corpus budget") {
+    import spark.implicits._
+    // Skewed fixture: strata sized so the middle ones stay below the
+    // 10000 cap (with only a dominant + one small stratum the small one
+    // ALWAYS caps — the α=0.5 upweight exceeds 100% once the size ratio
+    // passes ~5.8, so a cap-free middle needs a graded mix).
+    val sizes = Seq("a" -> 3600L, "b" -> 1600L, "c" -> 900L, "tiny" -> 4L)
+    val rows = sizes.foldLeft((1L, Seq.empty[(Long, String)])) {
+      case ((next, acc), (src, n)) =>
+        (next + n, acc ++ (next until next + n).map(i => (i, src)))
+    }._2
+    val ntot = sizes.map(_._2).sum
+    val df = rows.toDF("doc_id", "source").repartition(7)
+    val thr = Sampling.temperatureThresholds(df, "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    assert(thr("a")._1 === 3600L && thr("c")._1 === 900L)
+    // keep-rate ∝ 1/sqrt(n): strictly higher thresholds for smaller strata.
+    assert(thr("a")._2 < thr("b")._2)
+    assert(thr("b")._2 < thr("c")._2)
+    assert(thr("c")._2 < 10000L, "middle stratum unexpectedly capped")
+    // The 4-row tail's unclamped rate exceeds 100% → capped exactly at 10000.
+    assert(thr("tiny")._2 === 10000L)
+    // Expected kept total Σ n·thr/10000 never exceeds the half-corpus
+    // budget plus the capped tail's overflow (floor-only integer
+    // arithmetic), and lands near it.
+    val expectedKept = thr.values.map { case (n, t) => n * t / 10000.0 }.sum
+    assert(expectedKept <= ntot / 2 + thr("tiny")._1,
+      s"budget exceeded: $expectedKept")
+    assert(expectedKept > ntot / 2 * 0.9, s"budget badly undershot: $expectedKept")
+
+    // The applied sample is re-run identical and partitioning-independent.
+    val a = Sampling.temperatureSample(df, "source", col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.temperatureSample(df.repartition(3), "source", col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    assert(a.length > 0 && a.length < ntot)
+  }
+
   test("split is exhaustive, disjoint, and stable under corpus growth") {
     val docs = graft.core.Tables.read(spark, sf, "documents")
     val s = Sampling.split(docs, col("doc_id"), 8000, 1000)
