@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,6 +113,63 @@ object Clustering {
         sum(pow(col("xq").cast("double") - col("cd").cast("double"), 2))
           .as("cost"))
       .head.getDouble(0)
+  }
+
+  /** Dominant principal direction of the embedding corpus (uncentered
+    * PCA — the top right-singular vector of the data matrix) by power
+    * iteration over the normalized Gram matrix G = XᵀX/N, plus the
+    * matching eigenvalue estimate.
+    *
+    * Scale shape: the ONLY data-volume pass is the Gram build — a
+    * map-side double-explode of each row into its 64×64 outer-product
+    * cells followed by one partial-aggregable (i,j) sum, so the shuffle
+    * carries at most 4096 partials per task regardless of corpus size
+    * (no self-join of the exploded corpus). Every iteration then runs on
+    * the 4096-row Gram frame: a 64-row vector join + sum, a 1-row
+    * max-abs, and a re-quantized projection — constant work, so iteration
+    * count never touches the corpus again.
+    *
+    * Determinism: coordinates quantize to DECIMAL(12,8) at explode, Gram
+    * cells are exact decimal sums re-quantized once after the /N (the
+    * same idiom as the Lloyd centroid means), and each iterate is
+    * max-abs-normalized (max of exact decimals — order-independent,
+    * no sqrt) with one double division re-quantized to DECIMAL(12,8).
+    * Bit-identical across engines and partitionings; the max-magnitude
+    * dimension's loading is exactly ±1. `eig_est` is the last growth
+    * factor max|G·v| ≈ λ once v has converged.
+    */
+  def pcaPowerTop(emb: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"pcaPowerTop needs at least one iteration, got $iters")
+    val q = (c: Column) => c.cast("double").cast("decimal(12,8)")
+    val nRows = emb.agg(count(lit(1)).as("n"))
+    val gram = emb
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("i"), q(col("xi")).as("xi"),
+        posexplode(col("embedding")).as(Seq("j", "xj")))
+      .groupBy("i", "j").agg(sum(col("xi") * q(col("xj"))).as("g"))
+      .crossJoin(broadcast(nRows))
+      .select(col("i"), col("j"),
+        (col("g").cast("double") / col("n")).cast("decimal(12,8)").as("g"))
+      .localCheckpoint() // 4096 rows, referenced every iteration
+
+    var v = gram.select(col("j")).distinct()
+      .select(col("j"), lit(1).cast("decimal(12,8)").as("v"))
+    var growth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val u = gram.join(broadcast(v), "j")
+        .groupBy("i").agg(sum(col("g") * col("v")).as("u"))
+        .localCheckpoint() // 64 rows; truncate the iterative lineage
+      growth = u.agg(max(abs(col("u"))).as("m"))
+      v = u.crossJoin(broadcast(growth))
+        .select(col("i").as("j"),
+          (col("u").cast("double") / col("m").cast("double"))
+            .cast("decimal(12,8)").as("v"))
+    }
+    v.crossJoin(broadcast(growth))
+      .select(col("j").cast("long").as("dim"),
+        round(col("v").cast("double"), 6).as("loading"),
+        round(col("m").cast("double"), 6).as("eig_est"))
+      .orderBy("dim")
   }
 
   def kmeansLloyd(emb: DataFrame, k: Int, iters: Int,

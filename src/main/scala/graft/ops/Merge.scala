@@ -20,6 +20,30 @@ object Merge {
     source.unionByName(target.join(source.select(keys.map(col): _*),
       keys, "left_anti"))
 
+  /** Apply a CDC changelog (op ∈ I/U/D with a per-key-unique sequence
+    * number) to obtain final table state: for each key the highest-seq
+    * event wins; a winning D means the key is absent, otherwise the
+    * winning payload is the row (so D → later I resurrects the key).
+    *
+    * Planned as ONE hash aggregation — `max_by(struct(op, payload...),
+    * seq)` — which partial-aggregates map-side, so at 100 TB the shuffle
+    * carries one pre-reduced row per (task, key), not the raw log. The
+    * window-function formulation (`row_number() OVER (... ORDER BY seq
+    * DESC)`) computes the same thing but must sort every key-group after
+    * a full-log shuffle; the agg form is strictly better. Requires `seq`
+    * unique within a key (any CDC source's LSN/offset is).
+    */
+  def applyChangelog(log: DataFrame, keys: Seq[String], seqCol: String,
+      opCol: String): DataFrame = {
+    val payload = log.columns
+      .filterNot(c => keys.contains(c) || c == seqCol || c == opCol).toSeq
+    log.groupBy(keys.map(col): _*)
+      .agg(max_by(struct((opCol +: payload).map(col): _*), col(seqCol))
+        .as("__last"))
+      .filter(col(s"__last.$opCol") =!= "D")
+      .select(keys.map(col) ++ payload.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
   /** File-backed merge that rewrites ONLY the partitions the changeset
     * touches (`spark.sql.sources.partitionOverwriteMode=dynamic`): at
     * 100 TB a daily MERGE rewrites a handful of date partitions, not the

@@ -123,6 +123,40 @@ object PipelineQueries {
        |$iterSql""".stripMargin
   }
 
+  /** Mirror of Clustering.pcaPowerTop: the same exploded-decimal Gram
+    * (built by self-join here — the oracle has no perf constraint), /N
+    * re-quantization, and `iters` unrolled max-abs-normalized power
+    * steps. Every cast sits exactly where the engine casts.
+    */
+  private def pcaOracle(iters: Int = 4): String = {
+    def step(k: Int, prev: String): String =
+      s"""u$k AS (SELECT g.i, sum(g.g * v.v) AS u
+         |       FROM gn g JOIN $prev v ON v.j = g.j GROUP BY 1),
+         |m$k AS (SELECT max(abs(u)) AS m FROM u$k),
+         |v$k AS (SELECT i AS j,
+         |         CAST(CAST(u AS DOUBLE) / CAST(m AS DOUBLE)
+         |              AS DECIMAL(12,8)) AS v
+         |       FROM u$k CROSS JOIN m$k)""".stripMargin
+    val steps = (1 to iters)
+      .map(k => step(k, if (k == 1) "v0" else s"v${k - 1}"))
+      .mkString(",\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, t.i AS i,
+       |    CAST(CAST(embedding[t.i + 1] AS DOUBLE) AS DECIMAL(12,8)) AS xi
+       |  FROM embeddings CROSS JOIN range(64) t(i)),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |gr AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS g
+       |       FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |gn AS (SELECT i, j, CAST(CAST(g AS DOUBLE) / n AS DECIMAL(12,8)) AS g
+       |       FROM gr CROSS JOIN nn),
+       |v0 AS (SELECT t.i AS j, CAST(1 AS DECIMAL(12,8)) AS v
+       |       FROM range(64) t(i)),
+       |$steps
+       |SELECT CAST(j AS BIGINT) AS dim, round(CAST(v AS DOUBLE), 6) AS loading,
+       |  round(CAST(m AS DOUBLE), 6) AS eig_est
+       |FROM v$iters CROSS JOIN m$iters ORDER BY dim""".stripMargin
+  }
+
   private def kmeansOracle(k: Int = 4, iters: Int = 2): String = {
     s"""WITH ${kmeansCtes(k, iters)},
        |nf AS (SELECT cluster,
@@ -343,6 +377,17 @@ object PipelineQueries {
       (s, dir) => graft.ops.Clustering.kmeansLloyd(
         Tables.read(s, dir, "embeddings"), k = 4, iters = 2),
       Some(kmeansOracle())),
+
+    // Dominant principal direction of the embedding corpus (uncentered
+    // PCA) by power iteration: ONE data-volume pass builds the 64×64
+    // Gram matrix map-side (outer-product cells + partial agg — never a
+    // corpus self-join), then every iteration is constant work on the
+    // 4096-row Gram frame. Exact-DECIMAL discipline throughout; see
+    // ops/Clustering.pcaPowerTop.
+    QueryDef("embedding_pca_power",
+      (s, dir) => graft.ops.Clustering.pcaPowerTop(
+        Tables.read(s, dir, "embeddings"), iters = 4),
+      Some(pcaOracle(4))),
 
     QueryDef("text_langid",
       (s, dir) => TextAnalysis.langId(Tables.read(s, dir, "documents")),

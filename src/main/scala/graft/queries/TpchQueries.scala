@@ -907,6 +907,53 @@ object TpchQueries {
              |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // CDC changelog apply: latest event per key wins (seq order), a
+    // winning D drops the key, a D followed by I resurrects it — the
+    // Debezium/binlog-materialization shape. Planned as ONE max_by hash
+    // agg (partial-aggregates map-side; the shuffle carries one reduced
+    // row per task×key, not the raw log) — strictly better at 100 TB than
+    // the row_number window form, which sorts every key group after a
+    // full-log shuffle. The oracle USES the window form: agreement also
+    // proves the two formulations equivalent on per-key-unique seqs.
+    QueryDef("cdc_apply",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val base = o.select(col("o_orderkey"), lit(1L).as("seq"),
+          lit("I").as("op"), col("o_totalprice").as("price"))
+        val updates = o.filter(pmod(col("o_orderkey"), lit(10)).isin(1L, 3L))
+          .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+            (col("o_totalprice") * 1.2).as("price"))
+        val deletes = o.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+          .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+            lit(null).cast("double").as("price"))
+        val resurrect = o.filter(pmod(col("o_orderkey"), lit(20)) === 3)
+          .select(col("o_orderkey"), lit(4L).as("seq"), lit("I").as("op"),
+            (col("o_totalprice") + 7.0).as("price"))
+        val log = base.unionByName(updates).unionByName(deletes)
+          .unionByName(resurrect)
+        graft.ops.Merge.applyChangelog(log, Seq("o_orderkey"), "seq", "op")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+             |log AS (
+             |  SELECT o_orderkey, 1 AS seq, 'I' AS op,
+             |         o_totalprice AS price FROM o
+             |  UNION ALL
+             |  SELECT o_orderkey, 2, 'U', o_totalprice * 1.2
+             |  FROM o WHERE o_orderkey % 10 IN (1, 3)
+             |  UNION ALL
+             |  SELECT o_orderkey, 3, 'D', NULL
+             |  FROM o WHERE o_orderkey % 10 = 3
+             |  UNION ALL
+             |  SELECT o_orderkey, 4, 'I', o_totalprice + 7.0
+             |  FROM o WHERE o_orderkey % 20 = 3),
+             |last AS (SELECT *, row_number() OVER
+             |    (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+             |  FROM log)
+             |SELECT o_orderkey, price FROM last
+             |WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin)),
+
     // Bucketed co-located join: both tables laid out bucketBy(orderkey) +
     // sortBy ONCE (ensureBucketed fixture above), so the join AND the
     // follow-on aggregate on the same key run with zero Exchange — the

@@ -74,4 +74,27 @@ class ClusteringSpec extends SparkSpec {
     // the probe results must be identical, not merely close
     assert(cached == fresh)
   }
+
+  test("power iteration recovers a planted dominant direction, repartition-stable") {
+    import spark.implicits._
+    // variance concentrated on dim 0 (values ±8), noise ~0.1 elsewhere:
+    // the top singular direction is e0 up to sign, and max-abs
+    // normalization makes the dominant loading EXACTLY ±1
+    val emb = (0L until 40L).map { i =>
+      val big = if (i % 2 == 0) 8.0f else -8.0f
+      (i, Array(big, (i % 5) * 0.1f - 0.2f, (i % 3) * 0.1f - 0.1f))
+    }.toDF("vec_id", "embedding")
+    val out = Clustering.pcaPowerTop(emb, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 3)
+    val byDim = out.map(r => r._1 -> r._2).toMap
+    assert(math.abs(byDim(0L)) == 1.0, s"dominant loading: ${byDim(0L)}")
+    assert(math.abs(byDim(1L)) < 0.1 && math.abs(byDim(2L)) < 0.1, byDim)
+    // eig_est ≈ mean squared dominant coordinate (64.0) within noise terms
+    assert(out.head._3 > 50 && out.head._3 < 80, s"eig_est ${out.head._3}")
+
+    val out2 = Clustering.pcaPowerTop(emb.repartition(7), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == out2.toSeq)
+  }
 }

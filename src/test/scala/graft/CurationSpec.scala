@@ -134,6 +134,22 @@ class MergeSpec extends SparkSpec {
       (1L, "a", 10.0), (2L, "b2", 22.0), (3L, "c", 30.0), (9L, "i", 90.0)))
   }
 
+  test("changelog apply: latest wins, deletes drop keys, later inserts resurrect") {
+    val log = Seq(
+      (1L, 1L, "I", 10.0), (1L, 2L, "U", 11.0), // plain update
+      (2L, 1L, "I", 20.0), (2L, 2L, "D", 0.0), // deleted
+      (3L, 1L, "I", 30.0), (3L, 2L, "D", 0.0), (3L, 3L, "I", 33.0), // resurrected
+      (4L, 1L, "I", 40.0) // untouched
+    ).toDF("k", "seq", "op", "v")
+    val out = Merge.applyChangelog(log.repartition(5), Seq("k"), "seq", "op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((1L, 11.0), (3L, 33.0), (4L, 40.0)))
+    // the plan is a pure aggregation: no per-key window sort of the log
+    val plan = Merge.applyChangelog(log, Seq("k"), "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("partitioned upsert rewrites only affected partitions") {
     val out = s"/tmp/graft_merge_${sf.replaceAll("[^0-9a-zA-Z]", "_")}"
     val fs = org.apache.hadoop.fs.FileSystem
