@@ -140,6 +140,9 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "graft_image_dims",
         exprs => graft.ops.ImageDims(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_audio_meta",
+        exprs => graft.ops.AudioMeta(exprs.head), "built-in")
       // sessions built without GraftExtensions still get the HOF→kernel
       // optimizer rewrite through the experimental hook
       if (!spark.experimental.extraOptimizations

@@ -68,6 +68,55 @@ object MediaCodec {
     case Some((f, w, h)) => InternalRow(UTF8String.fromString(f), w, h)
     case None => null
   }
+
+  /** WAV (RIFF) header parse: a REAL chunk walk — "RIFF"[size]"WAVE",
+    * then 8-byte chunk headers (id + LE32 size) skipped with the spec's
+    * odd-size pad byte until both the "fmt " block (PCM layout: channels
+    * LE16@+2, sample rate LE32@+4, byte rate LE32@+8, block align
+    * LE16@+12, bits LE16@+14 within the chunk body) and the "data" chunk
+    * size are found. Returns (channels, sampleRate, bits, nSamples,
+    * durationMs); None for non-WAV / truncated payloads or a zero block
+    * align / byte rate (which would otherwise divide by zero).
+    */
+  def parseAudio(p: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    def le16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + 3 < p.length && p(i) == s(0) && p(i + 1) == s(1) &&
+        p(i + 2) == s(2) && p(i + 3) == s(3)
+
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt = -1
+    var dataSize = -1L
+    while (i + 8 <= p.length && (fmt < 0 || dataSize < 0)) {
+      val size = le32(i + 4)
+      if (tag(i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > p.length) return None
+        fmt = i + 8
+      } else if (tag(i, "data")) {
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+    }
+    if (fmt < 0 || dataSize < 0) return None
+    val channels = le16(fmt + 2)
+    val sampleRate = le32(fmt + 4)
+    val byteRate = le32(fmt + 8)
+    val blockAlign = le16(fmt + 12)
+    val bits = le16(fmt + 14)
+    if (blockAlign == 0 || byteRate == 0L) return None
+    Some((channels, sampleRate.toInt, bits,
+      dataSize / blockAlign, dataSize * 1000L / byteRate))
+  }
+
+  /** Catalyst-facing adapter for [[AudioMeta]]. */
+  def parseAudioRow(p: Array[Byte]): InternalRow = parseAudio(p) match {
+    case Some((c, sr, b, n, d)) => InternalRow(c, sr, b, n, d)
+    case None => null
+  }
 }
 
 /** Catalyst expression: `graft_image_dims(binary)` →
@@ -100,4 +149,38 @@ case class ImageDims(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ImageDims =
     copy(child = newChild)
   override def prettyName: String = "graft_image_dims"
+}
+
+/** Catalyst expression: `graft_audio_meta(binary)` →
+  * `struct<channels:int, sample_rate:int, bits:int, n_samples:bigint,
+  * duration_ms:bigint>` (null for non-WAV payloads). Codegen'd for the
+  * same reason as [[ImageDims]]: a metadata probe over 100 TB of audio
+  * must stay inside whole-stage codegen.
+  */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_audio_meta requires binary input, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.parseAudioRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.ops.MediaCodec.parseAudioRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+    copy(child = newChild)
+  override def prettyName: String = "graft_audio_meta"
 }

@@ -128,6 +128,67 @@ object Multimodal {
         .otherwise(gif)).as("payload"))
   }
 
+  /** REAL WAV (RIFF) bytes, built column-side: PCM parameters derived
+    * from the stable hash (1-2 channels, 8/16/44.1 kHz, 8/16-bit), the
+    * document text as sample data truncated/zero-padded to the computed
+    * data size, and a LIST/INFO chunk wedged between "fmt " and "data" so
+    * the parser's chunk walk is exercised for real (a fixed-offset reader
+    * would misparse every payload). Entirely codegen'd hex assembly, one
+    * `unhex` at the end.
+    */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    def h(seed: String, mod: Int) =
+      GraftFunctions.hash64(
+        concat(lit(seed + "|"), col("doc_id").cast("string"))) % mod
+    def hx(c: org.apache.spark.sql.Column, digits: Int) =
+      lpad(hex(c), digits, "0")
+    def le16(c: org.apache.spark.sql.Column) = {
+      val x = hx(c, 4); concat(substring(x, 3, 2), substring(x, 1, 2))
+    }
+    def le32(c: org.apache.spark.sql.Column) = {
+      val x = hx(c, 8)
+      concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2))
+    }
+    val p = docs
+      .withColumn("ch", h("ch", 2) + 1)
+      .withColumn("sr", when(h("sr", 3) === 0, 8000L)
+        .when(h("sr", 3) === 1, 16000L).otherwise(44100L))
+      .withColumn("bps", h("bw", 2) + 1) // bytes per sample: 8- or 16-bit
+      .withColumn("ba", col("ch") * col("bps")) // block align
+      .withColumn("ns", h("ns", 1000) + 1)
+      .withColumn("ds", col("ns") * col("ba")) // data chunk size
+      .withColumn("br", col("sr") * col("ba")) // byte rate
+      .withColumn("body", expr(
+        """rpad(substr(hex(encode(text, 'UTF-8')), 1, CAST(ds * 2 AS INT)),
+          |     CAST(ds * 2 AS INT), '0')""".stripMargin))
+    p.select(col("doc_id"), unhex(concat(
+      lit("52494646"), le32(col("ds") + 48), lit("57415645"), // RIFF/WAVE
+      lit("666D7420"), lit("10000000"), lit("0100"), // "fmt ", 16, PCM
+      le16(col("ch")), le32(col("sr")), le32(col("br")),
+      le16(col("ba")), le16(col("bps") * 8),
+      lit("4C495354"), lit("04000000"), lit("494E464F"), // LIST(4)=INFO
+      lit("64617461"), le32(col("ds")), col("body"))).as("payload"))
+  }
+
+  /** Audio header decode as a single codegen'd expression — same
+    * oracle-declared contract as [[decodedDims]]: the oracle recomputes
+    * the constructed PCM parameters from doc_id, so the gate passes only
+    * if [[MediaCodec.parseAudio]]'s chunk walk inverts
+    * [[syntheticAudio]]'s bytes.
+    */
+  def decodedAudio(docs: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    syntheticAudio(docs)
+      .select(col("doc_id"),
+        call_function("graft_audio_meta", col("payload")).as("a"))
+      .select(col("doc_id"), col("a.channels").as("channels"),
+        col("a.sample_rate").as("sample_rate"), col("a.bits").as("bits"),
+        col("a.n_samples").as("n_samples"),
+        col("a.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** Header decode as a single codegen'd expression over the payload
     * column — the oracle-declared face of the decode path (the oracle
     * recomputes the constructed dimensions from doc_id; the gate passes

@@ -77,6 +77,21 @@ object Sampling {
       .select(strataCol, "n", "thr")
   }
 
+  /** Weight-proportional deterministic sampling: keep probability
+    * w / max(w) (the heaviest row always kept), computed as integer
+    * basis points so the decision is engine-exact. One tiny max agg
+    * broadcast back onto the scan, then a per-row filter — the
+    * "importance-sample by document length/score" curation step without
+    * RNG state.
+    */
+  def weighted(df: DataFrame, weightCol: String, id: Column,
+      salt: String = "weighted"): DataFrame =
+    df.crossJoin(broadcast(
+        df.agg(max(col(weightCol)).cast("long").as("__wmax"))))
+      .filter(hashBucket(id, salt) <
+        expr(s"(CAST($weightCol AS BIGINT) * 10000) div __wmax"))
+      .drop("__wmax")
+
   /** Apply [[temperatureThresholds]] as a salted-hash filter: one tiny
     * agg broadcast back onto the scan, then a per-row filter — no second
     * shuffle, re-run-identical.

@@ -182,6 +182,58 @@ object CurationQueries {
               |FROM documents d JOIN rates r USING (source)
               |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
 
+    // Weight-proportional sampling (keep prob = n_chars / max n_chars):
+    // the "prefer longer documents" importance-sample, deterministic via
+    // the salted hash and integer basis-point thresholds. One tiny max
+    // agg broadcast onto the scan; rollup per lang proves the selection.
+    QueryDef("sample_weighted",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        Sampling.weighted(docs, "n_chars", col("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+              |    CAST(length(text) AS BIGINT) AS w FROM documents),
+              |m AS (SELECT CAST(max(w) AS BIGINT) AS wmax FROM d)
+              |SELECT lang, count(*) AS n_kept,
+              |  CAST(sum(w) AS BIGINT) AS chars_kept
+              |FROM d CROSS JOIN m
+              |WHERE ${bucketSql("weighted", "doc_id")} < (w * 10000) // wmax
+              |GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // Inverted-index build (the search/retrieval primitive): per-term
+    // document-frequency + the first 15 postings, for the 20 highest-df
+    // terms. The (doc, term) pairs explode map-side and distinct/agg on
+    // the term key; the collect_set buffer is bounded by |docs| per term
+    // — a production index SHARDS hot terms' posting lists, but df and
+    // list-prefix semantics are identical.
+    QueryDef("text_postings",
+      (s, dir) => {
+        val pairs = graft.ops.TextOps.withTokens(
+          Tables.read(s, dir, "documents"))
+          .select(col("doc_id"), explode(col("t")).as("token"))
+          .filter(length(col("token")) >= 2)
+        pairs.groupBy("token")
+          .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
+          .select(col("token"), size(col("all_ids")).cast("long").as("df"),
+            slice(col("all_ids"), 1, 15).as("postings"))
+          .orderBy(desc("df"), col("token"))
+          .limit(20)
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |  FROM documents),
+             |toks AS (SELECT DISTINCT doc_id, token FROM raw
+             |         WHERE length(token) >= 2)
+             |SELECT token, count(*) AS df,
+             |  (list(doc_id ORDER BY doc_id))[1:15] AS postings
+             |FROM toks
+             |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin)),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df). Two shuffles — DF per term (map-side combinable),
     // then the per-doc rank window — both key-bounded at 100 TB. The

@@ -238,6 +238,47 @@ object FunctionQueries {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Quantile discretization (feature binning): exact quartile cuts from
+    // ONE distributed percentile agg, broadcast back, per-row CASE
+    // assignment, then the per-bucket rollup. This is the scale-correct
+    // formulation — ntile() would drag the whole table through a single
+    // global-sort partition; here the only wide op is the percentile agg.
+    // Cut-boundary determinism rides on percentile ≡ quantile_cont
+    // (proven by agg_percentile): identical cut values ⇒ identical <=
+    // comparisons in both engines.
+    QueryDef("fn_quantile_bucket",
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem").select("l_extendedprice")
+        val cuts = li.agg(
+          expr("percentile(l_extendedprice, 0.25)").as("c1"),
+          expr("percentile(l_extendedprice, 0.5)").as("c2"),
+          expr("percentile(l_extendedprice, 0.75)").as("c3"))
+        li.crossJoin(broadcast(cuts))
+          .withColumn("bucket",
+            when(col("l_extendedprice") <= col("c1"), 1L)
+              .when(col("l_extendedprice") <= col("c2"), 2L)
+              .when(col("l_extendedprice") <= col("c3"), 3L)
+              .otherwise(4L))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min("l_extendedprice"), 2).as("lo"),
+            round(max("l_extendedprice"), 2).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (SELECT
+             |    quantile_cont(l_extendedprice, 0.25) AS c1,
+             |    quantile_cont(l_extendedprice, 0.5) AS c2,
+             |    quantile_cont(l_extendedprice, 0.75) AS c3
+             |  FROM lineitem)
+             |SELECT CAST(CASE WHEN l_extendedprice <= c1 THEN 1
+             |            WHEN l_extendedprice <= c2 THEN 2
+             |            WHEN l_extendedprice <= c3 THEN 3
+             |            ELSE 4 END AS BIGINT) AS bucket,
+             |count(*) AS n, round(min(l_extendedprice), 2) AS lo,
+             |round(max(l_extendedprice), 2) AS hi
+             |FROM lineitem CROSS JOIN c
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // array-function pack over tokenized text (string-joined outputs)
     QueryDef("fn_array_funcs",
       (s, dir) => graft.ops.TextOps.withTokens(Tables.read(s, dir, "documents"))

@@ -466,6 +466,29 @@ object PipelineQueries {
               |CAST(${Sql.hash64("'ih|' || CAST(doc_id AS VARCHAR)")} % 1080 + 1 AS INT) AS height
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio header decode: syntheticAudio builds valid WAV/RIFF
+    // bytes (PCM params from the stable hash, doc text as sample data, a
+    // LIST chunk wedged in so the parser must actually walk chunks), the
+    // codegen'd graft_audio_meta expression parses them back. The oracle
+    // recomputes the embedded parameters from doc_id — green only if the
+    // chunk walk inverts the constructor.
+    QueryDef("multimodal_audio_meta",
+      (s, dir) => Multimodal.decodedAudio(Tables.read(s, dir, "documents")),
+      Some(s"""WITH p AS (SELECT doc_id,
+              |  ${Sql.hash64("'ch|' || CAST(doc_id AS VARCHAR)")} % 2 + 1 AS ch,
+              |  CASE ${Sql.hash64("'sr|' || CAST(doc_id AS VARCHAR)")} % 3
+              |    WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+              |  ${Sql.hash64("'bw|' || CAST(doc_id AS VARCHAR)")} % 2 + 1 AS bps,
+              |  ${Sql.hash64("'ns|' || CAST(doc_id AS VARCHAR)")} % 1000 + 1 AS ns
+              |  FROM documents)
+              |SELECT doc_id, CAST(ch AS INT) AS channels,
+              |  CAST(sr AS INT) AS sample_rate,
+              |  CAST(bps * 8 AS INT) AS bits,
+              |  CAST(ns AS BIGINT) AS n_samples,
+              |  CAST((ns * ch * bps * 1000) // (sr * ch * bps) AS BIGINT)
+              |    AS duration_ms
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
     // binary content-hash dedup: only the 16-byte digest shuffles, never
     // the media payload — the multimodal face of dedup_exact
     QueryDef("multimodal_dedup",

@@ -224,6 +224,40 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.parseDims("plain text".getBytes) === None)
   }
 
+  test("WAV: chunk walk finds fmt/data past unknown chunks, pads odd sizes") {
+    // RIFF/WAVE with an ODD-size junk chunk ("junk", 3 bytes + pad) before
+    // fmt: mono 8 kHz 16-bit, blockAlign 2, 8 samples (16 data bytes)
+    val wav = bytes("52494646" + "3B000000" + "57415645" +
+      "6A756E6B" + "03000000" + "414243" + "00" + // odd chunk + pad byte
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+      "803E0000" + "0200" + "1000" +
+      "64617461" + "10000000" + "00112233445566778899AABBCCDDEEFF")
+    assert(MediaCodec.parseAudio(wav) ===
+      Some((1, 8000, 16, 8L, 16L * 1000 / 16000)))
+    // without odd-size padding the walk would land mid-chunk and miss fmt
+    assert(MediaCodec.parseAudio(wav.take(30)) === None) // truncated
+    assert(MediaCodec.parseAudio("RIFFxxxxDATA".getBytes) === None)
+    assert(MediaCodec.parseAudio(Array.emptyByteArray) === None)
+    // zero block-align must not divide by zero
+    val zeroBa = bytes("52494646" + "28000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+      "803E0000" + "0000" + "1000" + "64617461" + "04000000" + "AABBCCDD")
+    assert(MediaCodec.parseAudio(zeroBa) === None)
+  }
+
+  test("audio constructor/parser roundtrip on documents") {
+    val docs = graft.core.Tables.read(spark, sf, "documents").limit(30)
+    val out = Multimodal.decodedAudio(docs).collect()
+    assert(out.length === 30)
+    // every payload parsed (no nulls) with parameters in the built ranges
+    assert(out.forall { r =>
+      Seq(1, 2).contains(r.getInt(1)) &&
+        Seq(8000, 16000, 44100).contains(r.getInt(2)) &&
+        Seq(8, 16).contains(r.getInt(3)) &&
+        r.getLong(4) >= 1 && r.getLong(4) <= 1000
+    })
+  }
+
   test("expression path and mapPartitions path agree on real payloads") {
     val docs = graft.core.Tables.read(spark, sf, "documents").limit(30)
     val viaExpr = Multimodal.decodedDims(docs).collect()
