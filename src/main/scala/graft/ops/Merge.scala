@@ -25,13 +25,16 @@ object Merge {
     * event wins; a winning D means the key is absent, otherwise the
     * winning payload is the row (so D → later I resurrects the key).
     *
-    * Planned as ONE hash aggregation — `max_by(struct(op, payload...),
-    * seq)` — which partial-aggregates map-side, so at 100 TB the shuffle
-    * carries one pre-reduced row per (task, key), not the raw log. The
-    * window-function formulation (`row_number() OVER (... ORDER BY seq
-    * DESC)`) computes the same thing but must sort every key-group after
-    * a full-log shuffle; the agg form is strictly better. Requires `seq`
-    * unique within a key (any CDC source's LSN/offset is).
+    * Planned as ONE aggregation — `max_by(struct(op, payload...), seq)`
+    * — which partial-aggregates map-side, so at 100 TB the shuffle
+    * carries one pre-reduced row per (task, key), not the raw log. (The
+    * struct-typed buffer makes Spark pick SortAggregate over
+    * HashAggregate, i.e. the partials sort within each task first — the
+    * map-side combine is what matters.) The window-function formulation
+    * (`row_number() OVER (... ORDER BY seq DESC)`) computes the same
+    * thing but shuffles the FULL log before any reduction; the agg form
+    * is strictly better. Requires `seq` unique within a key (any CDC
+    * source's LSN/offset is).
     */
   def applyChangelog(log: DataFrame, keys: Seq[String], seqCol: String,
       opCol: String): DataFrame = {

@@ -234,6 +234,38 @@ object CurationQueries {
              |FROM toks
              |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin)),
 
+    // Sequence packing (training-context assembly): documents are packed
+    // in id order into 256-token budget bins, sharded doc_id % 8 so the
+    // cumulative-sum window runs per shard — the formulation that scales
+    // (real pipelines pack within shards; a single global packing order
+    // would serialize the window). A doc that straddles a boundary
+    // belongs to the bin where it starts, so bins can overflow the budget
+    // (fill > 100%) but never split a document. All integer arithmetic.
+    QueryDef("curation_pack_sequences",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+        Tables.read(s, dir, "documents")
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+            size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+              .as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("seq_id", expr("(cum - n_tokens) div 256"))
+          .groupBy("shard", "seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+          .orderBy("shard", "seq_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+             |  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+             |       AS BIGINT) AS n
+             |  FROM documents),
+             |c AS (SELECT shard, doc_id, n,
+             |  sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+             |  FROM d)
+             |SELECT shard, CAST((cum - n) // 256 AS BIGINT) AS seq_id,
+             |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+             |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin)),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df). Two shuffles — DF per term (map-side combinable),
     // then the per-doc rank window — both key-bounded at 100 TB. The

@@ -279,6 +279,41 @@ object FunctionQueries {
              |FROM lineitem CROSS JOIN c
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // Winsorized mean (outlier-robust stats): clamp at the group's
+    // p05/p95 before averaging. Per-group percentile agg (tiny — one row
+    // per returnflag) broadcast back, map-side clamp, DECIMAL sum so the
+    // clamped mean is partial-sum-order independent. The raw mean is
+    // exact too: l_quantity is integral, so double partials can't drift.
+    QueryDef("agg_winsorized",
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem")
+          .select("l_returnflag", "l_quantity")
+        val cuts = li.groupBy("l_returnflag").agg(
+          expr("percentile(l_quantity, 0.05)").as("p05"),
+          expr("percentile(l_quantity, 0.95)").as("p95"))
+        li.join(broadcast(cuts), "l_returnflag")
+          .withColumn("clamped",
+            least(greatest(col("l_quantity"), col("p05")), col("p95"))
+              .cast("decimal(12,6)"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum("clamped").cast("double") / count(lit(1)), 6)
+              .as("winsorized_mean"),
+            round(avg("l_quantity"), 6).as("raw_mean"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag,
+             |    quantile_cont(l_quantity, 0.05) AS p05,
+             |    quantile_cont(l_quantity, 0.95) AS p95
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, count(*) AS n,
+             |round(CAST(sum(CAST(least(greatest(l_quantity, p05), p95)
+             |  AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6)
+             |  AS winsorized_mean,
+             |round(avg(l_quantity), 6) AS raw_mean
+             |FROM lineitem JOIN c USING (l_returnflag)
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // array-function pack over tokenized text (string-joined outputs)
     QueryDef("fn_array_funcs",
       (s, dir) => graft.ops.TextOps.withTokens(Tables.read(s, dir, "documents"))

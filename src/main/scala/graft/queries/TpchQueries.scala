@@ -909,12 +909,13 @@ object TpchQueries {
 
     // CDC changelog apply: latest event per key wins (seq order), a
     // winning D drops the key, a D followed by I resurrects it — the
-    // Debezium/binlog-materialization shape. Planned as ONE max_by hash
-    // agg (partial-aggregates map-side; the shuffle carries one reduced
-    // row per task×key, not the raw log) — strictly better at 100 TB than
-    // the row_number window form, which sorts every key group after a
-    // full-log shuffle. The oracle USES the window form: agreement also
-    // proves the two formulations equivalent on per-key-unique seqs.
+    // Debezium/binlog-materialization shape. Planned as ONE max_by agg
+    // with map-side partials (sort-based, the struct buffer rules out
+    // HashAggregate; the shuffle still carries one reduced row per
+    // task×key, not the raw log) — strictly better at 100 TB than the
+    // row_number window form, which shuffles the full log unreduced. The
+    // oracle USES the window form: agreement also proves the two
+    // formulations equivalent on per-key-unique seqs.
     QueryDef("cdc_apply",
       (s, dir) => {
         val o = Tables.read(s, dir, "orders")
