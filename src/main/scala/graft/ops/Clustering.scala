@@ -142,14 +142,25 @@ object Clustering {
     require(iters >= 1, s"pcaPowerTop needs at least one iteration, got $iters")
     val q = (c: Column) => c.cast("double").cast("decimal(12,8)")
     val nRows = emb.agg(count(lit(1)).as("n"))
-    val gram = emb
+    // G is symmetric: generate only the upper triangle (slice from i —
+    // half the exploded rows and half the decimal multiplies) and mirror
+    // the off-diagonal cells afterwards. Cell values are exact decimal
+    // sums, so the mirrored matrix is bit-identical to a full build and
+    // the oracle (which builds the full Gram) needs no change.
+    val upper = emb
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(col("i"), q(col("xi")).as("xi"),
-        posexplode(col("embedding")).as(Seq("j", "xj")))
-      .groupBy("i", "j").agg(sum(col("xi") * q(col("xj"))).as("g"))
+        posexplode(expr("slice(embedding, i + 1, size(embedding))"))
+          .as(Seq("dj", "xj")))
+      .select(col("i"), (col("i") + col("dj")).as("j"),
+        (col("xi") * q(col("xj"))).as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("g"))
       .crossJoin(broadcast(nRows))
       .select(col("i"), col("j"),
         (col("g").cast("double") / col("n")).cast("decimal(12,8)").as("g"))
+    val gram = upper
+      .unionByName(upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
       .localCheckpoint() // 4096 rows, referenced every iteration
 
     var v = gram.select(col("j")).distinct()

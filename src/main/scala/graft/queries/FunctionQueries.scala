@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
+import graft.QueryDef.Sql
 import graft.core.Tables
 
 /** Scalar/window/join function surface breadth: lead/lag analytics, full
@@ -238,18 +239,24 @@ object FunctionQueries {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
-    // Quantile discretization (feature binning): exact quartile cuts from
-    // ONE distributed percentile agg, broadcast back, per-row CASE
-    // assignment, then the per-bucket rollup. This is the scale-correct
-    // formulation — ntile() would drag the whole table through a single
-    // global-sort partition; here the only wide op is the percentile agg.
-    // Cut-boundary determinism rides on percentile ≡ quantile_cont
-    // (proven by agg_percentile): identical cut values ⇒ identical <=
-    // comparisons in both engines.
+    // Quantile discretization (feature binning): quartile cuts from a
+    // deterministic 5% hash-sample (exact percentile over near-distinct
+    // doubles holds a per-row state map — sampled cuts are what a 100 TB
+    // binning job actually computes), broadcast back, per-row CASE
+    // assignment, then the per-bucket rollup. ntile() would drag the
+    // whole table through a single global-sort partition; here the only
+    // wide op is the (sampled) percentile agg. The oracle draws the SAME
+    // sample via the shared salted hash, so cut values are identical in
+    // both engines (percentile ≡ quantile_cont, proven by
+    // agg_percentile) and the <= comparisons can't diverge.
     QueryDef("fn_quantile_bucket",
       (s, dir) => {
-        val li = Tables.read(s, dir, "lineitem").select("l_extendedprice")
-        val cuts = li.agg(
+        val li = Tables.read(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        val cuts = li.filter(graft.ops.Sampling.hashBucket(
+            concat_ws("#", col("l_orderkey"), col("l_linenumber")),
+            "qcut") < 500)
+          .agg(
           expr("percentile(l_extendedprice, 0.25)").as("c1"),
           expr("percentile(l_extendedprice, 0.5)").as("c2"),
           expr("percentile(l_extendedprice, 0.75)").as("c3"))
@@ -265,11 +272,13 @@ object FunctionQueries {
             round(max("l_extendedprice"), 2).as("hi"))
           .orderBy("bucket")
       },
-      Some("""WITH c AS (SELECT
+      Some(s"""WITH c AS (SELECT
              |    quantile_cont(l_extendedprice, 0.25) AS c1,
              |    quantile_cont(l_extendedprice, 0.5) AS c2,
              |    quantile_cont(l_extendedprice, 0.75) AS c3
-             |  FROM lineitem)
+             |  FROM lineitem
+             |  WHERE ${Sql.hash64("'qcut|' || CAST(l_orderkey AS VARCHAR)" +
+                  " || '#' || CAST(l_linenumber AS VARCHAR)")} % 10000 < 500)
              |SELECT CAST(CASE WHEN l_extendedprice <= c1 THEN 1
              |            WHEN l_extendedprice <= c2 THEN 2
              |            WHEN l_extendedprice <= c3 THEN 3
