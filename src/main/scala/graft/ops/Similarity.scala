@@ -268,6 +268,80 @@ object Similarity {
   def fitQuantizer(emb: DataFrame, nlists: Int = 8, iters: Int = 1): DataFrame =
     Clustering.kmeansFit(emb, nlists, iters, None)._3
 
+  /** Product-quantization ANN (the FAISS-PQ workhorse): the vector space
+    * splits into `m` subspaces, each with its own tiny `ksub`-codeword
+    * codebook (one deterministic Lloyd round, first-k init); a vector's
+    * code is its per-subspace nearest codeword, and query distance is the
+    * ADC approximation Σ_m ‖q_m − codeword_m‖² — one lookup-table join
+    * per subspace instead of a full-width distance.
+    *
+    * Scale shape: every stage keys on (m, cluster) or (vec_id, m) —
+    * codebooks and LUTs are broadcast-sized (m × ksub rows per query),
+    * the corpus appears only in the one exploded assignment pass and the
+    * code table (m rows per vector — at 100 TB the m-byte code table
+    * IS the index you keep in memory while the raw vectors stay on
+    * disk). The ADC scan is |Q|·N·m joined rows against the broadcast
+    * LUT; production composes PQ with IVF so N shrinks to the probed
+    * lists — the composition is the same join with `codes` pre-filtered.
+    *
+    * Determinism: the whole fit/encode/score path is the exploded-DECIMAL
+    * discipline (argmin on exact decimals, means re-quantized once, ADC
+    * partials exact) — bit-identical across engines/partitionings.
+    */
+  def pqTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 3,
+      m: Int = 8, ksub: Int = 4): DataFrame = {
+    val dims = embDims(emb)
+    require(dims % m == 0, s"dims $dims not divisible by $m subspaces")
+    val dsub = dims / m
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), expr(s"dim div $dsub").as("m"),
+        expr(s"dim % $dsub").as("dm"),
+        col("x").cast("double").cast("decimal(12,8)").as("xq"))
+      .localCheckpoint()
+    val cen0 = ex.filter(col("vec_id") < ksub)
+      .select(col("m"), col("vec_id").cast("int").as("cluster"),
+        col("dm"), col("xq").as("cd"))
+    // per-subspace argmin against a codebook frame (m×ksub×dsub rows —
+    // always broadcast); subspace id rides in every key, so ALL
+    // codebooks train/encode in one plan, no per-subspace loop
+    def assign(cen: DataFrame): DataFrame = {
+      val cnorm = cen.groupBy("m", "cluster")
+        .agg(sum(col("cd") * col("cd")).as("cnorm"))
+      val dots = ex.join(broadcast(cen), Seq("m", "dm"))
+        .groupBy("vec_id", "m", "cluster")
+        .agg(sum(col("xq") * col("cd")).as("dot"))
+      val rn = row_number().over(Window.partitionBy("vec_id", "m")
+        .orderBy(col("cnorm") - lit(2) * col("dot"), col("cluster")))
+      dots.join(broadcast(cnorm), Seq("m", "cluster"))
+        .withColumn("rn", rn).filter(col("rn") === 1)
+        .select("vec_id", "m", "cluster")
+    }
+    val cen1 = ex.join(assign(cen0), Seq("vec_id", "m"))
+      .groupBy("m", "cluster", "dm")
+      .agg((sum(col("xq")).cast("double") / count(lit(1)))
+        .cast("decimal(12,8)").as("cd"))
+      .localCheckpoint()
+    val codes = assign(cen1) // encode: nearest trained codeword per subspace
+    val lut = ex.filter(col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cen1), Seq("m", "dm"))
+      .groupBy("query_id", "m", "cluster")
+      .agg(sum((col("xq") - col("cd")) * (col("xq") - col("cd"))).as("pd"))
+    val adc = codes.join(broadcast(lut), Seq("m", "cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("pd")).as("d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"),
+        round(col("d2").cast("double"), 6).as("approx_d2"))
+      .orderBy("query_id", "rank")
+  }
+
   def ivfTrainedTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 3,
       nlists: Int = 8, nprobe: Int = 2, iters: Int = 1,
       centroids: Option[DataFrame] = None): DataFrame = {

@@ -157,6 +157,58 @@ object PipelineQueries {
        |FROM v$iters CROSS JOIN m$iters ORDER BY dim""".stripMargin
   }
 
+  /** Mirror of Similarity.pqTopK: per-subspace codebooks (one Lloyd
+    * round, subspace id in every key so all 8 train in one CTE chain),
+    * encode against the trained codebooks, ADC lookup-table scoring —
+    * every quantity exact DECIMAL until the final rounding.
+    */
+  private def pqOracle(nQueries: Int = 5, k: Int = 3, dsub: Int = 8,
+      ksub: Int = 4): String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, t.dim // $dsub AS m, t.dim % $dsub AS dm,
+       |    CAST(CAST(embedding[t.dim + 1] AS DOUBLE) AS DECIMAL(12,8)) AS xq
+       |  FROM embeddings CROSS JOIN range(64) t(dim)),
+       |cen0 AS (SELECT m, CAST(vec_id AS INT) AS cluster, dm, xq AS cd
+       |         FROM ex WHERE vec_id < $ksub),
+       |s1 AS (SELECT e.vec_id, e.m, c.cluster, sum(e.xq * c.cd) AS dot
+       |       FROM ex e JOIN cen0 c ON c.m = e.m AND c.dm = e.dm
+       |       GROUP BY 1, 2, 3),
+       |n1 AS (SELECT m, cluster, sum(cd*cd) AS cnorm FROM cen0 GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, m, cluster FROM (
+       |        SELECT s1.vec_id, s1.m, s1.cluster, row_number() OVER (
+       |          PARTITION BY s1.vec_id, s1.m
+       |          ORDER BY n1.cnorm - 2*s1.dot, s1.cluster) AS rn
+       |        FROM s1 JOIN n1 ON n1.m = s1.m AND n1.cluster = s1.cluster)
+       |       WHERE rn = 1),
+       |cen1 AS (SELECT a1.m, a1.cluster, ex.dm,
+       |          CAST(CAST(sum(xq) AS DOUBLE)/count(*) AS DECIMAL(12,8)) AS cd
+       |         FROM ex JOIN a1 ON ex.vec_id = a1.vec_id AND ex.m = a1.m
+       |         GROUP BY 1, 2, 3),
+       |s2 AS (SELECT e.vec_id, e.m, c.cluster, sum(e.xq * c.cd) AS dot
+       |       FROM ex e JOIN cen1 c ON c.m = e.m AND c.dm = e.dm
+       |       GROUP BY 1, 2, 3),
+       |n2 AS (SELECT m, cluster, sum(cd*cd) AS cnorm FROM cen1 GROUP BY 1, 2),
+       |codes AS (SELECT vec_id, m, cluster FROM (
+       |        SELECT s2.vec_id, s2.m, s2.cluster, row_number() OVER (
+       |          PARTITION BY s2.vec_id, s2.m
+       |          ORDER BY n2.cnorm - 2*s2.dot, s2.cluster) AS rn
+       |        FROM s2 JOIN n2 ON n2.m = s2.m AND n2.cluster = s2.cluster)
+       |       WHERE rn = 1),
+       |lut AS (SELECT e.vec_id AS query_id, e.m, c.cluster,
+       |          sum((e.xq - c.cd) * (e.xq - c.cd)) AS pd
+       |        FROM ex e JOIN cen1 c ON c.m = e.m AND c.dm = e.dm
+       |        WHERE e.vec_id < $nQueries GROUP BY 1, 2, 3),
+       |adc AS (SELECT l.query_id, kc.vec_id AS neighbor_id, sum(l.pd) AS d2
+       |        FROM codes kc JOIN lut l
+       |          ON l.m = kc.m AND l.cluster = kc.cluster
+       |        WHERE kc.vec_id <> l.query_id GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |  round(CAST(d2 AS DOUBLE), 6) AS approx_d2
+       |FROM (SELECT query_id, neighbor_id, d2, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+       |      FROM adc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   private def kmeansOracle(k: Int = 4, iters: Int = 2): String = {
     s"""WITH ${kmeansCtes(k, iters)},
        |nf AS (SELECT cluster,
@@ -360,6 +412,17 @@ object PipelineQueries {
           nprobe = 2, iters = 1, centroids = Some(s.read.parquet(q.getPath)))
       },
       Some(ivfTrainedOracle())),
+
+    // Product-quantization ANN: per-subspace 4-codeword codebooks (one
+    // deterministic Lloyd round each, all 8 trained in ONE plan with the
+    // subspace id riding the keys), vectors encoded as 8 codes, queries
+    // scored by ADC lookup-table sums — the FAISS-PQ shape. See
+    // ops/Similarity.pqTopK for the 100 TB layout (codes in memory, raw
+    // vectors on disk; compose with IVF by pre-filtering `codes`).
+    QueryDef("ann_pq",
+      (s, dir) => Similarity.pqTopK(Tables.read(s, dir, "embeddings"),
+        nQueries = 5, k = 3),
+      Some(pqOracle())),
 
     // recall@k of both approximate indexes against the exact baseline —
     // turns "the index runs" into "the index is measured"

@@ -339,6 +339,83 @@ object Streams {
       .start()
   }
 
+  /** Keyed latest-wins CDC state: on every input the highest-seq event
+    * wins (stale/out-of-order rows can never regress the state), and the
+    * current materialized row is emitted. Emissions are therefore
+    * monotone in seq per key, so "row with max seq per key" over an
+    * update-mode sink IS the materialized table. State: one (seq, op,
+    * payload) triple per live key — the minimum any CDC materializer
+    * holds; deletes stay as tombstones so a late pre-delete update can't
+    * resurrect (readers drop op = D).
+    */
+  private class CdcProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String, Double), (Long, Long, String, Double)] {
+    @transient private var last: org.apache.spark.sql.streaming
+      .ValueState[(Long, String, Double)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[(Long, String, Double)]("last",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, String, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, String, Double)] = {
+      var cur = if (last.exists()) last.get() else null
+      rows.foreach { r =>
+        if (cur == null || r._2 > cur._1) cur = (r._2, r._3, r._4)
+      }
+      last.update(cur)
+      Iterator.single((key, cur._1, cur._2, cur._3))
+    }
+  }
+
+  /** Streaming face of [[graft.ops.Merge.applyChangelog]]: a file-source
+    * changelog (key, seq, op, price) materialized by [[CdcProcessor]]
+    * under `transformWithState`, update-mode memory sink. CdcStreamSpec
+    * drives multi-wave, out-of-order changelogs through it and checks the
+    * final state against the batch operator on the same log.
+    */
+  def cdcStreaming(spark: SparkSession, logDir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DoubleType)))
+    val log = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1) // one wave per micro-batch
+      .format("parquet")
+      .load(logDir)
+      .select(col("o_orderkey").as[Long], col("seq").as[Long],
+        col("op").as[String],
+        coalesce(col("price"), lit(0.0)).as[Double])
+      .as[(Long, Long, String, Double)]
+    log.groupByKey(_._1)
+      .transformWithState(new CdcProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("o_orderkey", "seq", "op", "price")
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** S7's streaming analog: the incremental append pipeline as
     * `foreachBatch` — every micro-batch is one reference "slice", cleaned
     * (date/time keys derived) and appended to the sink, exactly the

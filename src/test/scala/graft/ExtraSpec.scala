@@ -291,6 +291,61 @@ class StatefulStreamingSpec extends SparkSpec {
   }
 }
 
+class CdcStreamSpec extends SparkSpec {
+  test("streaming CDC materialization equals the batch operator on an out-of-order log") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_cdc_stream_${System.nanoTime()}"
+    // wave 1: base inserts for keys 1..20, then updates for even keys
+    val wave1 = ((1L to 20L).map(k => (k, 1L, "I", k * 1.0)) ++
+      (1L to 20L).filter(_ % 2 == 0).map(k => (k, 2L, "U", k * 1.1)))
+      .toDF("o_orderkey", "seq", "op", "price")
+    // wave 2: deletes for k%4==0, STALE seq-1 replays for keys 3/4/8
+    // (must not regress state), resurrection at seq 4 for k%8==0
+    val wave2 = ((1L to 20L).filter(_ % 4 == 0).map(k => (k, 3L, "D", 0.0)) ++
+      Seq((3L, 1L, "I", 3.0), (4L, 1L, "I", 4.0), (8L, 2L, "U", 8.8)) ++
+      (1L to 20L).filter(_ % 8 == 0).map(k => (k, 4L, "I", k + 0.5)))
+      .toDF("o_orderkey", "seq", "op", "price")
+    wave1.coalesce(1).write.parquet(s"$dir/w1")
+    // file source reads a flat dir; write waves as sibling files
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def promote(sub: String, name: String): Unit = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+        new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    }
+    promote("w1", "wave1.parquet")
+    wave2.coalesce(1).write.parquet(s"$dir/w2")
+    promote("w2", "wave2.parquet")
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streams.cdcStreaming(spark, dir, "cdc_stream_out")
+      q.processAllAvailable()
+      q.stop()
+      // emissions are monotone in seq per key → max-seq row per key is
+      // the materialized state; drop tombstones like any CDC reader
+      val streamed = spark.sql(
+        """SELECT o_orderkey, max_by(struct(op, price), seq) AS s
+          |FROM cdc_stream_out GROUP BY o_orderkey""".stripMargin)
+        .select(col("o_orderkey"), col("s.op"), col("s.price"))
+        .collect().filter(_.getString(1) != "D")
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val batch = graft.ops.Merge.applyChangelog(
+        wave1.unionByName(wave2), Seq("o_orderkey"), "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed === batch)
+      // the waves actually exercised delete + resurrect + stale replay
+      assert(!batch.contains(4L) && batch(8L) === 8.5 && batch(3L) === 3.0)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+}
+
 class SessionVariantsSpec extends SparkSpec {
   test("RANGE-frame sessionization is row-identical to the lag-based form") {
     val a = SparkEntry.queries("sessionize")(spark, sf)

@@ -97,6 +97,31 @@ class SimilaritySpec extends SparkSpec {
       Seq(1L, 2L, 3L)))
   }
 
+  test("PQ: dense ranks, self excluded, nonzero brute-force overlap, repartition-stable") {
+    val emb = graft.core.Tables.read(spark, sf, "embeddings")
+    val pq = Similarity.pqTopK(emb, nQueries = 3, k = 5).collect()
+    assert(pq.length === 15)
+    assert(pq.forall(r => r.getLong(2) != r.getLong(0))) // self excluded
+    assert(pq.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getLong(1)).sorted.toSeq === (1L to 5L)))
+    // ADC distances are non-negative and non-decreasing in rank
+    pq.groupBy(_.getLong(0)).values.foreach { rs =>
+      val d = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(d.forall(_ >= 0.0) && d.sameElements(d.sorted))
+    }
+    // the 4-codeword codebooks are coarse, but top-5 should still overlap
+    // the exact top-5 somewhere across 3 queries — a recall floor, not a
+    // tight bound
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = pq.map(r => (r.getLong(0), r.getLong(2))).count(exact)
+    assert(hits > 0, s"PQ found none of the exact top-5 pairs")
+
+    val again = Similarity.pqTopK(emb.repartition(7), nQueries = 3, k = 5)
+      .collect().map(_.toSeq)
+    assert(pq.map(_.toSeq).toSeq === again.toSeq)
+  }
+
   test("annRecall: one row per method, recall in [0,1], hits bounded by exact") {
     val emb = graft.core.Tables.read(spark, sf, "embeddings")
     val rows = Similarity.annRecall(emb, nQueries = 3, k = 3).collect()
