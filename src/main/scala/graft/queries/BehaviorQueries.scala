@@ -142,6 +142,37 @@ object BehaviorQueries {
              |    string_agg(substr(event_type, 1, 1), ''
              |               ORDER BY ts, event_id) AS s
              |  FROM events GROUP BY user_id)
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // Event-transition Markov matrix: per-user ordered lead() pairs the
+    // consecutive event types (one window pass — the only wide op over
+    // the events table), then the 5×5 transition counts; probabilities
+    // in fixed-point ppm over a 25-row window so the second "pass" costs
+    // nothing. The product-analytics "where do users go next" primitive.
+    QueryDef("events_markov",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val tr = Tables.read(s, dir, "events")
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        tr.withColumn("n_from", sum("n").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 1000000 div n_from").as("p_ppm"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS from_type, lead(event_type) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (SELECT from_type, to_type, count(*) AS n
+             |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
+             |       AS BIGINT) AS p_ppm
+             |FROM c ORDER BY from_type, to_type""".stripMargin))
   )
 }

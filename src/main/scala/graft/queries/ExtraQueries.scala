@@ -370,6 +370,61 @@ object ExtraQueries {
              |count(*) FILTER (WHERE event_id % 50 = 0) AS n_quarantined,
              |CAST(sum(CAST(value AS DECIMAL(18,6)))
              |     FILTER (WHERE event_id % 50 <> 0) AS DOUBLE) AS good_value
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // binaryFile source over a directory of media blobs (one file per
+    // payload — the raw-media lake layout): Spark's binary source yields
+    // (path, length, content); doc id parses from the filename and the
+    // codegen'd header decode runs straight on `content`. The fixture is
+    // the first-100-doc syntheticMedia payloads written once
+    // (fingerprinted dir, atomic publish); the declared query times the
+    // READ. The oracle recomputes both the container byte lengths and
+    // the embedded dims from doc_id — green only if the files on disk
+    // are byte-faithful to the constructor AND the source surfaces exact
+    // lengths.
+    QueryDef("scan_binaryfile",
+      (s, dir) => {
+        graft.core.GraftFunctions.ensureRegistered(s)
+        val docs = Tables.read(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+        val fp = docs.count()
+        val root = new File(
+          s"/tmp/graft_binfiles_${dir.replaceAll("[^0-9a-zA-Z]", "_")}_$fp")
+        if (!root.exists()) {
+          val stage = new File(root.getPath + s"_stage_${System.nanoTime()}")
+          stage.mkdirs()
+          graft.ops.Multimodal.syntheticMedia(docs).collect().foreach { r =>
+            java.nio.file.Files.write(
+              new File(stage, f"doc_${r.getLong(0)}%05d.bin").toPath,
+              r.getAs[Array[Byte]](1))
+          }
+          if (!stage.renameTo(root)) {
+            deleteRecursively(stage)
+            require(root.exists(), s"atomic move to $root failed")
+          }
+        }
+        s.read.format("binaryFile").load(root.getPath)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+              .cast("long").as("doc_id"),
+            col("length"),
+            call_function("graft_image_dims", col("content")).as("d"))
+          .select(col("doc_id"), col("length"), col("d.format").as("format"),
+            col("d.width").as("width"), col("d.height").as("height"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |CAST(CASE CAST(doc_id % 3 AS INT)
+              |     WHEN 0 THEN 33 WHEN 1 THEN 45 ELSE 14 END
+              |     + octet_length(encode(substr(text, 1, 64)))
+              |     AS BIGINT) AS length,
+              |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+              |     WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+              |CAST(${graft.QueryDef.Sql.hash64(
+                "'iw|' || CAST(doc_id AS VARCHAR)")} % 1920 + 1 AS INT) AS width,
+              |CAST(${graft.QueryDef.Sql.hash64(
+                "'ih|' || CAST(doc_id AS VARCHAR)")} % 1080 + 1 AS INT) AS height
+              |FROM documents WHERE doc_id < 100
+              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -376,6 +376,50 @@ object ProfilingQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY user_id, day""".stripMargin)),
 
+    // Bounded-horizon EWMA (α = 1/4) over the daily value series, per
+    // event type: weights (3/4)^j over the last 4 days scaled to the
+    // integer quadruple (64, 48, 36, 27)/175, daily totals carried as
+    // exact micro-unit longs — the whole smoothing path is integer
+    // arithmetic, so it is bit-identical across engines and partial-sum
+    // orders. One agg (daily totals) + one 4-lag window per type; days
+    // without a full 4-day history are not emitted.
+    QueryDef("ts_ewma",
+      (s, dir) => {
+        val daily = Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,6)")) * 1000000L)
+            .cast("long").as("v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("v1", lag("v", 1).over(w))
+          .withColumn("v2", lag("v", 2).over(w))
+          .withColumn("v3", lag("v", 3).over(w))
+          .filter(col("v3").isNotNull)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("v").as("value_micro"),
+            expr("(64*v + 48*v1 + 36*v2 + 27*v3) div 175").as("ewma_micro"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+             |         AS BIGINT) AS v
+             |  FROM events GROUP BY 1, 2),
+             |lagged AS (
+             |  SELECT event_type, day, v,
+             |    lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+             |    lag(v, 2) OVER (PARTITION BY event_type ORDER BY day) AS v2,
+             |    lag(v, 3) OVER (PARTITION BY event_type ORDER BY day) AS v3
+             |  FROM daily)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |  v AS value_micro,
+             |  CAST((64*v + 48*v1 + 36*v2 + 27*v3) // 175 AS BIGINT)
+             |    AS ewma_micro
+             |FROM lagged WHERE v3 IS NOT NULL
+             |ORDER BY event_type, day""".stripMargin)),
+
     // Wide→long unpivot of the lineitem measures (Dataset.unpivot — plans
     // as a map-side Expand, no shuffle, no UDF; the inverse of
     // pivot_status).
