@@ -76,4 +76,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters:") && plan.contains("fy"),
       s"partition pruning not planned:\n$plan")
   }
+
+  test("cdc_apply: one map-side-combined aggregation, never a window over the log") {
+    val plan = executed(SparkEntry.queries("cdc_apply")(spark, sf))
+    val s = plan.toString
+    assert(!s.contains("Window"), s"latest-wins must be an agg, not a window:\n$s")
+    // partial + final SortAggregate pair around exactly one exchange for
+    // the reduction (plus the final presentation sort)
+    assert("SortAggregate".r.findAllIn(s).size >= 2,
+      s"expected partial+final agg:\n$s")
+    assert(shuffles(plan).size <= 2, s"log shuffled unreduced:\n$plan")
+  }
+
+  test("ann_pq: codebook train/encode/score is all hash-equi — no cartesian") {
+    val plan = executed(SparkEntry.queries("ann_pq")(spark, sf)).toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"PQ stages must join on (m, cluster)/(m, dm) keys:\n$plan")
+  }
+
+  test("curation_pack_sequences: the packing window is shard-partitioned, not global") {
+    val plan = executed(
+      SparkEntry.queries("curation_pack_sequences")(spark, sf)).toString
+    // a global window would show an empty partition spec / single
+    // partition exchange; the shard key must appear in the window's
+    // partition expressions
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"),
+      s"packing must not serialize into one partition:\n$plan")
+  }
+
+  test("fn_quantile_bucket: assignment is map-side against broadcast cuts") {
+    val plan = executed(
+      SparkEntry.queries("fn_quantile_bucket")(spark, sf)).toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"cuts must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the fact side must never shuffle for the cuts:\n$plan")
+  }
 }
