@@ -339,6 +339,37 @@ object Dedup {
     * measured 54s at sf0.1 vs ~2s for this shape. At 100 TB the candidate
     * count tracks true-duplicate density, not corpus size².
     */
+  /** Asymmetric shingle containment over the SAME LSH candidate pairs as
+    * [[ngramJaccardPairs]]: containment(A in B) = |A∩B| / |A|. Jaccard
+    * misses subset duplication (a short doc quoted whole inside a long
+    * one scores low symmetric overlap but ~1.0 containment) — this is the
+    * gate RefinedWeb-style pipelines use for quote/boilerplate absorption.
+    * Same scale shape as the Jaccard verify: LSH band join proposes,
+    * exact array intersection disposes; scores rounded BEFORE the
+    * threshold compare so the keep decision is engine-exact.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val sh = withTokens(docs).select(col("doc_id"),
+      bigramShingles(col("t")).as("shingles"))
+    val banded = bandedSignatures(docs)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("cont_a_in_b",
+        round(col("inter").cast("double") / size(col("sa")), 6))
+      .withColumn("cont_b_in_a",
+        round(col("inter").cast("double") / size(col("sb")), 6))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = withTokens(docs).select(col("doc_id"),
       bigramShingles(col("t")).as("shingles"))

@@ -292,6 +292,14 @@ object PipelineQueries {
               |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // Asymmetric containment (|A∩B|/|A|) over the shared LSH candidates:
+    // catches subset duplication — a doc absorbed whole into a longer one
+    // — that symmetric Jaccard under-scores. Scores rounded before the
+    // threshold so the keep decision is engine-exact.
+    QueryDef("dedup_containment",
+      (s, dir) => Dedup.containmentPairs(Tables.read(s, dir, "documents")),
+      Some(containmentOracle)),
+
     QueryDef("dedup_cluster",
       (s, dir) => Dedup.cluster(Tables.read(s, dir, "documents")),
       Some(clusterOracle)),
@@ -770,6 +778,23 @@ object PipelineQueries {
        |  JOIN shl sa ON sa.doc_id = doc_a
        |  JOIN shl sb ON sb.doc_id = doc_b)
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  private lazy val containmentOracle: String =
+    s"""WITH $bandedCtesSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |          / len(sa.shingles), 6) AS cont_a_in_b,
+       |    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |          / len(sb.shingles), 6) AS cont_b_in_a
+       |  FROM cand
+       |  JOIN shl sa ON sa.doc_id = doc_a
+       |  JOIN shl sb ON sb.doc_id = doc_b)
+       |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.7
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private lazy val simhashOracle: String = {
     val bitSums = (0 until Dedup.SimhashBits)

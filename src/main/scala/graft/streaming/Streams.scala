@@ -444,6 +444,48 @@ object Streams {
       .start()
   }
 
+  /** Ingest-time LSH dedup as a stream: each micro-batch of new documents
+    * computes its banded minhash signatures and semi-joins the corpus's
+    * persisted (band, bh) store — the streaming face of
+    * [[graft.ops.Dedup.incrementalFlags]]. `foreachBatch` is the right
+    * engine surface here (not a stream-static join): the signature build
+    * aggregates per doc, and streaming forbids joins after aggregations,
+    * while foreachBatch runs the full batch planner per micro-batch —
+    * exactly how production ingest dedup ships. The store is materialized
+    * ONCE (localCheckpoint) so micro-batches don't re-derive it; flags
+    * append to `outPath` parquet.
+    */
+  def lshDedupIngest(spark: SparkSession, storeDocs: DataFrame,
+      newDocsDir: String, outPath: String): StreamingQuery = {
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    val store = graft.ops.Dedup.bandedSignatures(storeDocs)
+      .select("band", "bh").distinct()
+      .localCheckpoint()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream
+      .schema(schema)
+      .format("parquet")
+      .load(newDocsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val hits = graft.ops.Dedup.bandedSignatures(batch)
+          .join(store, Seq("band", "bh"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("hit", lit(true))
+        val flags = batch.select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
+        flags.write.mode("append").parquet(outPath): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .start()
+  }
+
   /** True streaming run over the same parquet: file source -> watermark ->
     * windowed agg -> memory sink, driven synchronously (used by
     * StreamingSpec; the reference's daily-batch loop is the degenerate

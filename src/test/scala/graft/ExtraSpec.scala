@@ -346,6 +346,46 @@ class CdcStreamSpec extends SparkSpec {
   }
 }
 
+class LshIngestSpec extends SparkSpec {
+  test("streaming ingest dedup flags equal the batch incremental operator") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.read(spark, sf, "documents")
+      .select("doc_id", "text")
+    val cut = 300L // docs below are the corpus store; the rest stream in
+    val dir = s"/tmp/graft_lsh_ingest_${System.nanoTime()}"
+    val out = s"$dir/flags"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def promote(sub: String, name: String): Unit = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+        new org.apache.hadoop.fs.Path(s"$dir/in/$name"))
+    }
+    new java.io.File(s"$dir/in").mkdirs()
+    docs.filter(col("doc_id") >= cut && col("doc_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$dir/w1")
+    promote("w1", "wave1.parquet")
+    docs.filter(col("doc_id") >= cut && col("doc_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$dir/w2")
+    promote("w2", "wave2.parquet")
+
+    val q = Streams.lshDedupIngest(spark,
+      docs.filter(col("doc_id") < cut), s"$dir/in", out)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = graft.ops.Dedup.incrementalFlags(docs, col("doc_id") >= cut)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamed === batch)
+    // the fixture must actually contain both outcomes
+    assert(streamed.values.exists(identity) &&
+      streamed.values.exists(!_), "fixture has no dup/unique mix")
+  }
+}
+
 class SessionVariantsSpec extends SparkSpec {
   test("RANGE-frame sessionization is row-identical to the lag-based form") {
     val a = SparkEntry.queries("sessionize")(spark, sf)
