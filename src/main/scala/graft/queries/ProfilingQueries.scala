@@ -122,6 +122,69 @@ object ProfilingQueries {
              |count(*) AS n_rows
              |FROM events, b GROUP BY 1 ORDER BY bin""".stripMargin)),
 
+    // Dataset drift between two snapshots (population stability index):
+    // orders before/after 1998-01-01 binned on o_totalprice over GLOBAL
+    // equal-width bins (one tiny min/max agg broadcast so both sides
+    // share boundaries), add-one smoothing so empty bins stay defined,
+    // per-bin PSI terms (p_a − p_b)·ln(p_a/p_b) rounded to 6 BEFORE the
+    // DECIMAL total so the cross-engine ln ulp can't drift the sum. Two
+    // filter-pushed scans + two 10-row aggs — the monitoring job you run
+    // against every new training snapshot; PSI > 0.2 = investigate.
+    QueryDef("profile_drift",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_totalprice").as("x"),
+            (col("o_orderdate") < lit("1998-01-01")).as("is_a"))
+        val bounds = o.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        val n = 10
+        val binned = o.crossJoin(broadcast(bounds))
+          .select(least(floor((col("x") - col("lo")) * n /
+            (col("hi") - col("lo"))), lit(n - 1)).cast("long").as("bin"),
+            col("is_a"))
+        val counts = binned.groupBy("bin")
+          .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+        val tot = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+        val terms = counts.crossJoin(broadcast(tot))
+          .withColumn("p_a",
+            (col("n_a") + 1).cast("double") / (col("ta") + n))
+          .withColumn("p_b",
+            (col("n_b") + 1).cast("double") / (col("tb") + n))
+          .withColumn("psi_term",
+            round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 6))
+        terms
+          .withColumn("psi_total",
+            sum(col("psi_term").cast("decimal(18,6)")).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(lit(1))).cast("double"))
+          .select(col("bin"), col("n_a"), col("n_b"), col("psi_term"),
+            col("psi_total"))
+          .orderBy("bin")
+      },
+      Some("""WITH o AS (SELECT o_totalprice AS x,
+             |    o_orderdate < TIMESTAMP '1998-01-01' AS is_a FROM orders),
+             |b AS (SELECT min(x) AS lo, max(x) AS hi FROM o),
+             |binned AS (SELECT
+             |    CAST(least(floor((x - lo) * 10 / (hi - lo)), 9) AS BIGINT)
+             |      AS bin, is_a FROM o, b),
+             |c AS (SELECT bin,
+             |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+             |  FROM binned GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             |             CAST(sum(n_b) AS BIGINT) AS tb FROM c),
+             |terms AS (SELECT bin, n_a, n_b,
+             |    round((CAST(n_a + 1 AS DOUBLE) / (ta + 10)
+             |           - CAST(n_b + 1 AS DOUBLE) / (tb + 10))
+             |      * ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10))
+             |            / (CAST(n_b + 1 AS DOUBLE) / (tb + 10))), 6)
+             |      AS psi_term
+             |  FROM c CROSS JOIN t)
+             |SELECT bin, n_a, n_b, psi_term,
+             |  CAST(sum(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE)
+             |    AS psi_total
+             |FROM terms ORDER BY bin""".stripMargin)),
+
     // Count-min frequency estimates of the top tokens, probe-verified
     // against exact counts (CMS never under-counts; over-count ≤ eps·N);
     // fixed seed + fixed data ⇒ deterministic verdicts
