@@ -173,6 +173,43 @@ object BehaviorQueries {
              |SELECT from_type, to_type, n,
              |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
              |       AS BIGINT) AS p_ppm
-             |FROM c ORDER BY from_type, to_type""".stripMargin))
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent preceding non-purchase event (IGNORE NULLS last_value over
+    // the preceding frame — one window pass, the only events-wide op);
+    // purchases with no prior touch credit 'none'. Shares in fixed-point
+    // ppm over the tiny per-touch rollup.
+    QueryDef("events_attribution",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val att = Tables.read(s, dir, "events")
+          .withColumn("touch", last(
+            when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+          .agg(count(lit(1)).as("n_purchases"))
+        att.withColumn("share_ppm", expr(
+            "n_purchases * 1000000 div sum(n_purchases) over ()"))
+          .orderBy("touch_type")
+      },
+      Some("""WITH att AS (
+             |  SELECT event_type, last_value(
+             |      CASE WHEN event_type <> 'purchase' THEN event_type END
+             |      IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+             |  FROM events),
+             |c AS (SELECT coalesce(touch, 'none') AS touch_type,
+             |        count(*) AS n_purchases
+             |      FROM att WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT touch_type, n_purchases,
+             |  CAST(n_purchases * 1000000 // sum(n_purchases) OVER ()
+             |       AS BIGINT) AS share_ppm
+             |FROM c ORDER BY touch_type""".stripMargin))
   )
 }

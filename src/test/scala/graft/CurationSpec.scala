@@ -61,6 +61,25 @@ class SamplingSpec extends SparkSpec {
     assert(a.length > 0 && a.length < ntot)
   }
 
+  test("weighted sampling: max-weight rows always kept, zero-weight never, monotone in weight") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, (i % 5) * 25L)) // weights 0..100
+      .toDF("doc_id", "w")
+    val kept = Sampling.weighted(df, "w", col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // thr = w*10000 div wmax: zero-weight rows can never pass, max-weight
+    // rows (thr = 10000) always do
+    assert(kept.forall(_._2 > 0L))
+    assert(kept.count(_._2 == 100L) === df.filter(col("w") === 100).count())
+    // keep RATE is monotone in the weight tier
+    val rates = kept.groupBy(_._2).view.mapValues(_.size / 80.0).toMap
+    assert(rates(25L) < rates(75L) && rates(75L) <= rates(100L), rates.toString)
+    // deterministic under repartitioning
+    val again = Sampling.weighted(df.repartition(7), "w", col("doc_id"))
+      .collect().map(r => r.getLong(0)).sorted
+    assert(kept.map(_._1).sorted.sameElements(again))
+  }
+
   test("split is exhaustive, disjoint, and stable under corpus growth") {
     val docs = graft.core.Tables.read(spark, sf, "documents")
     val s = Sampling.split(docs, col("doc_id"), 8000, 1000)
