@@ -243,6 +243,7 @@ object Similarity {
         .select(lit(name).as("method"), col("n_hit"))
     hits(ivfTopK(emb, nQueries, k, nlists = 16, nprobe = 2), "ivf")
       .unionByName(hits(lshTopK(emb, nQueries, k, bits = 4), "lsh"))
+      .unionByName(hits(pqTopK(emb, nQueries, k), "pq"))
       .crossJoin(broadcast(exactN))
       .select(col("method"), col("n_hit"), col("n_exact"),
         round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))

@@ -164,7 +164,19 @@ object PipelineQueries {
     */
   private def pqOracle(nQueries: Int = 5, k: Int = 3, dsub: Int = 8,
       ksub: Int = 4): String =
-    s"""WITH ex AS (
+    s"""WITH ${pqCtes(nQueries, dsub, ksub)}
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |  round(CAST(d2 AS DOUBLE), 6) AS approx_d2
+       |FROM (SELECT query_id, neighbor_id, d2, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+       |      FROM adc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** The PQ pipeline CTE chain up to `adc` (query→candidate ADC
+    * distances) — shared by [[pqOracle]] and the recall oracle.
+    */
+  private def pqCtes(nQueries: Int, dsub: Int, ksub: Int): String =
+    s"""ex AS (
        |  SELECT vec_id, t.dim // $dsub AS m, t.dim % $dsub AS dm,
        |    CAST(CAST(embedding[t.dim + 1] AS DOUBLE) AS DECIMAL(12,8)) AS xq
        |  FROM embeddings CROSS JOIN range(64) t(dim)),
@@ -201,13 +213,7 @@ object PipelineQueries {
        |adc AS (SELECT l.query_id, kc.vec_id AS neighbor_id, sum(l.pd) AS d2
        |        FROM codes kc JOIN lut l
        |          ON l.m = kc.m AND l.cluster = kc.cluster
-       |        WHERE kc.vec_id <> l.query_id GROUP BY 1, 2)
-       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
-       |  round(CAST(d2 AS DOUBLE), 6) AS approx_d2
-       |FROM (SELECT query_id, neighbor_id, d2, row_number() OVER (
-       |        PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
-       |      FROM adc)
-       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+       |        WHERE kc.vec_id <> l.query_id GROUP BY 1, 2)""".stripMargin
 
   private def kmeansOracle(k: Int = 4, iters: Int = 2): String = {
     s"""WITH ${kmeansCtes(k, iters)},
@@ -937,13 +943,21 @@ object PipelineQueries {
        |    FROM assigned a JOIN probes p
        |      ON a.list_id = p.list_id AND a.vec_id <> p.query_id)
        |  WHERE rank <= 3),
+       |${pqCtes(5, 8, 4)},
+       |pq AS (SELECT query_id, neighbor_id FROM (
+       |        SELECT query_id, neighbor_id, row_number() OVER (
+       |          PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+       |        FROM adc) WHERE rank <= 3),
        |n_ex AS (SELECT count(*) AS n_exact FROM bf),
        |hits AS (
        |  SELECT 'ivf' AS method, count(*) AS n_hit
        |  FROM ivf JOIN bf USING (query_id, neighbor_id)
        |  UNION ALL
        |  SELECT 'lsh' AS method, count(*) AS n_hit
-       |  FROM lsh JOIN bf USING (query_id, neighbor_id))
+       |  FROM lsh JOIN bf USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'pq' AS method, count(*) AS n_hit
+       |  FROM pq JOIN bf USING (query_id, neighbor_id))
        |SELECT method, n_hit, n_exact,
        |  round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
        |FROM hits, n_ex ORDER BY method""".stripMargin
