@@ -156,4 +156,31 @@ object Txn {
     publish(path, v, old.filterNot { case (p, _) => affected(p) } ++ fresh)
     v
   }
+
+  /** Snapshot retention (VACUUM): keep the latest `keepLast` versions,
+    * delete older manifests AND every data file no retained manifest
+    * references (files are shared across versions by carry-forward, so
+    * reachability — not version directories — decides what is garbage).
+    * Ordering makes this safe against concurrent readers of RETAINED
+    * versions: unreferenced data files go first, manifests last, so any
+    * version whose manifest still exists has all its files. Readers of
+    * EXPIRED versions fail cleanly at manifest resolution ([[readVersion]]
+    * already requires the manifest). Driver-side metadata work ∝ #files —
+    * the same cost class as a commit. Returns the expired version ids.
+    */
+  def expireVersions(path: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"must keep at least one version, got $keepLast")
+    val latest = latestVersion(path)
+    val all = (0 to latest).filter(v =>
+      new File(txnDir(path), s"v$v.manifest").exists())
+    val (expired, kept) = all.partition(_ <= latest - keepLast)
+    if (expired.nonEmpty) {
+      val reachable = kept.flatMap(v => entries(path, v).map(_._2)).toSet
+      val garbage = expired.flatMap(v => entries(path, v).map(_._2))
+        .distinct.filterNot(reachable)
+      garbage.foreach(rel => new File(path, rel).delete())
+      expired.foreach(v => new File(txnDir(path), s"v$v.manifest").delete())
+    }
+    expired
+  }
 }

@@ -243,6 +243,39 @@ class MergeSpec extends SparkSpec {
       Txn.readVersion(spark, root, 7)
     }
   }
+
+  test("txn vacuum: expired versions unreadable, shared files survive, latest intact") {
+    import graft.ops.Txn
+    val root = s"/tmp/graft_txn_vac_${System.nanoTime()}"
+    val base = Seq((1L, "2024-01-01", 10.0), (3L, "2024-01-02", 30.0))
+      .toDF("k", "day", "v")
+    assert(Txn.commit(spark, root, base, "day") === 0)
+    // v1 and v2 each rewrite only 2024-01-01; the v0 file for 2024-01-02
+    // is carried forward by EVERY later version
+    Txn.upsertPartitioned(spark, root,
+      Seq((1L, "2024-01-01", 11.0)).toDF("k", "day", "v"), Seq("k"), "day")
+    Txn.upsertPartitioned(spark, root,
+      Seq((1L, "2024-01-01", 12.0)).toDF("k", "day", "v"), Seq("k"), "day")
+
+    assert(Txn.expireVersions(root, keepLast = 2) === Seq(0))
+    // v0 gone: manifest deleted, read fails cleanly
+    intercept[IllegalArgumentException] { Txn.readVersion(spark, root, 0) }
+    // v1/v2 fully readable — including the CARRIED-FORWARD v0 data file
+    // for 2024-01-02, which reachability kept even though v0 expired
+    assert(Txn.readVersion(spark, root, 1).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      Seq((1L, 11.0), (3L, 30.0)))
+    assert(Txn.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      Seq((1L, 12.0), (3L, 30.0)))
+    // v1's now-unreferenced 2024-01-01 file dies with the next vacuum
+    assert(Txn.expireVersions(root, keepLast = 1) === Seq(1))
+    assert(Txn.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      Seq((1L, 12.0), (3L, 30.0)))
+    // idempotent when nothing to expire
+    assert(Txn.expireVersions(root, keepLast = 1) === Seq())
+  }
 }
 
 class ClusterSpec extends SparkSpec {
