@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on edge DataFrames. Companion to the
@@ -80,6 +80,40 @@ object Graph {
             expr(s"($DampNum * coalesce(contrib, 0L)) div 1000")).as("r"))
     }
     ranks
+  }
+
+  /** Hop distances from a landmark set over an undirected edge list by
+    * `rounds` of synchronous frontier relaxation (min-plus BFS):
+    * dist_{t+1}(v) = min(dist_t(v), min_{u~v} dist_t(u) + 1). Exact for
+    * every node within `rounds` hops; farther nodes keep the sentinel
+    * (surface as hop −1). Per round: one join of the checkpointed edge
+    * list against the one-row-per-node distance frame (broadcast-gated
+    * exactly like [[pagerank]]) + one min agg — shuffle ∝ edges, rounds
+    * = the landmark eccentricity you care about, the standard
+    * landmark-distance sketch for graph features at scale.
+    */
+  def hopDistances(edges: DataFrame, sources: Column,
+      rounds: Int, broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    val Unreached = 1000000L
+    val e = edges.select("src", "dst")
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (nodes.count() <= broadcastMaxNodes) broadcast else identity
+    var dist = nodes.withColumn("d",
+      when(sources, lit(0L)).otherwise(lit(Unreached)))
+    for (_ <- 1 to rounds) {
+      val relax = e.join(hint(dist), col("node") === e("src"))
+        .select(col("dst").as("node"), (col("d") + 1).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      dist = dist.join(hint(relax), Seq("node"), "left")
+        .select(col("node"),
+          least(col("d"), coalesce(col("nd"), lit(Unreached))).as("d"))
+        .localCheckpoint()
+    }
+    dist.select(col("node"),
+      when(col("d") >= Unreached, lit(-1L)).otherwise(col("d")).as("hop"))
   }
 
   /** Exact triangle count + global clustering coefficient over an

@@ -70,6 +70,42 @@ object GraphQueries {
       },
       Some(pagerankSql(PrIters))),
 
+    // Multi-source BFS hop distances from two landmark suppliers over the
+    // same bipartite graph: 4 synchronous frontier-relaxation rounds
+    // (shuffle ∝ edges per round, distance frame broadcast-gated like
+    // pagerank), output = the hop histogram. The oracle walks the same
+    // graph with a recursive (node, d) UNION — bounded by nodes×rounds,
+    // no path explosion — and takes min(d).
+    QueryDef("graph_hop_distance",
+      (s, dir) => {
+        val edges = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("o_custkey") * 2 + 1).as("dst"))
+        Graph.hopDistances(edges, col("node") < 5, rounds = 4)
+          .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("hop")
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e AS (SELECT DISTINCT src, dst FROM (
+             |        SELECT src, dst FROM base
+             |        UNION ALL SELECT dst, src FROM base)),
+             |n AS (SELECT DISTINCT src AS node FROM e),
+             |walk(node, d) AS (
+             |  SELECT node, 0 FROM n WHERE node < 5
+             |  UNION
+             |  SELECT e.dst, w.d + 1 FROM walk w
+             |  JOIN e ON e.src = w.node WHERE w.d < 4),
+             |md AS (SELECT node, min(d) AS d FROM walk GROUP BY 1)
+             |SELECT CAST(coalesce(md.d, -1) AS BIGINT) AS hop,
+             |  count(*) AS n_nodes
+             |FROM n LEFT JOIN md USING (node)
+             |GROUP BY 1 ORDER BY hop""".stripMargin)),
+
     // Exact triangle count + clustering coefficient over the supplier
     // co-occurrence graph (suppliers sharing an order), deterministically
     // hash-sparsified to ~8% of edges so the graph stays wedge-countable
