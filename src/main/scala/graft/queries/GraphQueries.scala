@@ -180,6 +180,54 @@ object GraphQueries {
              |FROM customer WHERE c_custkey % 10 = 0
              |ORDER BY c_custkey, valid_from""".stripMargin)),
 
+    // Point-in-time (as-of) join against the SCD2 dimension — the
+    // consuming half of scd2_dim: each fact row joins the dim version
+    // valid at ITS OWN as-of date (equi-join on the key; the validity
+    // range is a join residual, so the plan is a plain keyed join, not a
+    // range join). Facts probing two dates straddling the change show
+    // the +100 balance only on the later cohort.
+    QueryDef("join_scd2_pointintime",
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+        val dim0 = c
+          .withColumn("valid_from", lit("2024-01-01"))
+          .withColumn("valid_to", lit(null).cast("string"))
+          .withColumn("is_current", lit(true))
+        val changes = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val dim = Scd2(dim0, changes, "c_custkey", "2024-06-01")
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"))
+          .withColumn("as_of", when(pmod(col("o_orderkey"), lit(2)) === 0,
+            lit("2024-03-01")).otherwise(lit("2024-07-01")))
+        o.join(dim, o("o_custkey") === dim("c_custkey") &&
+            col("valid_from") <= col("as_of") &&
+            (col("valid_to").isNull || col("as_of") < col("valid_to")))
+          .groupBy("as_of")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+              .as("sum_bal"))
+          .orderBy("as_of")
+      },
+      Some("""WITH dim AS (
+             |  SELECT c_custkey, c_acctbal, '2024-01-01' AS valid_from,
+             |    CASE WHEN c_custkey % 10 = 0 THEN '2024-06-01' END AS valid_to
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal + 100, '2024-06-01', NULL
+             |  FROM customer WHERE c_custkey % 10 = 0),
+             |o AS (SELECT o_custkey, CASE WHEN o_orderkey % 2 = 0
+             |        THEN '2024-03-01' ELSE '2024-07-01' END AS as_of
+             |      FROM orders)
+             |SELECT as_of, count(*) AS n_orders,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_bal
+             |FROM o JOIN dim ON c_custkey = o_custkey
+             |  AND valid_from <= as_of
+             |  AND (valid_to IS NULL OR as_of < valid_to)
+             |GROUP BY 1 ORDER BY as_of""".stripMargin)),
+
     // Z-order (Morton) interleave of two bounded dimension keys — the
     // layout primitive behind multi-column data skipping: writing files
     // sorted by zkey keeps BOTH dimensions locally clustered, so min/max
