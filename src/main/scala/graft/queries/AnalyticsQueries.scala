@@ -300,11 +300,15 @@ object AnalyticsQueries {
         pk.join(ck, "k")
           .select("probe_id", "probe_name", "c_custkey", "c_name")
           .distinct()
-          .filter(levenshtein(col("probe_name"), col("c_name")) <= 1)
+          // THRESHOLDED levenshtein: banded DP that abandons a pair the
+          // moment the distance must exceed 1 (returns -1) — O(k·n) per
+          // comparison instead of the full O(n·m) matrix, the verify-stage
+          // cost that matters when candidates number in the billions
+          .withColumn("edit_dist",
+            levenshtein(col("probe_name"), col("c_name"), 1).cast("long"))
+          .filter(col("edit_dist") >= 0)
           .select(col("probe_id"), col("probe_name"),
-            col("c_custkey"), col("c_name"),
-            levenshtein(col("probe_name"), col("c_name")).cast("long")
-              .as("edit_dist"))
+            col("c_custkey"), col("c_name"), col("edit_dist"))
           .orderBy("probe_id", "c_custkey")
       },
       Some("""WITH probes AS (

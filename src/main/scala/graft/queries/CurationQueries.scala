@@ -266,6 +266,33 @@ object CurationQueries {
              |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
              |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin)),
 
+    // Dataset-card manifest: the per-(split, lang) doc/token/byte census
+    // a training run ships with its dataset — deterministic splits from
+    // the salted hash, token/byte counts map-side, one rollup shuffle.
+    QueryDef("curation_manifest",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        Sampling.split(docs, col("doc_id"), trainBp = 8000, valBp = 1000)
+          .select(col("split"), col("lang"),
+            size(org.apache.spark.sql.functions
+              .split(lower(trim(col("text"))), "\\s+")).cast("long")
+              .as("toks"),
+            octet_length(col("text")).cast("long").as("bytes"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+            sum("bytes").as("n_bytes"))
+          .orderBy("split", "lang")
+      },
+      Some(s"""SELECT CASE
+              |    WHEN ${bucketSql("split", "doc_id")} < 8000 THEN 'train'
+              |    WHEN ${bucketSql("split", "doc_id")} < 9000 THEN 'val'
+              |    ELSE 'test' END AS split,
+              |  lang, count(*) AS n_docs,
+              |  CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+              |       AS BIGINT) AS n_tokens,
+              |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+              |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df). Two shuffles — DF per term (map-side combinable),
     // then the per-doc rank window — both key-bounded at 100 TB. The

@@ -185,6 +185,41 @@ object ProfilingQueries {
              |    AS psi_total
              |FROM terms ORDER BY bin""".stripMargin)),
 
+    // Shannon entropy of the daily event-type mix — the "is today's
+    // traffic composition weird" monitor (low entropy = one type
+    // dominating). Two key-bounded aggs + a per-day window over ≤5 rows;
+    // each −p·ln(p) term rounds to 6 before the DECIMAL total (the
+    // profile_drift ln discipline).
+    QueryDef("agg_entropy",
+      (s, dir) => {
+        val c = Tables.read(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("day")
+        c.withColumn("tot", sum("n").over(w))
+          .withColumn("p", col("n").cast("double") / col("tot"))
+          .withColumn("term", round(-col("p") * log(col("p")), 6))
+          .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+          .agg(max(col("tot")).as("n_events"),
+            sum(col("term").cast("decimal(18,6)")).cast("double")
+              .as("entropy_nats"))
+          .orderBy("day")
+      },
+      Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type,
+             |    count(*) AS n FROM events GROUP BY 1, 2),
+             |t AS (SELECT day, event_type, n,
+             |    CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS tot
+             |  FROM c),
+             |terms AS (SELECT day, tot,
+             |    round(-(CAST(n AS DOUBLE) / tot)
+             |          * ln(CAST(n AS DOUBLE) / tot), 6) AS term
+             |  FROM t)
+             |SELECT strftime(day, '%Y-%m-%d') AS day,
+             |  max(tot) AS n_events,
+             |  CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS entropy_nats
+             |FROM terms GROUP BY 1 ORDER BY day""".stripMargin)),
+
     // Count-min frequency estimates of the top tokens, probe-verified
     // against exact counts (CMS never under-counts; over-count ≤ eps·N);
     // fixed seed + fixed data ⇒ deterministic verdicts
