@@ -306,6 +306,38 @@ object PipelineQueries {
       (s, dir) => Dedup.containmentPairs(Tables.read(s, dir, "documents")),
       Some(containmentOracle)),
 
+    // Semantic dedup end-to-end: hyperplane-blocked cosine pairs feed the
+    // large/small-star component labeler — near-dup EMBEDDING clusters
+    // with their canonical (min) ids, the composition a semantic-dedup
+    // pass actually ships. Both halves are individually gated
+    // (dedup_embedding, dedup_cluster_lss); this gates the composition.
+    QueryDef("dedup_embedding_cluster",
+      (s, dir) => Dedup.lssComponents(
+        Similarity.embeddingNearDups(Tables.read(s, dir, "embeddings"))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"),
+          col("canonical_id"))
+        .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding,
+              |  ${nrmSql("embedding")} AS nrm,
+              |  ${bucketSql("embedding", 4)} AS bucket FROM embeddings),
+              |p AS (SELECT vec_a, vec_b FROM (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
+              |  FROM bk a JOIN bk b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |  WHERE cos_sim >= 0.35),
+              |edges AS (SELECT vec_a AS a, vec_b AS b FROM p
+              |  UNION SELECT vec_b, vec_a FROM p
+              |  UNION SELECT vec_a, vec_a FROM p
+              |  UNION SELECT vec_b, vec_b FROM p),
+              |walk(node, reach) AS (
+              |  SELECT DISTINCT a, a FROM edges
+              |  UNION
+              |  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach)
+              |SELECT node AS vec_id, min(reach) AS canonical_id
+              |FROM walk GROUP BY 1 ORDER BY vec_id""".stripMargin)),
+
     QueryDef("dedup_cluster",
       (s, dir) => Dedup.cluster(Tables.read(s, dir, "documents")),
       Some(clusterOracle)),

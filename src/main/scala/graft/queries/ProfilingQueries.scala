@@ -518,6 +518,59 @@ object ProfilingQueries {
              |FROM lagged WHERE v3 IS NOT NULL
              |ORDER BY event_type, day""".stripMargin)),
 
+    // CUSUM changepoint detection on the daily value series per event
+    // type: cumulative sum of deviations from the series mean peaks at
+    // the regime change. Micro-unit longs and integer division keep the
+    // whole statistic exact; the argmax day (ties → earliest) is a
+    // window rank over the ≤31-row per-type series.
+    QueryDef("ts_changepoint",
+      (s, dir) => {
+        val daily = Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,6)")) * 1000000L)
+            .cast("long").as("v"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        val wCum = wAll.orderBy("day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val withM = daily
+          .withColumn("sv", sum("v").over(wAll))
+          .withColumn("nv", count(lit(1)).over(wAll))
+          .withColumn("m", expr("sv div nv"))
+          .withColumn("cusum", sum(col("v") - col("m")).over(wCum))
+          .withColumn("acu", abs(col("cusum")))
+        withM
+          .withColumn("rn", row_number().over(
+            wAll.orderBy(desc("acu"), col("day"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("change_day"),
+            col("acu").as("max_abs_cusum"), col("nv").as("n_days"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+             |         AS BIGINT) AS v
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, day, v,
+             |    CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT)
+             |      // count(v) OVER (PARTITION BY event_type) AS m,
+             |    count(v) OVER (PARTITION BY event_type) AS nv
+             |  FROM daily),
+             |c AS (SELECT event_type, day, nv,
+             |    abs(CAST(sum(v - m) OVER (PARTITION BY event_type
+             |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS acu
+             |  FROM m),
+             |r AS (SELECT event_type, day, acu, nv, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY acu DESC, day) AS rn
+             |  FROM c)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+             |  CAST(acu AS BIGINT) AS max_abs_cusum,
+             |  CAST(nv AS BIGINT) AS n_days
+             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
     // Wide→long unpivot of the lineitem measures (Dataset.unpivot — plans
     // as a map-side Expand, no shuffle, no UDF; the inverse of
     // pivot_status).
