@@ -293,6 +293,42 @@ object CurationQueries {
               |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
               |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
 
+    // Contrastive negative sampling: 3 deterministic pseudo-random
+    // negatives per document from the salted hash (re-run-identical, no
+    // RNG state — the property a resumable training-pair job needs).
+    // Candidates semi-join the corpus so non-existent ids and
+    // self-pairs drop identically in both engines regardless of id
+    // density. Map-side explode + one broadcast-able semi-join.
+    QueryDef("sample_negatives",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val n = docs.agg(count(lit(1)).as("ntot"))
+        val cand = docs.select(col("doc_id"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), explode(array(lit(0), lit(1), lit(2)))
+            .as("i"), col("ntot"))
+          .withColumn("neg_id", graft.core.GraftFunctions.hash64(
+            concat_ws("|", lit("neg"), col("doc_id"), col("i"))) % col("ntot"))
+          .filter(col("neg_id") =!= col("doc_id"))
+        cand.join(docs.select(col("doc_id").as("neg_id")), Seq("neg_id"),
+            "left_semi")
+          .select(col("doc_id"), col("i").cast("long").as("i"), col("neg_id"))
+          .orderBy("doc_id", "i")
+      },
+      Some(s"""WITH n AS (SELECT count(*) AS ntot FROM documents),
+              |cand AS (
+              |  SELECT doc_id, i,
+              |    ${Sql.hash64("'neg|' || CAST(doc_id AS VARCHAR) || '|' " +
+                   "|| CAST(i AS VARCHAR)")} % ntot AS neg_id
+              |  FROM documents CROSS JOIN n
+              |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+              |  )
+              |SELECT doc_id, CAST(i AS BIGINT) AS i, neg_id
+              |FROM cand
+              |WHERE neg_id <> doc_id
+              |  AND neg_id IN (SELECT doc_id FROM documents)
+              |ORDER BY doc_id, i""".stripMargin)),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df). Two shuffles — DF per term (map-side combinable),
     // then the per-doc rank window — both key-bounded at 100 TB. The

@@ -185,6 +185,31 @@ object ProfilingQueries {
              |    AS psi_total
              |FROM terms ORDER BY bin""".stripMargin)),
 
+    // Catalog census — the information_schema face: one row per managed
+    // table with row and column counts (the column count read off the
+    // engine's own scan schema, so a catalog/scan drift fails the gate).
+    // Ten 1-row count aggs unioned; each is a metadata-cheap scan.
+    QueryDef("catalog_census",
+      (s, dir) => {
+        val tables = Seq("region", "nation", "customer", "supplier",
+          "part", "orders", "lineitem", "events", "documents", "embeddings")
+        tables.map { t =>
+          val df = Tables.read(s, dir, t)
+          df.agg(count(lit(1)).as("n_rows"))
+            .select(lit(t).as("table_name"), col("n_rows"),
+              lit(df.columns.length.toLong).as("n_cols"))
+        }.reduce(_.unionByName(_)).orderBy("table_name")
+      },
+      Some {
+        val cols = Seq("region" -> 2, "nation" -> 3, "customer" -> 5,
+          "supplier" -> 4, "part" -> 6, "orders" -> 6, "lineitem" -> 11,
+          "events" -> 6, "documents" -> 5, "embeddings" -> 3)
+        cols.map { case (t, nc) =>
+          s"""SELECT '$t' AS table_name, count(*) AS n_rows,
+             |  CAST($nc AS BIGINT) AS n_cols FROM $t""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+      }),
+
     // Shannon entropy of the daily event-type mix — the "is today's
     // traffic composition weird" monitor (low entropy = one type
     // dominating). Two key-bounded aggs + a per-day window over ≤5 rows;
