@@ -543,6 +543,44 @@ object ProfilingQueries {
              |FROM lagged WHERE v3 IS NOT NULL
              |ORDER BY event_type, day""".stripMargin)),
 
+    // Rolling 7-day median of the daily value series per event type —
+    // the robust-smoothing counterpart of ts_ewma. Computed as the
+    // middle element of the sorted micro-unit frame array in BOTH
+    // engines (never each engine's own median(), whose interpolation
+    // conventions differ): integer micro longs in, integer median out.
+    // Frames are ≤7 elements, so the per-row sort is constant work.
+    QueryDef("ts_rolling_median",
+      (s, dir) => {
+        val daily = Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,6)")) * 1000000L)
+            .cast("long").as("v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+        daily
+          .withColumn("frame", sort_array(collect_list(col("v")).over(w)))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("v").as("value_micro"),
+            element_at(col("frame"),
+              ((size(col("frame")) + 1) / 2).cast("int")).as("med_micro"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+             |         AS BIGINT) AS v
+             |  FROM events GROUP BY 1, 2),
+             |f AS (SELECT event_type, day, v,
+             |    list_sort(list(v) OVER (PARTITION BY event_type
+             |      ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |      AS frame
+             |  FROM daily)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |  v AS value_micro,
+             |  frame[CAST((len(frame) + 1) // 2 AS INT)] AS med_micro
+             |FROM f ORDER BY event_type, day""".stripMargin)),
+
     // CUSUM changepoint detection on the daily value series per event
     // type: cumulative sum of deviations from the series mean peaks at
     // the regime change. Micro-unit longs and integer division keep the
