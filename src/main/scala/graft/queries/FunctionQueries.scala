@@ -288,6 +288,62 @@ object FunctionQueries {
              |FROM lineitem CROSS JOIN c
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // Pairwise Pearson correlations of the lineitem measures from ONE
+    // pass of exact-DECIMAL moments (n, Σx, Σxy for all pairs): the
+    // moments are order-independent decimal sums, and the final formula
+    // runs in double IDENTICALLY in both engines (each moment cast once,
+    // same operation sequence) — so the matrix is reproducible, unlike
+    // corr() whose streaming covariance accumulates float error in
+    // partition order. Never uses built-in corr.
+    QueryDef("agg_corr_matrix",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val q6 = (c: String) => col(c).cast("decimal(18,6)")
+        val sums = cols.map(c => sum(q6(c)).as(s"s_$c")) ++
+          (for { a <- cols; b <- cols if a <= b }
+            yield sum(q6(a) * q6(b)).as(s"p_${a}_$b"))
+        val m = Tables.read(s, dir, "lineitem")
+          .agg(count(lit(1)).as("n"), sums: _*)
+        def corr(a: String, b: String) = {
+          def d(c: org.apache.spark.sql.Column) = c.cast("double")
+          val num = d(col("n")) * d(col(s"p_${a}_$b")) -
+            d(col(s"s_$a")) * d(col(s"s_$b"))
+          val va = d(col("n")) * d(col(s"p_${a}_$a")) -
+            d(col(s"s_$a")) * d(col(s"s_$a"))
+          val vb = d(col("n")) * d(col(s"p_${b}_$b")) -
+            d(col(s"s_$b")) * d(col(s"s_$b"))
+          round(num / (sqrt(va) * sqrt(vb)), 6)
+        }
+        m.select(col("n"),
+          corr("l_discount", "l_extendedprice").as("corr_disc_price"),
+          corr("l_discount", "l_quantity").as("corr_disc_qty"),
+          corr("l_extendedprice", "l_quantity").as("corr_price_qty"))
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val sums = cols.map(c =>
+          s"sum(CAST($c AS DECIMAL(18,6))) AS s_$c") ++
+          // DECIMAL(24,6) forces DuckDB's INT128 multiply path (a
+          // DECIMAL(18) product overflows its INT64 fast path); the
+          // values are exact either way, matching Spark's (18,6) sums
+          (for { a <- cols; b <- cols if a <= b }
+            yield s"sum(CAST($a AS DECIMAL(24,6)) * CAST($b AS DECIMAL(24,6))) AS p_${a}_$b")
+        def corr(a: String, b: String) =
+          s"""round((CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE)
+             |  - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+             | / (sqrt(CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE)
+             |         - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+             |    * sqrt(CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE)
+             |           - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)""".stripMargin
+        s"""WITH m AS (SELECT count(*) AS n, ${sums.mkString(",\n  ")}
+           |  FROM lineitem)
+           |SELECT n,
+           |  ${corr("l_discount", "l_extendedprice")} AS corr_disc_price,
+           |  ${corr("l_discount", "l_quantity")} AS corr_disc_qty,
+           |  ${corr("l_extendedprice", "l_quantity")} AS corr_price_qty
+           |FROM m""".stripMargin
+      }),
+
     // Winsorized mean (outlier-robust stats): clamp at the group's
     // p05/p95 before averaging. Per-group percentile agg (tiny — one row
     // per returnflag) broadcast back, map-side clamp, DECIMAL sum so the
