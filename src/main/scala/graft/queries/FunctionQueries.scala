@@ -344,6 +344,42 @@ object FunctionQueries {
            |FROM m""".stripMargin
       }),
 
+    // Per-group z-score standardization (feature scaling): group moments
+    // from exact DECIMAL sums broadcast back onto the scan, the per-row
+    // transform in double computed by the same operation sequence in
+    // both engines. The standard scaler, reproducible across
+    // partitionings — corr_matrix's row-level sibling.
+    QueryDef("fn_standardize",
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem")
+        val stats = li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).as("sx"),
+          sum(col("l_quantity").cast("decimal(18,6)") *
+            col("l_quantity").cast("decimal(18,6)")).as("sxx"))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        li.join(broadcast(stats), "l_returnflag")
+          .withColumn("mean", d(col("sx")) / d(col("n")))
+          .withColumn("std", sqrt(d(col("sxx")) / d(col("n")) -
+            (d(col("sx")) / d(col("n"))) * (d(col("sx")) / d(col("n")))))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            round((col("l_quantity") - col("mean")) / col("std"), 6).as("z"))
+          .orderBy("l_orderkey", "l_linenumber")
+          .limit(500)
+      },
+      Some("""WITH stats AS (SELECT l_returnflag, count(*) AS n,
+             |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+             |    sum(CAST(l_quantity AS DECIMAL(24,6))
+             |        * CAST(l_quantity AS DECIMAL(24,6))) AS sxx
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_orderkey, l_linenumber, l_returnflag,
+             |  round((l_quantity - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS z
+             |FROM lineitem JOIN stats USING (l_returnflag)
+             |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin)),
+
     // Winsorized mean (outlier-robust stats): clamp at the group's
     // p05/p95 before averaging. Per-group percentile agg (tiny — one row
     // per returnflag) broadcast back, map-side clamp, DECIMAL sum so the
