@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, count, lit, pmod, posexplode, round, sqrt, sum}
 
 import graft.QueryDef
 import graft.QueryDef.Sql
@@ -469,6 +469,63 @@ object PipelineQueries {
       (s, dir) => Similarity.pqTopK(Tables.read(s, dir, "embeddings"),
         nQueries = 5, k = 3),
       Some(pqOracle())),
+
+    // Label separability: per-class centroids in the exploded-decimal
+    // space (exact sums, means re-quantized once — the Lloyd idiom),
+    // then the full centroid-pair cosine matrix. The "are my classes
+    // distinguishable in embedding space" diagnostic; tiny output, one
+    // corpus pass.
+    QueryDef("embedding_label_separation",
+      (s, dir) => {
+        val cen = Tables.read(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding"))
+            .as(Seq("dim", "x")))
+          .select(col("label"), col("dim"),
+            col("x").cast("double").cast("decimal(12,8)").as("xq"))
+          .groupBy("label", "dim")
+          .agg((sum(col("xq")).cast("double") / count(lit(1)))
+            .cast("decimal(12,8)").as("cd"))
+        val a = cen.select(col("label").as("label_a"), col("dim"),
+          col("cd").as("ca"))
+        val b = cen.select(col("label").as("label_b"), col("dim"),
+          col("cd").as("cb"))
+        val dots = a.join(b, Seq("dim"))
+          .filter(col("label_a") < col("label_b"))
+          .groupBy("label_a", "label_b")
+          .agg(sum(col("ca") * col("cb")).as("dt"))
+        val nrm = cen.groupBy("label")
+          .agg(sqrt(sum(col("cd") * col("cd")).cast("double")).as("nrm"))
+        dots
+          .join(nrm.select(col("label").as("label_a"),
+            col("nrm").as("na")), "label_a")
+          .join(nrm.select(col("label").as("label_b"),
+            col("nrm").as("nb")), "label_b")
+          .select(col("label_a"), col("label_b"),
+            round(col("dt").cast("double") / (col("na") * col("nb")), 6)
+              .as("centroid_cos"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH ex AS (
+             |  SELECT label, t.dim AS dim,
+             |    CAST(CAST(embedding[t.dim + 1] AS DOUBLE)
+             |         AS DECIMAL(12,8)) AS xq
+             |  FROM embeddings CROSS JOIN range(64) t(dim)),
+             |cen AS (SELECT label, dim,
+             |    CAST(CAST(sum(xq) AS DOUBLE)/count(*) AS DECIMAL(12,8)) AS cd
+             |  FROM ex GROUP BY 1, 2),
+             |nrm AS (SELECT label, sqrt(CAST(sum(cd*cd) AS DOUBLE)) AS nrm
+             |  FROM cen GROUP BY 1),
+             |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+             |    sum(a.cd * b.cd) AS dt
+             |  FROM cen a JOIN cen b ON a.dim = b.dim AND a.label < b.label
+             |  GROUP BY 1, 2)
+             |SELECT label_a, label_b,
+             |  round(CAST(dt AS DOUBLE) / (na.nrm * nb.nrm), 6)
+             |    AS centroid_cos
+             |FROM dots
+             |JOIN nrm na ON na.label = label_a
+             |JOIN nrm nb ON nb.label = label_b
+             |ORDER BY label_a, label_b""".stripMargin)),
 
     // recall@k of both approximate indexes against the exact baseline —
     // turns "the index runs" into "the index is measured"
