@@ -329,6 +329,73 @@ object CurationQueries {
               |  AND neg_id IN (SELECT doc_id FROM documents)
               |ORDER BY doc_id, i""".stripMargin)),
 
+    // Jensen-Shannon divergence between the two largest sources' unigram
+    // distributions — the "how different are these corpora" curation
+    // metric (bounded, symmetric, defined on disjoint supports unlike
+    // KL). Token-count aggs (map-side) → full-outer-joined
+    // distributions with add-one smoothing over the joint vocabulary →
+    // per-term JS contributions rounded to 6 then DECIMAL-summed (the
+    // profile_drift ln discipline). Vocabulary-bounded shuffles only.
+    QueryDef("curation_js_divergence",
+      (s, dir) => {
+        val toks = graft.ops.TextOps.withTokens(
+          Tables.read(s, dir, "documents"))
+          .select(col("source"), explode(col("t")).as("token"))
+          .filter(length(col("token")) >= 2)
+        val top2 = toks.groupBy("source").agg(count(lit(1)).as("nt"))
+          .orderBy(desc("nt"), col("source")).limit(2)
+          .select(col("source"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(desc("nt"), col("source"))).as("side"))
+        val counts = toks.join(broadcast(top2), "source")
+          .groupBy("token")
+          .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("na"),
+            sum(when(col("side") === 2, 1L).otherwise(0L)).as("nb"))
+        val tot = counts.agg(sum("na").as("ta"), sum("nb").as("tb"),
+          count(lit(1)).as("vocab"))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val terms = counts.crossJoin(broadcast(tot))
+          .withColumn("p", (d(col("na")) + 1) / (d(col("ta")) + d(col("vocab"))))
+          .withColumn("q", (d(col("nb")) + 1) / (d(col("tb")) + d(col("vocab"))))
+          .withColumn("m2", col("p") + col("q"))
+          .withColumn("term", round(
+            (col("p") * log(lit(2.0) * col("p") / col("m2"))
+              + col("q") * log(lit(2.0) * col("q") / col("m2"))) / 2.0, 6))
+        terms.agg(max(col("vocab")).as("vocab"),
+          sum(col("term").cast("decimal(18,6)")).cast("double")
+            .as("js_divergence"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |  FROM documents),
+             |ft AS (SELECT source, token FROM toks WHERE length(token) >= 2),
+             |top2 AS (SELECT source, row_number() OVER (
+             |      ORDER BY count(*) DESC, source) AS side
+             |  FROM ft GROUP BY source
+             |  ORDER BY count(*) DESC, source LIMIT 2),
+             |c AS (SELECT token,
+             |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             |    CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+             |  FROM ft JOIN top2 USING (source) GROUP BY 1),
+             |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+             |    CAST(sum(nb) AS BIGINT) AS tb, count(*) AS vocab FROM c),
+             |terms AS (SELECT vocab,
+             |    round(((CAST(na + 1 AS DOUBLE) / (ta + vocab))
+             |        * ln(2.0 * (CAST(na + 1 AS DOUBLE) / (ta + vocab))
+             |             / ((CAST(na + 1 AS DOUBLE) / (ta + vocab))
+             |                + (CAST(nb + 1 AS DOUBLE) / (tb + vocab))))
+             |      + (CAST(nb + 1 AS DOUBLE) / (tb + vocab))
+             |        * ln(2.0 * (CAST(nb + 1 AS DOUBLE) / (tb + vocab))
+             |             / ((CAST(na + 1 AS DOUBLE) / (ta + vocab))
+             |                + (CAST(nb + 1 AS DOUBLE) / (tb + vocab)))))
+             |      / 2.0, 6) AS term
+             |  FROM c CROSS JOIN t)
+             |SELECT max(vocab) AS vocab,
+             |  CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS js_divergence
+             |FROM terms""".stripMargin)),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df). Two shuffles — DF per term (map-side combinable),
     // then the per-doc rank window — both key-bounded at 100 TB. The

@@ -180,6 +180,34 @@ object GraphQueries {
              |FROM customer WHERE c_custkey % 10 = 0
              |ORDER BY c_custkey, valid_from""".stripMargin)),
 
+    // Degree distribution of the bipartite order graph — the first
+    // diagnostic you run before any graph algorithm (skew tells you
+    // whether the per-key work is balanced). Distinct edges → per-node
+    // degree agg → degree histogram; every stage key-bounded.
+    QueryDef("graph_degree_hist",
+      (s, dir) => {
+        val base = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("o_custkey") * 2 + 1).as("dst"))
+        val e = base.unionByName(base.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        e.groupBy("src").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("degree")
+      },
+      Some("""WITH base AS (
+             |  SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e AS (SELECT DISTINCT src, dst FROM (
+             |        SELECT src, dst FROM base
+             |        UNION ALL SELECT dst, src FROM base)),
+             |d AS (SELECT src, count(*) AS degree FROM e GROUP BY 1)
+             |SELECT degree, count(*) AS n_nodes FROM d
+             |GROUP BY 1 ORDER BY degree""".stripMargin)),
+
     // Point-in-time (as-of) join against the SCD2 dimension — the
     // consuming half of scd2_dim: each fact row joins the dim version
     // valid at ITS OWN as-of date (equi-join on the key; the validity

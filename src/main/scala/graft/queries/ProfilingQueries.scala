@@ -543,6 +543,61 @@ object ProfilingQueries {
              |FROM lagged WHERE v3 IS NOT NULL
              |ORDER BY event_type, day""".stripMargin)),
 
+    // Lag-1 autocorrelation of the daily value series per event type —
+    // "is today's volume predictive of tomorrow's". Micro-unit longs
+    // pair with their lag via one window, then ONE exact-moments agg per
+    // type feeds the same identical-double-formula discipline as
+    // agg_corr_matrix.
+    QueryDef("agg_autocorr",
+      (s, dir) => {
+        val daily = Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,6)")) * 1000000L)
+            .cast("long").as("v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("day")
+        val pairs = daily.withColumn("pv", lag("v", 1).over(w))
+          .filter(col("pv").isNotNull)
+          .select(col("event_type"),
+            col("v").cast("decimal(24,0)").as("x"),
+            col("pv").cast("decimal(24,0)").as("y"))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        pairs.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), col("n"),
+            round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+              / (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+                * sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))),
+              6).as("autocorr_lag1"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+             |         AS BIGINT) AS v
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT event_type,
+             |    CAST(v AS DECIMAL(24,0)) AS x,
+             |    CAST(lag(v, 1) OVER (PARTITION BY event_type ORDER BY day)
+             |         AS DECIMAL(24,0)) AS y
+             |  FROM daily),
+             |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+             |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx,
+             |    sum(y*y) AS syy
+             |  FROM p WHERE y IS NOT NULL GROUP BY 1)
+             |SELECT event_type, n,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             |    AS autocorr_lag1
+             |FROM m ORDER BY event_type""".stripMargin)),
+
     // Rolling 7-day median of the daily value series per event type —
     // the robust-smoothing counterpart of ts_ewma. Computed as the
     // middle element of the sorted micro-unit frame array in BOTH
