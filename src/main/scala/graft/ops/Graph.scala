@@ -116,6 +116,30 @@ object Graph {
       when(col("d") >= Unreached, lit(-1L)).otherwise(col("d")).as("hop"))
   }
 
+  /** k-core membership after `rounds` peeling iterations: repeatedly
+    * drop nodes whose CURRENT degree is below k (synchronous peel — all
+    * sub-k nodes leave together each round, so the result is a
+    * deterministic function of the input, not of peel order). `rounds`
+    * bounds the cascade depth; the true k-core is the fixed point and
+    * each extra round is one (groupBy → count, semi-join) pass over the
+    * surviving edges — shuffle shrinks monotonically as edges peel away.
+    * Returns the surviving nodes with their residual in-core degree.
+    */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select("src", "dst")
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+  }
+
   /** Exact triangle count + global clustering coefficient over an
     * undirected edge list `edges(u, v)` (any orientation, self-loops
     * ignored), via degree-ordered orientation — the distributed algorithm

@@ -180,6 +180,43 @@ object GraphQueries {
              |FROM customer WHERE c_custkey % 10 = 0
              |ORDER BY c_custkey, valid_from""".stripMargin)),
 
+    // k-core of the bipartite order graph (k=8, 3 synchronous peeling
+    // rounds): the dense backbone that survives after low-degree nodes
+    // cascade away — the community/spam-cluster primitive. Each round is
+    // one degree agg + two semi-joins over the SHRINKING edge list; the
+    // oracle unrolls the identical rounds.
+    QueryDef("graph_kcore",
+      (s, dir) => {
+        val base = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("o_custkey") * 2 + 1).as("dst"))
+        Graph.kcore(base, k = 8, rounds = 3)
+          .groupBy("core_degree").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("core_degree")
+      },
+      Some {
+        def round(i: Int) =
+          s"""k$i AS (SELECT src FROM e${i - 1}
+             |  GROUP BY src HAVING count(*) >= 8),
+             |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+             |  JOIN k$i a ON a.src = e.src
+             |  JOIN k$i b ON b.src = e.dst)""".stripMargin
+        s"""WITH base AS (
+           |  SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e0 AS (SELECT DISTINCT src, dst FROM (
+           |        SELECT src, dst FROM base
+           |        UNION ALL SELECT dst, src FROM base)),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT core_degree, count(*) AS n_nodes FROM (
+           |  SELECT src, count(*) AS core_degree FROM e3
+           |  GROUP BY 1 HAVING count(*) >= 8)
+           |GROUP BY 1 ORDER BY core_degree""".stripMargin
+      }),
+
     // Degree distribution of the bipartite order graph — the first
     // diagnostic you run before any graph algorithm (skew tells you
     // whether the per-key work is balanced). Distinct edges → per-node
