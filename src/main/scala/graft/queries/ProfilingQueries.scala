@@ -543,6 +543,86 @@ object ProfilingQueries {
              |FROM lagged WHERE v3 IS NOT NULL
              |ORDER BY event_type, day""".stripMargin)),
 
+    // Day-of-week seasonality profile: mean daily value total per
+    // (event_type, weekday) in micro-unit integer division — "is the
+    // weekend dip real". Two key-bounded aggs.
+    QueryDef("ts_seasonality",
+      (s, dir) => {
+        Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,6)")) * 1000000L)
+            .cast("long").as("v"))
+          .groupBy(col("event_type"), dayofweek(col("day")).cast("long")
+            .as("weekday"))
+          .agg(count(lit(1)).as("n_days"),
+            expr("sum(v) div count(v)").as("mean_daily_micro"))
+          .orderBy("event_type", "weekday")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+             |         AS BIGINT) AS v
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS weekday,
+             |  count(*) AS n_days,
+             |  CAST(CAST(sum(v) AS BIGINT) // count(v) AS BIGINT)
+             |    AS mean_daily_micro
+             |FROM daily GROUP BY 1, 2 ORDER BY event_type, weekday""".stripMargin)),
+
+    // Chi-square independence test between event type and weekday from
+    // the contingency table: observed counts are integers, expected =
+    // row·col/total in double (identical formula both engines), per-cell
+    // (o−e)²/e rounded to 6 then DECIMAL-summed. The "is traffic mix
+    // independent of weekday" significance screen.
+    QueryDef("agg_chi_square",
+      (s, dir) => {
+        val cells = Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), dayofweek(col("ts")).cast("long")
+            .as("weekday"))
+          .agg(count(lit(1)).as("o"))
+        val wR = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        val wC = org.apache.spark.sql.expressions.Window
+          .partitionBy("weekday")
+        val wT = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        cells
+          .withColumn("r", sum("o").over(wR))
+          .withColumn("c", sum("o").over(wC))
+          .withColumn("t", sum("o").over(wT))
+          .withColumn("e", d(col("r")) * d(col("c")) / d(col("t")))
+          .withColumn("term", round((d(col("o")) - col("e"))
+            * (d(col("o")) - col("e")) / col("e"), 6))
+          .agg(max(col("t")).as("n_events"),
+            count(lit(1)).as("n_cells"),
+            sum(col("term").cast("decimal(18,6)")).cast("double")
+              .as("chi_square"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT)
+             |      AS weekday, count(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, weekday, o,
+             |    CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+             |    CAST(sum(o) OVER (PARTITION BY weekday) AS BIGINT) AS c,
+             |    CAST(sum(o) OVER () AS BIGINT) AS t
+             |  FROM cells),
+             |terms AS (SELECT t,
+             |    round((CAST(o AS DOUBLE)
+             |           - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+             |             / CAST(t AS DOUBLE))
+             |      * (CAST(o AS DOUBLE)
+             |         - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+             |           / CAST(t AS DOUBLE))
+             |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+             |         / CAST(t AS DOUBLE)), 6) AS term
+             |  FROM m)
+             |SELECT max(t) AS n_events, count(*) AS n_cells,
+             |  CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS chi_square
+             |FROM terms""".stripMargin)),
+
     // Lag-1 autocorrelation of the daily value series per event type —
     // "is today's volume predictive of tomorrow's". Micro-unit longs
     // pair with their lag via one window, then ONE exact-moments agg per
