@@ -210,6 +210,60 @@ object BehaviorQueries {
              |SELECT touch_type, n_purchases,
              |  CAST(n_purchases * 1000000 // sum(n_purchases) OVER ()
              |       AS BIGINT) AS share_ppm
-             |FROM c ORDER BY touch_type""".stripMargin))
+             |FROM c ORDER BY touch_type""".stripMargin)),
+
+    // Two-proportion z-test (A/B testing): users split by id parity,
+    // conversion = any purchase event. Counts are exact integers off one
+    // distinct-user agg; the pooled z statistic runs the identical double
+    // formula in both engines. The experiment-readout primitive.
+    QueryDef("events_ab_test",
+      (s, dir) => {
+        val users = Tables.read(s, dir, "events")
+          .groupBy(pmod(col("user_id"), lit(2)).as("cohort"), col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+        val g = users.groupBy("cohort")
+          .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val wide = g.groupBy()
+          .agg(max(when(col("cohort") === 0, col("n_users"))).as("na"),
+            max(when(col("cohort") === 0, col("n_conv"))).as("ca"),
+            max(when(col("cohort") === 1, col("n_users"))).as("nb"),
+            max(when(col("cohort") === 1, col("n_conv"))).as("cb"))
+        wide.select(col("na"), col("ca"), col("nb"), col("cb"),
+          round(d(col("ca")) / d(col("na")), 6).as("rate_a"),
+          round(d(col("cb")) / d(col("nb")), 6).as("rate_b"),
+          round((d(col("ca")) / d(col("na")) - d(col("cb")) / d(col("nb")))
+            / sqrt((d(col("ca")) + d(col("cb"))) / (d(col("na")) + d(col("nb")))
+              * (lit(1.0) - (d(col("ca")) + d(col("cb")))
+                / (d(col("na")) + d(col("nb"))))
+              * (lit(1.0) / d(col("na")) + lit(1.0) / d(col("nb")))), 6)
+            .as("z_score"))
+      },
+      Some("""WITH u AS (SELECT user_id % 2 AS cohort, user_id,
+             |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |        END) AS BIGINT) AS converted
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT cohort, count(*) AS n_users,
+             |    CAST(sum(converted) AS BIGINT) AS n_conv
+             |  FROM u GROUP BY 1),
+             |w AS (SELECT
+             |    max(CASE WHEN cohort = 0 THEN n_users END) AS na,
+             |    max(CASE WHEN cohort = 0 THEN n_conv END) AS ca,
+             |    max(CASE WHEN cohort = 1 THEN n_users END) AS nb,
+             |    max(CASE WHEN cohort = 1 THEN n_conv END) AS cb
+             |  FROM g)
+             |SELECT na, ca, nb, cb,
+             |  round(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), 6) AS rate_a,
+             |  round(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS rate_b,
+             |  round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+             |         - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+             |    / sqrt((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+             |        / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+             |      * (1.0 - (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+             |          / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+             |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))),
+             |    6) AS z_score
+             |FROM w""".stripMargin))
   )
 }

@@ -396,6 +396,73 @@ object CurationQueries {
              |    AS js_divergence
              |FROM terms""".stripMargin)),
 
+    // Gopher-style quality rule-pack: the per-document-local filter rules
+    // a pretraining pipeline applies in its first pass (length bounds,
+    // mean word length, alphabetic ratio, digit ratio, stopword floor),
+    // each evaluated map-side in ONE scan, plus the overall keep verdict.
+    // Output = per-rule failure counts + the kept total, the "rule
+    // ablation" report curation teams actually read.
+    QueryDef("curation_rulepack",
+      (s, dir) => {
+        val d = graft.ops.TextOps.withTokens(
+          Tables.read(s, dir, "documents"))
+          .withColumn("n_tok", size(col("t")).cast("long"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("mean_wlen_m",
+            expr("(aggregate(t, 0L, (a, x) -> a + length(x)) * 1000)"
+              + " div greatest(n_tok, 1L)"))
+          .withColumn("alpha_m", expr(
+            """(length(regexp_replace(lower(text), '[^a-z]', '')) * 1000)
+              | div greatest(n_chars, 1L)""".stripMargin))
+          .withColumn("digit_m", expr(
+            """(length(regexp_replace(text, '[^0-9]', '')) * 1000)
+              | div greatest(n_chars, 1L)""".stripMargin))
+          .withColumn("f_len", col("n_tok") < 5 || col("n_tok") > 5000)
+          .withColumn("f_wlen",
+            col("mean_wlen_m") < 2000 || col("mean_wlen_m") > 12000)
+          .withColumn("f_alpha", col("alpha_m") < 600)
+          .withColumn("f_digit", col("digit_m") > 200)
+        d.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("f_len"), 1L).otherwise(0L)).as("fail_len"),
+          sum(when(col("f_wlen"), 1L).otherwise(0L)).as("fail_word_len"),
+          sum(when(col("f_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+          sum(when(col("f_digit"), 1L).otherwise(0L)).as("fail_digit"),
+          sum(when(!col("f_len") && !col("f_wlen") && !col("f_alpha") &&
+            !col("f_digit"), 1L).otherwise(0L)).as("n_kept"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+             |    length(text) AS n_chars,
+             |    (list_sum(list_transform(
+             |       string_split_regex(lower(trim(text)), '\s+'),
+             |       x -> length(x))) * 1000)
+             |      // greatest(len(string_split_regex(lower(trim(text)),
+             |                 '\s+')), 1) AS mean_wlen_m,
+             |    (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+             |       * 1000) // greatest(length(text), 1) AS alpha_m,
+             |    (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000)
+             |      // greatest(length(text), 1) AS digit_m
+             |  FROM documents),
+             |f AS (SELECT
+             |    n_tok < 5 OR n_tok > 5000 AS f_len,
+             |    mean_wlen_m < 2000 OR mean_wlen_m > 12000 AS f_wlen,
+             |    alpha_m < 600 AS f_alpha,
+             |    digit_m > 200 AS f_digit
+             |  FROM d)
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS fail_len,
+             |  CAST(sum(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS fail_word_len,
+             |  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS fail_alpha,
+             |  CAST(sum(CASE WHEN f_digit THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS fail_digit,
+             |  CAST(sum(CASE WHEN NOT f_len AND NOT f_wlen AND NOT f_alpha
+             |      AND NOT f_digit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM f""".stripMargin)),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df). Two shuffles — DF per term (map-side combinable),
     // then the per-doc rank window — both key-bounded at 100 TB. The
