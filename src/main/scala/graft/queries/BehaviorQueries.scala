@@ -212,6 +212,39 @@ object BehaviorQueries {
              |       AS BIGINT) AS share_ppm
              |FROM c ORDER BY touch_type""".stripMargin)),
 
+    // Inter-arrival time statistics per event type: per-user consecutive
+    // gaps in integer microseconds (one window pass), then exact
+    // median/p90 over the integer gaps (percentile ≡ quantile_cont,
+    // proven by agg_percentile) and an integer mean. The traffic-model
+    // primitive behind capacity planning and bot detection.
+    QueryDef("events_inter_arrival",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.read(s, dir, "events")
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("sum(gap_us) div count(gap_us)").as("mean_us"),
+            round(expr("percentile(gap_us, 0.5)"), 6).as("p50_us"),
+            round(expr("percentile(gap_us, 0.9)"), 6).as("p90_us"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_gaps,
+             |  CAST(CAST(sum(gap_us) AS BIGINT) // count(gap_us) AS BIGINT)
+             |    AS mean_us,
+             |  round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+             |  round(quantile_cont(gap_us, 0.9), 6) AS p90_us
+             |FROM g WHERE gap_us IS NOT NULL
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // Two-proportion z-test (A/B testing): users split by id parity,
     // conversion = any purchase event. Counts are exact integers off one
     // distinct-user agg; the pooled z statistic runs the identical double
