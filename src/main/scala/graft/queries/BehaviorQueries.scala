@@ -212,6 +212,40 @@ object BehaviorQueries {
              |       AS BIGINT) AS share_ppm
              |FROM c ORDER BY touch_type""".stripMargin)),
 
+    // DAU / rolling-7-day WAU / stickiness — THE product engagement
+    // metric. The (day, user) distinct frame is the only data-sized agg;
+    // WAU expands each active day over the 7 days it contributes to
+    // (map-side ×7 explode of the DISTINCT frame, not the raw events)
+    // before the second distinct. Stickiness in fixed-point ppm.
+    QueryDef("events_dau_wau",
+      (s, dir) => {
+        val du = Tables.read(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+          .localCheckpoint() // reused by both metrics
+        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(col("user_id"), explode(expr(
+            "sequence(day, date_add(day, 6))")).as("day"))
+          .distinct()
+          .groupBy("day").agg(count(lit(1)).as("wau"))
+        dau.join(wau, "day")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("wau"),
+            expr("dau * 1000000 div wau").as("stickiness_ppm"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+             |  FROM events),
+             |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+             |expand AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER)
+             |    AS day
+             |  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
+             |wau AS (SELECT day, count(*) AS wau FROM expand GROUP BY 1)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+             |  CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+             |FROM dau JOIN wau USING (day)
+             |ORDER BY day""".stripMargin)),
+
     // Inter-arrival time statistics per event type: per-user consecutive
     // gaps in integer microseconds (one window pass), then exact
     // median/p90 over the integer gaps (percentile ≡ quantile_cont,

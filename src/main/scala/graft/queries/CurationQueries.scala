@@ -463,6 +463,28 @@ object CurationQueries {
              |      AND NOT f_digit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              |FROM f""".stripMargin)),
 
+    // Power-of-two document length distribution — the "is doc length
+    // power-law" diagnostic, with the bucket computed as the BINARY
+    // DIGIT COUNT of the length (floor(log2)+1): pure integer/string
+    // ops, no float log to drift. One map-side projection + rollup.
+    QueryDef("curation_length_dist",
+      (s, dir) => {
+        Tables.read(s, dir, "documents")
+          .select(greatest(length(col("text")).cast("long"), lit(1L))
+            .as("n"))
+          .withColumn("bucket_log2",
+            length(conv(col("n"), 10, 2)).cast("long"))
+          .groupBy("bucket_log2")
+          .agg(count(lit(1)).as("n_docs"), min("n").as("min_chars"),
+            max("n").as("max_chars"))
+          .orderBy("bucket_log2")
+      },
+      Some("""WITH d AS (SELECT greatest(CAST(length(text) AS BIGINT), 1)
+             |    AS n FROM documents)
+             |SELECT CAST(length(bin(n)) AS BIGINT) AS bucket_log2,
+             |  count(*) AS n_docs, min(n) AS min_chars, max(n) AS max_chars
+             |FROM d GROUP BY 1 ORDER BY bucket_log2""".stripMargin)),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df). Two shuffles — DF per term (map-side combinable),
     // then the per-doc rank window — both key-bounded at 100 TB. The

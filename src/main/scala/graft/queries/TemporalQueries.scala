@@ -85,6 +85,40 @@ object TemporalQueries {
               |  ON c.user_id = p.user_id AND p.ts <= c.ts
               |ORDER BY c.event_id""".stripMargin)),
 
+    // FORWARD as-of: for every click, the EARLIEST purchase at-or-after
+    // it (the "time-to-next-conversion" direction). Mirror of join_asof:
+    // a range-framed running MIN over the FOLLOWING frame — still one
+    // shuffle on the user key; DuckDB's ASOF supports only the backward
+    // direction, so the oracle flips the time axis (negated epoch) to
+    // express forward matching as a backward ASOF.
+    QueryDef("join_asof_forward",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("us", unix_micros(col("ts")))
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(0, Window.unboundedFollowing)
+        ev.withColumn("next_purchase_us",
+            min(when(col("event_type") === "purchase", col("us"))).over(w))
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), tsFmt).as("click_ts"),
+            date_format(timestamp_micros(col("next_purchase_us")), tsFmt)
+              .as("next_purchase"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH clicks AS (SELECT event_id, user_id, ts,
+              |    -epoch_us(ts) AS nts FROM events
+              |  WHERE event_type = 'click'),
+              |purchases AS (SELECT user_id, ts, -epoch_us(ts) AS nts
+              |  FROM events WHERE event_type = 'purchase')
+              |SELECT c.event_id, c.user_id,
+              |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+              |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS next_purchase
+              |FROM clicks c ASOF LEFT JOIN purchases p
+              |  ON c.user_id = p.user_id AND p.nts <= c.nts
+              |ORDER BY c.event_id""".stripMargin)),
+
     // The same ASOF LEFT JOIN through the engine's whole-operator Catalyst
     // extension (plans/AsOfJoin.scala: custom LogicalPlan -> Strategy ->
     // SparkPlan): co-partitioned sort-merge with an O(1) carry, able to
