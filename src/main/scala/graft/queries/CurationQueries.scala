@@ -485,6 +485,35 @@ object CurationQueries {
              |  count(*) AS n_docs, min(n) AS min_chars, max(n) AS max_chars
              |FROM d GROUP BY 1 ORDER BY bucket_log2""".stripMargin)),
 
+    // Duplication rate per source — "which feed is sending copies":
+    // exact-hash group sizes joined back onto the corpus, dup share in
+    // fixed-point ppm. The per-source readout that decides which
+    // upstream to fix. Shuffles on the digest then the source key only.
+    QueryDef("curation_dup_rate_by_source",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .withColumn("digest",
+            md5(encode(lower(trim(col("text"))), "UTF-8")))
+        val groups = docs.groupBy("digest")
+          .agg(count(lit(1)).as("n_copies"))
+        docs.join(groups, "digest")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, md5(lower(trim(text))) AS digest
+             |  FROM documents),
+             |g AS (SELECT digest, count(*) AS n_copies FROM d GROUP BY 1)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_dup,
+             |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000
+             |       // count(*) AS BIGINT) AS dup_ppm
+             |FROM d JOIN g USING (digest)
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df). Two shuffles — DF per term (map-side combinable),
     // then the per-doc rank window — both key-bounded at 100 TB. The

@@ -217,6 +217,68 @@ object GraphQueries {
            |GROUP BY 1 ORDER BY core_degree""".stripMargin
       }),
 
+    // Degree assortativity: Pearson correlation of (deg(src), deg(dst))
+    // over the directed edge pairs — "do hubs connect to hubs" (negative
+    // for bipartite commerce graphs: big suppliers serve many small
+    // customers). Integer degrees feed the exact-moments
+    // identical-double-formula discipline from agg_corr_matrix.
+    QueryDef("graph_assortativity",
+      (s, dir) => {
+        val base = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("o_custkey") * 2 + 1).as("dst"))
+        val e = base.unionByName(base.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct().localCheckpoint()
+        val deg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).cast("decimal(18,0)").as("deg"))
+        val pairs = e
+          .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+          .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        pairs.agg(count(lit(1)).as("n_edges"), sum("dx").as("sx"),
+            sum("dy").as("sy"), sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dy") * col("dy")).as("syy"))
+          .select(col("n_edges"),
+            round((d(col("n_edges")) * d(col("sxy"))
+              - d(col("sx")) * d(col("sy")))
+              / (sqrt(d(col("n_edges")) * d(col("sxx"))
+                  - d(col("sx")) * d(col("sx")))
+                * sqrt(d(col("n_edges")) * d(col("syy"))
+                  - d(col("sy")) * d(col("sy")))), 6).as("assortativity"))
+      },
+      Some("""WITH base AS (
+             |  SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e AS (SELECT DISTINCT src, dst FROM (
+             |        SELECT src, dst FROM base
+             |        UNION ALL SELECT dst, src FROM base)),
+             |deg AS (SELECT src AS node, CAST(count(*) AS DECIMAL(18,0))
+             |    AS deg FROM e GROUP BY 1),
+             |p AS (SELECT a.deg AS dx, b.deg AS dy
+             |  FROM e JOIN deg a ON a.node = e.src
+             |  JOIN deg b ON b.node = e.dst),
+             |m AS (SELECT count(*) AS n_edges, sum(dx) AS sx, sum(dy) AS sy,
+             |    sum(CAST(dx AS DECIMAL(24,0)) * CAST(dy AS DECIMAL(24,0)))
+             |      AS sxy,
+             |    sum(CAST(dx AS DECIMAL(24,0)) * CAST(dx AS DECIMAL(24,0)))
+             |      AS sxx,
+             |    sum(CAST(dy AS DECIMAL(24,0)) * CAST(dy AS DECIMAL(24,0)))
+             |      AS syy
+             |  FROM p)
+             |SELECT n_edges,
+             |  round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |   / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             |    AS assortativity
+             |FROM m""".stripMargin)),
+
     // Degree distribution of the bipartite order graph — the first
     // diagnostic you run before any graph algorithm (skew tells you
     // whether the per-key work is balanced). Distinct edges → per-node
