@@ -298,6 +298,70 @@ object PipelineQueries {
               |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // MEASURED dedup: recall of the LSH-banded candidate pipeline
+    // against ground-truth all-pairs Jaccard on a bounded 300-doc
+    // subset (45k exact comparisons — the honest way to audit banding
+    // without an O(n²) job over the corpus). The ann_recall idea applied
+    // to dedup: banding misses become a number, not a hope.
+    QueryDef("dedup_minhash_recall",
+      (s, dir) => {
+        val sub = Tables.read(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+        val sh = TextOps.withTokens(sub).select(col("doc_id"),
+          TextOps.bigramShingles(col("t")).as("shingles"))
+        val a = sh.select(col("doc_id").as("doc_a"),
+          col("shingles").as("sa"))
+        val b = sh.select(col("doc_id").as("doc_b"),
+          col("shingles").as("sb"))
+        val exact = a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("inter",
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.array_intersect(
+                col("sa"), col("sb"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (org.apache.spark.sql.functions.size(col("sa"))
+              + org.apache.spark.sql.functions.size(col("sb"))
+              - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b").localCheckpoint()
+        val lsh = Dedup.ngramJaccardPairs(sub).select("doc_a", "doc_b")
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        val hits = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        hits.crossJoin(nExact)
+          .select(col("n_hit"), col("n_exact"),
+            round(col("n_hit").cast("double") / col("n_exact"), 6)
+              .as("recall"))
+      },
+      Some(s"""WITH $bandedCtesSql,
+              |sub AS (SELECT doc_id, shingles FROM shl WHERE doc_id < 300),
+              |exact AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.shingles, b.shingles))
+              |        AS DOUBLE)
+              |    / (len(a.shingles) + len(b.shingles)
+              |       - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh
+              |     AND a.doc_id < b.doc_id
+              |  WHERE a.doc_id < 300 AND b.doc_id < 300),
+              |lsh AS (
+              |  SELECT c.doc_a, c.doc_b FROM cand c
+              |  JOIN sub sa ON sa.doc_id = c.doc_a
+              |  JOIN sub sb ON sb.doc_id = c.doc_b
+              |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles))
+              |        AS DOUBLE)
+              |    / (len(sa.shingles) + len(sb.shingles)
+              |       - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5),
+              |h AS (SELECT count(*) AS n_hit
+              |      FROM lsh JOIN exact USING (doc_a, doc_b)),
+              |x AS (SELECT count(*) AS n_exact FROM exact)
+              |SELECT n_hit, n_exact,
+              |  round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+              |FROM h CROSS JOIN x""".stripMargin)),
+
     // Asymmetric containment (|A∩B|/|A|) over the shared LSH candidates:
     // catches subset duplication — a doc absorbed whole into a longer one
     // — that symmetric Jaccard under-scores. Scores rounded before the
