@@ -217,6 +217,47 @@ object GraphQueries {
            |GROUP BY 1 ORDER BY core_degree""".stripMargin
       }),
 
+    // Common-neighbor link prediction: supplier pairs scored by how many
+    // customers both serve — wedges exploded from per-customer supplier
+    // sets (sorted, map-side), counts per pair, top 30. Customers are
+    // deterministically hash-sparsified to ~10% BEFORE the wedge explode
+    // (the triangles trick) so Σ C(deg,2) stays bounded; at 100 TB you
+    // also cap the per-pivot degree. The "who should be trading partners"
+    // score.
+    QueryDef("graph_common_neighbors",
+      (s, dir) => {
+        val cs = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(graft.ops.Sampling.hashBucket(
+            col("o_custkey"), "cn") < 1000)
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+          .distinct()
+        val sets = cs.groupBy("cust")
+          .agg(sort_array(collect_set(col("supp"))).as("supps"))
+        sets.select(explode(expr(
+            """flatten(transform(supps, (x, i) ->
+              |  transform(slice(supps, i + 2, size(supps)),
+              |            y -> struct(x AS s_a, y AS s_b))))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.s_a").as("s_a"), col("p.s_b").as("s_b"))
+          .agg(count(lit(1)).as("common_customers"))
+          .orderBy(desc("common_customers"), col("s_a"), col("s_b"))
+          .limit(30)
+      },
+      Some(s"""WITH cs AS (SELECT DISTINCT o_custkey AS cust,
+              |    l_suppkey AS supp
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  WHERE ${Sql.hash64("'cn|' || CAST(o_custkey AS VARCHAR)")}
+              |        % 10000 < 1000)
+              |SELECT a.supp AS s_a, b.supp AS s_b,
+              |  count(*) AS common_customers
+              |FROM cs a JOIN cs b
+              |  ON a.cust = b.cust AND a.supp < b.supp
+              |GROUP BY 1, 2
+              |ORDER BY common_customers DESC, s_a, s_b LIMIT 30""".stripMargin)),
+
     // Degree assortativity: Pearson correlation of (deg(src), deg(dst))
     // over the directed edge pairs — "do hubs connect to hubs" (negative
     // for bipartite commerce graphs: big suppliers serve many small
