@@ -288,6 +288,49 @@ object FunctionQueries {
              |FROM lineitem CROSS JOIN c
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // Pareto / cumulative-share readout: the top-50 parts by revenue and
+    // the running share of GLOBAL revenue they account for ("do 20% of
+    // parts carry 80% of revenue"). Scale-right order: the per-part agg
+    // partial-aggregates map-side, the top-50 is a distributed
+    // TakeOrdered, and only then does the 50-row window run — the global
+    // total rides in as a broadcast 1-row agg. Revenue in exact integer
+    // cents; shares in fixed-point ppm (×1e6 on cents fits int64 to
+    // ~9e12 in revenue — past that the multiply widens to DECIMAL).
+    QueryDef("agg_pareto_share",
+      (s, dir) => {
+        val rev = Tables.read(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("cents"))
+        val tot = rev.agg(sum("cents").as("tot_cents"))
+        val top = rev.orderBy(desc("cents"), col("l_partkey")).limit(50)
+        val w = Window.orderBy(desc("cents"), col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        top.crossJoin(broadcast(tot))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(desc("cents"), col("l_partkey"))))
+          .withColumn("cum_cents", sum("cents").over(w))
+          .select(col("rank").cast("long").as("rank"), col("l_partkey"),
+            col("cents"),
+            expr("cum_cents * 1000000 div tot_cents").as("cum_share_ppm"))
+          .orderBy("rank")
+      },
+      Some("""WITH rev AS (SELECT l_partkey,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+             |         AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot_cents FROM rev),
+             |top AS (SELECT l_partkey, cents FROM rev
+             |  ORDER BY cents DESC, l_partkey LIMIT 50)
+             |SELECT CAST(row_number() OVER
+             |    (ORDER BY cents DESC, l_partkey) AS BIGINT) AS rank,
+             |  l_partkey, cents,
+             |  CAST(CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    * 1000000 // tot_cents AS BIGINT) AS cum_share_ppm
+             |FROM top CROSS JOIN t
+             |ORDER BY rank""".stripMargin)),
+
     // Pairwise Pearson correlations of the lineitem measures from ONE
     // pass of exact-DECIMAL moments (n, Σx, Σxy for all pairs): the
     // moments are order-independent decimal sums, and the final formula
