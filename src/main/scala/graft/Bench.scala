@@ -24,8 +24,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional local-iteration filter (the scaling study in PLANS.md
+    // times just the heavy tail); the driver leaves this unset and
+    // always benches the full surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
     def onePass(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
@@ -39,7 +47,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val names = SparkEntry.queries.keys.toSeq
+    val names = queries.keys.toSeq
     val med = names.map(n => n -> median(passes.map(_(n)))).toMap
     val qs = names.map(n => s"\"$n\":" + med(n)).mkString("{", ",", "}")
     val total = med.values.sum

@@ -132,9 +132,17 @@ object Graph {
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
+      // LAZY checkpoints: the peel has a FIXED round count and no
+      // per-round convergence probe, so nothing needs a driver action
+      // until the final rollup — every round's checkpoint materializes
+      // inside that ONE action (each round's state is computed once and
+      // cached; both consumers of `e` next round read the cache). The
+      // eager form paid `rounds` driver round-trips, the tiny-job
+      // scheduling floor that dominated locally; at scale the per-round
+      // plans are identical.
       e = e.join(keep, Seq("src"), "left_semi")
         .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
       .filter(col("core_degree") >= k)
@@ -173,17 +181,23 @@ object Graph {
     val withOrd = e
       .join(ord.select(col("n").as("a"), col("o").as("oa")), "a")
       .join(ord.select(col("n").as("b"), col("o").as("ob")), "b")
+    // The struct key is PROJECTED OUT at the orientation decision: the
+    // wedge self-join — the widest shuffle in the plan — carries bare
+    // (src, dst) longs. Wedge dedupe and the closure probe don't need
+    // degree order at all: within one src's out-neighborhood, plain id
+    // order picks each wedge once, and a wedge (p, q) with p < q by id
+    // closes iff the undirected edge {p, q} exists — and `e` is already
+    // id-normalized (a = least, b = greatest). Each triangle still counts
+    // exactly once, at its lowest-DEGREE-ordered vertex.
     val oriented = withOrd.select(
       when(col("oa") < col("ob"), col("a")).otherwise(col("b")).as("src"),
-      when(col("oa") < col("ob"), col("b")).otherwise(col("a")).as("dst"),
-      greatest(col("oa"), col("ob")).as("odst"))
+      when(col("oa") < col("ob"), col("b")).otherwise(col("a")).as("dst"))
       .localCheckpoint()
-    val x = oriented.select(col("src"), col("dst").as("p"), col("odst").as("op"))
-    val y = oriented.select(col("src"), col("dst").as("q"), col("odst").as("oq"))
-    val wedges = x.join(y, Seq("src")).filter(col("op") < col("oq"))
+    val x = oriented.select(col("src"), col("dst").as("p"))
+    val y = oriented.select(col("src"), col("dst").as("q"))
+    val wedges = x.join(y, Seq("src")).filter(col("p") < col("q"))
       .select(col("p"), col("q"))
-    // a wedge (p, q) with ord(p) < ord(q) closes iff oriented edge p→q exists
-    val closing = oriented.select(col("src").as("p"), col("dst").as("q"))
+    val closing = e.select(col("a").as("p"), col("b").as("q"))
     val triangles = wedges.join(closing, Seq("p", "q"))
       .agg(count(lit(1)).as("n_triangles"))
     val sizes = e.agg(count(lit(1)).as("n_edges"))

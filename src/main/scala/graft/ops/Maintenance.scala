@@ -65,8 +65,24 @@ object Maintenance {
     val stage = new File(outPath + s"_stage_${System.nanoTime()}")
     df.repartition(nOut).write.parquet(stage.getPath)
     val rows = spark.read.parquet(stage.getPath).count()
-    deleteRecursively(out)
-    require(stage.renameTo(out), s"atomic publish to $outPath failed")
+    // Publish without a destructive window: the old copy is renamed ASIDE
+    // first (cheap same-directory metadata op), so a failed stage rename —
+    // cross-device mount, permissions — can roll the previous output back
+    // instead of having already deleted it. Only after the new data is
+    // live does the old copy get deleted.
+    val old = new File(outPath + s"_old_${System.nanoTime()}")
+    if (out.exists()) {
+      require(out.renameTo(old),
+        s"cannot move previous $outPath aside; output left untouched")
+    }
+    if (!stage.renameTo(out)) {
+      if (old.exists()) old.renameTo(out) // roll back the previous copy
+      deleteRecursively(stage)
+      require(requirement = false,
+        s"atomic publish to $outPath failed (staged data discarded, " +
+          "previous output restored)")
+    }
+    deleteRecursively(old)
     CompactStats(inFiles.length.toLong, inBytes,
       parquetFiles(out).length.toLong, rows)
   }

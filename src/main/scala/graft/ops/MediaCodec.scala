@@ -88,18 +88,25 @@ object MediaCodec {
         p(i + 2) == s(2) && p(i + 3) == s(3)
 
     if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var i = 12
+    // The offset walks in Long: a hostile LE32 size like 0xFFFFFFF8
+    // truncates to -8 as Int (zero advance → infinite loop) or drives the
+    // offset negative (ArrayIndexOutOfBounds escaping nullSafeEval). As
+    // unsigned Long the advance is always >= 8, so the walk terminates,
+    // and a chunk whose declared size overruns the buffer (common for a
+    // trailing data chunk) just ends the walk instead of faulting.
+    var i = 12L
     var fmt = -1
     var dataSize = -1L
     while (i + 8 <= p.length && (fmt < 0 || dataSize < 0)) {
-      val size = le32(i + 4)
-      if (tag(i, "fmt ")) {
+      val at = i.toInt
+      val size = le32(at + 4) // unsigned: 0 <= size <= 0xFFFFFFFF
+      if (tag(at, "fmt ")) {
         if (size < 16 || i + 8 + 16 > p.length) return None
-        fmt = i + 8
-      } else if (tag(i, "data")) {
+        fmt = at + 8
+      } else if (tag(at, "data")) {
         dataSize = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+      i += 8 + size + (size & 1) // chunks pad to even offsets
     }
     if (fmt < 0 || dataSize < 0) return None
     val channels = le16(fmt + 2)

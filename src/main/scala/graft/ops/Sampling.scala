@@ -61,10 +61,13 @@ object Sampling {
     * tail keeps (relatively) more, the multilingual data-mix trick. The
     * returned frame is (stratum, n, thr) with thr in basis points of
     * 10000, capped at 10000. All threshold arithmetic is integer after a
-    * single correctly-rounded IEEE sqrt quantized to 1e-3, so results are
-    * engine- and order-independent; int64 bounds hold to ~1e12 rows per
-    * stratum. Tiny output (one row per stratum) — broadcast it onto the
-    * corpus scan.
+    * single correctly-rounded IEEE sqrt quantized to 1e-3, and runs in
+    * DECIMAL(38,0): the int64 form `(ntot div 2) * w * 10000` wraps
+    * silently at roughly ntot ≈ 1.5e8 rows (w ≈ 1000·sqrt(n)) while
+    * DuckDB promotes to int128 — the decimal space keeps both engines
+    * exact to ~1e24 rows per stratum. The quotient lands back in BIGINT.
+    * Tiny output (one row per stratum) — broadcast it onto the corpus
+    * scan.
     */
   def temperatureThresholds(df: DataFrame, strataCol: String): DataFrame = {
     val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
@@ -73,23 +76,34 @@ object Sampling {
     val tot = counts.agg(sum("n").as("ntot"), sum("w").as("sumw"))
     counts.crossJoin(broadcast(tot))
       .withColumn("thr", least(lit(10000L),
-        expr("((ntot div 2) * w * 10000) div (sumw * n)")))
+        expr("CAST((CAST((ntot div 2) AS DECIMAL(38,0)) * w * 10000)" +
+          " div (CAST(sumw AS DECIMAL(38,0)) * n) AS BIGINT)")))
       .select(strataCol, "n", "thr")
   }
 
   /** Weight-proportional deterministic sampling: keep probability
     * w / max(w) (the heaviest row always kept), computed as integer
-    * basis points so the decision is engine-exact. One tiny max agg
-    * broadcast back onto the scan, then a per-row filter — the
-    * "importance-sample by document length/score" curation step without
-    * RNG state.
+    * basis points so the decision is engine-exact. Weights are scaled to
+    * fixed-point MICROS before the integer division — a plain
+    * CAST(w AS BIGINT) truncates fractional weights in (0,1) to zero
+    * (max 0 → null threshold → everything silently dropped) and erases
+    * sub-integer weight differences. The micros space keeps exactness
+    * for integral weights (numerator and denominator scale by the same
+    * 1e6, so thresholds are bit-identical) and holds score-style double
+    * weights to ~2^53/1e6 ≈ 9e9. Rows are kept only when max(w) is at
+    * least one micro, guarding the divide. One tiny max agg broadcast
+    * back onto the scan, then a per-row filter — the "importance-sample
+    * by document length/score" curation step without RNG state.
     */
   def weighted(df: DataFrame, weightCol: String, id: Column,
       salt: String = "weighted"): DataFrame =
     df.crossJoin(broadcast(
-        df.agg(max(col(weightCol)).cast("long").as("__wmax"))))
-      .filter(hashBucket(id, salt) <
-        expr(s"(CAST($weightCol AS BIGINT) * 10000) div __wmax"))
+        df.agg((max(col(weightCol)).cast("double") * 1000000d)
+          .cast("long").as("__wmax"))))
+      .filter(col("__wmax") >= 1L &&
+        hashBucket(id, salt) < expr(
+          s"(CAST(CAST($weightCol AS DOUBLE) * 1000000 AS BIGINT)" +
+            " * 10000) div __wmax"))
       .drop("__wmax")
 
   /** Apply [[temperatureThresholds]] as a salted-hash filter: one tiny

@@ -147,8 +147,14 @@ object TextAnalysis {
 
   def decontaminate(docs: DataFrame, evalBp: Int = 2000,
       minShare: Double = 0.5, maxShingleDf: Int = 64): DataFrame = {
+    // The tokenize→8-gram-explode subtree is the expensive part and feeds
+    // THREE consumers (hot-DF aggregate, eval side, corpus side of the
+    // candidate join); without materialization the lineage re-runs the
+    // explode per consumer (the round-4 2.2× regression). localCheckpoint
+    // evaluates it once — same discipline as Dedup.cluster's pairs frame.
     val shAll = withTokens(docs)
       .select(col("doc_id"), explode(octograms).as("sh"))
+      .localCheckpoint()
     // Stop-shingle cap: a genuine-content 8-gram's document frequency is
     // tiny (random 8-token collisions ≈ 0; testdata max DF = 3), but one
     // boilerplate shingle shared by d documents puts d·|eval∩d| candidate

@@ -174,7 +174,8 @@ object CurationQueries {
               |              CAST(sum(w) AS BIGINT) AS sumw FROM w),
               |rates AS (SELECT source, n,
               |  least(CAST(10000 AS BIGINT),
-              |        ((ntot // 2) * w * 10000) // (sumw * n)) AS thr
+              |        CAST(((CAST(ntot AS HUGEINT) // 2) * w * 10000)
+              |             // (CAST(sumw AS HUGEINT) * n) AS BIGINT)) AS thr
               |  FROM w CROSS JOIN tot)
               |SELECT d.source, r.n AS n_docs, r.thr AS threshold_bp,
               |  CAST(sum(CASE WHEN ${bucketSql("temp", "d.doc_id")} < r.thr
@@ -197,11 +198,13 @@ object CurationQueries {
       },
       Some(s"""WITH d AS (SELECT doc_id, lang,
               |    CAST(length(text) AS BIGINT) AS w FROM documents),
-              |m AS (SELECT CAST(max(w) AS BIGINT) AS wmax FROM d)
+              |m AS (SELECT CAST(CAST(max(w) AS DOUBLE) * 1000000 AS BIGINT)
+              |             AS wmax FROM d)
               |SELECT lang, count(*) AS n_kept,
               |  CAST(sum(w) AS BIGINT) AS chars_kept
               |FROM d CROSS JOIN m
-              |WHERE ${bucketSql("weighted", "doc_id")} < (w * 10000) // wmax
+              |WHERE wmax >= 1 AND ${bucketSql("weighted", "doc_id")}
+              |  < (CAST(CAST(w AS DOUBLE) * 1000000 AS BIGINT) * 10000) // wmax
               |GROUP BY 1 ORDER BY lang""".stripMargin)),
 
     // Inverted-index build (the search/retrieval primitive): per-term
@@ -209,7 +212,9 @@ object CurationQueries {
     // terms. The (doc, term) pairs explode map-side and distinct/agg on
     // the term key; the collect_set buffer is bounded by |docs| per term
     // — a production index SHARDS hot terms' posting lists, but df and
-    // list-prefix semantics are identical.
+    // list-prefix semantics are identical. The posting prefix is emitted
+    // as a comma-joined STRING (not an array) so the comparison harness
+    // can sort/hash it; OracleLintSpec enforces scalar-only outputs.
     QueryDef("text_postings",
       (s, dir) => {
         val pairs = graft.ops.TextOps.withTokens(
@@ -219,7 +224,7 @@ object CurationQueries {
         pairs.groupBy("token")
           .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
           .select(col("token"), size(col("all_ids")).cast("long").as("df"),
-            slice(col("all_ids"), 1, 15).as("postings"))
+            array_join(slice(col("all_ids"), 1, 15), ",").as("postings"))
           .orderBy(desc("df"), col("token"))
           .limit(20)
       },
@@ -230,7 +235,7 @@ object CurationQueries {
              |toks AS (SELECT DISTINCT doc_id, token FROM raw
              |         WHERE length(token) >= 2)
              |SELECT token, count(*) AS df,
-             |  (list(doc_id ORDER BY doc_id))[1:15] AS postings
+             |  array_to_string((list(doc_id ORDER BY doc_id))[1:15], ',') AS postings
              |FROM toks
              |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin)),
 

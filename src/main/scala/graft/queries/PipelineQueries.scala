@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.{col, count, lit, pmod, posexplode, round, sqrt, sum}
+import org.apache.spark.sql.functions.{col, count, hash, lit, pmod, posexplode, round, sqrt, sum}
 
 import graft.QueryDef
 import graft.QueryDef.Sql
@@ -36,7 +36,11 @@ object PipelineQueries {
     * adjacent pairs via zipped unnests, 1-row deterministic argmax
     * (n DESC, l, r), cross-join the merge into the next word table.
     */
-  private def bpeOracle(merges: Int): String = {
+  /** The trainer CTE chain shared by the train and encode oracles:
+    * word-freq table as boundary-marked strings, then one (pairs, argmax,
+    * replace) generation per merge.
+    */
+  private def bpeCtes(merges: Int): String = {
     val w0 =
       """w0 AS (
         |  SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s, freq
@@ -56,14 +60,55 @@ object PipelineQueries {
          |  SELECT replace(s, ' '||l||'  '||r||' ', ' '||l||r||' ') AS s, freq
          |  FROM w${i - 1}, m$i)""".stripMargin
     }
+    s"$w0,\n${gens.mkString(",\n")}"
+  }
+
+  private def bpeOracle(merges: Int): String = {
     val union = (1 to merges)
       .map(i => s"SELECT $i AS merge_rank, l, r, n FROM m$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH $w0,
-       |${gens.mkString(",\n")}
+    s"""WITH ${bpeCtes(merges)}
        |SELECT merge_rank, l AS "left", r AS "right", n AS pair_freq FROM (
        |  $union)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Encode oracle: replay the trained merges in rank order over each
+    * DISTINCT word (the same boundary-marked `replace` that IS the greedy
+    * left-to-right fold — the identity the trainer generations already
+    * rest on), then join token counts back onto per-document word
+    * occurrences.
+    */
+  private def bpeEncodeOracle(merges: Int): String = {
+    val enc0 =
+      """enc0 AS (
+        |  SELECT w, ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s
+        |  FROM (SELECT DISTINCT w FROM occ))""".stripMargin
+    val encs = (1 to merges).map { i =>
+      s"""enc$i AS (
+         |  SELECT w, replace(s, ' '||l||'  '||r||' ', ' '||l||r||' ') AS s
+         |  FROM enc${i - 1}, m$i)""".stripMargin
+    }
+    s"""WITH ${bpeCtes(merges)},
+       |occ AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 1),
+       |$enc0,
+       |${encs.mkString(",\n")},
+       |tok AS (
+       |  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS nt
+       |  FROM enc$merges)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+       |  (CAST(sum(length(w)) AS BIGINT) * 1000000) // CAST(sum(nt) AS BIGINT)
+       |    AS compression_ppm
+       |FROM occ JOIN tok USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Mirror of Similarity.dot/norm (1-based DuckDB list indexing; float
@@ -502,7 +547,15 @@ object PipelineQueries {
     QueryDef("ann_ivf_trained",
       (s, dir) => {
         val emb = Tables.read(s, dir, "embeddings")
-        val fp = emb.count()
+        // Fixture key = (dir, row count, content hash): a regenerated
+        // embeddings table at the same path with the same count must NOT
+        // serve stale centroids, so the fingerprint folds in an
+        // order-independent hash of the ids (sum of per-row murmur3) —
+        // the same content-stamp discipline as scan_time_travel's
+        // split-year key. One tiny agg job, amortized across probe runs.
+        val fpRow = emb.agg(count(lit(1)), sum(hash(col("vec_id")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
         val q = new java.io.File(
           s"/tmp/graft_ivfq_${dir.replaceAll("[^0-9a-zA-Z]", "_")}_$fp")
         if (!q.exists()) {
@@ -658,6 +711,22 @@ object PipelineQueries {
       (s, dir) => graft.ops.Bpe.train(
         Tables.read(s, dir, "documents"), merges = 8),
       Some(bpeOracle(8))),
+
+    // BPE ENCODE with the trained table (ops/Bpe.scala encode): the 8
+    // merges replay per word as one static codegen'd fold expression.
+    // Declared-oracle'd in round 5: the oracle re-trains the same 8 CTE
+    // generations, then encodes each DISTINCT word by replaying the
+    // merges as sequential boundary-marked replaces (the replace ≡
+    // greedy-fold identity the trainer oracle already rests on) and
+    // joins token counts back onto per-doc occurrences. BpeSpec
+    // independently proves encode(train(c)) matches a serial encoder.
+    QueryDef("text_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        graft.ops.Bpe.encode(docs,
+          graft.ops.Bpe.train(docs, merges = 8))
+      },
+      Some(bpeEncodeOracle(8))),
 
     QueryDef("text_fingerprint",
       (s, dir) => TextAnalysis.fingerprints(Tables.read(s, dir, "documents")),

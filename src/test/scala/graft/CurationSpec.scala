@@ -80,6 +80,34 @@ class SamplingSpec extends SparkSpec {
     assert(kept.map(_._1).sorted.sameElements(again))
   }
 
+  test("weighted sampling holds for fractional weights in (0,1)") {
+    import spark.implicits._
+    // Score-style double weights: the pre-round-5 CAST(w AS BIGINT)
+    // truncated all of these to 0 (max 0 → null threshold → everything
+    // silently dropped); the micros fixed-point keeps the ratios.
+    val df = (1L to 400L).map(i => (i, ((i % 5) + 1) * 0.2))
+      .toDF("doc_id", "w") // weights 0.2 .. 1.0
+    val kept = Sampling.weighted(df, "w", col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(kept.nonEmpty, "fractional weights dropped everything")
+    // max-weight rows always kept; keep rate monotone in weight
+    assert(kept.count(_._2 == 1.0) === df.filter(col("w") === 1.0).count())
+    val rates = kept.groupBy(_._2).view.mapValues(_.size / 80.0).toMap
+    assert(rates(0.2) < rates(0.8) && rates(0.8) <= rates(1.0),
+      rates.toString)
+    // and the micros space is a pure rescale for integral weights: the
+    // integer-weight selection of the previous test is unchanged (checked
+    // there via determinism); here check one exact threshold identity
+    val one = Sampling.weighted(
+      Seq((1L, 7.0), (2L, 3.5)).toDF("doc_id", "w"), "w", col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(one.contains(1L)) // the max-weight row is always kept
+    // all-sub-micro weights: guarded, not a divide-by-zero
+    val tiny = Sampling.weighted(
+      Seq((1L, 1e-9), (2L, 2e-9)).toDF("doc_id", "w"), "w", col("doc_id"))
+    assert(tiny.count() === 0L)
+  }
+
   test("split is exhaustive, disjoint, and stable under corpus growth") {
     val docs = graft.core.Tables.read(spark, sf, "documents")
     val s = Sampling.split(docs, col("doc_id"), 8000, 1000)

@@ -36,6 +36,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(agg(spark.read.parquet(out)) == agg(ev))
   }
 
+  test("compact: republish over an existing output leaves no debris") {
+    val frag = cleanDir("frag3")
+    val out = cleanDir("out3")
+    val ev = Tables.read(spark, sf, "events")
+    ev.repartition(8).write.parquet(frag)
+    Maintenance.compact(spark, frag, out, 1L << 30)
+    // second publish replaces the first via the rename-aside protocol:
+    // the previous copy must be renamed ASIDE (never deleted before the
+    // new data is live) and cleaned up after — no _old/_stage leftovers.
+    val stats = Maintenance.compact(spark, frag, out, 1L << 30)
+    assert(stats.rows == ev.count())
+    assert(spark.read.parquet(out).count() == ev.count())
+    val parent = new File(out).getParentFile
+    val debris = parent.listFiles().map(_.getName).filter(n =>
+      n.startsWith(new File(out).getName + "_old") ||
+        n.startsWith(new File(out).getName + "_stage"))
+    assert(debris.isEmpty, debris.mkString(", "))
+  }
+
   test("compact: target bytes controls the output file count") {
     val frag = cleanDir("frag2")
     val out = cleanDir("out2")

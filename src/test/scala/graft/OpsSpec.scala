@@ -270,6 +270,28 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.parseAudio(zeroBa) === None)
   }
 
+  test("WAV: hostile chunk sizes terminate with None, never loop or fault") {
+    // size 0xFFFFFFF8 truncates to Int -8: the old Int walk advanced by
+    // zero (infinite loop on an executor thread); the Long walk overruns
+    // the buffer and exits. Pad to >= 44 bytes so the probe runs.
+    val huge = bytes("52494646" + "30000000" + "57415645" +
+      "6A756E6B" + "F8FFFFFF" + "00" * 32)
+    assert(MediaCodec.parseAudio(huge) === None)
+    // size 0xFFFFFFFF (Int -1): old walk advanced by 8 + (-1) + 1 = 8
+    // but indexed p(i+4) with a drifting offset; must also be None.
+    val maxSz = bytes("52494646" + "30000000" + "57415645" +
+      "6A756E6B" + "FFFFFFFF" + "00" * 32)
+    assert(MediaCodec.parseAudio(maxSz) === None)
+    // a valid header whose data chunk DECLARES more bytes than the buffer
+    // holds (stream-truncated upload) still yields the fmt-derived meta —
+    // the trailing-data-chunk allowance.
+    val truncData = bytes("52494646" + "28000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+      "803E0000" + "0200" + "1000" + "64617461" + "10000000" + "AABB")
+    assert(MediaCodec.parseAudio(truncData) ===
+      Some((1, 8000, 16, 8L, 1L)))
+  }
+
   test("audio constructor/parser roundtrip on documents") {
     val docs = graft.core.Tables.read(spark, sf, "documents").limit(30)
     val out = Multimodal.decodedAudio(docs).collect()

@@ -95,4 +95,33 @@ class QueriesSpec extends SparkSpec {
       assert(n >= 0, s"$name failed")
     }
   }
+
+  // The driver's comparator sorts/hashes result columns with pandas; an
+  // array/map/struct-typed output column is unhashable there and the gate
+  // errors out regardless of value agreement (round-4 `text_postings`).
+  // Same lesson class as round-3's uncast-SUM HUGEINT drift: the declared
+  // surface must emit scalars only — stringify prefixes with array_join.
+  private def complexCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        || f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+        || f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+
+  test("no declared query emits array/map/struct output columns") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        complexCols(fn(spark, sf)).map(c => s"$name -> $c")
+    }
+    assert(bad.isEmpty,
+      "\nDeclared queries with driver-unhashable output columns:\n  " +
+        bad.mkString("\n  "))
+  }
+
+  test("the complex-type lint catches a seeded array column") {
+    import spark.implicits._
+    val seeded = Seq((1L, Seq("a", "b"))).toDF("id", "postings")
+    assert(complexCols(seeded) == Seq("postings: array<string>"))
+  }
 }
