@@ -125,24 +125,39 @@ object Graph {
     * surviving edges — shuffle shrinks monotonically as edges peel away.
     * Returns the surviving nodes with their residual in-core degree.
     */
-  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, rounds: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     var e = edges.select("src", "dst")
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    // Broadcast gate, same discipline as pagerank: `keep` is one row per
+    // SURVIVING node (≤ the initial node count, monotonically shrinking),
+    // but Catalyst's post-aggregation size estimate tracks the edge set,
+    // so past ~1M edges the un-hinted semi-joins silently fall to
+    // sort-merge and re-shuffle the whole doubled edge list TWICE per
+    // round — measured 17× superlinear on a 10× scale-up. Gated on the
+    // true node count the hint keeps the loop's rounds exchange-free for
+    // `e` (cached scan + broadcast filter); past the gate a forced
+    // broadcast would OOM, so the same plan runs as shuffle joins.
+    val nNodes = e.select("src").distinct().count()
+    val hint: DataFrame => DataFrame =
+      if (nNodes <= broadcastMaxNodes) broadcast else identity
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
-      // LAZY checkpoints: the peel has a FIXED round count and no
-      // per-round convergence probe, so nothing needs a driver action
-      // until the final rollup — every round's checkpoint materializes
-      // inside that ONE action (each round's state is computed once and
-      // cached; both consumers of `e` next round read the cache). The
-      // eager form paid `rounds` driver round-trips, the tiny-job
-      // scheduling floor that dominated locally; at scale the per-round
-      // plans are identical.
-      e = e.join(keep, Seq("src"), "left_semi")
-        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint(false)
+      // EAGER checkpoint per round — audited against the lssComponents
+      // lazy-checkpoint idiom in round 5 and the lazy form LOST (0.4 s →
+      // 3.5 s at sf0.1): unlike LSS, each round here feeds `keep` into
+      // broadcast-exchange jobs, and those driver-side broadcast builds
+      // re-derive the un-materialized lazy lineage round over round
+      // instead of reading a cache populated by one main-job pass. One
+      // cheap eager job per round pins each round's state exactly once.
+      // (The hint sits on each join input directly so a projection can't
+      // strand it below the join.)
+      e = e.join(hint(keep), Seq("src"), "left_semi")
+        .join(hint(keep.select(col("src").as("dst"))), Seq("dst"),
+          "left_semi")
+        .localCheckpoint()
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
       .filter(col("core_degree") >= k)
