@@ -36,7 +36,18 @@ object Bench {
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // Drop this query's localCheckpoint blocks before the next query:
+        // queries are self-contained (no cross-query cache reuse), but the
+        // ContextCleaner reclaims dereferenced blocks asynchronously and
+        // falls behind on a big-SF full-surface pass — measured 10-40×
+        // inflation of late queries at sf1 from eviction/GC pressure as
+        // ~199 queries' pinned blocks accumulated in one JVM. Explicit
+        // unpersist keeps every query's measurement independent of its
+        // position in the pass. (Not charged to the query's time.)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> t
       }
 
     onePass() // warmup: codegen + caches, not charged to anyone
