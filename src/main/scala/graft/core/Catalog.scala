@@ -1,7 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** One logical table's physical binding: where it lives, what format, and
   * any reader options.
@@ -37,14 +38,38 @@ final case class Catalog(tables: Map[String, TableSpec]) {
     val df = spark.read.format(t.format)
       .options(t.options - Catalog.TsNanosCol)
       .load(t.path)
-    t.options.get(Catalog.TsNanosCol).fold(df) { c =>
-      df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-    }
+    t.options.get(Catalog.TsNanosCol).fold(df)(Catalog.rebuildTs(df, _))
   }
 }
 
 object Catalog {
   val TsNanosCol = "tsNanosCol"
+
+  /** Adaptive µs-timestamp rebuild for a column whose physical type has
+    * varied across testdata generations: parquet TIMESTAMP(NANOS) arrives
+    * as a nanos long (under `nanosAsLong`) and is rebuilt with integer
+    * ns→µs division (lossless — double division would corrupt ~1.7e18
+    * epoch values); µs parquet without a timezone arrives as
+    * TIMESTAMP_NTZ (Spark 4 NTZ inference) and is cast to the session
+    * instant (graft sessions pin UTC, so the cast is value-preserving);
+    * an already-µs TimestampType passes through.
+    */
+  def rebuildTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+
+  /** The same adaptation for consumers that want the raw epoch-µs long
+    * (typed streaming state). */
+  def tsMicrosLong(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case LongType => expr(s"`$c` div 1000").cast("long")
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case _ => unix_micros(col(c))
+    }
 
   /** Driver testdata layout: every table at `$sfDir/<name>.parquet`. */
   def forDir(sfDir: String): Catalog = Catalog(

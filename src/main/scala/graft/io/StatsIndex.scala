@@ -1,0 +1,74 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level statistics index + stats-pruned scan — the zone-map /
+  * lakehouse-stats primitive (Delta/Iceberg keep per-file min/max in the
+  * commit log; a plain parquet lake can build the same index with one
+  * scan and prune file lists from it without touching the footers again).
+  *
+  * Scale shape: [[build]] is ONE distributed pass over the table (a
+  * `groupBy(input_file_name)` partial agg — shuffle carries #files rows,
+  * not data rows) and is paid once per table version, like any stats
+  * collection. [[candidateFiles]] touches only the stats table —
+  * metadata-scale (#files rows, e.g. ~100k rows for 100 TB of 1 GB files,
+  * a sub-second broadcast-sized frame). [[prunedScan]] then lists exactly
+  * the surviving files, so a selective predicate over a clustered layout
+  * (sorted or Z-ordered writes, see [[Layout]]) reads a small fraction of
+  * the lake — the same I/O win partition pruning gives, but on any
+  * clustered column, without re-partitioning the table.
+  *
+  * Correctness is layout-independent: the predicate is re-applied inside
+  * the scan, so a file that survives pruning but holds non-matching rows
+  * contributes nothing; pruning only ever REMOVES files whose [min,max]
+  * range excludes every match.
+  */
+object StatsIndex {
+
+  /** One-pass per-file stats for `cols`: row count plus min/max/null-count
+    * per column. The output is the index — persist it next to the table
+    * and rebuild on append (or union the new files' stats incrementally).
+    * `file` is the name RELATIVE to the table root, so the index stays
+    * valid when the table directory is staged/renamed/relocated (the same
+    * reason lakehouse commit logs store relative paths).
+    */
+  def build(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "StatsIndex.build needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        sum(col(c).isNull.cast("long")).as(s"nulls_$c")))
+    spark.read.parquet(path)
+      .groupBy(
+        regexp_replace(input_file_name(), "^.*/", "").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The files whose [min,max] range for `c` intersects [lo, hi] — i.e.
+    * every file that COULD hold a match (files with null-only stats are
+    * kept conservatively). Metadata-scale collect: #files is bounded by
+    * table-bytes / file-size, never by row count.
+    */
+  def candidateFiles(stats: DataFrame, c: String,
+      lo: Any, hi: Any): Seq[String] =
+    stats.filter(
+      col(s"min_$c").isNull || col(s"max_$c").isNull ||
+        (col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)))
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Range scan through the index: prune the file list, read only the
+    * survivors, re-apply the predicate exactly. Empty candidate list →
+    * empty frame with the table's schema (a scan of zero files).
+    */
+  def prunedScan(spark: SparkSession, path: String, stats: DataFrame,
+      c: String, lo: Any, hi: Any): DataFrame = {
+    val files = candidateFiles(stats, c, lo, hi)
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+}

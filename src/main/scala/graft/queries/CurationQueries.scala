@@ -17,6 +17,81 @@ object CurationQueries {
   private def bucketSql(salt: String, id: String): String =
     s"${Sql.hash64(s"'$salt|' || CAST($id AS VARCHAR)")} % 10000"
 
+  /** Unrolled-GD oracle for ops/Classifier.trainAndScore: the feature CTE
+    * mirrors Classifier.features term-for-term, then one (margin, fast
+    * sigmoid, gradient, weight-update) CTE generation per iteration.
+    * Every division is integer-truncating on integral types — DuckDB `//`
+    * on DECIMAL is NOT integral division (it returns fractions), so every
+    * decimal gradient sum is CAST to HUGEINT before `//`.
+    */
+  private def classifierOracle(iters: Int, lrPpm: Long): String = {
+    val S = 1000000L
+    val stopList =
+      graft.ops.TextOps.StopEn.map(w => s"'$w'").mkString(", ")
+    val margin = s"(w0 * $S + w1*x1 + w2*x2 + w3*x3 + w4*x4) // $S"
+    val sig = s"${S / 2} + (m * ${S / 2}) // ($S + abs(m))"
+    val feats =
+      s"""raw AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    (stop_hits * $S) // n_tokens AS r1,
+         |    (n_alpha * $S) // n_chars_ AS r2,
+         |    (least(sum_tok_len // n_tokens, 10) * $S) // 10 AS r3,
+         |    (least(n_chars_, 2000) * $S) // 2000 AS r4,
+         |    CASE WHEN 5 * ((stop_hits * $S) // n_tokens) +
+         |              (n_alpha * $S) // n_chars_ >= ${graft.ops.Classifier.BlendThrPpm}
+         |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM (
+         |    SELECT doc_id,
+         |      greatest(CAST(length(text) AS BIGINT), 1) AS n_chars_,
+         |      greatest(CAST(len(t) AS BIGINT), 1) AS n_tokens,
+         |      CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+         |        AS sum_tok_len,
+         |      CAST(len(list_filter(t, x -> x IN ($stopList))) AS BIGINT)
+         |        AS stop_hits,
+         |      CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |        AS BIGINT) AS n_alpha
+         |    FROM (SELECT doc_id, text,
+         |            string_split_regex(lower(trim(text)), '\\s+') AS t
+         |          FROM documents))),
+         |rng AS (SELECT ${(1 to 4).map(j =>
+               s"min(r$j) AS mn$j, max(r$j) AS mx$j").mkString(", ")}
+         |        FROM raw),
+         |feats AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |    ${(1 to 4).map(j =>
+               s"((r$j - mn$j) * ${2 * S}) // (mx$j - mn$j + 1) - $S AS x$j")
+              .mkString(",\n|    ")}
+         |  FROM raw CROSS JOIN rng)""".stripMargin
+    val w0 = (0 to 4).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")
+    val gens = (1 to iters).map { i =>
+      val gcols = (s"sum(CAST(y * $S - p AS DECIMAL(38,0))) AS g0" +:
+        (1 to 4).map(j =>
+          s"sum(CAST((y * $S - p) * x$j AS DECIMAL(38,0))) AS g$j"))
+        .mkString(",\n|    ")
+      val wcols = (
+        s"CAST(w0 + ($lrPpm * (CAST(g0 * $S AS HUGEINT) // n)) // ${S * S} AS BIGINT) AS w0" +:
+        (1 to 4).map(j =>
+          s"CAST(w$j + ($lrPpm * (CAST(g$j AS HUGEINT) // n)) // ${S * S} AS BIGINT) AS w$j"))
+        .mkString(",\n|    ")
+      s"""p$i AS (
+         |  SELECT y, x1, x2, x3, x4, $sig AS p
+         |  FROM (SELECT feats.*, $margin AS m FROM feats CROSS JOIN w${i - 1})),
+         |g$i AS (
+         |  SELECT $gcols,
+         |    count(*) AS n FROM p$i),
+         |w$i AS (
+         |  SELECT $wcols
+         |  FROM w${i - 1} CROSS JOIN g$i)""".stripMargin
+    }
+    s"""WITH $feats,
+       |w0 AS (SELECT $w0),
+       |${gens.mkString(",\n")}
+       |SELECT doc_id, y, $sig AS score_ppm,
+       |  ($sig) >= ${S / 2} AS pred
+       |FROM (SELECT feats.*, $margin AS m FROM feats CROSS JOIN w$iters)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("sample_stratified",
@@ -686,6 +761,20 @@ object CurationQueries {
               |SELECT lang, split, count(*) AS n_docs,
               |CAST(sum(n_toks) AS BIGINT) AS n_tokens,
               |round(avg(n_chars), 6) AS avg_chars
-              |FROM labeled GROUP BY lang, split ORDER BY lang, split""".stripMargin))
+              |FROM labeled GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
+
+    // Distributed quality classifier: logistic-style regression trained
+    // by 8 full-batch GD steps over min/max-normalized text features,
+    // labels from the linear quality blend (bootstrap-a-model-from-a-
+    // rule; ~87% train accuracy on a ~50/50 split). ALL arithmetic is
+    // ppm fixed-point with an algebraic fast-sigmoid link (no exp —
+    // libm ulps can't diverge the engines); gradient sums are exact
+    // DECIMAL, every division truncating-integral. Per iteration: one
+    // corpus pass against the broadcast 1-row weight frame + one global
+    // d+1-column aggregate. See ops/Classifier.
+    QueryDef("curation_quality_classifier",
+      (s, dir) => graft.ops.Classifier.trainAndScore(
+        Tables.read(s, dir, "documents"), iters = 8),
+      Some(classifierOracle(iters = 8, lrPpm = 3000000L)))
   )
 }

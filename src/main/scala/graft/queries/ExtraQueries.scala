@@ -328,6 +328,67 @@ object ExtraQueries {
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |FROM orders ORDER BY version""".stripMargin)),
 
+    // Stats-pruned scan (io/StatsIndex): the zone-map / lakehouse-stats
+    // primitive. Fixture = orders clustered into 16 files by range-
+    // partition+sort on o_orderdate (DATE-typed for engine-stable
+    // min/max), stats table built ONCE with one distributed pass; the
+    // query then resolves a one-year predicate against the stats
+    // (metadata-scale), reads only the surviving files, and aggregates
+    // by month. The window is data-relative ([min+1y, min+2y)) so the
+    // query survives testdata regeneration, and the fixture key carries a
+    // content fingerprint (not just a row count) so a regenerated table
+    // at the same path/cardinality rebuilds the index. Pruning is
+    // semantically transparent (the predicate is re-applied inside the
+    // scan), so the oracle is the plain filter over the original table;
+    // StatsIndexSpec gates the files-actually-pruned behavior itself.
+    QueryDef("scan_stats_pruned",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .withColumn("o_orderdate", to_date(col("o_orderdate")))
+        val head = o.agg(
+          count(lit(1)), min(col("o_orderdate")),
+          sum(xxhash64(col("o_orderkey"), col("o_orderdate")))).first()
+        val fp = s"${head.getLong(0)}_${java.lang.Long.toHexString(head.getLong(2))}"
+        val lo = java.sql.Date.valueOf(head.getDate(1).toLocalDate.plusYears(1))
+        val hi = java.sql.Date.valueOf(
+          head.getDate(1).toLocalDate.plusYears(2).minusDays(1))
+        val root = new File(
+          s"/tmp/graft_zonemap_${dir.replaceAll("[^0-9a-zA-Z]", "_")}_$fp")
+        val tablePath = s"${root.getPath}/table"
+        val statsPath = s"${root.getPath}/stats"
+        if (!root.exists()) {
+          val stage = new File(root.getPath + s"_stage_${System.nanoTime()}")
+          o.repartitionByRange(16, col("o_orderdate"))
+            .sortWithinPartitions("o_orderdate")
+            .write.parquet(s"${stage.getPath}/table")
+          graft.io.StatsIndex.build(s, s"${stage.getPath}/table",
+              Seq("o_orderdate"))
+            .coalesce(1).write.parquet(s"${stage.getPath}/stats")
+          if (!stage.renameTo(root)) {
+            deleteRecursively(stage)
+            require(root.exists(), s"atomic move to $root failed")
+          }
+        }
+        val stats = s.read.parquet(statsPath)
+        graft.io.StatsIndex.prunedScan(s, tablePath, stats, "o_orderdate",
+            lo, hi)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .orderBy("month")
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(min(CAST(o_orderdate AS DATE)) + INTERVAL 1 YEAR AS DATE) AS lo
+             |  FROM orders)
+             |SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             |  count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, b
+             |WHERE CAST(o_orderdate AS DATE) >= b.lo
+             |  AND CAST(o_orderdate AS DATE) < CAST(b.lo + INTERVAL 1 YEAR AS DATE)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Bad-record quarantine on JSON ingestion (the reference's input is
     // JSON APIs; a malformed payload must quarantine, not kill the job).
     // The fixture corrupts every 50th line deterministically; the

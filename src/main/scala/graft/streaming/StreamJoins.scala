@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.core.Tables
+import graft.core.{Catalog, Tables}
 
 /** Stream-stream joins (Structured Streaming's stateful two-input
   * operator). The batch twin ([[clickPurchaseBatch]]) is the semantics
@@ -42,7 +42,7 @@ object StreamJoins {
       .option("pathGlobFilter", glob)
       .format("parquet")
       .load(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Catalog.rebuildTs(_, "ts"))
     joined(side(raw, "click", "c"), side(raw, "purchase", "p"))
       .writeStream.outputMode("append").format("memory")
       .queryName(queryName).start()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.core.Tables
+import graft.core.{Catalog, Tables}
 
 /** Streaming layer. The reference has no streaming engine but its operating
   * model is incremental micro-batch (SURVEY §2.8): daily slices, append
@@ -67,7 +67,7 @@ object Streams {
       .option("pathGlobFilter", glob)
       .format("parquet")
       .load(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Catalog.rebuildTs(_, "ts"))
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
@@ -150,7 +150,7 @@ object Streams {
       .option("pathGlobFilter", glob)
       .format("parquet")
       .load(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Catalog.rebuildTs(_, "ts"))
     sessionWindowAgg(events.withWatermark("ts", "10 minutes"), gapMinutes)
       .writeStream
       .outputMode("append")
@@ -198,13 +198,14 @@ object Streams {
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     val gapUs = gapMinutes * 60L * 1000000L
     val rawSchema = spark.read.parquet(Tables.path(dir, "events")).schema
-    val events = spark.readStream
+    val raw = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", glob)
       .format("parquet")
       .load(dir)
+    val events = raw
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
-        expr("ts div 1000").cast("long"),
+        Catalog.tsMicrosLong(raw, "ts"),
         (col("value").cast("decimal(18,6)") * 1000000L).cast("long"))
       .as[(Long, Long, Long, Long)](rowEnc)
 
@@ -431,7 +432,7 @@ object Streams {
       .option("pathGlobFilter", "events.parquet")
       .format("parquet")
       .load(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Catalog.rebuildTs(_, "ts"))
     events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val cleaned = batch
@@ -504,7 +505,7 @@ object Streams {
       .option("pathGlobFilter", "events.parquet")
       .format("parquet")
       .load(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Catalog.rebuildTs(_, "ts"))
     windowedAgg(events.withWatermark("ts", "10 minutes"))
       .writeStream
       .outputMode("complete")

@@ -90,9 +90,10 @@ class MaintenanceSpec extends SparkSpec {
     // behind it and they'd be dropped as late, not as duplicates).
     // Replayed rows are suppressed by dedup state (recent) or the
     // watermark (old) — either way each id is emitted exactly once.
+    // generic over the ts physical type (nanos long vs µs timestamp)
     val midTs = raw.orderBy("ts").select("ts")
-      .collect()(raw.count().toInt / 2).getLong(0)
-    wave(raw.filter(col("ts") < midTs), "w1")
+      .collect()(raw.count().toInt / 2).get(0)
+    wave(raw.filter(col("ts") < lit(midTs)), "w1")
     val q = Streams.dedupStreaming(spark, dir, "*.parquet", "dedup_out",
       Tables.path(sf, "events"))
     try {

@@ -35,11 +35,20 @@ class SessionStreamSpec extends SparkSpec {
   private def writeSentinels(dir: String, hoursAhead: Int,
       wave: String): Unit = {
     val raw = spark.read.parquet(graft.core.Tables.path(sf, "events"))
-    val globalMaxNs = raw.agg(max("ts")).collect().head.getLong(0)
+    // ts physical type varies by testdata generation (nanos long vs µs
+    // timestamp) — shift in the file's own domain so the wave's schema
+    // matches wave 1 (the raw file copy)
+    val gmax = raw.agg(max("ts").as("gmax"))
+    val shifted = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("gmax") + lit(hoursAhead * 3600L * 1000000000L)
+      case _ => col("gmax") + expr(s"INTERVAL $hoursAhead HOURS")
+    }
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
     val sentinels = raw
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-      .withColumn("ts", lit(globalMaxNs + hoursAhead * 3600L * 1000000000L))
+      .crossJoin(broadcast(gmax))
+      .withColumn("ts", shifted).drop("gmax")
       .withColumn("event_id", col("event_id") + 1000000000L)
     val tmp = s"$dir-tmp-$wave"
     fs.delete(new Path(tmp), true)
@@ -72,12 +81,14 @@ class SessionStreamSpec extends SparkSpec {
 
   test("session_window streaming emits the batch sessions after the watermark passes") {
     val dir = setupDir("sw")
-    val raw = spark.read.parquet(graft.core.Tables.path(sf, "events"))
-    val globalMaxNs = raw.agg(max("ts")).collect().head.getLong(0)
+    // global max event second, generic over the ts physical type
+    val raw = graft.core.Tables.read(spark, sf, "events")
+    val globalMaxUs = raw.agg(max(unix_micros(col("ts"))))
+      .collect().head.getLong(0)
     val horizon = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.ofEpochSecond(
-        Math.floorDiv(globalMaxNs, 1000000000L)))
+        Math.floorDiv(globalMaxUs, 1000000L)))
     val q = Streams.sessionWindowStreaming(spark, dir, "*.parquet", "sess_sw_out")
     try {
       q.processAllAvailable()

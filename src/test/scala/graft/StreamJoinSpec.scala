@@ -32,7 +32,7 @@ class StreamJoinSpec extends SparkSpec {
       .option("pathGlobFilter", "events.parquet")
       .format("parquet")
       .load(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.core.Catalog.rebuildTs(_, "ts"))
     // union the stream with itself: every event arrives twice
     val doubled = load().union(load())
       .withWatermark("ts", "1 hour")

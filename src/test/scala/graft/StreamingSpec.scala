@@ -35,7 +35,7 @@ class StreamingDedupSpec extends SparkSpec {
       .option("pathGlobFilter", "events.parquet")
       .format("parquet")
       .load(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.core.Catalog.rebuildTs(_, "ts"))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id")
       .select("user_id")
