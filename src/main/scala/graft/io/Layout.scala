@@ -48,6 +48,34 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** [[writeZOrdered]] with both dimensions first min/max-scaled to the
+    * full `bits`-wide integer range. Raw interleaving lets the wider
+    * dimension's high bits dominate the Morton key (a 12-bit day domain
+    * against an 8-bit key domain degenerates to a day sort); scaling
+    * balances the interleave so BOTH columns cluster. The transform is
+    * monotone per dimension, so file-level min/max stats on the ORIGINAL
+    * columns still narrow — pruning needs no knowledge of the key. One
+    * extra metadata-sized agg (4 values) per write.
+    */
+  def writeZOrderedScaled(df: DataFrame, dimX: String, dimY: String,
+      path: String, bits: Int = 10, numFiles: Int = 16): Unit = {
+    val b = df.agg(
+      min(col(dimX).cast("long")), max(col(dimX).cast("long")),
+      min(col(dimY).cast("long")), max(col(dimY).cast("long"))).first()
+    val top = (1L << bits) - 1
+    def scaled(c: String, lo: Long, hi: Long): Column =
+      ((col(c).cast("long") - lit(lo)) * lit(top) /
+        lit(math.max(hi - lo, 1L))).cast("long")
+    val zkey = mortonInterleave(
+      scaled(dimX, b.getLong(0), b.getLong(1)),
+      scaled(dimY, b.getLong(2), b.getLong(3)), bits)
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write `df` parquet linearly sorted on one column (the single-dimension
     * baseline layout), same file count.
     */

@@ -46,29 +46,45 @@ object StatsIndex {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** The files whose [min,max] range for `c` intersects [lo, hi] — i.e.
-    * every file that COULD hold a match (files with null-only stats are
-    * kept conservatively). Metadata-scale collect: #files is bounded by
-    * table-bytes / file-size, never by row count.
+  /** The files whose [min,max] range intersects EVERY predicate's
+    * [lo, hi] — i.e. every file that COULD hold a conjunctive match
+    * (files with null-only stats are kept conservatively). Metadata-scale
+    * collect: #files is bounded by table-bytes / file-size, never by row
+    * count. Multi-column pruning is what a Z-ordered layout earns: each
+    * dimension's file ranges stay narrow, so either predicate skips.
     */
+  def candidateFilesMulti(stats: DataFrame,
+      preds: Seq[(String, Any, Any)]): Seq[String] = {
+    require(preds.nonEmpty, "candidateFilesMulti needs at least one range")
+    val cond = preds.map { case (c, lo, hi) =>
+      col(s"min_$c").isNull || col(s"max_$c").isNull ||
+        (col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
+    }.reduce(_ && _)
+    stats.filter(cond).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Single-column form of [[candidateFilesMulti]]. */
   def candidateFiles(stats: DataFrame, c: String,
       lo: Any, hi: Any): Seq[String] =
-    stats.filter(
-      col(s"min_$c").isNull || col(s"max_$c").isNull ||
-        (col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)))
-      .select("file").collect().map(_.getString(0)).toSeq
+    candidateFilesMulti(stats, Seq((c, lo, hi)))
 
   /** Range scan through the index: prune the file list, read only the
-    * survivors, re-apply the predicate exactly. Empty candidate list →
+    * survivors, re-apply the conjunction exactly. Empty candidate list →
     * empty frame with the table's schema (a scan of zero files).
     */
-  def prunedScan(spark: SparkSession, path: String, stats: DataFrame,
-      c: String, lo: Any, hi: Any): DataFrame = {
-    val files = candidateFiles(stats, c, lo, hi)
+  def prunedScanMulti(spark: SparkSession, path: String, stats: DataFrame,
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    val files = candidateFilesMulti(stats, preds)
     val base =
       if (files.isEmpty)
         spark.read.parquet(path).limit(0)
       else spark.read.parquet(files.map(f => s"$path/$f"): _*)
-    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    base.filter(preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _))
   }
+
+  /** Single-column form of [[prunedScanMulti]]. */
+  def prunedScan(spark: SparkSession, path: String, stats: DataFrame,
+      c: String, lo: Any, hi: Any): DataFrame =
+    prunedScanMulti(spark, path, stats, Seq((c, lo, hi)))
 }

@@ -389,6 +389,68 @@ object ExtraQueries {
              |  AND CAST(o_orderdate AS DATE) < CAST(b.lo + INTERVAL 1 YEAR AS DATE)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Multi-dimension data skipping: orders Z-ordered (scaled Morton) on
+    // (o_custkey, epoch-day of o_orderdate), stats on BOTH columns,
+    // conjunctive 2-D predicate resolved against the index — either
+    // dimension's file ranges narrow under the Z layout, so the scan
+    // skips on both (the lakehouse CLUSTER BY / OPTIMIZE ZORDER win).
+    // Window bounds are data-relative integers, identical arithmetic in
+    // both engines; the oracle is the plain 2-D filter over the original
+    // table (pruning is transparent). LayoutSpec gates the actual
+    // file-skipping geometry — z prunes on both dims, linear only on its
+    // sort key.
+    QueryDef("scan_zorder_pruned",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .withColumn("o_dkey", unix_date(to_date(col("o_orderdate"))).cast("long"))
+        val head = o.agg(
+          count(lit(1)),
+          min(col("o_custkey").cast("long")), max(col("o_custkey").cast("long")),
+          min(col("o_dkey")),
+          sum(xxhash64(col("o_orderkey"), col("o_dkey")))).first()
+        val fp = s"${head.getLong(0)}_${java.lang.Long.toHexString(head.getLong(4))}"
+        val (ck0, ck1, d0) = (head.getLong(1), head.getLong(2), head.getLong(3))
+        val (ckLo, ckHi) = (ck0, ck0 + (ck1 - ck0) / 8)
+        val (dLo, dHi) = (d0 + 365L, d0 + 729L)
+        val root = new File(
+          s"/tmp/graft_zorder_${dir.replaceAll("[^0-9a-zA-Z]", "_")}_$fp")
+        val tablePath = s"${root.getPath}/table"
+        val statsPath = s"${root.getPath}/stats"
+        if (!root.exists()) {
+          val stage = new File(root.getPath + s"_stage_${System.nanoTime()}")
+          graft.io.Layout.writeZOrderedScaled(o, "o_custkey", "o_dkey",
+            s"${stage.getPath}/table")
+          graft.io.StatsIndex.build(s, s"${stage.getPath}/table",
+              Seq("o_custkey", "o_dkey"))
+            .coalesce(1).write.parquet(s"${stage.getPath}/stats")
+          if (!stage.renameTo(root)) {
+            deleteRecursively(stage)
+            require(root.exists(), s"atomic move to $root failed")
+          }
+        }
+        val stats = s.read.parquet(statsPath)
+        graft.io.StatsIndex.prunedScanMulti(s, tablePath, stats,
+            Seq(("o_custkey", ckLo, ckHi), ("o_dkey", dLo, dHi)))
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_cust"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+      },
+      Some("""WITH b AS (
+             |  SELECT min(CAST(o_custkey AS BIGINT)) AS ck0,
+             |    max(CAST(o_custkey AS BIGINT)) AS ck1,
+             |    min(date_diff('day', DATE '1970-01-01',
+             |        CAST(o_orderdate AS DATE))) AS d0
+             |  FROM orders)
+             |SELECT count(*) AS n_orders,
+             |  count(DISTINCT o_custkey) AS n_cust,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, b
+             |WHERE CAST(o_custkey AS BIGINT)
+             |    BETWEEN b.ck0 AND b.ck0 + (b.ck1 - b.ck0) // 8
+             |  AND date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             |    BETWEEN b.d0 + 365 AND b.d0 + 729""".stripMargin)),
+
     // Bad-record quarantine on JSON ingestion (the reference's input is
     // JSON APIs; a malformed payload must quarantine, not kill the job).
     // The fixture corrupts every 50th line deterministically; the

@@ -41,6 +41,52 @@ class LayoutSpec extends SparkSpec {
       s"z-order should also confine x values: $zxTouched")
   }
 
+  test("scaled z-order on real unbalanced domains prunes on both dims; linear only on one") {
+    import graft.io.StatsIndex
+    val zPath = "/tmp/graft_layout_zs/t"
+    val lPath = "/tmp/graft_layout_ls/t"
+    val o = graft.core.Tables.read(spark, sf, "orders")
+      .withColumn("o_dkey", unix_date(to_date(col("o_orderdate"))).cast("long"))
+      .select(col("o_custkey").cast("long").as("o_custkey"), col("o_dkey"),
+        col("o_orderkey"))
+    // custkey and day domains differ in width — the scaled write must
+    // balance them (raw interleave degenerates to a sort on the wider)
+    Layout.writeZOrderedScaled(o, "o_custkey", "o_dkey", zPath)
+    Layout.writeLinearSorted(o, "o_custkey", lPath)
+    val zStats = StatsIndex.build(spark, zPath, Seq("o_custkey", "o_dkey"))
+      .localCheckpoint()
+    val lStats = StatsIndex.build(spark, lPath, Seq("o_custkey", "o_dkey"))
+      .localCheckpoint()
+    val total = zStats.count()
+    val b = o.agg(min("o_custkey"), max("o_custkey"),
+      min("o_dkey"), max("o_dkey")).first()
+    // one-eighth-of-domain windows on each dimension
+    def win(lo: Long, hi: Long): (Long, Long) = (lo, lo + (hi - lo) / 8)
+    val (ckLo, ckHi) = win(b.getLong(0), b.getLong(1))
+    val (dLo, dHi) = win(b.getLong(2), b.getLong(3))
+    val zOnDate = StatsIndex.candidateFilesMulti(zStats, Seq(("o_dkey", dLo, dHi)))
+    val lOnDate = StatsIndex.candidateFilesMulti(lStats, Seq(("o_dkey", dLo, dHi)))
+    val zOnCk = StatsIndex.candidateFilesMulti(zStats, Seq(("o_custkey", ckLo, ckHi)))
+    assert(lOnDate.size.toLong == total,
+      s"custkey-sorted layout should be useless for date predicates: ${lOnDate.size}/$total")
+    assert(zOnDate.size.toLong < total,
+      s"z-order should skip files on date: ${zOnDate.size}/$total")
+    assert(zOnCk.size.toLong < total,
+      s"z-order should skip files on custkey too: ${zOnCk.size}/$total")
+    // conjunctive pruned scan ≡ the plain 2-D filter
+    val preds = Seq[(String, Any, Any)](
+      ("o_custkey", ckLo, ckHi), ("o_dkey", dLo, dHi))
+    val pruned = StatsIndex.prunedScanMulti(spark, zPath, zStats, preds)
+    val full = spark.read.parquet(zPath)
+      .filter(col("o_custkey").between(ckLo, ckHi) &&
+        col("o_dkey").between(dLo, dHi))
+    assert(pruned.count() === full.count())
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // and the conjunction touches no more files than either dim alone
+    val zOn2D = StatsIndex.candidateFilesMulti(zStats, preds)
+    assert(zOn2D.size <= math.min(zOnDate.size, zOnCk.size))
+  }
+
   test("morton key round-trips: interleave of bounded dims is stable") {
     import spark.implicits._
     val df = Seq((3L, 5L), (255L, 0L), (0L, 255L)).toDF("x", "y")
