@@ -163,6 +163,50 @@ object Graph {
       .filter(col("core_degree") >= k)
   }
 
+  /** Synchronous label-propagation community detection over an undirected
+    * edge list: every node starts labeled with its own id; each round,
+    * every node adopts the most frequent label among its neighbors AND
+    * itself, ties broken by the SMALLEST label. Classic async LPA is
+    * visit-order-dependent; this synchronous min-tie-break variant is a
+    * pure function of the graph, so a fixed `rounds` unrolls exactly in
+    * the oracle. The self-vote damps the 2-cycle oscillation synchronous
+    * neighbor-only updates exhibit on bipartite structure.
+    *
+    * Scale shape per round: labels (one row per node, broadcast-gated on
+    * the true node count — the pagerank/kcore discipline) join the edge
+    * list on src, then ONE (node, label) count agg and ONE per-node
+    * argmax via a max(struct) agg — shuffle ∝ edges, map-side partials
+    * throughout, never a window sort. Returns (node, label) where label
+    * is the community representative id.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    val e = edges.select("src", "dst")
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nNodes = e.select("src").distinct().count()
+    val hint: DataFrame => DataFrame =
+      if (nNodes <= broadcastMaxNodes) broadcast else identity
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(hint(labels.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+        .unionByName(labels) // the self-vote
+        .groupBy("node", "label").agg(count(lit(1)).as("n"))
+      // per-node argmax by (count DESC, label ASC): max(struct) keeps the
+      // aggregation map-side-combinable where a row_number window would
+      // force a full sort of the vote table every round
+      labels = votes
+        .groupBy("node")
+        .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Exact triangle count + global clustering coefficient over an
     * undirected edge list `edges(u, v)` (any orientation, self-loops
     * ignored), via degree-ordered orientation — the distributed algorithm

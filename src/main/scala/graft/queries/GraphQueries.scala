@@ -217,6 +217,50 @@ object GraphQueries {
            |GROUP BY 1 ORDER BY core_degree""".stripMargin
       }),
 
+    // Label-propagation communities over the same bipartite order graph
+    // (3 synchronous rounds, self-vote, min-label tie-break — fully
+    // deterministic where async LPA is visit-order-dependent). The
+    // engine's per-node argmax is a map-side-combinable max(struct); the
+    // oracle's is a row_number window — the gate also proves the two
+    // formulations equivalent. Output: community sizes.
+    QueryDef("graph_community_lp",
+      (s, dir) => {
+        val base = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("o_custkey") * 2 + 1).as("dst"))
+        Graph.labelPropagation(base, rounds = 3)
+          .groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy("community")
+      },
+      Some {
+        def round(i: Int) =
+          s"""v$i AS (
+             |  SELECT node, label, count(*) AS n FROM (
+             |    SELECT e.dst AS node, l.label
+             |    FROM e0 e JOIN l${i - 1} l ON l.node = e.src
+             |    UNION ALL SELECT node, label FROM l${i - 1})
+             |  GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT node, label FROM (
+             |    SELECT node, label, row_number() OVER (
+             |      PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+             |    FROM v$i) WHERE rn = 1)""".stripMargin
+        s"""WITH base AS (
+           |  SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e0 AS (SELECT DISTINCT src, dst FROM (
+           |        SELECT src, dst FROM base
+           |        UNION ALL SELECT dst, src FROM base)),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT label AS community, count(*) AS n_nodes
+           |FROM l3 GROUP BY 1 ORDER BY community""".stripMargin
+      }),
+
     // Common-neighbor link prediction: supplier pairs scored by how many
     // customers both serve — wedges exploded from per-customer supplier
     // sets (sorted, map-side), counts per pair, top 30. Customers are

@@ -105,4 +105,31 @@ class GraphSpec extends SparkSpec {
     val row = Graph.triangleStats(edges).collect().head
     assert(row.getLong(2) == 0L && row.getDouble(3) == 0.0)
   }
+
+  test("label propagation separates two cliques joined by a bridge") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(0L to 4L) ++ clique(10L to 14L) :+ (4L, 10L))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to its minimum id; the bridge doesn't merge them
+    assert((0L to 4L).forall(got(_) == 0L), s"clique A: $got")
+    assert((10L to 14L).forall(got(_) == 10L), s"clique B: $got")
+  }
+
+  test("label propagation is invariant to input partitioning") {
+    import spark.implicits._
+    val edges = graft.core.Tables.read(spark, sf, "lineitem")
+      .join(graft.core.Tables.read(spark, sf, "orders")
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("o_custkey") * 2 + 1).as("dst"))
+      .filter(col("src") < 400) // deterministic subgraph, not limit()
+    val a = Graph.labelPropagation(edges.repartition(1), rounds = 2)
+    val b = Graph.labelPropagation(edges.repartition(13), rounds = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
