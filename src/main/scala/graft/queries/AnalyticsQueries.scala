@@ -15,6 +15,59 @@ object AnalyticsQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Market-basket association rules over co-ordered parts: support,
+    // confidence and lift in ppm fixed-point. Pairs explode MAP-SIDE from
+    // each order's sorted distinct part set (the common-neighbors /
+    // triangles idiom — Σ C(basket,2) with baskets ~4, never a
+    // theta-join); per-part counts join back on the part key and the
+    // order total rides a broadcast 1-row frame. Lift's numerator
+    // (n_ab·N·1e6) is DECIMAL(38,0) — int64 wraps once n·N passes ~9e12,
+    // i.e. well inside 100 TB row counts.
+    QueryDef("agg_market_basket",
+      (s, dir) => {
+        val op = Tables.read(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ord"),
+            col("l_partkey").cast("long").as("part"))
+          .distinct()
+        val ntot = op.agg(countDistinct(col("ord")).as("ntot"))
+        val c = op.groupBy("part").agg(count(lit(1)).as("n"))
+        op.groupBy("ord")
+          .agg(sort_array(collect_set(col("part"))).as("parts"))
+          .select(explode(expr(
+            """flatten(transform(parts, (x, i) ->
+              |  transform(slice(parts, i + 2, size(parts)),
+              |            y -> struct(x AS p_a, y AS p_b))))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.p_a").as("p_a"), col("p.p_b").as("p_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .join(c.select(col("part").as("p_a"), col("n").as("n_a")), Seq("p_a"))
+          .join(c.select(col("part").as("p_b"), col("n").as("n_b")), Seq("p_b"))
+          .crossJoin(broadcast(ntot))
+          .select(col("p_a"), col("p_b"), col("n_ab"),
+            expr("n_ab * 1000000L div ntot").as("support_ppm"),
+            expr("n_ab * 1000000L div n_a").as("conf_ppm"),
+            expr("""CAST((CAST(n_ab AS DECIMAL(38,0)) * ntot * 1000000)
+                   |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+              .stripMargin).as("lift_ppm"))
+          .orderBy(desc("n_ab"), col("p_a"), col("p_b"))
+          .limit(25)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ord,
+             |    CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+             |n AS (SELECT count(DISTINCT ord) AS ntot FROM op),
+             |c AS (SELECT part, count(*) AS n FROM op GROUP BY 1),
+             |p AS (SELECT a.part AS p_a, b.part AS p_b, count(*) AS n_ab
+             |      FROM op a JOIN op b ON a.ord = b.ord AND a.part < b.part
+             |      GROUP BY 1, 2)
+             |SELECT p_a, p_b, n_ab,
+             |  CAST(n_ab * 1000000 // ntot AS BIGINT) AS support_ppm,
+             |  CAST(n_ab * 1000000 // ca.n AS BIGINT) AS conf_ppm,
+             |  CAST((CAST(n_ab AS HUGEINT) * ntot * 1000000)
+             |    // (CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT) AS lift_ppm
+             |FROM p JOIN c ca ON ca.part = p.p_a
+             |  JOIN c cb ON cb.part = p.p_b CROSS JOIN n
+             |ORDER BY n_ab DESC, p_a, p_b LIMIT 25""".stripMargin)),
+
     // exact distinct counts per region (shuffle-on-key + distinct agg)
     QueryDef("agg_distinct_counts",
       (s, dir) => {

@@ -775,6 +775,31 @@ object CurationQueries {
     QueryDef("curation_quality_classifier",
       (s, dir) => graft.ops.Classifier.trainAndScore(
         Tables.read(s, dir, "documents"), iters = 8),
-      Some(classifierOracle(iters = 8, lrPpm = 3000000L)))
+      Some(classifierOracle(iters = 8, lrPpm = 3000000L))),
+
+    // Calibration / reliability curve of the trained classifier: decile
+    // buckets of the score vs the observed positive rate — the standard
+    // model-eval readout (a well-calibrated score's pos_rate tracks its
+    // bucket). One extra pass over the scored frame; all integer
+    // arithmetic, SUMs cast to BIGINT on the oracle side (HUGEINT
+    // discipline).
+    QueryDef("curation_classifier_calibration",
+      (s, dir) => graft.ops.Classifier.trainAndScore(
+          Tables.read(s, dir, "documents"), iters = 8)
+        .withColumn("bucket",
+          least(expr("score_ppm * 10 div 1000000"), lit(9L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("y")).as("n_pos"),
+          expr("sum(y) * 1000000L div count(1)").as("pos_rate_ppm"),
+          expr("sum(score_ppm) div count(1)").as("avg_score_ppm"))
+        .orderBy("bucket"),
+      Some(s"""WITH scored AS (${classifierOracle(8, 3000000L)})
+              |SELECT least(score_ppm * 10 // 1000000, 9) AS bucket,
+              |  count(*) AS n_docs,
+              |  CAST(sum(y) AS BIGINT) AS n_pos,
+              |  CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+              |  CAST(sum(score_ppm) // count(*) AS BIGINT) AS avg_score_ppm
+              |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
