@@ -35,15 +35,37 @@ object StatsIndex {
     */
   def build(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "StatsIndex.build needs at least one column")
+    statsOf(spark.read.parquet(path), cols)
+  }
+
+  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
         sum(col(c).isNull.cast("long")).as(s"nulls_$c")))
-    spark.read.parquet(path)
-      .groupBy(
+    df.groupBy(
         regexp_replace(input_file_name(), "^.*/", "").as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental maintenance for an append-only table: stats for ONLY the
+    * files `existing` hasn't indexed yet, unioned onto it. The file-list
+    * diff is metadata (a directory listing against the index's own file
+    * column) and the scan touches just the new files — an append of N
+    * files costs one pass over those N files, never a table rebuild.
+    * Returns `existing` unchanged when nothing is new.
+    */
+  def append(spark: SparkSession, path: String, cols: Seq[String],
+      existing: DataFrame): DataFrame = {
+    val have = existing.select("file").collect().map(_.getString(0)).toSet
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !have(p.getName))
+    if (fresh.isEmpty) existing
+    else existing.unionByName(
+      statsOf(spark.read.parquet(fresh.map(_.toString).toIndexedSeq: _*), cols))
   }
 
   /** The files whose [min,max] range intersects EVERY predicate's

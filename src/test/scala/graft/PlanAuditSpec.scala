@@ -115,4 +115,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"the fact side must never shuffle for the cuts:\n$plan")
   }
+
+  test("agg_market_basket: pairs explode map-side — no theta/cartesian join") {
+    val plan = executed(
+      SparkEntry.queries("agg_market_basket")(spark, sf)).toString
+    assert(!plan.contains("CartesianProduct"),
+      s"basket pairing must never be a cartesian:\n$plan")
+    // the only nested-loop allowed is the broadcast of the 1-row total
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl <= 1, s"unexpected nested loops:\n$plan")
+  }
+
+  test("curation_quality_classifier: GD argmax/update never sorts a window") {
+    val plan = executed(
+      SparkEntry.queries("curation_quality_classifier")(spark, sf)).toString
+    assert(!plan.contains("Window"),
+      s"classifier must not contain window operators:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"weight frame must broadcast, not cartesian:\n$plan")
+  }
+
+  test("graph_community_lp: per-round argmax is an aggregate, not a window sort") {
+    val plan = executed(
+      SparkEntry.queries("graph_community_lp")(spark, sf)).toString
+    assert(!plan.contains("Window"),
+      s"LP argmax must be max(struct), not row_number:\n$plan")
+  }
 }

@@ -68,6 +68,25 @@ class StatsIndexSpec extends SparkSpec {
     deleteRecursively(new File(path))
   }
 
+  test("incremental append indexes only the new files and equals a full rebuild") {
+    val path = "/tmp/graft_statsidx_incr"
+    import spark.implicits._
+    deleteRecursively(new File(path))
+    Seq(1L, 5L, 9L).toDF("k").coalesce(1).write.parquet(path)
+    val base = StatsIndex.build(spark, path, Seq("k")).localCheckpoint()
+    // appending nothing returns the index unchanged (same reference)
+    assert(StatsIndex.append(spark, path, Seq("k"), base) eq base)
+    Seq(20L, 30L).toDF("k").coalesce(1).write.mode("append").parquet(path)
+    Seq(100L).toDF("k").coalesce(1).write.mode("append").parquet(path)
+    val incr = StatsIndex.append(spark, path, Seq("k"), base)
+    val full = StatsIndex.build(spark, path, Seq("k"))
+    assert(incr.count() === 3)
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+    // and the appended index prunes correctly
+    assert(StatsIndex.candidateFiles(incr, "k", 25L, 40L).size === 1)
+    deleteRecursively(new File(path))
+  }
+
   test("files with null-only stats are kept conservatively; empty prune → empty frame") {
     val path = "/tmp/graft_statsidx_nulls"
     import spark.implicits._
