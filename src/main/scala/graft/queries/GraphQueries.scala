@@ -15,6 +15,35 @@ object GraphQueries {
 
   private val PrIters = 3
 
+  /** Shared oracle CTE chain for the label-propagation family: the
+    * bipartite order graph (base/e0), the identity labeling (l0), and
+    * `rounds` unrolled synchronous self-vote min-tie-break updates
+    * (v_i/l_i) — window-argmax form, so gates built on it also prove the
+    * engine's max(struct) argmax equivalent.
+    */
+  private def lpCtes(rounds: Int): String = {
+    def round(i: Int) =
+      s"""v$i AS (
+         |  SELECT node, label, count(*) AS n FROM (
+         |    SELECT e.dst AS node, l.label
+         |    FROM e0 e JOIN l${i - 1} l ON l.node = e.src
+         |    UNION ALL SELECT node, label FROM l${i - 1})
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+         |    FROM v$i) WHERE rn = 1)""".stripMargin
+    s"""base AS (
+       |  SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e0 AS (SELECT DISTINCT src, dst FROM (
+       |        SELECT src, dst FROM base
+       |        UNION ALL SELECT dst, src FROM base)),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
   /** Oracle twin of [[Graph.pagerank]]: the iteration unrolled as chained
     * CTEs, same fixed-point integer arithmetic (`//` = `div`).
     */
@@ -236,30 +265,69 @@ object GraphQueries {
           .agg(count(lit(1)).as("n_nodes"))
           .orderBy("community")
       },
-      Some {
-        def round(i: Int) =
-          s"""v$i AS (
-             |  SELECT node, label, count(*) AS n FROM (
-             |    SELECT e.dst AS node, l.label
-             |    FROM e0 e JOIN l${i - 1} l ON l.node = e.src
-             |    UNION ALL SELECT node, label FROM l${i - 1})
-             |  GROUP BY 1, 2),
-             |l$i AS (
-             |  SELECT node, label FROM (
-             |    SELECT node, label, row_number() OVER (
-             |      PARTITION BY node ORDER BY n DESC, label ASC) AS rn
-             |    FROM v$i) WHERE rn = 1)""".stripMargin
-        s"""WITH base AS (
-           |  SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
-           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-           |e0 AS (SELECT DISTINCT src, dst FROM (
-           |        SELECT src, dst FROM base
-           |        UNION ALL SELECT dst, src FROM base)),
-           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
-           |${(1 to 3).map(round).mkString(",\n")}
-           |SELECT label AS community, count(*) AS n_nodes
-           |FROM l3 GROUP BY 1 ORDER BY community""".stripMargin
-      }),
+      Some(s"""WITH ${lpCtes(3)}
+              |SELECT label AS community, count(*) AS n_nodes
+              |FROM l3 GROUP BY 1 ORDER BY community""".stripMargin)),
+
+    // Modularity of the LP partition — the standard community-quality
+    // metric Q = Σ_c [intra_c/m − (d_c/2m)²], in ppm fixed-point with
+    // per-community truncating division mirrored in both engines; the
+    // d_c² product runs in DECIMAL(38,0) (int64 wraps once d_c passes
+    // ~3e6 at ppm scale). One labels join per edge endpoint, one
+    // community-level agg — shuffle ∝ edges, communities ≤ nodes.
+    QueryDef("graph_modularity",
+      (s, dir) => {
+        val base = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("o_custkey") * 2 + 1).as("dst"))
+        val e2 = base.select("src", "dst")
+          .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().localCheckpoint()
+        val labels = graft.ops.Graph.labelPropagation(base, rounds = 3)
+          .localCheckpoint()
+        val mDf = e2.agg(expr("count(1) div 2").as("m"))
+        val deg = e2.groupBy("src").agg(count(lit(1)).as("d"))
+        val commDeg = deg
+          .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy("label").agg(sum(col("d")).as("d_c"))
+        val intra = e2
+          .join(labels.withColumnRenamed("node", "src")
+            .withColumnRenamed("label", "la"), Seq("src"))
+          .join(labels.withColumnRenamed("node", "dst")
+            .withColumnRenamed("label", "lb"), Seq("dst"))
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la").as("label"))
+          .agg(count(lit(1)).as("intra2"))
+        commDeg.join(intra, Seq("label"), "left")
+          .na.fill(0L, Seq("intra2"))
+          .crossJoin(broadcast(mDf))
+          .select((expr("intra2 * 1000000L div (2 * m)") -
+            expr("""CAST((CAST(d_c AS DECIMAL(38,0)) * d_c * 1000000)
+                   |  div (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)"""
+              .stripMargin)).as("t"))
+          .agg(sum(col("t")).cast("long").as("modularity_ppm"),
+            count(lit(1)).as("n_communities"))
+      },
+      Some(s"""WITH ${lpCtes(3)},
+              |m AS (SELECT count(*) // 2 AS m FROM e0),
+              |deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+              |cd AS (SELECT l.label, CAST(sum(d.d) AS BIGINT) AS d_c
+              |       FROM deg d JOIN l3 l ON l.node = d.src GROUP BY 1),
+              |intra AS (SELECT la.label, count(*) AS intra2
+              |  FROM e0 e
+              |  JOIN l3 la ON la.node = e.src
+              |  JOIN l3 lb ON lb.node = e.dst AND lb.label = la.label
+              |  GROUP BY 1),
+              |terms AS (
+              |  SELECT coalesce(i.intra2, 0) * 1000000 // (2 * m.m)
+              |    - CAST((CAST(cd.d_c AS HUGEINT) * cd.d_c * 1000000)
+              |        // (CAST(4 AS HUGEINT) * m.m * m.m) AS BIGINT) AS t
+              |  FROM cd LEFT JOIN intra i ON i.label = cd.label CROSS JOIN m)
+              |SELECT CAST(sum(t) AS BIGINT) AS modularity_ppm,
+              |  count(*) AS n_communities FROM terms""".stripMargin)),
 
     // Common-neighbor link prediction: supplier pairs scored by how many
     // customers both serve — wedges exploded from per-customer supplier
