@@ -800,6 +800,40 @@ object CurationQueries {
               |  CAST(sum(y) AS BIGINT) AS n_pos,
               |  CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
               |  CAST(sum(score_ppm) // count(*) AS BIGINT) AS avg_score_ppm
-              |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin))
+              |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Privacy audit: k-anonymity + l-diversity over quasi-identifier
+    // groups (nation, market segment), sensitive attribute = account
+    // balance in integer-thousands buckets. Reports the re-identification
+    // surface: group-size floor, rows in groups below k=5, and the
+    // minimum sensitive-value diversity — the release-gate numbers a
+    // training-data pipeline checks before publishing a slice. Two-level
+    // aggregation (quasi-key shuffle → global), map-side partials; the
+    // exact plan at any scale.
+    QueryDef("curation_k_anonymity",
+      (s, dir) => Tables.read(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(c_acctbal * 100 AS BIGINT) div 100000").as("bal_k"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("bal_k")).as("l"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("n")).as("min_group_size"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"),
+          expr("sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000L div sum(n)")
+            .as("risk_ppm"),
+          min(col("l")).as("min_l_diversity")),
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             |    count(DISTINCT CAST(c_acctbal * 100 AS BIGINT) // 100000) AS l
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT count(*) AS n_groups,
+             |  CAST(min(n) AS BIGINT) AS min_group_size,
+             |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             |    AS rows_at_risk,
+             |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
+             |    // sum(n) AS BIGINT) AS risk_ppm,
+             |  CAST(min(l) AS BIGINT) AS min_l_diversity
+             |FROM g""".stripMargin))
   )
 }
