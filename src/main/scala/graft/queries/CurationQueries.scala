@@ -834,6 +834,26 @@ object CurationQueries {
              |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
              |    // sum(n) AS BIGINT) AS risk_ppm,
              |  CAST(min(l) AS BIGINT) AS min_l_diversity
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    // Exact-k deterministic uniform sample ("give me exactly 100 docs,
+    // reproducibly"): rank by a salted 63-bit content-independent hash
+    // and take the k smallest. Rate-based sampling can't hit an exact
+    // count; a random() sort isn't reproducible; this is both, and the
+    // plan is a distributed TakeOrdered (per-partition top-k, k-row
+    // merge on the driver) — never a global sort of the corpus.
+    QueryDef("sample_reservoir",
+      (s, dir) => Tables.read(s, dir, "documents")
+        .withColumn("h", graft.core.GraftFunctions.hash64(
+          concat_ws("|", lit("resv"), col("doc_id").cast("string"))))
+        .orderBy("h", "doc_id").limit(100)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, source, n_chars FROM (
+              |  SELECT doc_id, lang, source, n_chars
+              |  FROM documents
+              |  ORDER BY ${Sql.hash64("'resv|' || CAST(doc_id AS VARCHAR)")},
+              |    doc_id LIMIT 100)
+              |ORDER BY doc_id""".stripMargin))
   )
 }

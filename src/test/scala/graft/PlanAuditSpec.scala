@@ -135,6 +135,13 @@ class PlanAuditSpec extends SparkSpec {
       s"weight frame must broadcast, not cartesian:\n$plan")
   }
 
+  test("sample_reservoir: corpus ranking is TakeOrdered top-k, not a full sort") {
+    val plan = executed(
+      SparkEntry.queries("sample_reservoir")(spark, sf)).toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"hash ranking must plan as per-partition top-k:\n$plan")
+  }
+
   test("graph_community_lp: per-round argmax is an aggregate, not a window sort") {
     val plan = executed(
       SparkEntry.queries("graph_community_lp")(spark, sf)).toString
