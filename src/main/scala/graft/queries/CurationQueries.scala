@@ -854,6 +854,57 @@ object CurationQueries {
               |  FROM documents
               |  ORDER BY ${Sql.hash64("'resv|' || CAST(doc_id AS VARCHAR)")},
               |    doc_id LIMIT 100)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Poisson bootstrap over the corpus: 32 deterministic resampling
+    // replicas of the documents table, each row contributing
+    // Poisson(1)-many copies per replica via inverse-CDF on the salted
+    // hash (CDF quantized to 1e-4 — thresholds 3679/7358/9197/9810/
+    // 9963/9994, identical constants in both engines, so the draw is
+    // engine-exact). Output is one exact row per replica: draw count,
+    // total chars, and the replica mean in integer ppm — the spread
+    // across replicas IS the bootstrap CI of mean document length,
+    // computed without any RNG state or driver-side resampling. Scale
+    // shape: a map-side 32× explode (codegen'd MD5) into a 32-group
+    // partial agg — raw rows never shuffle, so the cost is one corpus
+    // scan regardless of cluster size. The ppm mean holds in int64 to
+    // ~9e12 total chars per replica; past that, widen to DECIMAL.
+    QueryDef("sample_bootstrap",
+      (s, dir) => Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0L), lit(31L))).as("replica"))
+        .withColumn("h", graft.ops.Sampling.hashBucket(
+          concat_ws("#", col("doc_id"), col("replica")), "boot"))
+        .withColumn("copies",
+          when(col("h") < 3679, 0).when(col("h") < 7358, 1)
+            .when(col("h") < 9197, 2).when(col("h") < 9810, 3)
+            .when(col("h") < 9963, 4).when(col("h") < 9994, 5)
+            .otherwise(6))
+        .groupBy("replica")
+        .agg(sum(col("copies")).cast("long").as("n_drawn"),
+          sum(col("copies") * col("n_chars")).cast("long")
+            .as("total_chars"))
+        .withColumn("mean_chars_ppm",
+          expr("total_chars * 1000000 div n_drawn"))
+        .orderBy("replica"),
+      Some(s"""WITH reps AS (
+              |  SELECT unnest(generate_series(0, 31)) AS replica),
+              |drawn AS (
+              |  SELECT replica,
+              |    CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+              |      WHEN h < 9197 THEN 2 WHEN h < 9810 THEN 3
+              |      WHEN h < 9963 THEN 4 WHEN h < 9994 THEN 5
+              |      ELSE 6 END AS copies, n_chars
+              |  FROM (SELECT d.doc_id, d.n_chars, r.replica,
+              |      ${Sql.hash64("'boot|' || CAST(d.doc_id AS VARCHAR)" +
+                  " || '#' || CAST(r.replica AS VARCHAR)")} % 10000 AS h
+              |    FROM documents d CROSS JOIN reps r)),
+              |agg AS (
+              |  SELECT replica, CAST(sum(copies) AS BIGINT) AS n_drawn,
+              |    CAST(sum(copies * n_chars) AS BIGINT) AS total_chars
+              |  FROM drawn GROUP BY 1)
+              |SELECT replica, n_drawn, total_chars,
+              |  total_chars * 1000000 // n_drawn AS mean_chars_ppm
+              |FROM agg ORDER BY replica""".stripMargin))
   )
 }

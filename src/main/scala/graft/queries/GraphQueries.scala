@@ -370,6 +370,64 @@ object GraphQueries {
               |GROUP BY 1, 2
               |ORDER BY common_customers DESC, s_a, s_b LIMIT 30""".stripMargin)),
 
+    // Neighbor-Jaccard link scoring: the common-neighbor counts
+    // normalized by union-of-neighborhood size — |N(a)∩N(b)| /
+    // (|N(a)| + |N(b)| - |N(a)∩N(b)|), in integer ppm so both engines
+    // rank identically. Same hash-sparsified subgraph and wedge explode
+    // as graph_common_neighbors (salt "cn", so the two scores are
+    // comparable over the same edges); degrees come from one extra
+    // key-bounded agg over the checkpointed edge set, joined onto the
+    // pair counts. Normalization separates "popular supplier touches
+    // everyone" from "these two genuinely share a customer base".
+    QueryDef("graph_jaccard",
+      (s, dir) => {
+        val cs = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(graft.ops.Sampling.hashBucket(
+            col("o_custkey"), "cn") < 1000)
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+          .distinct().localCheckpoint()
+        val sets = cs.groupBy("cust")
+          .agg(sort_array(collect_set(col("supp"))).as("supps"))
+        val pairs = sets.select(explode(expr(
+            """flatten(transform(supps, (x, i) ->
+              |  transform(slice(supps, i + 2, size(supps)),
+              |            y -> struct(x AS s_a, y AS s_b))))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.s_a").as("s_a"), col("p.s_b").as("s_b"))
+          .agg(count(lit(1)).as("common_customers"))
+        val deg = cs.groupBy("supp").agg(count(lit(1)).as("deg"))
+        pairs
+          .join(deg.select(col("supp").as("s_a"), col("deg").as("da")), "s_a")
+          .join(deg.select(col("supp").as("s_b"), col("deg").as("db")), "s_b")
+          .withColumn("jaccard_ppm", expr(
+            "common_customers * 1000000 div (da + db - common_customers)"))
+          .select("s_a", "s_b", "common_customers", "jaccard_ppm")
+          .orderBy(desc("jaccard_ppm"), desc("common_customers"),
+            col("s_a"), col("s_b"))
+          .limit(30)
+      },
+      Some(s"""WITH cs AS (SELECT DISTINCT o_custkey AS cust,
+              |    l_suppkey AS supp
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  WHERE ${Sql.hash64("'cn|' || CAST(o_custkey AS VARCHAR)")}
+              |        % 10000 < 1000),
+              |cn AS (SELECT a.supp AS s_a, b.supp AS s_b,
+              |    count(*) AS common_customers
+              |  FROM cs a JOIN cs b
+              |    ON a.cust = b.cust AND a.supp < b.supp
+              |  GROUP BY 1, 2),
+              |deg AS (SELECT supp, count(*) AS deg FROM cs GROUP BY 1)
+              |SELECT s_a, s_b, common_customers,
+              |  common_customers * 1000000
+              |    // (da.deg + db.deg - common_customers) AS jaccard_ppm
+              |FROM cn JOIN deg da ON da.supp = cn.s_a
+              |  JOIN deg db ON db.supp = cn.s_b
+              |ORDER BY jaccard_ppm DESC, common_customers DESC, s_a, s_b
+              |LIMIT 30""".stripMargin)),
+
     // Degree assortativity: Pearson correlation of (deg(src), deg(dst))
     // over the directed edge pairs — "do hubs connect to hubs" (negative
     // for bipartite commerce graphs: big suppliers serve many small
