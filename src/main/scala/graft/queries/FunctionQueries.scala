@@ -331,6 +331,60 @@ object FunctionQueries {
              |FROM top CROSS JOIN t
              |ORDER BY rank""".stripMargin)),
 
+    // Gini coefficient of customer revenue concentration — the scalar
+    // inequality twin of the Pareto readout: G = (2·Σ rank·x −
+    // (n+1)·Σx) / (n·Σx) over customers ranked by revenue ascending.
+    // The global rank is DISTRIBUTED: range-partition the per-customer
+    // aggregate on the sort key, row_number WITHIN each partition in
+    // parallel, add broadcast per-partition offsets (the offsets window
+    // runs over ≤32 partition-count rows, metadata scale) — no
+    // single-partition window at any cardinality. The partitioned frame
+    // is checkpointed so spark_partition_id is consistent across its
+    // two consumers. Rank-weighted sums run in DECIMAL(38,0)/HUGEINT
+    // (rank·cents sums past int64 already at ~1e6 customers) with the
+    // truncating ppm division mirrored in both engines.
+    QueryDef("agg_gini",
+      (s, dir) => {
+        val rev = Tables.read(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("cents"))
+        val parted = rev
+          .repartitionByRange(32, col("cents"), col("o_custkey"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val offs = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset", coalesce(sum("cnt").over(
+            Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val ranked = parted
+          .join(broadcast(offs.select("pid", "offset")), "pid")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("pid").orderBy("cents", "o_custkey"))
+            .cast("long") + col("offset"))
+        ranked.agg(count(lit(1)).as("n"),
+            sum("cents").cast("decimal(38,0)").as("t"),
+            sum(col("rnk").cast("decimal(38,0)") * col("cents")).as("sr"))
+          .select(col("n").as("n_customers"),
+            col("t").cast("long").as("total_cents"),
+            expr("""CAST((2 * sr - (n + 1) * t) * 1000000
+                   | div (CAST(n AS DECIMAL(38,0)) * t) AS BIGINT)"""
+              .stripMargin).as("gini_ppm"))
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             |         AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT cents, row_number() OVER
+             |    (ORDER BY cents, o_custkey) AS rnk FROM rev),
+             |m AS (SELECT count(*) AS n, CAST(sum(cents) AS HUGEINT) AS t,
+             |    sum(CAST(rnk AS HUGEINT) * cents) AS sr FROM r)
+             |SELECT CAST(n AS BIGINT) AS n_customers,
+             |  CAST(t AS BIGINT) AS total_cents,
+             |  CAST((2 * sr - (n + 1) * t) * 1000000 // (n * t) AS BIGINT)
+             |    AS gini_ppm
+             |FROM m""".stripMargin)),
+
     // Pairwise Pearson correlations of the lineitem measures from ONE
     // pass of exact-DECIMAL moments (n, Σx, Σxy for all pairs): the
     // moments are order-independent decimal sums, and the final formula
