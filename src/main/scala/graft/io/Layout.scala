@@ -63,9 +63,16 @@ object Layout {
       min(col(dimX).cast("long")), max(col(dimX).cast("long")),
       min(col(dimY).cast("long")), max(col(dimY).cast("long"))).first()
     val top = (1L << bits) - 1
+    // Scale in DECIMAL(38,0) with integral `div`: an int64 (x-lo)*top
+    // multiply silently wraps once the domain width passes ~9e15, and
+    // float `/` loses exactness past 2^53 — either way the clustering
+    // degenerates with no error (the key is layout-only, so data stays
+    // safe but skipping quietly stops working). Decimal keeps the
+    // product exact for the full long domain; `div` floors back to
+    // BIGINT in [0, top].
     def scaled(c: String, lo: Long, hi: Long): Column =
-      ((col(c).cast("long") - lit(lo)) * lit(top) /
-        lit(math.max(hi - lo, 1L))).cast("long")
+      expr(s"""(CAST(CAST($c AS BIGINT) AS DECIMAL(38,0)) - $lo) * $top
+              | div ${math.max(hi - lo, 1L)}""".stripMargin)
     val zkey = mortonInterleave(
       scaled(dimX, b.getLong(0), b.getLong(1)),
       scaled(dimY, b.getLong(2), b.getLong(3)), bits)

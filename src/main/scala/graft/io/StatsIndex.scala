@@ -29,43 +29,79 @@ object StatsIndex {
   /** One-pass per-file stats for `cols`: row count plus min/max/null-count
     * per column. The output is the index — persist it next to the table
     * and rebuild on append (or union the new files' stats incrementally).
-    * `file` is the name RELATIVE to the table root, so the index stays
-    * valid when the table directory is staged/renamed/relocated (the same
-    * reason lakehouse commit logs store relative paths).
+    * `file` is the path RELATIVE to the table root — including any
+    * partition subdirectories, so a nested/partitioned layout can't
+    * collide two `part-00000.parquet` basenames and [[prunedScanMulti]]'s
+    * `$path/$file` reconstruction stays valid. Relative (not absolute)
+    * so the index survives the table directory being
+    * staged/renamed/relocated — the same reason lakehouse commit logs
+    * store relative paths.
     */
   def build(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "StatsIndex.build needs at least one column")
-    statsOf(spark.read.parquet(path), cols)
+    statsOf(spark.read.parquet(path), cols, rootFsPath(spark, path))
   }
 
-  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** The table root as a bare filesystem path (scheme/authority stripped,
+    * symlink-free qualified form) — the prefix [[statsOf]] peels off
+    * `input_file_name()` to get root-relative file keys.
+    */
+  private def rootFsPath(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(p).toUri.getPath
+  }
+
+  private def statsOf(df: DataFrame, cols: Seq[String],
+      rootPath: String): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
         sum(col(c).isNull.cast("long")).as(s"nulls_$c")))
-    df.groupBy(
-        regexp_replace(input_file_name(), "^.*/", "").as("file"))
+    // input_file_name() is a URI (file:///...); drop scheme+authority,
+    // then strip the literal root prefix — what's left is the
+    // root-relative path, subdirectories included
+    val rel = regexp_replace(
+      regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""),
+      "^" + java.util.regex.Pattern.quote(rootPath + "/"), "")
+    df.groupBy(rel.as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Incremental maintenance for an append-only table: stats for ONLY the
-    * files `existing` hasn't indexed yet, unioned onto it. The file-list
-    * diff is metadata (a directory listing against the index's own file
-    * column) and the scan touches just the new files — an append of N
-    * files costs one pass over those N files, never a table rebuild.
-    * Returns `existing` unchanged when nothing is new.
+    * files `existing` hasn't indexed yet, unioned onto it. The diff runs
+    * as a DataFrame ANTI-JOIN of the directory listing against the
+    * index's own `file` column — the index is never collected to the
+    * driver, so a tens-of-millions-of-files index diffs distributedly;
+    * only the FRESH list (bounded by the append size) comes back, and the
+    * scan touches just those files. An append of N files costs one pass
+    * over those N files, never a table rebuild. The recursive directory
+    * listing itself is driver-side — the same metadata-scale planning
+    * every parquet scan and lakehouse commit does. Returns `existing`
+    * unchanged when nothing is new.
     */
   def append(spark: SparkSession, path: String, cols: Seq[String],
       existing: DataFrame): DataFrame = {
-    val have = existing.select("file").collect().map(_.getString(0)).toSet
+    import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !have(p.getName))
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val it = fs.listFiles(root, true)
+    val listed = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.toUri.getPath.stripPrefix(rootPath + "/"))
+      .toSeq
+    val fresh =
+      if (listed.isEmpty) Array.empty[String]
+      else listed.toDF("file")
+        .join(existing.select("file"), Seq("file"), "left_anti")
+        .collect().map(_.getString(0))
     if (fresh.isEmpty) existing
-    else existing.unionByName(
-      statsOf(spark.read.parquet(fresh.map(_.toString).toIndexedSeq: _*), cols))
+    else existing.unionByName(statsOf(
+      spark.read.parquet(fresh.map(f => s"$path/$f").toIndexedSeq: _*),
+      cols, rootPath))
   }
 
   /** The files whose [min,max] range intersects EVERY predicate's

@@ -118,10 +118,18 @@ object Classifier {
         count(lit(1)).as("n"))
       // w_j += lr * avg(e * x_j) / S  — every step truncating, mirrored
       // 1:1 in the oracle CTEs. g0's x is the implicit bias input S.
-      val wcols = expr(s"w0 + ($lrPpm * ((g0 * $S) div n)) div ${S * S}")
+      // The lr multiply runs in DECIMAL(38,0): `div` yields BIGINT (peak
+      // |avg grad·S| ~1e12), and a bare int64 product would silently
+      // wrap for lrPpm above ~9.2e6 while the oracle's HUGEINT path
+      // doesn't — widening makes the two engines agree at ANY lr instead
+      // of only below the wrap point. The outer `div` lands back in
+      // BIGINT weight range.
+      val wcols = expr(s"""w0 + (CAST($lrPpm AS DECIMAL(38,0))
+          | * ((g0 * $S) div n)) div ${S * S}""".stripMargin)
         .cast("long").as("w0") +:
         (1 to 4).map(j =>
-          expr(s"w$j + ($lrPpm * (g$j div n)) div ${S * S}")
+          expr(s"""w$j + (CAST($lrPpm AS DECIMAL(38,0))
+              | * (g$j div n)) div ${S * S}""".stripMargin)
             .cast("long").as(s"w$j"))
       w = w.crossJoin(broadcast(grads)).select(wcols: _*)
         .localCheckpoint() // 1 row; truncate the iterative lineage

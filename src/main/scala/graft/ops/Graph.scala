@@ -267,4 +267,35 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 9)
           .as("global_cc"))
   }
+
+  /** Unordered neighbor pairs from per-pivot sorted neighbor sets, with a
+    * hard per-pivot degree cap — the skew guard for wedge explodes.
+    *
+    * A single hot pivot with degree d materializes C(d, 2) pair structs
+    * inside ONE task's `transform` (a 100k-neighbor pivot → 5×10⁹ structs
+    * in one row buffer) — hash-sparsifying the PIVOTS does nothing to it.
+    * The cap slices each sorted set to its `cap` SMALLEST neighbors before
+    * the explode, bounding any task's output at C(cap, 2) rows — the same
+    * hot-key bound the decontaminate op gets from its stop-shingle DF cap.
+    * The slice is deterministic (sets arrive sorted), so an oracle mirrors
+    * it with `row_number() OVER (PARTITION BY pivot ORDER BY neighbor)
+    * <= cap`.
+    *
+    * @param sets    one row per pivot with `setsCol: array<long>` SORTED
+    *                ascending (e.g. `sort_array(collect_set(...))`)
+    * @param setsCol name of the sorted neighbor-array column
+    * @param cap     max neighbors per pivot entering the pair explode
+    * @return columns `s_a`, `s_b` with `s_a < s_b`, one row per
+    *         surviving pair occurrence (not deduplicated across pivots)
+    */
+  def cappedNeighborPairs(sets: DataFrame, setsCol: String,
+      cap: Int): DataFrame = {
+    val capped = sets.withColumn("__nb", expr(s"slice($setsCol, 1, $cap)"))
+    capped.select(explode(expr(
+        """flatten(transform(__nb, (x, i) ->
+          |  transform(slice(__nb, i + 2, size(__nb)),
+          |            y -> struct(x AS s_a, y AS s_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.s_a").as("s_a"), col("p.s_b").as("s_b"))
+  }
 }

@@ -152,8 +152,17 @@ object TextAnalysis {
     // candidate join); without materialization the lineage re-runs the
     // explode per consumer (the round-4 2.2× regression). localCheckpoint
     // evaluates it once — same discipline as Dedup.cluster's pairs frame.
+    // Shingles are narrowed to their xxhash64 BEFORE the checkpoint: the
+    // contamination decision only ever compares shingles for equality, so
+    // 8-byte longs replace ~50-byte strings through the checkpoint, the
+    // DF aggregate, and both sides of the candidate join (the dominant
+    // shuffle). A 64-bit collision merging two distinct shingles needs
+    // ~2^32 distinct shingles per doc-pair comparison to matter
+    // (birthday bound ~1e-7 at 1M shingles) — the same accepted risk as
+    // the MinHash band hashes.
     val shAll = withTokens(docs)
-      .select(col("doc_id"), explode(octograms).as("sh"))
+      .select(col("doc_id"), explode(octograms).as("shs"))
+      .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
       .localCheckpoint()
     // Stop-shingle cap: a genuine-content 8-gram's document frequency is
     // tiny (random 8-token collisions ≈ 0; testdata max DF = 3), but one

@@ -19,7 +19,11 @@ object AnalyticsQueries {
     // confidence and lift in ppm fixed-point. Pairs explode MAP-SIDE from
     // each order's sorted distinct part set (the common-neighbors /
     // triangles idiom — Σ C(basket,2) with baskets ~4, never a
-    // theta-join); per-part counts join back on the part key and the
+    // theta-join), capped at each basket's 256 smallest parts
+    // (Graph.cappedNeighborPairs): TPC-H baskets never get near the cap,
+    // but the operator is sold as general, and one adversarial
+    // 100k-item basket would otherwise materialize C(100k,2) structs in
+    // a single task. Per-part counts join back on the part key and the
     // order total rides a broadcast 1-row frame. Lift's numerator
     // (n_ab·N·1e6) is DECIMAL(38,0) — int64 wraps once n·N passes ~9e12,
     // i.e. well inside 100 TB row counts.
@@ -31,14 +35,10 @@ object AnalyticsQueries {
           .distinct()
         val ntot = op.agg(countDistinct(col("ord")).as("ntot"))
         val c = op.groupBy("part").agg(count(lit(1)).as("n"))
-        op.groupBy("ord")
+        val baskets = op.groupBy("ord")
           .agg(sort_array(collect_set(col("part"))).as("parts"))
-          .select(explode(expr(
-            """flatten(transform(parts, (x, i) ->
-              |  transform(slice(parts, i + 2, size(parts)),
-              |            y -> struct(x AS p_a, y AS p_b))))""".stripMargin))
-            .as("p"))
-          .groupBy(col("p.p_a").as("p_a"), col("p.p_b").as("p_b"))
+        graft.ops.Graph.cappedNeighborPairs(baskets, "parts", 256)
+          .groupBy(col("s_a").as("p_a"), col("s_b").as("p_b"))
           .agg(count(lit(1)).as("n_ab"))
           .join(c.select(col("part").as("p_a"), col("n").as("n_a")), Seq("p_a"))
           .join(c.select(col("part").as("p_b"), col("n").as("n_b")), Seq("p_b"))
@@ -56,8 +56,13 @@ object AnalyticsQueries {
              |    CAST(l_partkey AS BIGINT) AS part FROM lineitem),
              |n AS (SELECT count(DISTINCT ord) AS ntot FROM op),
              |c AS (SELECT part, count(*) AS n FROM op GROUP BY 1),
+             |capped AS (SELECT ord, part FROM (
+             |    SELECT ord, part, row_number() OVER (
+             |      PARTITION BY ord ORDER BY part) AS rn FROM op)
+             |  WHERE rn <= 256),
              |p AS (SELECT a.part AS p_a, b.part AS p_b, count(*) AS n_ab
-             |      FROM op a JOIN op b ON a.ord = b.ord AND a.part < b.part
+             |      FROM capped a JOIN capped b
+             |      ON a.ord = b.ord AND a.part < b.part
              |      GROUP BY 1, 2)
              |SELECT p_a, p_b, n_ab,
              |  CAST(n_ab * 1000000 // ntot AS BIGINT) AS support_ppm,

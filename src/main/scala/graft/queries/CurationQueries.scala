@@ -884,8 +884,12 @@ object CurationQueries {
         .agg(sum(col("copies")).cast("long").as("n_drawn"),
           sum(col("copies") * col("n_chars")).cast("long")
             .as("total_chars"))
+        // greatest(n_drawn, 1): a replica can draw zero rows on a tiny
+        // corpus — bare division would be NULL here but a hard error in
+        // DuckDB, failing the tri-check asymmetrically; the guard is
+        // mirrored verbatim in the oracle (0 chars div 1 = 0 both sides)
         .withColumn("mean_chars_ppm",
-          expr("total_chars * 1000000 div n_drawn"))
+          expr("total_chars * 1000000 div greatest(n_drawn, 1L)"))
         .orderBy("replica"),
       Some(s"""WITH reps AS (
               |  SELECT unnest(generate_series(0, 31)) AS replica),
@@ -904,7 +908,7 @@ object CurationQueries {
               |    CAST(sum(copies * n_chars) AS BIGINT) AS total_chars
               |  FROM drawn GROUP BY 1)
               |SELECT replica, n_drawn, total_chars,
-              |  total_chars * 1000000 // n_drawn AS mean_chars_ppm
+              |  total_chars * 1000000 // greatest(n_drawn, 1) AS mean_chars_ppm
               |FROM agg ORDER BY replica""".stripMargin))
   )
 }

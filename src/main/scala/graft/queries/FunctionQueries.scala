@@ -240,26 +240,68 @@ object FunctionQueries {
              |ORDER BY l_returnflag""".stripMargin)),
 
     // Quantile discretization (feature binning): quartile cuts from a
-    // deterministic 5% hash-sample (exact percentile over near-distinct
-    // doubles holds a per-row state map — sampled cuts are what a 100 TB
-    // binning job actually computes), broadcast back, per-row CASE
+    // deterministic 5% hash-sample, broadcast back, per-row CASE
     // assignment, then the per-bucket rollup. ntile() would drag the
-    // whole table through a single global-sort partition; here the only
-    // wide op is the (sampled) percentile agg. The oracle draws the SAME
-    // sample via the shared salted hash, so cut values are identical in
-    // both engines (percentile ≡ quantile_cont, proven by
-    // agg_percentile) and the <= comparisons can't diverge.
+    // whole table through a single global-sort partition, and the exact
+    // `percentile()` aggregate holds a value→count state map whose final
+    // merge is one task sorting the whole (near-distinct-double) sample —
+    // the r5 scaling study measured that map as the worst non-graph
+    // scaler (exponent 0.57). The cuts now come from the agg_gini
+    // DISTRIBUTED-RANK pattern instead: range-partition the sample on the
+    // value, row_number within each partition in parallel, add broadcast
+    // per-partition offsets, and keep only the ≤6 rows whose global rank
+    // brackets a quartile position — the interpolation then runs over a
+    // 6-row agg. Every stage partial-aggregates or sorts locally; no
+    // single task ever holds the sample. The interpolation is
+    // quantile_cont's: position h = q·(n−1), cut = (1−frac)·x_⌊h⌋ +
+    // frac·x_⌊h⌋+1 (Spark `percentile`'s exact two-sided form, which
+    // agg_percentile proves ≡ DuckDB quantile_cont on this data). The
+    // oracle draws the SAME sample via the shared salted hash, so cut
+    // values are identical in both engines and the <= comparisons can't
+    // diverge.
     QueryDef("fn_quantile_bucket",
       (s, dir) => {
         val li = Tables.read(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        val cuts = li.filter(graft.ops.Sampling.hashBucket(
+        val sampled = li.filter(graft.ops.Sampling.hashBucket(
             concat_ws("#", col("l_orderkey"), col("l_linenumber")),
             "qcut") < 500)
-          .agg(
-          expr("percentile(l_extendedprice, 0.25)").as("c1"),
-          expr("percentile(l_extendedprice, 0.5)").as("c2"),
-          expr("percentile(l_extendedprice, 0.75)").as("c3"))
+          .select(col("l_extendedprice").as("x"),
+            col("l_orderkey").as("k1"), col("l_linenumber").as("k2"))
+        val parted = sampled
+          .repartitionByRange(32, col("x"), col("k1"), col("k2"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val offs = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset", coalesce(sum("cnt").over(
+            Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val nrow = offs.agg(sum("cnt").as("n"))
+        val ranked = parted
+          .join(broadcast(offs.select("pid", "offset")), "pid")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("pid").orderBy("x", "k1", "k2"))
+            .cast("long") + col("offset"))
+        val qs = Seq(0.25 -> "1", 0.5 -> "2", 0.75 -> "3")
+        val bracket = qs.flatMap { case (qv, i) => Seq(
+          max(when(expr(s"rnk - 1 = floor(${qv}d * (n - 1))"),
+            col("x"))).as(s"lo$i"),
+          max(when(expr(s"rnk - 1 = floor(${qv}d * (n - 1)) + 1"),
+            col("x"))).as(s"hi$i"))
+        } :+ max("n").as("n")
+        val cuts = ranked.crossJoin(broadcast(nrow))
+          .filter(expr(
+            """rnk - 1 IN (floor(0.25d * (n - 1)), floor(0.25d * (n - 1)) + 1,
+              |           floor(0.5d  * (n - 1)), floor(0.5d  * (n - 1)) + 1,
+              |           floor(0.75d * (n - 1)), floor(0.75d * (n - 1)) + 1)"""
+              .stripMargin))
+          .agg(bracket.head, bracket.tail: _*)
+          .select(qs.map { case (qv, i) => expr(
+            s"""(1.0d - (${qv}d * (n - 1) - floor(${qv}d * (n - 1))))
+               |  * lo$i
+               |+ (${qv}d * (n - 1) - floor(${qv}d * (n - 1)))
+               |  * coalesce(hi$i, lo$i)""".stripMargin).as(s"c$i")
+          }: _*)
         li.crossJoin(broadcast(cuts))
           .withColumn("bucket",
             when(col("l_extendedprice") <= col("c1"), 1L)

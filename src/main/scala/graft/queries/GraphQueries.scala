@@ -15,6 +15,19 @@ object GraphQueries {
 
   private val PrIters = 3
 
+  /** Per-pivot degree cap for the link-prediction wedge explodes
+    * (graft.ops.Graph.cappedNeighborPairs): one hot pivot contributes
+    * pairs only among its 256 smallest neighbors, bounding any single
+    * task's explode output at C(256,2) ≈ 33k rows no matter how skewed
+    * the degree distribution gets. Inert on TPC-H-shaped data (a
+    * customer touches ~40 distinct suppliers at any SF — order count
+    * per customer is scale-invariant), so the oracle results are
+    * unchanged; load-bearing on real power-law graphs. Mirrored in the
+    * DuckDB oracles as `row_number() OVER (PARTITION BY cust ORDER BY
+    * supp) <= 256`.
+    */
+  private val PivotDegreeCap = 256
+
   /** Shared oracle CTE chain for the label-propagation family: the
     * bipartite order graph (base/e0), the identity labeling (l0), and
     * `rounds` unrolled synchronous self-vote min-tie-break updates
@@ -331,11 +344,14 @@ object GraphQueries {
 
     // Common-neighbor link prediction: supplier pairs scored by how many
     // customers both serve — wedges exploded from per-customer supplier
-    // sets (sorted, map-side), counts per pair, top 30. Customers are
-    // deterministically hash-sparsified to ~10% BEFORE the wedge explode
-    // (the triangles trick) so Σ C(deg,2) stays bounded; at 100 TB you
-    // also cap the per-pivot degree. The "who should be trading partners"
-    // score.
+    // sets (sorted, map-side), counts per pair, top 30. Two skew guards
+    // compose: customers are deterministically hash-sparsified to ~10%
+    // BEFORE the wedge explode (the triangles trick) so Σ C(deg,2) stays
+    // bounded in aggregate, and each pivot's neighborhood is capped at
+    // its PivotDegreeCap smallest suppliers (Graph.cappedNeighborPairs)
+    // so ONE hot customer can't materialize C(100k, 2) structs in a
+    // single task — sparsification thins pivots, the cap bounds each
+    // survivor. The "who should be trading partners" score.
     QueryDef("graph_common_neighbors",
       (s, dir) => {
         val cs = Tables.read(s, dir, "lineitem")
@@ -348,12 +364,8 @@ object GraphQueries {
           .distinct()
         val sets = cs.groupBy("cust")
           .agg(sort_array(collect_set(col("supp"))).as("supps"))
-        sets.select(explode(expr(
-            """flatten(transform(supps, (x, i) ->
-              |  transform(slice(supps, i + 2, size(supps)),
-              |            y -> struct(x AS s_a, y AS s_b))))""".stripMargin))
-            .as("p"))
-          .groupBy(col("p.s_a").as("s_a"), col("p.s_b").as("s_b"))
+        graft.ops.Graph.cappedNeighborPairs(sets, "supps", PivotDegreeCap)
+          .groupBy("s_a", "s_b")
           .agg(count(lit(1)).as("common_customers"))
           .orderBy(desc("common_customers"), col("s_a"), col("s_b"))
           .limit(30)
@@ -362,10 +374,14 @@ object GraphQueries {
               |    l_suppkey AS supp
               |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |  WHERE ${Sql.hash64("'cn|' || CAST(o_custkey AS VARCHAR)")}
-              |        % 10000 < 1000)
+              |        % 10000 < 1000),
+              |capped AS (SELECT cust, supp FROM (
+              |    SELECT cust, supp, row_number() OVER (
+              |      PARTITION BY cust ORDER BY supp) AS rn FROM cs)
+              |  WHERE rn <= $PivotDegreeCap)
               |SELECT a.supp AS s_a, b.supp AS s_b,
               |  count(*) AS common_customers
-              |FROM cs a JOIN cs b
+              |FROM capped a JOIN capped b
               |  ON a.cust = b.cust AND a.supp < b.supp
               |GROUP BY 1, 2
               |ORDER BY common_customers DESC, s_a, s_b LIMIT 30""".stripMargin)),
@@ -373,9 +389,10 @@ object GraphQueries {
     // Neighbor-Jaccard link scoring: the common-neighbor counts
     // normalized by union-of-neighborhood size — |N(a)∩N(b)| /
     // (|N(a)| + |N(b)| - |N(a)∩N(b)|), in integer ppm so both engines
-    // rank identically. Same hash-sparsified subgraph and wedge explode
-    // as graph_common_neighbors (salt "cn", so the two scores are
-    // comparable over the same edges); degrees come from one extra
+    // rank identically. Same hash-sparsified subgraph and capped wedge
+    // explode as graph_common_neighbors (salt "cn" and PivotDegreeCap,
+    // so the two scores are comparable over the same pairs); degrees
+    // come, UNCAPPED, from one extra
     // key-bounded agg over the checkpointed edge set, joined onto the
     // pair counts. Normalization separates "popular supplier touches
     // everyone" from "these two genuinely share a customer base".
@@ -391,12 +408,9 @@ object GraphQueries {
           .distinct().localCheckpoint()
         val sets = cs.groupBy("cust")
           .agg(sort_array(collect_set(col("supp"))).as("supps"))
-        val pairs = sets.select(explode(expr(
-            """flatten(transform(supps, (x, i) ->
-              |  transform(slice(supps, i + 2, size(supps)),
-              |            y -> struct(x AS s_a, y AS s_b))))""".stripMargin))
-            .as("p"))
-          .groupBy(col("p.s_a").as("s_a"), col("p.s_b").as("s_b"))
+        val pairs = graft.ops.Graph
+          .cappedNeighborPairs(sets, "supps", PivotDegreeCap)
+          .groupBy("s_a", "s_b")
           .agg(count(lit(1)).as("common_customers"))
         val deg = cs.groupBy("supp").agg(count(lit(1)).as("deg"))
         pairs
@@ -414,9 +428,13 @@ object GraphQueries {
               |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |  WHERE ${Sql.hash64("'cn|' || CAST(o_custkey AS VARCHAR)")}
               |        % 10000 < 1000),
+              |capped AS (SELECT cust, supp FROM (
+              |    SELECT cust, supp, row_number() OVER (
+              |      PARTITION BY cust ORDER BY supp) AS rn FROM cs)
+              |  WHERE rn <= $PivotDegreeCap),
               |cn AS (SELECT a.supp AS s_a, b.supp AS s_b,
               |    count(*) AS common_customers
-              |  FROM cs a JOIN cs b
+              |  FROM capped a JOIN capped b
               |    ON a.cust = b.cust AND a.supp < b.supp
               |  GROUP BY 1, 2),
               |deg AS (SELECT supp, count(*) AS deg FROM cs GROUP BY 1)

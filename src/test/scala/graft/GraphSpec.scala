@@ -132,4 +132,35 @@ class GraphSpec extends SparkSpec {
     val b = Graph.labelPropagation(edges.repartition(13), rounds = 2)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("cappedNeighborPairs bounds one adversarial hot pivot at C(cap,2)") {
+    import spark.implicits._
+    // one customer serving 5000 suppliers (the hot pivot) + one normal
+    // pivot with 3 — uncapped, the hot pivot alone would explode
+    // C(5000,2) ≈ 12.5M structs inside a single task
+    val sets = Seq(
+      (1L, (1L to 5000L).toArray),
+      (2L, Array(7L, 3L, 9L).sorted))
+      .toDF("cust", "supps")
+    val cap = 256
+    val pairs = Graph.cappedNeighborPairs(sets, "supps", cap)
+    val n = pairs.count()
+    val expected = cap.toLong * (cap - 1) / 2 + 3 // C(256,2) + C(3,2)
+    assert(n === expected, s"pair count $n != $expected")
+    // determinism: the cap keeps the SMALLEST neighbors, so no pair from
+    // the hot pivot reaches past supplier id `cap`
+    val maxB = pairs.filter(col("s_b") > 9L).agg(max("s_b"))
+      .collect().head.getLong(0)
+    assert(maxB === cap.toLong, s"cap slice not smallest-first: $maxB")
+    // every pair is ordered
+    assert(pairs.filter(col("s_a") >= col("s_b")).count() === 0L)
+  }
+
+  test("cappedNeighborPairs with cap above max degree is the identity explode") {
+    import spark.implicits._
+    val sets = Seq((1L, Array(2L, 5L, 8L))).toDF("k", "nbrs")
+    val got = Graph.cappedNeighborPairs(sets, "nbrs", 100)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 5L), (2L, 8L), (5L, 8L)))
+  }
 }

@@ -109,4 +109,54 @@ class StatsIndexSpec extends SparkSpec {
     assert(none.schema.fieldNames.toSeq === Seq("k"))
     deleteRecursively(new File(path))
   }
+
+  test("partitioned layout: colliding basenames stay distinct and reconstruct") {
+    val path = "/tmp/graft_statsidx_nested"
+    import spark.implicits._
+    deleteRecursively(new File(path))
+    // one task writing two partition dirs emits the SAME part-00000-<uuid>
+    // basename in each — the collision a basename-keyed index can't hold
+    (1L to 8L).toDF("k").withColumn("p", col("k") % 2)
+      .coalesce(1).write.partitionBy("p").parquet(path)
+    // checkpoint: the index is a materialized artifact (persisted next to
+    // the table in real use); a lazy plan would re-list the directory
+    // after the append below and double-count the new files
+    val stats = StatsIndex.build(spark, path, Seq("k")).localCheckpoint()
+    val files = stats.select("file").collect().map(_.getString(0))
+    assert(files.length === 2, files.mkString(","))
+    assert(files.distinct.length === files.length, "file keys collided")
+    assert(files.forall(_.contains("/")), s"not root-relative: ${files.head}")
+    // $path/$file reconstruction reads the right leaves
+    val pruned = StatsIndex.prunedScan(spark, path, stats, "k", 2L, 5L)
+      .select("k")
+    val full = spark.read.parquet(path)
+      .filter(col("k") >= 2L && col("k") <= 5L).select("k")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // incremental append sees new files inside partition subdirectories
+    (20L to 23L).toDF("k").withColumn("p", col("k") % 2)
+      .coalesce(1).write.mode("append").partitionBy("p").parquet(path)
+    val incr = StatsIndex.append(spark, path, Seq("k"), stats)
+    val rebuilt = StatsIndex.build(spark, path, Seq("k"))
+    assert(incr.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(incr).isEmpty)
+    deleteRecursively(new File(path))
+  }
+
+  test("append diffs a many-file table without collecting the index") {
+    val path = "/tmp/graft_statsidx_many"
+    import spark.implicits._
+    deleteRecursively(new File(path))
+    spark.range(400).toDF("k").repartition(40).write.parquet(path)
+    val base = StatsIndex.build(spark, path, Seq("k")).localCheckpoint()
+    assert(base.count() === 40)
+    spark.range(1000, 1200).toDF("k").repartition(20)
+      .write.mode("append").parquet(path)
+    val incr = StatsIndex.append(spark, path, Seq("k"), base)
+    val rebuilt = StatsIndex.build(spark, path, Seq("k"))
+    assert(incr.count() === 60)
+    assert(incr.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(incr).isEmpty)
+    // only the 20 fresh files were newly scanned/stat'd; the base rows
+    // ride through untouched (same reference via unionByName legs)
+    assert(StatsIndex.candidateFiles(incr, "k", 1000L, 1199L).size === 20)
+    deleteRecursively(new File(path))
+  }
 }
