@@ -281,9 +281,18 @@ object TpchQueries {
     // "= (SELECT min(cost) ...)" of real Q2 is planned here as it should
     // be at scale: one grouped min per partkey joined back on equality,
     // never a per-row subquery. Dims (supplier/nation/region) broadcast.
+    // The p_size predicate SEMI-JOINS into lineitem BEFORE the grouped
+    // min (safe: the min is per partkey, so dropping whole partkeys early
+    // changes nothing) — the fact agg runs on ~1/50th of the fact instead
+    // of costing every part and discarding 49/50ths at the end. Unhinted,
+    // so Catalyst broadcasts the key list at small SF and AQE picks a
+    // shuffle semi-join once the filtered part list outgrows broadcast.
     QueryDef("tpch_q2",
       (s, dir) => {
+        val szKeys = Tables.read(s, dir, "part")
+          .filter(col("p_size") === 15).select(col("p_partkey"))
         val ps = Tables.read(s, dir, "lineitem")
+          .join(szKeys, col("l_partkey") === col("p_partkey"), "left_semi")
           .groupBy(col("l_partkey").as("ps_partkey"),
             col("l_suppkey").as("ps_suppkey"))
           .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_cost"))

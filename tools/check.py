@@ -84,8 +84,19 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if Path(p).is_dir():  # Spark-written table (e.g. a ScaleGen sf dir)
+            p = f"{p}/*.parquet"
+        if Path(p).exists() or p.endswith("*.parquet"):
+            sel = f"SELECT * FROM read_parquet('{p}')"
+            if t == "events":
+                # mirror the Spark catalog's adaptive ts rebuild: a
+                # ScaleGen-written dir stores ts as raw int64 NANOS
+                (ty,) = [r[1] for r in con.sql(f"DESCRIBE {sel}").fetchall()
+                         if r[0] == "ts"]
+                if ty == "BIGINT":
+                    sel = (f"SELECT * REPLACE (make_timestamp(ts // 1000) "
+                           f"AS ts) FROM read_parquet('{p}')")
+            con.execute(f"CREATE VIEW {t} AS {sel}")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     only = set(sys.argv[3:])
     if only:
