@@ -395,7 +395,10 @@ object Similarity {
 
   /** Embedding near-dup pairs, LSH-blocked: pairs only form inside a
     * 4-bit bucket (the blocking key), then exact rounded cosine >=
-    * threshold. The 100 TB shape for "find semantic duplicates".
+    * threshold. Fixed-parameter baseline — with a constant bucket count
+    * the in-bucket pair volume is ∝ N²; the shape that survives a 100×
+    * scale-up is [[embeddingNearDupsAdaptive]] (banded recall + corpus-
+    * sized bucket width).
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.35,
       bits: Int = 4): DataFrame = {
@@ -474,4 +477,31 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Per-band bucket width that keeps the EXPECTED in-bucket occupancy at
+    * ~`targetPerBucket` as the corpus grows: the smallest p with
+    * 2^p · target ≥ n, floored at `minBits`. Fixed-parameter blocking is
+    * quadratic in N (bucket count constant ⇒ in-bucket pairs ∝ (N/2^bits)²
+    * per bucket × 2^bits buckets = N²/2^bits); growing bits with log₂(N)
+    * pins per-bucket size, making candidate volume ∝ N. Integer-only on
+    * purpose — a float log₂ disagrees with the oracle's in the last ulp at
+    * exact powers of two.
+    */
+  def adaptiveBitsPerBand(n: Long, minBits: Int = 6,
+      targetPerBucket: Long = 64L): Int = {
+    val p = (0 to 30).find(p => (1L << p) * targetPerBucket >= n).getOrElse(30)
+    math.max(minBits, p)
+  }
+
+  /** [[embeddingNearDupsBanded]] with the bucket width chosen from the
+    * corpus size by [[adaptiveBitsPerBand]] — the form that survives a
+    * 100× scale-up: bands give OR-amplified recall, adaptive bits hold
+    * per-bucket candidate density constant so the self-join stays ∝ N.
+    * The count is one metadata-cheap job at plan time (parquet row-group
+    * counts; no column data is read).
+    */
+  def embeddingNearDupsAdaptive(emb: DataFrame, threshold: Double = 0.35,
+      bands: Int = 4): DataFrame =
+    embeddingNearDupsBanded(emb, threshold, bands,
+      adaptiveBitsPerBand(emb.count()))
 }

@@ -135,6 +135,53 @@ object PipelineQueries {
     bitTerms.mkString("(", " + ", ")")
   }
 
+  /** Adaptive mirror of [[bucketSql]]: `maxBits` candidate bit terms, each
+    * gated on the CTE scalar `ab.bits` (the integer rule of
+    * `Similarity.adaptiveBitsPerBand` — smallest p with 2^p·64 ≥ n, floor
+    * 6). Callers CROSS JOIN the [[adaptiveBitsCte]]. maxBits=16 covers
+    * n ≤ 2^16·64 ≈ 4.2M vectors — any offline verification SF; the engine
+    * side is unbounded.
+    */
+  private def adaptiveBucketSql(v: String, maxBits: Int,
+      band: Option[Int] = None): String = {
+    val bitTerms = (0 until maxBits).map { p =>
+      val seed = band.fold(s"$p")(b => s"$b|$p")
+      val signs = s"CASE WHEN ${Sql.hash64(s"'$seed|' || CAST(i AS VARCHAR)")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+      val proj =
+        s"round(list_sum([CAST($v[i+1] AS DOUBLE) * ($signs) for i in generate_series(0, 63)]), 6)"
+      s"(CASE WHEN $p < ab.bits THEN (CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END) ELSE 0 END)"
+    }
+    bitTerms.mkString("(", " + ", ")")
+  }
+
+  /** Integer-exact adaptive bit count over the embeddings corpus (mirror of
+    * Similarity.adaptiveBitsPerBand; no float log₂ on either engine).
+    */
+  private val adaptiveBitsCte: String =
+    """ab AS (SELECT GREATEST(6, (SELECT CAST(min(p) AS INT)
+      |  FROM generate_series(0, 30) t(p)
+      |  WHERE (1::BIGINT << p) * 64 >= (SELECT count(*) FROM embeddings)))
+      |  AS bits)""".stripMargin
+
+  /** Shared CTE chain for the adaptive banded candidate pairs (mirror of
+    * Similarity.embeddingNearDupsAdaptive's blocking): e (vectors+norms),
+    * ab (bit rule), keyed (4 band keys per vector), cand (distinct in-band
+    * collisions, a<b).
+    */
+  private def adaptiveBandedCandSql(maxBits: Int = 16): String = {
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT vec_id, $b AS band, ${adaptiveBucketSql("embedding", maxBits, Some(b))} AS bh FROM e CROSS JOIN ab"
+    }.mkString("\nUNION ALL\n")
+    s"""e AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm
+       |           FROM embeddings),
+       |$adaptiveBitsCte,
+       |keyed AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM keyed x JOIN keyed y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id)""".stripMargin
+  }
+
   /** Mirror of ops.Clustering.kmeansLloyd: unrolled Lloyd iterations,
     * coordinates quantized to DECIMAL(12,8), exact-decimal dot/norm
     * scoring, per-dim double mean re-quantized. DuckDB's `range(64)` dim
@@ -415,26 +462,28 @@ object PipelineQueries {
       (s, dir) => Dedup.containmentPairs(Tables.read(s, dir, "documents")),
       Some(containmentOracle)),
 
-    // Semantic dedup end-to-end: hyperplane-blocked cosine pairs feed the
-    // large/small-star component labeler — near-dup EMBEDDING clusters
-    // with their canonical (min) ids, the composition a semantic-dedup
-    // pass actually ships. Both halves are individually gated
-    // (dedup_embedding, dedup_cluster_lss); this gates the composition.
+    // Semantic dedup end-to-end: banded adaptive-width LSH cosine pairs
+    // feed the large/small-star component labeler — near-dup EMBEDDING
+    // clusters with their canonical (min) ids, the composition a
+    // semantic-dedup pass actually ships. Both halves are individually
+    // gated (dedup_embedding_banded, dedup_cluster_lss); this gates the
+    // composition. The round-5 audit measured the former fixed-4-bit
+    // single-block form at 18.5× shuffle bytes for 10× data (in-bucket
+    // density grows with the corpus); adaptive bits pin density, so the
+    // candidate join scales ∝ N and recall comes from the 4-band OR.
     QueryDef("dedup_embedding_cluster",
       (s, dir) => Dedup.lssComponents(
-        Similarity.embeddingNearDups(Tables.read(s, dir, "embeddings"))
+        Similarity.embeddingNearDupsAdaptive(Tables.read(s, dir, "embeddings"))
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .select(col("doc_id").as("vec_id"),
           col("canonical_id"))
         .orderBy("vec_id"),
-      Some(s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding,
-              |  ${nrmSql("embedding")} AS nrm,
-              |  ${bucketSql("embedding", 4)} AS bucket FROM embeddings),
+      Some(s"""WITH RECURSIVE ${adaptiveBandedCandSql()},
               |p AS (SELECT vec_a, vec_b FROM (
-              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  SELECT vec_a, vec_b,
               |    ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
-              |  FROM bk a JOIN bk b
-              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |  FROM cand JOIN e a ON vec_a = a.vec_id
+              |            JOIN e b ON vec_b = b.vec_id)
               |  WHERE cos_sim >= 0.35),
               |edges AS (SELECT vec_a AS a, vec_b AS b FROM p
               |  UNION SELECT vec_b, vec_a FROM p
@@ -465,10 +514,14 @@ object PipelineQueries {
         pmod(col("doc_id"), lit(10)) === 0),
       Some(incrementalOracle)),
 
+    // Corpus-scale near-dup: banded OR-amplification for recall, bucket
+    // width from the corpus size (adaptiveBitsPerBand) so in-bucket
+    // candidate density stays ~constant as N grows — candidate volume ∝ N
+    // instead of the fixed-parameter N²/2^bits. At the driver SFs (n ≤
+    // 4096) the rule floors at 6 bits ≡ the former fixed setting.
     QueryDef("dedup_embedding_banded",
-      (s, dir) => Similarity.embeddingNearDupsBanded(
-        Tables.read(s, dir, "embeddings"),
-        threshold = 0.35, bands = 4, bitsPerBand = 6),
+      (s, dir) => Similarity.embeddingNearDupsAdaptive(
+        Tables.read(s, dir, "embeddings"), threshold = 0.35, bands = 4),
       Some(bandedEmbeddingOracle)),
 
     QueryDef("ann_bruteforce",
@@ -1055,23 +1108,13 @@ object PipelineQueries {
   /** Mirror of Similarity.embeddingNearDupsBanded (4 bands × 6 bits,
     * "band|p|i" hyperplane seeds, OR-amplified candidates, exact verify).
     */
-  private lazy val bandedEmbeddingOracle: String = {
-    val bandSelects = (0 until 4).map { b =>
-      s"SELECT vec_id, $b AS band, ${bucketSql("embedding", 6, Some(b))} AS bh FROM e"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm
-       |           FROM embeddings),
-       |keyed AS (
-       |$bandSelects),
-       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-       |         FROM keyed x JOIN keyed y
-       |           ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id)
+  private lazy val bandedEmbeddingOracle: String =
+    s"""WITH ${adaptiveBandedCandSql()}
        |SELECT vec_a, vec_b, cos_sim FROM (
        |  SELECT vec_a, vec_b,
        |    ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
        |  FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id)
        |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
-  }
 
   /** Mirror of Similarity.ivfTopK: deterministic coarse quantizer
     * (centroids = first 16 vectors), nprobe=2, exact rank inside lists.

@@ -169,6 +169,26 @@ class SimilaritySpec extends SparkSpec {
     assert(single.subsetOf(banded),
       s"missing pairs from band 0: ${single.diff(banded).take(5)}")
   }
+
+  test("adaptiveBitsPerBand: integer rule, floor 6, exact power edges") {
+    val f = Similarity.adaptiveBitsPerBand(_: Long)
+    assert(f(1L) === 6)
+    assert(f(500L) === 6)    // sf0.001/0.01 corpus
+    assert(f(2000L) === 6)   // sf0.1 corpus
+    assert(f(4096L) === 6)   // 2^6 * 64 exactly — must NOT tip to 7
+    assert(f(4097L) === 7)
+    assert(f(20000L) === 9)  // sf1 corpus
+    assert(f(1L << 30) === 24)
+  }
+
+  test("adaptive near-dups == fixed 6-bit banded at sub-4096 corpus sizes") {
+    val emb = graft.core.Tables.read(spark, sf, "embeddings")
+    assert(emb.count() <= 4096L)
+    val a = Similarity.embeddingNearDupsAdaptive(emb).collect().map(_.toSeq)
+    val b = Similarity.embeddingNearDupsBanded(emb,
+      threshold = 0.35, bands = 4, bitsPerBand = 6).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
