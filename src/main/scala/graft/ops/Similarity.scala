@@ -161,6 +161,41 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB'07): each query probes its own
+    * bucket PLUS the Hamming-1 shell (every 1-bit flip of its key) — the
+    * buckets a near neighbor most likely landed in when a projection
+    * crossed zero. Recovers most of the recall that single-probe LSH
+    * loses at high `bits` WITHOUT lowering bits (which would square the
+    * in-bucket candidate count); candidate volume is (bits+1) bucket
+    * probes ≈ (bits+1)·N/2^bits per query — still bucket-keyed, never a
+    * corpus scan. The probe fan-out is a map-side explode of the tiny
+    * broadcast query frame; each corpus vector lives in exactly one
+    * bucket and probe keys are distinct, so no pair dedup is needed.
+    */
+  def multiProbeTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 3,
+      bits: Int = 6): DataFrame = {
+    val e = bucketed(emb, bits)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val probeArr = array((Seq(col("qbucket")) ++ (0 until bits).map(p =>
+      col("qbucket").bitwiseXOR(lit(1L << p)))): _*)
+    val probes = q.select(col("query_id"), col("qv"), col("qnrm"),
+      explode(probeArr).as("probe"))
+    val pairs = e.join(broadcast(probes),
+        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosFrom(dot(col("qv"), col("embedding")), col("qnrm"), col("nrm"))
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-style ANN: a coarse quantizer partitions the corpus into inverted
     * lists; queries probe only the `nprobe` nearest lists, then rank
     * exactly inside them. The quantizer is deterministic either way:

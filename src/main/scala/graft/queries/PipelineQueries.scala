@@ -583,6 +583,33 @@ object PipelineQueries {
               |    WHERE q.vec_id < 5))
               |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    // Multi-probe LSH (Lv et al.): own bucket + every 1-bit flip —
+    // recall back without lowering bits (which squares in-bucket
+    // candidate counts). Probe fan-out explodes the broadcast query
+    // frame, never the corpus.
+    QueryDef("ann_multiprobe",
+      (s, dir) => Similarity.multiProbeTopK(Tables.read(s, dir, "embeddings"),
+        nQueries = 5, k = 3, bits = 6),
+      Some(s"""WITH bk AS (SELECT vec_id, embedding,
+              |  ${nrmSql("embedding")} AS nrm,
+              |  ${bucketSql("embedding", 6)} AS bucket FROM embeddings),
+              |pr AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm,
+              |  unnest([bucket] ||
+              |         [xor(bucket, 1::BIGINT << p) for p in generate_series(0, 5)])
+              |    AS probe
+              |  FROM bk WHERE vec_id < 5)
+              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+              |FROM (
+              |  SELECT query_id, neighbor_id, cos_sim,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+              |  FROM (
+              |    SELECT q.query_id, e.vec_id AS neighbor_id,
+              |      ${cosSql("q.qv", "e.embedding", "q.qnrm", "e.nrm")} AS cos_sim
+              |    FROM pr q JOIN bk e
+              |      ON e.bucket = q.probe AND e.vec_id <> q.query_id))
+              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     QueryDef("ann_ivf",
       (s, dir) => Similarity.ivfTopK(Tables.read(s, dir, "embeddings"),
         nQueries = 5, k = 3, nlists = 16, nprobe = 2),

@@ -170,6 +170,20 @@ class SimilaritySpec extends SparkSpec {
       s"missing pairs from band 0: ${single.diff(banded).take(5)}")
   }
 
+  test("multi-probe LSH: strict superset of single-probe at the same bits") {
+    val emb = graft.core.Tables.read(spark, sf, "embeddings")
+    // k beyond the corpus size so neither side truncates — the probe
+    // shell's extra candidates can then never evict an own-bucket one
+    val k = emb.count().toInt + 1
+    val mp = Similarity.multiProbeTopK(emb, nQueries = 3, k = k, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sp = Similarity.lshTopK(emb, nQueries = 3, k = k, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(sp.subsetOf(mp),
+      s"single-probe pairs missing: ${sp.diff(mp).take(5)}")
+    assert(mp.size > sp.size, "probe shell found no extra candidates")
+  }
+
   test("adaptiveBitsPerBand: integer rule, floor 6, exact power edges") {
     val f = Similarity.adaptiveBitsPerBand(_: Long)
     assert(f(1L) === 6)
