@@ -462,33 +462,65 @@ object PipelineQueries {
       (s, dir) => Dedup.containmentPairs(Tables.read(s, dir, "documents")),
       Some(containmentOracle)),
 
-    // Semantic dedup end-to-end: banded adaptive-width LSH cosine pairs
-    // feed the large/small-star component labeler — near-dup EMBEDDING
-    // clusters with their canonical (min) ids, the composition a
-    // semantic-dedup pass actually ships. Both halves are individually
-    // gated (dedup_embedding_banded, dedup_cluster_lss); this gates the
-    // composition. The round-5 audit measured the former fixed-4-bit
-    // single-block form at 18.5× shuffle bytes for 10× data (in-bucket
-    // density grows with the corpus); adaptive bits pin density, so the
-    // candidate join scales ∝ N and recall comes from the 4-band OR.
+    // Semantic dedup end-to-end: banded adaptive-width LSH cosine pairs →
+    // each vector's TOP-1 most-similar partner (1-NN graph) → the
+    // large/small-star component labeler — near-dup EMBEDDING clusters
+    // with their canonical (min) ids. Both halves are individually gated
+    // (dedup_embedding_banded, dedup_cluster_lss); this gates the
+    // composition. The 1-NN contraction is load-bearing at scale:
+    // transitively closing ALL pairs ≥ 0.35 percolates on background
+    // similarity (measured at sf1: 19,698 of 19,990 active vectors in ONE
+    // component — a "dedup" that deletes the corpus, and a closure the
+    // oracle can't finish), while the top-1 restriction bounds each
+    // node's degree so components stay actual duplicate families (sf1:
+    // 2,064 components, max size 11 = the replica groups). Candidate
+    // volume stays ∝ N via the adaptive bucket width (the round-5 audit
+    // measured the old fixed-4-bit form at 18.5× shuffle bytes for 10×
+    // data); the top-1 window shuffles only the (node, partner, cos)
+    // pairs.
     QueryDef("dedup_embedding_cluster",
-      (s, dir) => Dedup.lssComponents(
-        Similarity.embeddingNearDupsAdaptive(Tables.read(s, dir, "embeddings"))
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-        .select(col("doc_id").as("vec_id"),
-          col("canonical_id"))
-        .orderBy("vec_id"),
+      (s, dir) => {
+        val pairs = Similarity.embeddingNearDupsAdaptive(
+          Tables.read(s, dir, "embeddings"))
+        val sym = pairs
+          .select(col("vec_a").as("node"), col("vec_b").as("nb"),
+            col("cos_sim"))
+          .unionByName(pairs.select(col("vec_b").as("node"),
+            col("vec_a").as("nb"), col("cos_sim")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("node")
+          .orderBy(col("cos_sim").desc, col("nb"))
+        val top1 = sym
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") === 1)
+        val edges = top1.select(
+            org.apache.spark.sql.functions.least(col("node"), col("nb"))
+              .as("doc_a"),
+            org.apache.spark.sql.functions.greatest(col("node"), col("nb"))
+              .as("doc_b"))
+          .distinct()
+        Dedup.lssComponents(edges)
+          .select(col("doc_id").as("vec_id"), col("canonical_id"))
+          .orderBy("vec_id")
+      },
       Some(s"""WITH RECURSIVE ${adaptiveBandedCandSql()},
-              |p AS (SELECT vec_a, vec_b FROM (
+              |p AS (SELECT vec_a, vec_b, cos_sim FROM (
               |  SELECT vec_a, vec_b,
               |    ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
               |  FROM cand JOIN e a ON vec_a = a.vec_id
               |            JOIN e b ON vec_b = b.vec_id)
               |  WHERE cos_sim >= 0.35),
-              |edges AS (SELECT vec_a AS a, vec_b AS b FROM p
-              |  UNION SELECT vec_b, vec_a FROM p
-              |  UNION SELECT vec_a, vec_a FROM p
-              |  UNION SELECT vec_b, vec_b FROM p),
+              |sym AS (SELECT vec_a AS node, vec_b AS nb, cos_sim FROM p
+              |  UNION ALL SELECT vec_b, vec_a, cos_sim FROM p),
+              |top1 AS (SELECT node, nb FROM (
+              |  SELECT node, nb, row_number() OVER (PARTITION BY node
+              |    ORDER BY cos_sim DESC, nb) AS rn FROM sym) WHERE rn = 1),
+              |e2 AS (SELECT DISTINCT least(node, nb) AS a,
+              |                       greatest(node, nb) AS b FROM top1),
+              |edges AS (SELECT a, b FROM e2
+              |  UNION SELECT b, a FROM e2
+              |  UNION SELECT a, a FROM e2
+              |  UNION SELECT b, b FROM e2),
               |walk(node, reach) AS (
               |  SELECT DISTINCT a, a FROM edges
               |  UNION
