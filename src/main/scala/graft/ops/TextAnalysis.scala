@@ -242,6 +242,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition signals (the Gopher/MassiveText
+    * repetition filters): per doc, the fraction of word bigrams/trigrams
+    * that are duplicates of an earlier identical gram — integer ppm via
+    * (n − distinct) · 1e6 div n. High duplicate-gram fractions mark
+    * boilerplate/looping text. Everything is per-row array math
+    * (transform + array_distinct) — zero shuffle at any corpus size; a
+    * 100 TB corpus scores map-side.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val t = col("t")
+    def grams(n: Int): Column =
+      when(org.apache.spark.sql.functions.size(t) >= n,
+        transform(sequence(lit(0), org.apache.spark.sql.functions.size(t) - n),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(t, (i + j + 1).cast("int"))): _*)))
+        .otherwise(array().cast("array<string>"))
+    withTokens(docs)
+      .select(col("doc_id"), grams(2).as("g2"), grams(3).as("g3"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("g2")).cast("long").as("n2"),
+        org.apache.spark.sql.functions.size(array_distinct(col("g2")))
+          .cast("long").as("d2"),
+        org.apache.spark.sql.functions.size(col("g3")).cast("long").as("n3"),
+        org.apache.spark.sql.functions.size(array_distinct(col("g3")))
+          .cast("long").as("d3"))
+      .select(col("doc_id"), col("n2"), col("n3"),
+        expr("CASE WHEN n2 > 0 THEN (n2 - d2) * 1000000 div n2 ELSE 0 END")
+          .as("rep2_ppm"),
+        expr("CASE WHEN n3 > 0 THEN (n3 - d3) * 1000000 div n3 ELSE 0 END")
+          .as("rep3_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Scrubbing/masking: replace curation-flagged tokens (here: the EN
     * stopword list, standing in for a PII lexicon) with a mask token —
     * token-level transform, no regex, embarrassingly parallel.

@@ -707,6 +707,33 @@ object CurationQueries {
               |FROM sh s JOIN df USING (sh)
               |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
 
+    // Within-document repetition (the Gopher/MassiveText duplicate-n-gram
+    // quality filters): duplicate bigram/trigram fractions in integer
+    // ppm, all per-row array math — zero shuffle at any corpus size.
+    QueryDef("text_repetition",
+      (s, dir) => TextAnalysis.repetition(Tables.read(s, dir, "documents")),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |  FROM documents),
+             |g AS (SELECT doc_id,
+             |  CASE WHEN len(t) >= 2
+             |    THEN [array_to_string(t[i:i+1], ' ')
+             |          for i in generate_series(1, len(t) - 1)]
+             |    ELSE []::VARCHAR[] END AS g2,
+             |  CASE WHEN len(t) >= 3
+             |    THEN [array_to_string(t[i:i+2], ' ')
+             |          for i in generate_series(1, len(t) - 2)]
+             |    ELSE []::VARCHAR[] END AS g3
+             |  FROM tk)
+             |SELECT doc_id,
+             |  CAST(len(g2) AS BIGINT) AS n2,
+             |  CAST(len(g3) AS BIGINT) AS n3,
+             |  CAST(CASE WHEN len(g2) > 0 THEN (len(g2) - len(list_distinct(g2)))
+             |    * 1000000 // len(g2) ELSE 0 END AS BIGINT) AS rep2_ppm,
+             |  CAST(CASE WHEN len(g3) > 0 THEN (len(g3) - len(list_distinct(g3)))
+             |    * 1000000 // len(g3) ELSE 0 END AS BIGINT) AS rep3_ppm
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     // End-to-end curation pipeline, one declared plan: cheap per-row gates
     // FIRST (length/token floors — map-side, prunes before any shuffle),
     // then exact dedup keep-first among survivors, then the deterministic

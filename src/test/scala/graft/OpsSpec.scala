@@ -223,6 +223,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(4) === 0.5) // stopword ratio: the, on, the / 6
   }
 
+  test("repetition: duplicate-gram ppm on a looping doc, short-doc guard") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // bigrams 5/2 distinct, trigrams 4/2
+      (2L, "x y"),           // one bigram, no trigram
+      (3L, "z")              // no grams at all
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetition(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows === Seq(
+      (1L, 5L, 4L, 600000L, 500000L),
+      (2L, 1L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L)))
+  }
+
   test("langid: english stopwords dominate") {
     val df = Seq(
       (1L, "the cat is on the mat with a hat", "en"),
