@@ -278,6 +278,8 @@ object Similarity {
         .select(lit(name).as("method"), col("n_hit"))
     hits(ivfTopK(emb, nQueries, k, nlists = 16, nprobe = 2), "ivf")
       .unionByName(hits(lshTopK(emb, nQueries, k, bits = 4), "lsh"))
+      .unionByName(hits(multiProbeTopK(emb, nQueries, k, bits = 6),
+        "multiprobe"))
       .unionByName(hits(pqTopK(emb, nQueries, k), "pq"))
       .crossJoin(broadcast(exactN))
       .select(col("method"), col("n_hit"), col("n_exact"),

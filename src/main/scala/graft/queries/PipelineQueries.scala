@@ -1241,6 +1241,22 @@ object PipelineQueries {
        |    FROM bk q JOIN bk n
        |      ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
        |    WHERE q.vec_id < 5) WHERE rank <= 3),
+       |bk6 AS (SELECT vec_id, embedding, nrm,
+       |  ${bucketSql("embedding", 6)} AS bucket FROM e),
+       |pr AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm,
+       |  unnest([bucket] ||
+       |         [xor(bucket, 1::BIGINT << p) for p in generate_series(0, 5)])
+       |    AS probe
+       |  FROM bk6 WHERE vec_id < 5),
+       |mp AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cos("q.qv", "q.qnrm", "n.embedding", "n.nrm")} DESC,
+       |                 n.vec_id) AS rank
+       |    FROM pr q JOIN bk6 n
+       |      ON n.bucket = q.probe AND n.vec_id <> q.query_id)
+       |  WHERE rank <= 3),
        |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
        |          FROM e WHERE vec_id < 16),
        |assigned AS (
@@ -1279,6 +1295,9 @@ object PipelineQueries {
        |  UNION ALL
        |  SELECT 'lsh' AS method, count(*) AS n_hit
        |  FROM lsh JOIN bf USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'multiprobe' AS method, count(*) AS n_hit
+       |  FROM mp JOIN bf USING (query_id, neighbor_id)
        |  UNION ALL
        |  SELECT 'pq' AS method, count(*) AS n_hit
        |  FROM pq JOIN bf USING (query_id, neighbor_id))

@@ -126,7 +126,7 @@ class SimilaritySpec extends SparkSpec {
     val emb = graft.core.Tables.read(spark, sf, "embeddings")
     val rows = Similarity.annRecall(emb, nQueries = 3, k = 3).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(rows.map(_._1).toSeq === Seq("ivf", "lsh", "pq"))
+    assert(rows.map(_._1).toSeq === Seq("ivf", "lsh", "multiprobe", "pq"))
     rows.foreach { case (m, hit, exact, recall) =>
       assert(exact === 9L, s"$m exact")
       assert(hit >= 0L && hit <= exact, s"$m hits")
