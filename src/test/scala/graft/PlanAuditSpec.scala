@@ -55,6 +55,22 @@ class PlanAuditSpec extends SparkSpec {
       s"salted-hash split should not shuffle:\n$plan")
   }
 
+  test("text_repetition: pure map-side — zero exchanges before the order-by") {
+    val plan = executed(SparkEntry.queries("text_repetition")(spark, sf))
+    val nonSortShuffles = shuffles(plan)
+      .filterNot(_.outputPartitioning.toString.contains("rangepartitioning"))
+    assert(nonSortShuffles.isEmpty,
+      s"per-row repetition signals should not shuffle:\n$plan")
+  }
+
+  test("ann_multiprobe: corpus joined by broadcast probe shell, never shuffled") {
+    val plan = executed(SparkEntry.queries("ann_multiprobe")(spark, sf))
+    val s = plan.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"probe join must stay broadcast:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$s")
+  }
+
   test("dedup_incremental: no cartesian/nested-loop anywhere in the plan") {
     val plan = executed(
       SparkEntry.queries("dedup_incremental")(spark, sf)).toString
