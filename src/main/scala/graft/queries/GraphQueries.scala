@@ -32,28 +32,32 @@ object GraphQueries {
     * bipartite order graph (base/e0), the identity labeling (l0), and
     * `rounds` unrolled synchronous self-vote min-tie-break updates
     * (v_i/l_i) — window-argmax form, so gates built on it also prove the
-    * engine's max(struct) argmax equivalent.
+    * engine's max(struct) argmax equivalent. Every CTE is MATERIALIZED:
+    * DuckDB (≤1.0) inlines plain CTEs per REFERENCE, and consumers like
+    * the modularity oracle reference l_rounds three times — at sf1 that
+    * re-executed the whole spill-heavy LP chain per reference and ran the
+    * host out of temp disk (>79 GB) before it ran out of patience.
     */
   private def lpCtes(rounds: Int): String = {
     def round(i: Int) =
-      s"""v$i AS (
+      s"""v$i AS MATERIALIZED (
          |  SELECT node, label, count(*) AS n FROM (
          |    SELECT e.dst AS node, l.label
          |    FROM e0 e JOIN l${i - 1} l ON l.node = e.src
          |    UNION ALL SELECT node, label FROM l${i - 1})
          |  GROUP BY 1, 2),
-         |l$i AS (
+         |l$i AS MATERIALIZED (
          |  SELECT node, label FROM (
          |    SELECT node, label, row_number() OVER (
          |      PARTITION BY node ORDER BY n DESC, label ASC) AS rn
          |    FROM v$i) WHERE rn = 1)""".stripMargin
-    s"""base AS (
+    s"""base AS MATERIALIZED (
        |  SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |e0 AS (SELECT DISTINCT src, dst FROM (
+       |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |        SELECT src, dst FROM base
        |        UNION ALL SELECT dst, src FROM base)),
-       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e0),
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
 
