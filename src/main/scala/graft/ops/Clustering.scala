@@ -138,7 +138,8 @@ object Clustering {
     * dimension's loading is exactly ±1. `eig_est` is the last growth
     * factor max|G·v| ≈ λ once v has converged.
     */
-  def pcaPowerTop(emb: DataFrame, iters: Int = 4): DataFrame = {
+  def pcaPowerTop(emb: DataFrame, iters: Int = 4,
+      driverIterateMaxDims: Int = 256): DataFrame = {
     require(iters >= 1, s"pcaPowerTop needs at least one iteration, got $iters")
     val q = (c: Column) => c.cast("double").cast("decimal(12,8)")
     val nRows = emb.agg(count(lit(1)).as("n"))
@@ -161,26 +162,68 @@ object Clustering {
     val gram = upper
       .unionByName(upper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("g")))
-      .localCheckpoint() // 4096 rows, referenced every iteration
 
-    var v = gram.select(col("j")).distinct()
-      .select(col("j"), lit(1).cast("decimal(12,8)").as("v"))
-    var growth: DataFrame = null
-    for (_ <- 1 to iters) {
-      val u = gram.join(broadcast(v), "j")
-        .groupBy("i").agg(sum(col("g") * col("v")).as("u"))
-        .localCheckpoint() // 64 rows; truncate the iterative lineage
-      growth = u.agg(max(abs(col("u"))).as("m"))
-      v = u.crossJoin(broadcast(growth))
-        .select(col("i").as("j"),
-          (col("u").cast("double") / col("m").cast("double"))
-            .cast("decimal(12,8)").as("v"))
+    // The Gram matrix is dims²-bounded — 4096 cells at width 64 —
+    // independent of corpus size: the same bounded-artifact class as the
+    // BPE merge table. The data-volume work is the ONE distributed pass
+    // above; iterating the constant-size matrix through Spark jobs buys
+    // nothing but per-job scheduling overhead (measured ~3 s of the
+    // query's 5.3 s at sf0.1), so for ordinary widths the power loop
+    // runs driver-side in EXACT decimal arithmetic replicating the
+    // engine's cast/round semantics step for step (BigDecimal products
+    // and sums are exact; double division and HALF_UP quantization
+    // mirror Cast/Round) — bit-identical output, proven by the unchanged
+    // oracle and the both-paths-equal spec. Very wide embeddings
+    // (dims > driverIterateMaxDims) keep the distributed loop.
+    val width = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head.getInt(0)
+    if (width <= driverIterateMaxDims) {
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      val cells = gram.collect().map { r =>
+        ((r.getInt(0), r.getInt(1)), r.getDecimal(2))
+      }.toMap
+      def quantize(d: Double): JBD =
+        JBD.valueOf(d).setScale(8, RoundingMode.HALF_UP)
+      def round6(d: Double): Double =
+        JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue
+      var v: Array[JBD] = Array.fill(width)(new JBD("1.00000000"))
+      var m: JBD = null
+      for (_ <- 1 to iters) {
+        val u = Array.tabulate(width) { i =>
+          (0 until width).foldLeft(JBD.ZERO) { (acc, j) =>
+            cells.get((i, j)).fold(acc)(g => acc.add(g.multiply(v(j))))
+          }
+        }
+        m = u.map(_.abs).max
+        v = u.map(ui => quantize(ui.doubleValue / m.doubleValue))
+      }
+      val spark = emb.sparkSession
+      import spark.implicits._
+      (0 until width).map(j =>
+          (j.toLong, round6(v(j).doubleValue), round6(m.doubleValue)))
+        .toDF("dim", "loading", "eig_est")
+        .orderBy("dim")
+    } else {
+      val g2 = gram.localCheckpoint() // dims² rows, referenced per iteration
+      var v = g2.select(col("j")).distinct()
+        .select(col("j"), lit(1).cast("decimal(12,8)").as("v"))
+      var growth: DataFrame = null
+      for (_ <- 1 to iters) {
+        val u = g2.join(broadcast(v), "j")
+          .groupBy("i").agg(sum(col("g") * col("v")).as("u"))
+          .localCheckpoint() // dims rows; truncate the iterative lineage
+        growth = u.agg(max(abs(col("u"))).as("m"))
+        v = u.crossJoin(broadcast(growth))
+          .select(col("i").as("j"),
+            (col("u").cast("double") / col("m").cast("double"))
+              .cast("decimal(12,8)").as("v"))
+      }
+      v.crossJoin(broadcast(growth))
+        .select(col("j").cast("long").as("dim"),
+          round(col("v").cast("double"), 6).as("loading"),
+          round(col("m").cast("double"), 6).as("eig_est"))
+        .orderBy("dim")
     }
-    v.crossJoin(broadcast(growth))
-      .select(col("j").cast("long").as("dim"),
-        round(col("v").cast("double"), 6).as("loading"),
-        round(col("m").cast("double"), 6).as("eig_est"))
-      .orderBy("dim")
   }
 
   def kmeansLloyd(emb: DataFrame, k: Int, iters: Int,

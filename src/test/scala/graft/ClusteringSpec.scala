@@ -97,4 +97,14 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     assert(out.toSeq == out2.toSeq)
   }
+
+  test("power iteration: driver-iterated path bit-identical to distributed") {
+    val emb = graft.core.Tables.read(spark, sf, "embeddings")
+    val driver = Clustering.pcaPowerTop(emb, iters = 4)
+      .collect().map(_.toSeq)
+    // force the distributed loop by setting the width threshold below 64
+    val dist = Clustering.pcaPowerTop(emb, iters = 4, driverIterateMaxDims = 0)
+      .collect().map(_.toSeq)
+    assert(driver.toSeq == dist.toSeq)
+  }
 }
