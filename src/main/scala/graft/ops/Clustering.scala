@@ -175,9 +175,20 @@ object Clustering {
     // mirror Cast/Round) — bit-identical output, proven by the unchanged
     // oracle and the both-paths-equal spec. Very wide embeddings
     // (dims > driverIterateMaxDims) keep the distributed loop.
-    val width = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
-      .head.getInt(0)
-    if (width <= driverIterateMaxDims) {
+    // Degenerate-input guards (round-6 advice): an EMPTY corpus must not
+    // throw at the width probe (the distributed branch yields an empty
+    // frame — mirror that), and an all-zero corpus makes max|u| = 0, where
+    // dividing would mint NaN and JBD.valueOf(NaN) throws (the distributed
+    // branch nulls out through NaN→decimal casts — mirror with null rows).
+    val firstWidth =
+      emb.select(org.apache.spark.sql.functions.size(col("embedding"))).head(1)
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
+    if (firstWidth.isEmpty) {
+      Seq.empty[(Long, Option[Double], Option[Double])]
+        .toDF("dim", "loading", "eig_est")
+    } else if (firstWidth(0).getInt(0) <= driverIterateMaxDims) {
+      val width = firstWidth(0).getInt(0)
       import java.math.{BigDecimal => JBD, RoundingMode}
       val cells = gram.collect().map { r =>
         ((r.getInt(0), r.getInt(1)), r.getDecimal(2))
@@ -188,21 +199,27 @@ object Clustering {
         JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue
       var v: Array[JBD] = Array.fill(width)(new JBD("1.00000000"))
       var m: JBD = null
-      for (_ <- 1 to iters) {
+      var degenerate = false
+      for (_ <- 1 to iters if !degenerate) {
         val u = Array.tabulate(width) { i =>
           (0 until width).foldLeft(JBD.ZERO) { (acc, j) =>
             cells.get((i, j)).fold(acc)(g => acc.add(g.multiply(v(j))))
           }
         }
         m = u.map(_.abs).max
-        v = u.map(ui => quantize(ui.doubleValue / m.doubleValue))
+        if (m.signum == 0) degenerate = true
+        else v = u.map(ui => quantize(ui.doubleValue / m.doubleValue))
       }
-      val spark = emb.sparkSession
-      import spark.implicits._
-      (0 until width).map(j =>
-          (j.toLong, round6(v(j).doubleValue), round6(m.doubleValue)))
-        .toDF("dim", "loading", "eig_est")
-        .orderBy("dim")
+      if (degenerate)
+        (0 until width).map(j => (j.toLong, None: Option[Double],
+            None: Option[Double]))
+          .toDF("dim", "loading", "eig_est").orderBy("dim")
+      else
+        (0 until width).map(j =>
+            (j.toLong, Some(round6(v(j).doubleValue)),
+              Some(round6(m.doubleValue))))
+          .toDF("dim", "loading", "eig_est")
+          .orderBy("dim")
     } else {
       val g2 = gram.localCheckpoint() // dims² rows, referenced per iteration
       var v = g2.select(col("j")).distinct()

@@ -534,11 +534,17 @@ object Similarity {
     * corpus size by [[adaptiveBitsPerBand]] — the form that survives a
     * 100× scale-up: bands give OR-amplified recall, adaptive bits hold
     * per-bucket candidate density constant so the self-join stays ∝ N.
-    * The count is one metadata-cheap job at plan time (parquet row-group
-    * counts; no column data is read).
+    *
+    * The sizing count runs EAGERLY at plan-construction time. For a bare
+    * parquet scan that is metadata-cheap (row-group counts; no column data
+    * is read) — but a filtered/derived `emb` pays a full pass, and every
+    * caller pays it independently. Callers that already know the corpus
+    * size (a StatsIndex total, a prior `.count()`, a persisted manifest)
+    * should pass it via `knownCount` and the probe is skipped entirely
+    * (round-6 advice).
     */
   def embeddingNearDupsAdaptive(emb: DataFrame, threshold: Double = 0.35,
-      bands: Int = 4): DataFrame =
+      bands: Int = 4, knownCount: Option[Long] = None): DataFrame =
     embeddingNearDupsBanded(emb, threshold, bands,
-      adaptiveBitsPerBand(emb.count()))
+      adaptiveBitsPerBand(knownCount.getOrElse(emb.count())))
 }

@@ -76,9 +76,10 @@ object Txn {
   /** Time travel: snapshot read of a SPECIFIC committed version. Costs
     * the same as a latest-read — resolve one manifest, scan exactly its
     * files — because versions are immutable data + manifest pairs; no
-    * log replay, no undo. Old versions stay readable until a vacuum
-    * deletes their files (not implemented — retention policy is
-    * deployment-specific).
+    * log replay, no undo. Old versions stay readable until
+    * [[expireVersions]] vacuums them (retention count is the caller's
+    * policy); readers of an expired version fail cleanly at manifest
+    * resolution below.
     */
   def readVersion(spark: SparkSession, path: String, version: Int): DataFrame = {
     require(version >= 0 &&

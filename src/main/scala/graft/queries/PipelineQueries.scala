@@ -140,7 +140,9 @@ object PipelineQueries {
     * `Similarity.adaptiveBitsPerBand` — smallest p with 2^p·64 ≥ n, floor
     * 6). Callers CROSS JOIN the [[adaptiveBitsCte]]. maxBits=16 covers
     * n ≤ 2^16·64 ≈ 4.2M vectors — any offline verification SF; the engine
-    * side is unbounded.
+    * side is unbounded to the Scala rule's 30-bit cap, so the key FAILS
+    * LOUDLY (DuckDB error()) rather than silently dropping high bits if a
+    * corpus ever exceeds the oracle's term budget (round-6 advice).
     */
   private def adaptiveBucketSql(v: String, maxBits: Int,
       band: Option[Int] = None): String = {
@@ -151,16 +153,20 @@ object PipelineQueries {
         s"round(list_sum([CAST($v[i+1] AS DOUBLE) * ($signs) for i in generate_series(0, 63)]), 6)"
       s"(CASE WHEN $p < ab.bits THEN (CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END) ELSE 0 END)"
     }
-    bitTerms.mkString("(", " + ", ")")
+    bitTerms.mkString(
+      s"(CASE WHEN ab.bits > $maxBits THEN CAST(error('adaptive bits ' || ab.bits || ' exceed oracle maxBits $maxBits') AS BIGINT) ELSE 0 END) + (",
+      " + ", ")")
   }
 
   /** Integer-exact adaptive bit count over the embeddings corpus (mirror of
-    * Similarity.adaptiveBitsPerBand; no float log₂ on either engine).
+    * Similarity.adaptiveBitsPerBand; no float log₂ on either engine). The
+    * COALESCE mirrors the Scala rule's getOrElse(30) cap — above 2^30·64
+    * vectors min(p) is NULL and the rule pins at 30 on both engines.
     */
   private val adaptiveBitsCte: String =
-    """ab AS (SELECT GREATEST(6, (SELECT CAST(min(p) AS INT)
+    """ab AS (SELECT GREATEST(6, COALESCE((SELECT CAST(min(p) AS INT)
       |  FROM generate_series(0, 30) t(p)
-      |  WHERE (1::BIGINT << p) * 64 >= (SELECT count(*) FROM embeddings)))
+      |  WHERE (1::BIGINT << p) * 64 >= (SELECT count(*) FROM embeddings)), 30))
       |  AS bits)""".stripMargin
 
   /** Shared CTE chain for the adaptive banded candidate pairs (mirror of

@@ -54,34 +54,45 @@ object TpchQueries {
 
   val all: Seq[QueryDef] = Seq(
 
-    // Q1 pricing summary: the canonical scan-heavy aggregation
+    // Q1 pricing summary: the canonical scan-heavy aggregation.
+    // TPC-H money is decimal: each stored double is a 2-dp value, so every
+    // column is cast to DECIMAL(12,2) FIRST (2-dp rounding of a near-2-dp
+    // double is never near a rounding tie in either engine), and the
+    // disc_price/charge products are computed entirely in decimal —
+    // 2dp x 2dp = exactly 4 dp, x 2dp = exactly 6 dp, so the (18,4)/(18,6)
+    // casts are value-exact in Spark and DuckDB alike. The round-6 sf1
+    // float-ulp NEAR came from the old form (product in DOUBLE, then one
+    // double->DECIMAL(18,6) rounding whose convention the engines disagree
+    // on 1-in-millions of rows); decimal-from-the-start has no such step.
     QueryDef("tpch_q1",
-      (s, dir) => Tables.read(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
-            .as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
-            .as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
-          sum(((col("l_extendedprice") * (lit(1) - col("l_discount"))) *
-            (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double")
-            .as("sum_charge"),
-          (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
-            count(lit(1))).as("avg_qty"),
-          (sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double") /
-            count(lit(1))).as("avg_price"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"),
+      (s, dir) => {
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val discPrice = (price * (lit(1) - col("l_discount").cast("decimal(12,2)")))
+          .cast("decimal(18,4)")
+        val charge = (discPrice * (lit(1) + col("l_tax").cast("decimal(12,2)")))
+          .cast("decimal(18,6)")
+        Tables.read(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+              .as("sum_qty"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(discPrice).cast("double").as("sum_disc_price"),
+            sum(charge).cast("double").as("sum_charge"),
+            (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+              count(lit(1))).as("avg_qty"),
+            (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
       Some("""SELECT l_returnflag, l_linestatus,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-             |CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
-             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
              |count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
