@@ -233,6 +233,18 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
+    // Round-7 (the 32.2× shuffle-byte row): minOfStar is NODE-bounded —
+    // one row per live u — but Catalyst's estimate tracks the edge set,
+    // so past the auto-broadcast threshold every round's two star joins
+    // fall to sort-merge and re-shuffle the whole edge list (measured:
+    // at sf0.1 the rounds broadcast, at sf1 they SMJ — the strategy
+    // transition behind the byte jump). Gate on the true node count
+    // (the pagerank/kcore discipline): under the gate the star joins are
+    // map-side over the cached edge checkpoints; past it a forced
+    // broadcast would OOM, so the plan falls back to shuffle joins.
+    val gated = nodes.count() <= graft.ops.Graph.BroadcastMaxNodes
+    val hint: DataFrame => DataFrame = if (gated) broadcast else identity
+
     var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
       .localCheckpoint()
     var prev = checksum(edges)
@@ -243,13 +255,16 @@ object Dedup {
       // LAZY checkpoints: both materialize inside the ONE checksum action
       // per round (eager checkpoints cost 3 driver round-trips per round —
       // measured 2-3× slower locally where the data is tiny and job
-      // scheduling dominates; at scale the plan is identical)
+      // scheduling dominates; at scale the plan is identical). Unlike
+      // kcore's loop — where lazy state had NO per-round action and the
+      // broadcast builds re-derived it — the checksum action here pins
+      // each round's `edges` before the next round's builds read it.
       val large = edges.filter(col("v") > col("u"))
-        .join(minOfStar(edges), "u")
+        .join(hint(minOfStar(edges)), "u")
         .select(col("v").as("u"), col("m").as("v"))
       val afterLarge = canon(large).localCheckpoint(false)
       val small = afterLarge.filter(col("v") < col("u"))
-        .join(minOfStar(afterLarge), "u")
+        .join(hint(minOfStar(afterLarge)), "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(minOfStar(afterLarge)
           .select(col("u"), col("m").as("v")))

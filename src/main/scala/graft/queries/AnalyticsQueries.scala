@@ -23,25 +23,56 @@ object AnalyticsQueries {
     // (Graph.cappedNeighborPairs): TPC-H baskets never get near the cap,
     // but the operator is sold as general, and one adversarial
     // 100k-item basket would otherwise materialize C(100k,2) structs in
-    // a single task. Per-part counts join back on the part key and the
-    // order total rides a broadcast 1-row frame. Lift's numerator
-    // (n_ab·N·1e6) is DECIMAL(38,0) — int64 wraps once n·N passes ~9e12,
-    // i.e. well inside 100 TB row counts.
+    // a single task.
+    //
+    // Round-7 re-plan (the 25.3× shuffle-byte row): the top-25 order key
+    // is n_ab ALONE, which the per-part count joins don't touch — so the
+    // top-k (TakeOrderedAndProject, no sort shuffle) runs FIRST and the
+    // n_a/n_b lookups join 25 broadcast rows against the count frame
+    // instead of shuffling the full pair frame twice. The pair itself
+    // rides one BIGINT (s_a<<32 | s_b — valid while part keys < 2³¹;
+    // decoded after the limit), narrowing the one remaining data-sized
+    // exchange, and ordering by the encoded key ≡ ordering by (p_a,p_b).
+    // Baskets build straight from groupBy(ord)+collect_set (dedups on its
+    // own — the old separate distinct() was a second full shuffle), and
+    // ntot/per-part counts reuse the baskets exchange (ReuseExchange)
+    // rather than re-shuffling the scan. The order total rides a
+    // broadcast 1-row frame. Lift's numerator (n_ab·N·1e6) is
+    // DECIMAL(38,0) — int64 wraps once n·N passes ~9e12, i.e. well
+    // inside 100 TB row counts.
     QueryDef("agg_market_basket",
       (s, dir) => {
-        val op = Tables.read(s, dir, "lineitem")
+        val li = Tables.read(s, dir, "lineitem")
           .select(col("l_orderkey").as("ord"),
             col("l_partkey").cast("long").as("part"))
-          .distinct()
-        val ntot = op.agg(countDistinct(col("ord")).as("ntot"))
-        val c = op.groupBy("part").agg(count(lit(1)).as("n"))
-        val baskets = op.groupBy("ord")
+        // Lazy checkpoint: baskets feeds FOUR consumers (ntot, both count
+        // joins, the pair explode) split across broadcast-build subtrees,
+        // where exchange reuse does NOT apply — un-pinned, the scan +
+        // collect_set exchange ran 4× (measured 4.3× wall at sf1). One
+        // cached materialization, every consumer reads it.
+        val baskets = li.groupBy("ord")
           .agg(sort_array(collect_set(col("part"))).as("parts"))
-        graft.ops.Graph.cappedNeighborPairs(baskets, "parts", 256)
-          .groupBy(col("s_a").as("p_a"), col("s_b").as("p_b"))
-          .agg(count(lit(1)).as("n_ab"))
-          .join(c.select(col("part").as("p_a"), col("n").as("n_a")), Seq("p_a"))
-          .join(c.select(col("part").as("p_b"), col("n").as("n_b")), Seq("p_b"))
+          .localCheckpoint(false)
+        val ntot = baskets.agg(count(lit(1)).as("ntot"))
+        val c = baskets.select(explode(col("parts")).as("part"))
+          .groupBy("part").agg(count(lit(1)).as("n"))
+          .localCheckpoint(false)
+        val top = graft.ops.Graph.cappedNeighborPairs(baskets, "parts", 256)
+          .select(expr("shiftleft(s_a, 32) + s_b").as("pp"))
+          .groupBy("pp").agg(count(lit(1)).as("n_ab"))
+          .orderBy(desc("n_ab"), col("pp"))
+          .limit(25)
+          .select(expr("shiftright(pp, 32)").as("p_a"),
+            expr("pp & 4294967295").as("p_b"), col("n_ab"))
+        // No explicit broadcast on the 25-row side: a forced hint wraps
+        // the whole top-k pipeline in a broadcast-BUILD subtree, which
+        // de-parallelizes its materialization (measured 14.2 s vs 3.3 s
+        // warm at sf1). AQE sees the 25-row runtime stat after the limit
+        // stage and converts both count joins to broadcast on its own.
+        c.select(col("part").as("p_a"), col("n").as("n_a"))
+          .join(top, Seq("p_a"))
+          .join(c.select(col("part").as("p_b"), col("n").as("n_b")),
+            Seq("p_b"))
           .crossJoin(broadcast(ntot))
           .select(col("p_a"), col("p_b"), col("n_ab"),
             expr("n_ab * 1000000L div ntot").as("support_ppm"),
@@ -50,7 +81,6 @@ object AnalyticsQueries {
                    |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
               .stripMargin).as("lift_ppm"))
           .orderBy(desc("n_ab"), col("p_a"), col("p_b"))
-          .limit(25)
       },
       Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ord,
              |    CAST(l_partkey AS BIGINT) AS part FROM lineitem),

@@ -402,6 +402,18 @@ object GraphQueries {
     // everyone" from "these two genuinely share a customer base".
     QueryDef("graph_jaccard",
       (s, dir) => {
+        // Round-7 re-plan (the 0.52-exponent row). Three changes vs the
+        // round-6 form, oracle untouched:
+        //  - `cs` flows ONCE (no eager checkpoint — that extra
+        //    materialization pass over the 10×-bigger edge set was the
+        //    exponent's main term); the shared frame is now `sets`
+        //    (one row per customer, collect_set output), pinned lazily.
+        //  - true degrees derive from `sets` by explode+count (identical
+        //    values: supps is the distinct supplier set per customer)
+        //    instead of a second pass over cs.
+        //  - the wedge pair rides one BIGINT (s_a<<32 | s_b, supplier
+        //    keys < 2³¹), narrowing the one data-sized exchange; the
+        //    encoded key orders identically to (s_a, s_b).
         val cs = Tables.read(s, dir, "lineitem")
           .join(Tables.read(s, dir, "orders")
               .select("o_orderkey", "o_custkey"),
@@ -409,17 +421,32 @@ object GraphQueries {
           .filter(graft.ops.Sampling.hashBucket(
             col("o_custkey"), "cn") < 1000)
           .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-          .distinct().localCheckpoint()
+          .distinct()
         val sets = cs.groupBy("cust")
           .agg(sort_array(collect_set(col("supp"))).as("supps"))
+          .localCheckpoint(false)
         val pairs = graft.ops.Graph
           .cappedNeighborPairs(sets, "supps", PivotDegreeCap)
-          .groupBy("s_a", "s_b")
+          .select(expr("shiftleft(s_a, 32) + s_b").as("pp"))
+          .groupBy("pp")
           .agg(count(lit(1)).as("common_customers"))
-        val deg = cs.groupBy("supp").agg(count(lit(1)).as("deg"))
+          .select(expr("shiftright(pp, 32)").as("s_a"),
+            expr("pp & 4294967295").as("s_b"), col("common_customers"))
+        val deg = sets.select(explode(col("supps")).as("supp"))
+          .groupBy("supp").agg(count(lit(1)).as("deg"))
+        // `deg` is NODE-bounded — one row per supplier — but Catalyst's
+        // estimate tracks the edge-sized lineage, so un-hinted the two
+        // join-backs sort-merge and shuffle the whole pair frame twice.
+        // Broadcast-gate on the true supplier count (the pagerank/kcore
+        // discipline, Graph.BroadcastMaxNodes): under the gate the degree
+        // joins are map-side over the pair agg output; past it a forced
+        // broadcast would OOM, so the plan falls back to shuffle joins.
+        val hint: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          if (deg.count() <= graft.ops.Graph.BroadcastMaxNodes)
+            broadcast else identity
         pairs
-          .join(deg.select(col("supp").as("s_a"), col("deg").as("da")), "s_a")
-          .join(deg.select(col("supp").as("s_b"), col("deg").as("db")), "s_b")
+          .join(hint(deg.select(col("supp").as("s_a"), col("deg").as("da"))), "s_a")
+          .join(hint(deg.select(col("supp").as("s_b"), col("deg").as("db"))), "s_b")
           .withColumn("jaccard_ppm", expr(
             "common_customers * 1000000 div (da + db - common_customers)"))
           .select("s_a", "s_b", "common_customers", "jaccard_ppm")
