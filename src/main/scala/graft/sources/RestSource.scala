@@ -97,9 +97,11 @@ object RestFetch {
   /** Fault injection: the next N fetch calls fail transiently. */
   val failNextFetches = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def fetch(file: String, offset: Int, limit: Int,
+  def fetch(resource: String, offset: Int, limit: Int,
       token: Option[String] = None): Seq[String] = {
     fetchCalls += 1
+    if (resource.startsWith("http://") || resource.startsWith("https://"))
+      return httpFetch(resource, offset, limit, token)
     requiredToken.foreach { want =>
       if (!token.contains(want))
         throw new RestAuthException(
@@ -107,9 +109,52 @@ object RestFetch {
     }
     if (failNextFetches.getAndUpdate(n => math.max(0, n - 1)) > 0)
       throw new RestTransientException("injected transient endpoint failure")
-    val src = scala.io.Source.fromFile(file, "UTF-8")
-    try src.getLines().slice(offset, offset + limit).toList
+    val src = scala.io.Source.fromFile(resource, "UTF-8")
+    try src.getLines().slice(offset, saturatingEnd(offset, limit)).toList
     finally src.close()
+  }
+
+  private def saturatingEnd(offset: Int, limit: Int): Int =
+    math.min(offset.toLong + limit, Int.MaxValue.toLong).toInt
+
+  /** Real HTTP transport (round-7): the same SoQL-shaped cursor contract
+    * over an actual socket — `GET <resource>?$offset=..&$limit=..` with
+    * the app token in the `X-App-Token` header, exactly the Socrata
+    * client's wire shape (reference `load_311.py:12-15`,
+    * `config/env.py:5-7`). Status mapping mirrors the file transport's
+    * simulated faults: 401/403 → [[RestAuthException]] (fail fast, never
+    * retried), 429/5xx/connection failure → [[RestTransientException]]
+    * (retried with bounded backoff by the shared [[RestRetry]] policy).
+    * Public JDK only (HttpURLConnection); specs drive it against an
+    * in-process loopback `com.sun.net.httpserver` — no external network.
+    */
+  private def httpFetch(resource: String, offset: Int, limit: Int,
+      token: Option[String]): Seq[String] = {
+    val sep = if (resource.contains("?")) "&" else "?"
+    val url = new java.net.URL(
+      resource + sep + "$offset=" + offset + "&$limit=" + limit)
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(30000)
+      token.foreach(conn.setRequestProperty("X-App-Token", _))
+      val code =
+        try conn.getResponseCode
+        catch {
+          case e: java.io.IOException =>
+            throw new RestTransientException(s"connect $url: ${e.getMessage}")
+        }
+      if (code == 401 || code == 403)
+        throw new RestAuthException(
+          s"endpoint requires an app token (got ${token.getOrElse("none")}): HTTP $code")
+      if (code == 429 || code >= 500)
+        throw new RestTransientException(s"HTTP $code from $url")
+      if (code != 200)
+        throw new RuntimeException(s"unexpected HTTP $code from $url")
+      val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+      try src.getLines().toList finally src.close()
+    } finally conn.disconnect()
   }
 
   /** Lazy client-side cursor: keeps issuing `fetch($offset += pageSize)`
@@ -208,21 +253,39 @@ class RestScan(path: String, tsLo: Option[Long], tsHi: Option[Long],
     s"RestScan(path=$path, pushedLo=$tsLo, pushedHi=$tsHi, limit=$limit, pageSize=$pageSize)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("page_\\d+_\\d{8}_\\d{8}\\.jsonl"))
-      .sortBy(_.getName)
-    val kept = files.filter { f =>
-      val parts = f.getName.stripSuffix(".jsonl").split("_")
-      val minDay = LocalDate.parse(parts(2), RestPages.DateFmt)
-      val maxDay = LocalDate.parse(parts(3), RestPages.DateFmt)
-      val pageLo = minDay.atStartOfDay.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L
-      val pageHi = maxDay.plusDays(1).atStartOfDay.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L
-      tsLo.forall(_ < pageHi) && tsHi.forall(_ > pageLo)
-    }
+    // The page catalog: over HTTP the server's `/index` resource lists
+    // the page names (the analog of the Socrata dataset index); on the
+    // file transport it is a directory listing. Pruning is identical —
+    // the date coverage rides in the NAME, so no page body is opened to
+    // decide, regardless of transport.
+    val isHttp = path.startsWith("http://") || path.startsWith("https://")
+    val names: Array[String] =
+      if (isHttp)
+        RestRetry.withRetry(client.maxRetries, client.backoffMs)(
+          RestFetch.fetch(s"$path/index", 0, Int.MaxValue, client.appToken))
+          .toArray
+      else
+        Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+          .map(_.getName)
+    val kept = names
+      .filter(_.matches("page_\\d+_\\d{8}_\\d{8}\\.jsonl"))
+      .sorted
+      .filter { n =>
+        val parts = n.stripSuffix(".jsonl").split("_")
+        val minDay = LocalDate.parse(parts(2), RestPages.DateFmt)
+        val maxDay = LocalDate.parse(parts(3), RestPages.DateFmt)
+        val pageLo = minDay.atStartOfDay.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L
+        val pageHi = maxDay.plusDays(1).atStartOfDay.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L
+        tsLo.forall(_ < pageHi) && tsHi.forall(_ > pageLo)
+      }
     RestPages.lastPlannedPartitions = kept.length
-    kept.map(f =>
-      RestInputPartition(f.getAbsolutePath, tsLo, tsHi, limit, pageSize,
-        client): InputPartition)
+    kept.map { n =>
+      val resource =
+        if (isHttp) s"$path/$n"
+        else new java.io.File(path, n).getAbsolutePath
+      RestInputPartition(resource, tsLo, tsHi, limit, pageSize,
+        client): InputPartition
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory
