@@ -380,6 +380,57 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Assignment of vectors to their nearest trained list — the
+    * [[ivfTrainedTopK]] rule (rounded cosine desc, cluster tie-break)
+    * factored out so index MAINTENANCE can run it over a new batch
+    * against FROZEN centroids. Scale shape: one map-side explode of the
+    * batch, centroid/norm frames broadcast (nlists×dims rows), one
+    * per-vector argmax — shuffle ∝ batch, never the indexed corpus.
+    */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val ex = Clustering.explodeDecimal(emb)
+    val vnorm = ex.groupBy("vec_id")
+      .agg(sqrt(sum(col("xq") * col("xq")).cast("double")).as("vnrm"))
+    val cnorm = centroids.groupBy("cluster")
+      .agg(sqrt(sum(col("cd") * col("cd")).cast("double")).as("cnrm"))
+    val dots = ex.join(broadcast(centroids), "dim")
+      .groupBy("vec_id", "cluster").agg(sum(col("xq") * col("cd")).as("dt"))
+    val ccos = dots.join(vnorm, "vec_id").join(broadcast(cnorm), "cluster")
+      .withColumn("ccos",
+        round(col("dt").cast("double") / (col("vnrm") * col("cnrm")), 6))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cluster"))
+    ccos.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster").as("list_id"))
+  }
+
+  /** Incremental IVF index maintenance: append a new vector batch to a
+    * PERSISTED index — assign the batch to the EXISTING centroids and
+    * extend the inverted lists; no refit. The `StatsIndex.append`
+    * discipline applied to ANN: the expensive artifact (the trained
+    * quantizer) is immutable, appends touch only the delta, and
+    * append ≡ full-rebuild-assignment on the same centroids (the
+    * correctness gate `ann_ivf_append` hashes exactly that equivalence).
+    *
+    * The DRIFT GATE is the honesty condition of no-refit maintenance: a
+    * frozen quantizer only represents the corpus it was fit on, so once
+    * the appended volume passes `maxAppendFraction` of the indexed
+    * corpus the call REFUSES and demands a refit (IllegalArgumentException
+    * "refit required") instead of silently degrading recall. The two
+    * sizing counts are metadata-cheap on a bare index scan and bounded
+    * either way.
+    */
+  def ivfAppend(index: DataFrame, batch: DataFrame, centroids: DataFrame,
+      maxAppendFraction: Double = 0.5): DataFrame = {
+    val nIndexed = index.count()
+    val nNew = batch.count()
+    require(nNew <= maxAppendFraction * nIndexed,
+      s"refit required: appending $nNew vectors onto a $nIndexed-vector " +
+        s"index exceeds the $maxAppendFraction drift budget — frozen " +
+        "centroids no longer represent the corpus; refit the quantizer")
+    index.unionByName(ivfAssign(batch, centroids))
+  }
+
   def ivfTrainedTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 3,
       nlists: Int = 8, nprobe: Int = 2, iters: Int = 1,
       centroids: Option[DataFrame] = None): DataFrame = {

@@ -694,6 +694,65 @@ object PipelineQueries {
       },
       Some(ivfTrainedOracle())),
 
+    // Incremental IVF index maintenance (round-7): a 10% batch
+    // (vec_id % 10 = 9) appends onto an index built from the other 90% —
+    // quantizer fit ONCE on the base corpus, batch assigned to the
+    // FROZEN centroids, lists extended, no refit (Similarity.ivfAppend;
+    // the StatsIndex.append discipline applied to ANN). The oracle
+    // assigns EVERY vector against the base-trained centroids in one
+    // pass, so the hash gate proves append ≡ full-rebuild-assignment on
+    // the same quantizer — the invariant that makes no-refit appends
+    // legitimate. The drift gate (batch > 50% of index ⇒ refuse, refit
+    // required) is spec-gated in ClusteringSpec.
+    QueryDef("ann_ivf_append",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val batch = emb.filter(col("vec_id") % 10 === 9)
+        // fitQuantizer's result is already checkpointed (kmeansFit pins
+        // each round) — the one fit is shared by base assignment AND the
+        // batch append, the persisted-artifact discipline in-plan
+        val cen = Similarity.fitQuantizer(base, nlists = 8, iters = 1)
+        val baseIndex = Similarity.ivfAssign(base, cen)
+        Similarity.ivfAppend(baseIndex, batch, cen)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ex AS (
+              |  SELECT vec_id, t.dim,
+              |    CAST(CAST(embedding[t.dim + 1] AS DOUBLE) AS DECIMAL(12,8)) AS xq
+              |  FROM embeddings CROSS JOIN range(64) t(dim)
+              |  WHERE vec_id % 10 <> 9),
+              |cen0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, xq AS cd
+              |         FROM ex WHERE vec_id < 8),
+              |s1 AS (SELECT e.vec_id, c.cluster, sum(e.xq * c.cd) AS dot
+              |       FROM ex e JOIN cen0 c ON c.dim = e.dim GROUP BY 1, 2),
+              |n1 AS (SELECT cluster, sum(cd*cd) AS cnorm FROM cen0 GROUP BY 1),
+              |a1 AS (SELECT vec_id, cluster FROM (
+              |        SELECT s1.vec_id, s1.cluster,
+              |          row_number() OVER (PARTITION BY s1.vec_id
+              |            ORDER BY n1.cnorm - 2*s1.dot, s1.cluster) AS rn
+              |        FROM s1 JOIN n1 USING (cluster)) WHERE rn = 1),
+              |cen1 AS (SELECT cluster, dim,
+              |          CAST(CAST(sum(xq) AS DOUBLE)/count(*) AS DECIMAL(12,8)) AS cd
+              |         FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+              |exall AS (
+              |  SELECT vec_id, t.dim,
+              |    CAST(CAST(embedding[t.dim + 1] AS DOUBLE) AS DECIMAL(12,8)) AS xq
+              |  FROM embeddings CROSS JOIN range(64) t(dim)),
+              |vn AS (SELECT vec_id, sqrt(CAST(sum(xq*xq) AS DOUBLE)) AS vnrm
+              |       FROM exall GROUP BY 1),
+              |cn AS (SELECT cluster, sqrt(CAST(sum(cd*cd) AS DOUBLE)) AS cnrm
+              |       FROM cen1 GROUP BY 1),
+              |dt AS (SELECT e.vec_id, c.cluster, sum(e.xq * c.cd) AS dt
+              |       FROM exall e JOIN cen1 c ON c.dim = e.dim GROUP BY 1, 2),
+              |cc AS (SELECT dt.vec_id, dt.cluster,
+              |         round(CAST(dt.dt AS DOUBLE) / (vn.vnrm * cn.cnrm), 6) AS ccos
+              |       FROM dt JOIN vn USING (vec_id) JOIN cn USING (cluster))
+              |SELECT vec_id, list_id FROM (
+              |  SELECT vec_id, cluster AS list_id, row_number() OVER (
+              |    PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
+              |  FROM cc) WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
     // Product-quantization ANN: per-subspace 4-codeword codebooks (one
     // deterministic Lloyd round each, all 8 trained in ONE plan with the
     // subspace id riding the keys), vectors encoded as 8 codes, queries

@@ -75,6 +75,34 @@ class ClusteringSpec extends SparkSpec {
     assert(cached == fresh)
   }
 
+  test("IVF append: batch assignment ≡ full rebuild; drift gate demands refit") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.read(spark, sf, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+    val batch = emb.filter(col("vec_id") % 10 === 9)
+    val cen = graft.ops.Similarity.fitQuantizer(base, nlists = 4)
+    // append ≡ assigning the whole corpus against the same frozen
+    // centroids (the invariant that makes no-refit appends legitimate)
+    val appended = graft.ops.Similarity
+      .ivfAppend(graft.ops.Similarity.ivfAssign(base, cen), batch, cen)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = graft.ops.Similarity.ivfAssign(emb, cen)
+      .collect().map(_.toSeq).toSet
+    assert(appended === rebuilt)
+    // drift gate: appending MORE than the budget (here the 90% slice
+    // onto the 10% slice's index) must refuse and demand a refit rather
+    // than silently degrade recall under unrepresentative centroids
+    val tiny = graft.ops.Similarity.ivfAssign(batch, cen)
+    val boom = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.ivfAppend(tiny, base, cen)
+    }
+    assert(boom.getMessage.contains("refit required"))
+    // an explicit larger budget admits the same append
+    assert(graft.ops.Similarity
+      .ivfAppend(tiny, base, cen, maxAppendFraction = 100.0)
+      .count() === emb.count())
+  }
+
   test("power iteration recovers a planted dominant direction, repartition-stable") {
     import spark.implicits._
     // variance concentrated on dim 0 (values ±8), noise ~0.1 elsewhere:
