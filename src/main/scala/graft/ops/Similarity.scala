@@ -548,21 +548,35 @@ object Similarity {
       struct(lit(b).as("band"),
         lshBucket(col("embedding"), bitsPerBand, dims, Some(b)).as("bh"))
     }: _*)
+    // Verify IN the bucket join (round-7, the sawtooth-leg finding): the
+    // old form kept candidate keys lean, deduped, then joined embeddings
+    // back on — which broadcast-hides the pair volume at tiny SFs but
+    // cliff-transitions to SMJ the moment the corpus passes the
+    // auto-broadcast threshold, and the SMJ ships EMBEDDING-CARRYING
+    // pair rows: bytes ∝ candidates × vector width (measured 8.2 →
+    // 331.5 MB between n=32k and n=40k — a 40× wall at the 10-bit step
+    // that had nothing to do with occupancy). Carrying the vectors in
+    // the band-keyed exchange instead puts the verify cosine INSIDE the
+    // join tasks: shuffle ∝ bands·N·vector-width — linear in the corpus,
+    // candidate volume never moves (it is CPU inside the task, where the
+    // adaptive occupancy bound keeps it ∝ N). Near-dup pairs colliding
+    // in several bands recompute the cosine per collision and dedup
+    // AFTER the threshold filter — the surviving set is sparse, so the
+    // distinct is key-bounded, and the rounded cosine is deterministic
+    // so the distinct over (pair, cos) is exact.
     val keyed = e
-      .select(col("vec_id"), explode(bandKeys).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = keyed.as("x").join(keyed.as("y"),
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(bandKeys).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    keyed.as("x").join(keyed.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    cand
-      .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
-      .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
-      .select(col("vec_a"), col("vec_b"),
-        cosFrom(dot(col("ea.embedding"), col("eb.embedding")),
-          col("ea.nrm"), col("eb.nrm")).as("cos_sim"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosFrom(dot(col("x.embedding"), col("y.embedding")),
+          col("x.nrm"), col("y.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 
