@@ -132,4 +132,38 @@ object HeavyHitters {
         (col("kth_cnt") * m > col("n_total")).as("guaranteed"))
       .orderBy(desc("cnt"), col("item"))
   }
+
+  /** [[approxTopK]] with ADAPTIVE sketch width — the fix the round-7 sf1
+    * gate forced: a fixed m certifies the top-k only while the k-th count
+    * clears N/m, and a 10× corpus with flatter token mass silently broke
+    * that (the MG candidates missed a true top-20 item — caught only
+    * because the oracle is exact). The loop doubles m until the
+    * certificate holds (kth·m > N ⟹ every true top-k item is in the
+    * per-partition candidate union, so the exact-count verify IS the
+    * exact top-k), mirroring the adaptive-LSH-bits discipline: sketch
+    * state stays O(m) per task, and the width grows with log of the miss
+    * factor, not with N. At the driver SFs the first width certifies, so
+    * the gated cost is identical to the fixed form.
+    *
+    * Determinism: MG candidate SETS vary with partitioning, but the
+    * certificate and the certified output depend only on exact counts —
+    * certified rows are THE exact top-k regardless of the m trajectory.
+    * If even `maxM` cannot certify (k-th item rarer than N/maxM — a
+    * near-uniform distribution where "top-k" is meaningless), the last
+    * sketch's candidates are returned with `guaranteed = false`: the
+    * caller is told, not silently misled.
+    */
+  def approxTopKAdaptive(spark: SparkSession, df: DataFrame, itemCol: String,
+      k: Int, m0: Int = 64, maxM: Int = 1 << 20): DataFrame = {
+    var m = m0
+    var out = approxTopK(spark, df, itemCol, k, m)
+    while (m < maxM && {
+        val h = out.select("guaranteed").head(1) // empty input: nothing
+        h.nonEmpty && !h(0).getBoolean(0)        // to certify, stop
+      }) {
+      m *= 2
+      out = approxTopK(spark, df, itemCol, k, m)
+    }
+    out
+  }
 }

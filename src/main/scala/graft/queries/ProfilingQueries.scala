@@ -266,16 +266,21 @@ object ProfilingQueries {
 
     // Approximate top-k (frequent-items sketch face of the heavy hitters):
     // Misra-Gries candidates + exact-count verify, top 20 by count with a
-    // `guaranteed` verdict that the k-th count clears the N/m sketch bound
-    // — when true (as on this corpus) the approximate answer IS the exact
-    // top-k, so the full-width GROUP BY ... LIMIT is a fair oracle.
+    // `guaranteed` verdict that the k-th count clears the N/m sketch
+    // bound. The width is ADAPTIVE (round-7: the sf1 gate caught fixed
+    // m=64 silently missing a true top-20 token once the 10× corpus
+    // flattened the token mass): m doubles until the certificate holds,
+    // at which point the sketch answer IS the exact top-k — so the
+    // full-width GROUP BY ... LIMIT stays a fair oracle at every SF, and
+    // its verdict is "some width ≤ the cap certifies", i.e.
+    // min(top-k cnt)·maxM > N.
     QueryDef("agg_approx_topk",
       (s, dir) => {
         val toks = graft.ops.TextOps.withTokens(
           Tables.read(s, dir, "documents"))
           .select(explode(col("t")).as("token"))
           .filter(length(col("token")) >= 2)
-        HeavyHitters.approxTopK(s, toks, "token", k = 20, m = 64)
+        HeavyHitters.approxTopKAdaptive(s, toks, "token", k = 20, m0 = 64)
           .withColumnRenamed("item", "token")
       },
       Some("""WITH toks AS (
@@ -286,7 +291,7 @@ object ProfilingQueries {
              |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
              |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20)
              |SELECT token, cnt,
-             |(SELECT min(cnt) FROM top) * 64 > (SELECT n_total FROM tot) AS guaranteed
+             |(SELECT min(cnt) FROM top) * 1048576 > (SELECT n_total FROM tot) AS guaranteed
              |FROM top ORDER BY cnt DESC, token""".stripMargin)),
 
     // Incremental-aggregation maintenance: the 100 TB pattern where

@@ -82,6 +82,32 @@ class ProfilingSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
   }
 
+  test("approxTopKAdaptive widens until certified where fixed width fails") {
+    import spark.implicits._
+    // flat-ish mass: 1500 items × 40 copies (N = 60000). k-th cnt = 40;
+    // at m0=16, 40·16 = 640 < 60000 — uncertified; the doubling reaches
+    // m=2048 (40·2048 > 60000) and the answer must then BE the exact
+    // top-k.
+    val rows = (1 to 1500).flatMap(j => Seq.fill(40)(f"w$j%04d"))
+    val df = rows.toDF("item").repartition(8)
+    val fixed = HeavyHitters.approxTopK(spark, df, "item", k = 10, m = 16)
+    assert(fixed.collect().forall(!_.getBoolean(2)),
+      "fixed m=16 must not certify this frame")
+    val got = HeavyHitters
+      .approxTopKAdaptive(spark, df, "item", k = 10, m0 = 16).collect()
+    assert(got.forall(_.getBoolean(2)), "adaptive width must certify")
+    val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("item")).limit(10)
+      .as[(String, Long)].collect().toSeq
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+    // maxM caps the loop: an uncertifiable frame surfaces guaranteed =
+    // false instead of spinning (5000 singletons, cap at 64)
+    val uni = (1 to 5000).map(i => s"u$i").toDF("item").repartition(8)
+    val capped = HeavyHitters
+      .approxTopKAdaptive(spark, uni, "item", k = 5, m0 = 32, maxM = 64)
+    assert(capped.collect().forall(!_.getBoolean(2)))
+  }
+
   test("approxTopK withdraws its guarantee on a uniform frame") {
     import spark.implicits._
     // 5000 distinct items once each: k-th cnt = 1, 1 * 64 <= 5000
