@@ -55,15 +55,20 @@ object TpchQueries {
   val all: Seq[QueryDef] = Seq(
 
     // Q1 pricing summary: the canonical scan-heavy aggregation.
-    // TPC-H money is decimal: each stored double is a 2-dp value, so every
-    // column is cast to DECIMAL(12,2) FIRST (2-dp rounding of a near-2-dp
-    // double is never near a rounding tie in either engine), and the
-    // disc_price/charge products are computed entirely in decimal —
-    // 2dp x 2dp = exactly 4 dp, x 2dp = exactly 6 dp, so the (18,4)/(18,6)
-    // casts are value-exact in Spark and DuckDB alike. The round-6 sf1
-    // float-ulp NEAR came from the old form (product in DOUBLE, then one
-    // double->DECIMAL(18,6) rounding whose convention the engines disagree
-    // on 1-in-millions of rows); decimal-from-the-start has no such step.
+    // TPC-H money is decimal END TO END: each stored double is a 2-dp
+    // value, so every column is cast to DECIMAL(12,2) FIRST (2-dp
+    // rounding of a near-2-dp double is never near a rounding tie in
+    // either engine), the disc_price/charge products are computed
+    // entirely in decimal — 2dp x 2dp = exactly 4 dp, x 2dp = exactly
+    // 6 dp, so the (18,4)/(18,6) casts are value-exact — AND the money
+    // SUMS surface as DECIMAL(38,s), not double. The round-6 sf1 NEAR
+    // was the per-row product rounded from double; fixing that exposed a
+    // second convention edge at sf1: sum_charge·10⁶ exceeds 2⁵³, so the
+    // decimal→double PRESENTATION cast itself rounds, and the engines'
+    // conversions disagree by one ulp. Decimal out = no lossy cast
+    // anywhere, hash-exact at any corpus size. avg columns stay double:
+    // their numerators are orders of magnitude inside 2⁵³ and a ratio is
+    // honestly a float quantity.
     QueryDef("tpch_q1",
       (s, dir) => {
         val price = col("l_extendedprice").cast("decimal(12,2)")
@@ -75,11 +80,11 @@ object TpchQueries {
           .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
-              .as("sum_qty"),
-            sum(price).cast("double").as("sum_base_price"),
-            sum(discPrice).cast("double").as("sum_disc_price"),
-            sum(charge).cast("double").as("sum_charge"),
+            sum(col("l_quantity").cast("decimal(12,2)"))
+              .cast("decimal(38,2)").as("sum_qty"),
+            sum(price).cast("decimal(38,2)").as("sum_base_price"),
+            sum(discPrice).cast("decimal(38,4)").as("sum_disc_price"),
+            sum(charge).cast("decimal(38,6)").as("sum_charge"),
             (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
               count(lit(1))).as("avg_qty"),
             (sum(price).cast("double") / count(lit(1))).as("avg_price"),
@@ -87,10 +92,10 @@ object TpchQueries {
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-             |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-             |CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+             |CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
              |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
              |count(*) AS count_order
