@@ -157,12 +157,30 @@ object HeavyHitters {
       k: Int, m0: Int = 64, maxM: Int = 1 << 20): DataFrame = {
     var m = m0
     var out = approxTopK(spark, df, itemCol, k, m)
-    while (m < maxM && {
-        val h = out.select("guaranteed").head(1) // empty input: nothing
-        h.nonEmpty && !h(0).getBoolean(0)        // to certify, stop
-      }) {
-      m *= 2
-      out = approxTopK(spark, df, itemCol, k, m)
+    var done = false
+    while (!done) {
+      val h = out.select("guaranteed", "cnt").head(k)
+      if (h.isEmpty || h(0).getBoolean(0) || m >= maxM) done = true
+      else {
+        // JUMP to the certifying width instead of blind doubling: the
+        // failed pass already knows the k-th candidate count, and one
+        // cheap count gives N, so the next width can be the smallest
+        // power-of-2 with kth·m > N directly. The candidate kth only
+        // UNDERestimates the true k-th count, so the jump never
+        // overshoots a width the doubling loop would have certified at.
+        // Cuts the widening from log₂ re-sketches to one re-sketch +
+        // one count; the loop remains the backstop if the refreshed
+        // candidates move the k-th count.
+        val kth = h.map(_.getLong(1)).min
+        var next = m * 2
+        if (kth > 0) {
+          val nTotal = df.select(col(itemCol))
+            .filter(col(itemCol).isNotNull).count()
+          while (next < maxM && kth * next.toLong <= nTotal) next *= 2
+        }
+        m = math.min(next, maxM)
+        out = approxTopK(spark, df, itemCol, k, m)
+      }
     }
     out
   }
