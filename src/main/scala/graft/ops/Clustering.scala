@@ -235,10 +235,16 @@ object Clustering {
             (col("u").cast("double") / col("m").cast("double"))
               .cast("decimal(12,8)").as("v"))
       }
+      // Degenerate (all-zero) corpus: the loadings already null out (0/0
+      // is NaN, NaN→decimal is null under non-ANSI), but at iters=1 the
+      // growth scalar itself is decimal ZERO, not null — round() would
+      // surface eig_est=0.0 while the driver branch nulls both columns.
+      // The when-guard keeps the two paths' degenerate rows identical.
       v.crossJoin(broadcast(growth))
         .select(col("j").cast("long").as("dim"),
           round(col("v").cast("double"), 6).as("loading"),
-          round(col("m").cast("double"), 6).as("eig_est"))
+          when(col("m") === 0, lit(null).cast("double"))
+            .otherwise(round(col("m").cast("double"), 6)).as("eig_est"))
         .orderBy("dim")
     }
   }

@@ -298,4 +298,23 @@ object Graph {
         .as("p"))
       .select(col("p.s_a").as("s_a"), col("p.s_b").as("s_b"))
   }
+
+  /** Pack an ordered key pair into ONE BIGINT (`a<<32 | b`) — the narrow
+    * exchange key the pair-aggregation queries ride (jaccard, market
+    * basket). The packing orders identically to `(a, b)` and decodes
+    * exactly ONLY while both keys sit in [0, 2³¹): past that, `a<<32`
+    * reaches the sign bit (ordering flips negative) and `b` bleeds into
+    * `a`'s field. That bound used to be a code comment, which means a
+    * 2³¹⁺ key would silently corrupt top-k rows (round-7 advice). The
+    * guard makes violation loud: four codegen'd comparisons per row, and
+    * a violation fails the QUERY via raise_error, never the data.
+    */
+  def packPair(a: Column, b: Column): Column = {
+    val bound = lit(1L << 31)
+    when(a >= 0 && a < bound && b >= 0 && b < bound,
+        shiftleft(a, 32) + b)
+      .otherwise(raise_error(lit(
+        "packPair: key outside [0, 2^31) — 32-bit pair packing would " +
+          "corrupt ordering/decoding; widen the pair key")))
+  }
 }

@@ -149,9 +149,17 @@ object HeavyHitters {
     * certificate and the certified output depend only on exact counts —
     * certified rows are THE exact top-k regardless of the m trajectory.
     * If even `maxM` cannot certify (k-th item rarer than N/maxM — a
-    * near-uniform distribution where "top-k" is meaningless), the last
-    * sketch's candidates are returned with `guaranteed = false`: the
-    * caller is told, not silently misled.
+    * near-uniform distribution where "top-k" is meaningless), the
+    * operator falls back to the EXACT full-width top-k (one groupBy over
+    * all distinct items — the cost the sketch exists to avoid, paid only
+    * on the degenerate tail) with `guaranteed` recomputed from the true
+    * k-th count via the same kth·maxM > N formula the oracle uses. Two
+    * reasons over returning the last sketch's candidates: (a) the caller
+    * gets correct ROWS either way — `guaranteed=false` then only flags
+    * that no width ≤ maxM could have certified them cheaply; (b) sketch
+    * candidates under a failed certificate are partitioning-dependent,
+    * so the declared query would drift from its exact-GROUP-BY oracle on
+    * precisely the corpora where certification fails (round-7 advice).
     */
   def approxTopKAdaptive(spark: SparkSession, df: DataFrame, itemCol: String,
       k: Int, m0: Int = 64, maxM: Int = 1 << 20): DataFrame = {
@@ -172,16 +180,34 @@ object HeavyHitters {
         // one count; the loop remains the backstop if the refreshed
         // candidates move the k-th count.
         val kth = h.map(_.getLong(1)).min
-        var next = m * 2
+        // Long arithmetic throughout: with an Int, a caller-supplied
+        // maxM > 2^30 lets `next *= 2` overflow to negative/zero and the
+        // guard `next < maxM` never fires (0*2==0 spins forever).
+        var next = m.toLong * 2
         if (kth > 0) {
           val nTotal = df.select(col(itemCol))
             .filter(col(itemCol).isNotNull).count()
-          while (next < maxM && kth * next.toLong <= nTotal) next *= 2
+          while (next < maxM && kth * next <= nTotal) next *= 2
         }
-        m = math.min(next, maxM)
+        m = math.min(next, maxM.toLong).toInt
         out = approxTopK(spark, df, itemCol, k, m)
       }
     }
-    out
+    // Degenerate tail: no width ≤ maxM certified. Exact top-k fallback so
+    // the rows are right (and oracle-stable) regardless of partitioning;
+    // the verdict is the oracle's own formula over the TRUE k-th count.
+    val h = out.select("guaranteed").head(1)
+    if (h.nonEmpty && !h(0).getBoolean(0)) {
+      val items = df.select(col(itemCol).cast("string").as("item"))
+        .filter(col("item").isNotNull)
+      val totals = items.agg(count(lit(1)).as("n_total"))
+      val top = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("item")).limit(k)
+      val kth = top.agg(min(col("cnt")).as("kth_cnt"))
+      top.crossJoin(broadcast(kth)).crossJoin(broadcast(totals))
+        .select(col("item"), col("cnt"),
+          (col("kth_cnt") * maxM > col("n_total")).as("guaranteed"))
+        .orderBy(desc("cnt"), col("item"))
+    } else out
   }
 }

@@ -58,7 +58,7 @@ object AnalyticsQueries {
           .groupBy("part").agg(count(lit(1)).as("n"))
           .localCheckpoint(false)
         val top = graft.ops.Graph.cappedNeighborPairs(baskets, "parts", 256)
-          .select(expr("shiftleft(s_a, 32) + s_b").as("pp"))
+          .select(graft.ops.Graph.packPair(col("s_a"), col("s_b")).as("pp"))
           .groupBy("pp").agg(count(lit(1)).as("n_ab"))
           .orderBy(desc("n_ab"), col("pp"))
           .limit(25)

@@ -427,7 +427,7 @@ object GraphQueries {
           .localCheckpoint(false)
         val pairs = graft.ops.Graph
           .cappedNeighborPairs(sets, "supps", PivotDegreeCap)
-          .select(expr("shiftleft(s_a, 32) + s_b").as("pp"))
+          .select(graft.ops.Graph.packPair(col("s_a"), col("s_b")).as("pp"))
           .groupBy("pp")
           .agg(count(lit(1)).as("common_customers"))
           .select(expr("shiftright(pp, 32)").as("s_a"),

@@ -55,49 +55,53 @@ object TpchQueries {
   val all: Seq[QueryDef] = Seq(
 
     // Q1 pricing summary: the canonical scan-heavy aggregation.
-    // TPC-H money is decimal END TO END: each stored double is a 2-dp
-    // value, so every column is cast to DECIMAL(12,2) FIRST (2-dp
-    // rounding of a near-2-dp double is never near a rounding tie in
-    // either engine), the disc_price/charge products are computed
-    // entirely in decimal — 2dp x 2dp = exactly 4 dp, x 2dp = exactly
-    // 6 dp, so the (18,4)/(18,6) casts are value-exact — AND the money
-    // SUMS surface as DECIMAL(38,s), not double. The round-6 sf1 NEAR
-    // was the per-row product rounded from double; fixing that exposed a
-    // second convention edge at sf1: sum_charge·10⁶ exceeds 2⁵³, so the
-    // decimal→double PRESENTATION cast itself rounds, and the engines'
-    // conversions disagree by one ulp. Decimal out = no lossy cast
-    // anywhere, hash-exact at any corpus size. avg columns stay double:
-    // their numerators are orders of magnitude inside 2⁵³ and a ratio is
-    // honestly a float quantity.
+    // Numeric-convention history (the round-7 lesson, kept as the lint's
+    // type case — see OracleLintSpec "no DECIMAL output columns"):
+    //  - r1-r6 form (THIS form): money sums accumulate in DECIMAL(18,6)
+    //    (order-independent, value-exact for 2-dp inputs) and surface as
+    //    DOUBLE. Driver-green at sf0.01 for six consecutive rounds; at
+    //    sf1 sum_charge·10⁶ exceeds 2⁵³ so the decimal→double
+    //    presentation cast rounds, and Spark's correctly-rounded
+    //    BigDecimal→double can differ from DuckDB's by ONE ulp — a
+    //    documented presentation NEAR one decade above the gate.
+    //  - r7 experiment: surfacing the sums as DECIMAL(38,s) erased the
+    //    sf1 ulp but turned the DRIVER row red at sf0.01 (hash mismatch
+    //    with rows+schema matching) while the same dump passed the local
+    //    DuckDB 1.0.0 gate — decimal OUTPUT columns hash through each
+    //    engine's decimal canonicalization/version conventions, which no
+    //    amount of value-exactness controls from here.
+    //  - r8: reverted to the six-round driver-green DOUBLE-out form and
+    //    carry the sf1 NEAR honestly (CORRECTNESS_SF1.md). A NEAR one
+    //    decade above the gate beats a FAIL at the gate; the invariant
+    //    "no DECIMAL-typed declared output column" is now lint-enforced
+    //    across all declared queries.
     QueryDef("tpch_q1",
-      (s, dir) => {
-        val price = col("l_extendedprice").cast("decimal(12,2)")
-        val discPrice = (price * (lit(1) - col("l_discount").cast("decimal(12,2)")))
-          .cast("decimal(18,4)")
-        val charge = (discPrice * (lit(1) + col("l_tax").cast("decimal(12,2)")))
-          .cast("decimal(18,6)")
-        Tables.read(s, dir, "lineitem")
-          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(
-            sum(col("l_quantity").cast("decimal(12,2)"))
-              .cast("decimal(38,2)").as("sum_qty"),
-            sum(price).cast("decimal(38,2)").as("sum_base_price"),
-            sum(discPrice).cast("decimal(38,4)").as("sum_disc_price"),
-            sum(charge).cast("decimal(38,6)").as("sum_charge"),
-            (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
-              count(lit(1))).as("avg_qty"),
-            (sum(price).cast("double") / count(lit(1))).as("avg_price"),
-            count(lit(1)).as("count_order"))
-          .orderBy("l_returnflag", "l_linestatus")
-      },
+      (s, dir) => Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          sum(((col("l_extendedprice") * (lit(1) - col("l_discount"))) *
+            (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double")
+            .as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-             |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-             |CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             |CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
-             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
              |count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -118,6 +118,85 @@ class OracleLintSpec extends AnyFunSuite {
         bad.mkString("\n  "))
   }
 
+  /** Round-8 lint (the round-7 tpch_q1 lesson): a DECIMAL-typed *declared
+    * output column* is a cross-engine hash hazard even when every value is
+    * bit-identical in both engines — the driver hashes typed results, and
+    * decimal columns pass through each engine's decimal canonicalization
+    * (scale surfacing, double→decimal cast rounding convention, Arrow
+    * decimal128 encoding), which vary BY VERSION: the r7 decimal-out tpch_q1
+    * passed the local DuckDB 1.0.0 gate and failed the driver's. Decimals
+    * are the right ACCUMULATOR type (order-independent exact sums) but the
+    * declared surface must present as double/bigint/string, whose hash
+    * conventions are version-stable. The Spark-side schema is authoritative:
+    * if Spark surfaces no decimal, a decimal-typed oracle column fails the
+    * driver's schema gate loudly (caught at the local sf0.01 pass), not
+    * silently at the hash.
+    *
+    * Allowlist: name → justification; empty today, on purpose. Anything new
+    * that genuinely must surface decimal needs sf0.01 AND sf1 driver-class
+    * evidence recorded here.
+    */
+  test("no declared query surfaces a DECIMAL-typed output column") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    val sf = "/root/testdata/sf0.001"
+    val allow = Map.empty[String, String]
+    val bad = scala.collection.mutable.ListBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !allow.contains(name)) {
+      scala.util.Try(fn(spark, sf).schema).toOption.foreach { schema =>
+        for (f <- schema.fields
+             if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+          bad += s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    assert(bad.isEmpty,
+      "\nDECIMAL-typed declared output columns (cross-engine decimal " +
+        "canonicalization is version-convention territory — surface as " +
+        "double/bigint/string instead, or allowlist with driver evidence):" +
+        "\n  " + bad.mkString("\n  "))
+  }
+
+  /** Best-effort oracle-side twin of the schema lint: an outermost
+    * `CAST(... AS DECIMAL...)` in a depth-0 output projection surfaces a
+    * decimal column from the oracle. (The Spark-side schema check above is
+    * the authoritative gate — a decimal-only-on-the-oracle-side column
+    * fails the driver's schema compare — but this catches the mistake at
+    * authoring time, with the query name attached.)
+    */
+  test("no oracle projects an outermost decimal cast") {
+    val bad = scala.collection.mutable.ListBuffer.empty[String]
+    for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)) {
+      for ((a, b) <- outputProjections(sql)) {
+        val spans = castSpans(sql, a, b)
+        for ((ca, cb) <- spans
+             if !spans.exists { case (oa, ob) =>
+               (oa, ob) != (ca, cb) && oa <= ca && cb <= ob }) {
+          val body = sql.substring(ca, cb)
+          // the cast's target type is the trailing `AS <type>)` of its own
+          // span; a DECIMAL target surfacing at output level is the hazard
+          val decimalTarget =
+            "(?i)\\bas\\s+decimal(\\s*\\([0-9, ]*\\))?\\s*\\)\\s*$".r
+              .findFirstIn(body).isDefined
+          if (decimalTarget)
+            bad += s"$name: output-level `${body.replaceAll("\\s+", " ").take(80)}`"
+        }
+      }
+    }
+    assert(bad.isEmpty,
+      "\nOracles projecting an outermost DECIMAL cast (decimal output " +
+        "columns are the round-7 tpch_q1 hazard class):\n  " +
+        bad.mkString("\n  "))
+  }
+
   test("the lint catches the round-3 window_session_gap drift pattern") {
     // The exact shape that passed the round-3 value-lenient local check and
     // failed the driver's typed hash: windowed integer SUM aliased in a
