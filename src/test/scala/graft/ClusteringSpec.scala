@@ -135,4 +135,24 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(driver.toSeq == dist.toSeq)
   }
+
+  test("power iteration: all-zero corpus nulls BOTH columns on BOTH paths") {
+    // Round-7 advice: the driver branch nulled loading AND eig_est on a
+    // degenerate (all-zero) corpus, but the distributed branch at iters=1
+    // surfaced eig_est = 0.0 (the growth scalar is decimal zero, not
+    // null — only the 0/0 loading went null through the NaN→decimal
+    // cast). Pin the symmetric behavior at the asymmetry's exact spot.
+    import spark.implicits._
+    val zeros = (0L until 6L).map(i => (i, Array.fill(3)(0.0f)))
+      .toDF("vec_id", "embedding")
+    for (threshold <- Seq(256, 0); iters <- Seq(1, 3)) {
+      val rows = Clustering.pcaPowerTop(zeros, iters = iters,
+        driverIterateMaxDims = threshold).collect()
+      assert(rows.length == 3)
+      for (r <- rows) {
+        assert(r.isNullAt(1), s"loading (threshold=$threshold iters=$iters)")
+        assert(r.isNullAt(2), s"eig_est (threshold=$threshold iters=$iters)")
+      }
+    }
+  }
 }

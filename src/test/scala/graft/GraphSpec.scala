@@ -163,4 +163,31 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got === Set((2L, 5L), (2L, 8L), (5L, 8L)))
   }
+
+  test("packPair round-trips and orders in-bound keys, raises past 2^31") {
+    // Round-7 advice: the (a<<32)+b pack's validity bound was only a
+    // comment — a 2³¹⁺ key would flip the packed sign bit and silently
+    // corrupt top-k ordering. Now the guard raises instead.
+    import spark.implicits._
+    val ok = Seq((0L, 0L), (1L, 2L), ((1L << 31) - 1, (1L << 31) - 1))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Graph.packPair(col("a"), col("b")).as("pp"))
+      .select(col("a"), col("b"), expr("shiftright(pp, 32)").as("da"),
+        expr("pp & 4294967295").as("db"), col("pp"))
+      .collect()
+    for (r <- ok) {
+      assert(r.getLong(0) === r.getLong(2) && r.getLong(1) === r.getLong(3))
+      assert(r.getLong(4) >= 0L) // sign bit untouched ⇒ ordering holds
+    }
+    for (bad <- Seq((1L << 31, 1L), (1L, 1L << 31), (-1L, 1L))) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("a", "b")
+          .select(Graph.packPair(col("a"), col("b"))).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("packPair")), s"$bad: $e")
+    }
+  }
 }

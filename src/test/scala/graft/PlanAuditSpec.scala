@@ -182,23 +182,55 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("lssComponents: star joins ride the node-count broadcast gate") {
-    // Under the gate (every test corpus is far below BroadcastMaxNodes)
-    // each round's two star joins must be BHJ against the node-bounded
-    // minOfStar frame — never a sort-merge re-shuffle of the edge list.
-    // The loop executes eagerly inside the call, so assert on the round
-    // JOIN SHAPE directly with the same inputs the op builds.
-    import org.apache.spark.sql.functions.{broadcast => bc}
+    // Drive the PRODUCTION path (round-7 advice: the old form rebuilt the
+    // join by hand with an explicit broadcast() hint, so it verified
+    // Spark's hint mechanics — a regression deleting the gate inside
+    // lssComponents would still have passed). Here lssComponents itself
+    // runs under a QueryExecutionListener that captures every executed
+    // plan its per-round checksum actions produce, with the size-based
+    // auto-broadcast DISABLED: the only way a BroadcastHashJoin can
+    // appear is the op's own node-count gate hint. Remove the gate and
+    // every round's star joins fall to SortMergeJoin — both asserts fire.
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.listenerManager.register(listener)
     try {
       import spark.implicits._
-      val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L))
-        .toDF("u", "v").repartition(4)
-      val mos = edges.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val joined = edges.filter(col("v") > col("u")).join(bc(mos), "u")
-      val s = joined.queryExecution.executedPlan.toString
-      assert(s.contains("BroadcastHashJoin") && !s.contains("SortMergeJoin"),
-        s"hinted star join must broadcast:\n$s")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (3L, 7L))
+        .toDF("doc_a", "doc_b").repartition(4)
+      val out = graft.ops.Dedup.lssComponents(pairs)
+      assert(out.count() === 7) // all nodes labeled
+      // listener delivery is async — poll until the round plans landed
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (System.nanoTime() < deadline &&
+        !plans.toArray.exists(_.toString.contains("BroadcastHashJoin")))
+        Thread.sleep(100)
+      val all = plans.toArray.map(_.toString)
+      val joinPlans = all.filter(p =>
+        p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin"))
+      assert(joinPlans.nonEmpty,
+        "expected the per-round checksum actions to execute star joins")
+      assert(joinPlans.forall(p => !p.contains("SortMergeJoin") &&
+        !p.contains("ShuffledHashJoin")),
+        "a star join fell to a shuffle join under the gate:\n" +
+          joinPlans.find(p => p.contains("SortMergeJoin") ||
+            p.contains("ShuffledHashJoin")).getOrElse(""))
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 }

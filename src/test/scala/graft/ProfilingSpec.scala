@@ -101,11 +101,21 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
     // maxM caps the loop: an uncertifiable frame surfaces guaranteed =
-    // false instead of spinning (5000 singletons, cap at 64)
+    // false instead of spinning (5000 singletons, cap at 64) — and the
+    // ROWS must still be the exact top-k (round-7 advice: the old path
+    // returned the last sketch's partitioning-dependent candidates, so
+    // the declared query could drift from its exact-GROUP-BY oracle on
+    // exactly the corpora where certification fails)
     val uni = (1 to 5000).map(i => s"u$i").toDF("item").repartition(8)
     val capped = HeavyHitters
       .approxTopKAdaptive(spark, uni, "item", k = 5, m0 = 32, maxM = 64)
-    assert(capped.collect().forall(!_.getBoolean(2)))
+      .collect()
+    assert(capped.forall(!_.getBoolean(2)))
+    val exactUni = uni.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("item")).limit(5)
+      .as[(String, Long)].collect().toSeq
+    assert(capped.map(r => (r.getString(0), r.getLong(1))).toSeq == exactUni,
+      "uncertified fallback must return the exact top-k rows")
   }
 
   test("approxTopK withdraws its guarantee on a uniform frame") {
