@@ -5,9 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Append-mode sink layer (reference S5/S6, `etl/core/dim_loader.py:23-30`,
   * `load_311.py:113-126`): skip-if-empty, append disposition. The format
   * string is a real `DataFrameWriter.format` plug point — parquet by
-  * default, csv/json for local breadth, and a warehouse connector name
-  * (the reference loads to BigQuery via a pandas-gbq call; here any DSv2
-  * writer on the classpath slots in) without touching call sites.
+  * default, csv/json/orc for local breadth, and `"graft-warehouse"` for
+  * the in-repo LOAD-JOB writer ([[graft.sources.WarehouseSource]]):
+  * staged distributed write, atomic manifest-swap commit, BigQuery-style
+  * WRITE_APPEND/WRITE_TRUNCATE/WRITE_EMPTY dispositions, blocking
+  * driver-side job — the reference's terminal boundary semantics,
+  * implementable offline. No call site changes between formats.
   *
   * Scale: append of a partitioned DataFrame is embarrassingly parallel —
   * one file per partition, no shuffle. Callers control layout with
@@ -65,16 +68,16 @@ object Sink {
     * MERGE: one broadcast-able anti-join per slice against a small dim.
     */
   def upsertDim(spark: SparkSession, dim: DataFrame, path: String,
-      naturalKeys: Seq[String]): Long = {
+      naturalKeys: Seq[String], format: String = "parquet"): Long = {
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
     val fresh =
       if (!fs.exists(new org.apache.hadoop.fs.Path(path))) dim
       else {
-        val existing = read(spark, path)
+        val existing = read(spark, path, format)
           .select(naturalKeys.map(org.apache.spark.sql.functions.col): _*)
         dim.join(existing, naturalKeys, "left_anti")
       }
-    append(fresh, path)
+    append(fresh, path, format = format)
   }
 }

@@ -34,7 +34,11 @@ object Pipeline {
       end: String,   // exclusive
       // false = faithful reference semantics (dims re-append per run,
       // SURVEY §2.8 quirk); true = idempotent anti-join upsert (§7.4.6)
-      idempotentDims: Boolean = false)
+      idempotentDims: Boolean = false,
+      // terminal boundary format: "parquet" (driver testdata layout) or
+      // "graft-warehouse" (the load-job sink — the reference's BigQuery
+      // WRITE_APPEND boundary, dim_loader.py:23-30)
+      sinkFormat: String = "parquet")
 
   def run(spark: SparkSession, cfg: Config): Map[String, Long] = {
     // 1. static dims — regenerated and appended per run, preserving the
@@ -42,8 +46,10 @@ object Pipeline {
     // the idempotent variant.
     val dateDim = Generators.dateDim(spark, "2020-01-01", "2026-12-31")
     val timeDim = Generators.timeDim(spark)
-    val nDateDim = Sink.append(dateDim, s"${cfg.outDir}/dim_date")
-    val nTimeDim = Sink.append(timeDim, s"${cfg.outDir}/dim_time")
+    val nDateDim = Sink.append(dateDim, s"${cfg.outDir}/dim_date",
+      format = cfg.sinkFormat)
+    val nTimeDim = Sink.append(timeDim, s"${cfg.outDir}/dim_time",
+      format = cfg.sinkFormat)
 
     // 2. extract: the incremental slice (P2 pushed to the scan)
     val raw = Star.rawFact(spark, cfg.sfDir)
@@ -63,8 +69,9 @@ object Pipeline {
       .map { case (name, loader) =>
         val dim = loader.build(cleaned).cache()
         if (cfg.idempotentDims)
-          Sink.upsertDim(spark, dim, s"${cfg.outDir}/$name", loader.naturalCols)
-        else Sink.append(dim, s"${cfg.outDir}/$name")
+          Sink.upsertDim(spark, dim, s"${cfg.outDir}/$name", loader.naturalCols,
+            format = cfg.sinkFormat)
+        else Sink.append(dim, s"${cfg.outDir}/$name", format = cfg.sinkFormat)
         (name, loader, dim)
       }
 
@@ -80,8 +87,12 @@ object Pipeline {
         "supplier_key", "nation_key")
     // facts land partitioned by year so incremental reads partition-prune;
     // the row count is observed inside the write job (no DAG re-run)
+    // directory partitioning is a parquet-layout concern; a warehouse
+    // table's partitioning is internal table config (as in the reference's
+    // BigQuery sink), so the load-job path takes the rows unpartitioned
     val nFact = Sink.append(fact, s"${cfg.outDir}/fact_lineitem",
-      Seq("ship_year"))
+      if (cfg.sinkFormat == "parquet") Seq("ship_year") else Nil,
+      format = cfg.sinkFormat)
 
     // 5. second fact domain (reference's parking fact, main.py:148-181):
     // orders enriched with customer attributes, two dims stamped
@@ -100,8 +111,9 @@ object Pipeline {
       .map { case (name, loader) =>
         val dim = loader.build(ordersCleaned).cache()
         if (cfg.idempotentDims)
-          Sink.upsertDim(spark, dim, s"${cfg.outDir}/$name", loader.naturalCols)
-        else Sink.append(dim, s"${cfg.outDir}/$name")
+          Sink.upsertDim(spark, dim, s"${cfg.outDir}/$name", loader.naturalCols,
+            format = cfg.sinkFormat)
+        else Sink.append(dim, s"${cfg.outDir}/$name", format = cfg.sinkFormat)
         (name, loader, dim)
       }
     val ordersFact = ordersDims.foldLeft(ordersCleaned) {
@@ -111,7 +123,8 @@ object Pipeline {
       .withColumn("order_date_key", TimeParse.dateKey(col("o_orderdate")))
       .select("o_orderkey", "o_totalprice", "order_date_key", "prio_key",
         "segment_key")
-    val nOrdersFact = Sink.append(ordersFact, s"${cfg.outDir}/fact_orders")
+    val nOrdersFact = Sink.append(ordersFact, s"${cfg.outDir}/fact_orders",
+      format = cfg.sinkFormat)
 
     // 6. integrated fact (load_integrated_fact.py:6-24): both domains
     // union-by-name'd onto the shared (domain, date_key, amount) shape
@@ -122,7 +135,8 @@ object Pipeline {
       .unionByName(ordersFact.select(lit("orders").as("domain"),
         col("order_date_key").as("date_key"),
         col("o_totalprice").as("amount")))
-    val nIntegrated = Sink.append(integrated, s"${cfg.outDir}/fact_integrated")
+    val nIntegrated = Sink.append(integrated,
+      s"${cfg.outDir}/fact_integrated", format = cfg.sinkFormat)
 
     // observability counts (main.py:60-63): the write-observed row counts —
     // no sink's DAG runs twice. Dim counts come off the cached dims.
@@ -138,8 +152,9 @@ object Pipeline {
   }
 
   /** Read back a pipeline output table. */
-  def table(spark: SparkSession, outDir: String, name: String): DataFrame =
-    Sink.read(spark, s"$outDir/$name")
+  def table(spark: SparkSession, outDir: String, name: String,
+      format: String = "parquet"): DataFrame =
+    Sink.read(spark, s"$outDir/$name", format)
 }
 
 /** Backfill orchestrator (reference `load_history.py:4-17`): replay

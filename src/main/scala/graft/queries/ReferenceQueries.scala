@@ -422,6 +422,25 @@ object ReferenceQueries {
         Sink.append(Generators.dateDim(s, "2024-01-01", "2024-12-31"), path)
         Sink.read(s, path).orderBy("date_key")
       },
+      Some(dateDimOracle)),
+
+    // S5 through the LOAD-JOB boundary (dim_loader.py:23-30: staged load,
+    // WRITE_APPEND disposition, blocking job.result()): the same dim, two
+    // append jobs — truncate-install then append the second half-year —
+    // read back through the DSv2 scan. The oracle is the generator's: two
+    // all-or-nothing committed generations must reassemble the exact
+    // calendar. Load-job semantics themselves (atomicity, dispositions,
+    // schema-drift refusal, abort) are spec-gated in WarehouseSinkSpec.
+    QueryDef("sink_warehouse",
+      (s, dir) => {
+        val path =
+          s"/tmp/graft_sink_wh_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        Sink.overwrite(Generators.dateDim(s, "2024-01-01", "2024-06-30"),
+          path, format = "graft-warehouse")
+        Sink.append(Generators.dateDim(s, "2024-07-01", "2024-12-31"),
+          path, format = "graft-warehouse")
+        Sink.read(s, path, "graft-warehouse").orderBy("date_key")
+      },
       Some(dateDimOracle))
   )
 

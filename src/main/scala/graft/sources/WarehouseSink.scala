@@ -1,0 +1,412 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Warehouse LOAD-JOB sink — the reference's terminal boundary re-expressed
+  * as an in-repo DataSource V2 table (reference `etl/core/dim_loader.py:23-30`:
+  * `client.load_table_from_dataframe(df, table_id, job_config)` with
+  * `WRITE_APPEND` disposition, then a blocking `job.result()`). The same
+  * offline-implementable-semantics move as round 7's HTTP transport: the
+  * network service is absent, the SEMANTICS are not —
+  *
+  *   - **staging**: every executor task serializes its partition to
+  *     `_staging/<jobId>/` — the distributed "upload" leg; no row ever
+  *     passes through the driver;
+  *   - **load job**: `BatchWrite.commit` runs the job on the driver,
+  *     BLOCKING (= `job.result()`): it moves staged files under
+  *     `data/<jobId>/` and swaps in a new manifest generation by atomic
+  *     rename. Readers resolve the HIGHEST committed manifest, so a job
+  *     is all-or-nothing visible: a failure at any stage (task death,
+  *     schema drift, disposition violation) leaves the previous
+  *     generation untouched — `abort` only ever deletes staging;
+  *   - **dispositions**: `WRITE_APPEND` (new manifest = old files + new),
+  *     `WRITE_TRUNCATE` (new files only — atomic logical truncate; old
+  *     generations' files are retired from visibility, not rewritten),
+  *     `WRITE_EMPTY` (job FAILS if the table holds any row — and the
+  *     failure provably changes nothing).
+  *
+  * Scale shape: the job's data movement is the staged task writes
+  * (embarrassingly parallel); commit is metadata-only — O(files) renames
+  * plus one manifest swap — so a 1000-executor load commits in driver
+  * milliseconds regardless of volume, exactly the property that makes
+  * load-job sinks viable at 100 TB.
+  *
+  * `graft.io.Sink.append/overwrite(format = "graft-warehouse")` route here
+  * by short name (ServiceLoader registration); disposition can also be set
+  * explicitly via `.option("writeDisposition", ...)`.
+  */
+class WarehouseSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-warehouse"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def root(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-warehouse requires a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarehouseMeta.readManifest(root(options)) match {
+      case Some(m) => m.schema
+      case None => throw new IllegalArgumentException(
+        s"graft-warehouse table at ${root(options)} has no committed " +
+          "manifest; write to it first or supply a schema")
+    }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WarehouseTable(properties.get("path"), schema)
+}
+
+/** One warehouse table rooted at `path`. */
+class WarehouseTable(path: String, schema0: StructType)
+    extends Table with SupportsWrite with SupportsRead {
+  override def name(): String = s"graft-warehouse:$path"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WarehouseWriteBuilder(path, info.schema(), info.queryId(),
+      Option(info.options.get("writeDisposition"))
+        .getOrElse("WRITE_APPEND"))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new WarehouseScan(path)
+}
+
+class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
+    disposition0: String) extends WriteBuilder with SupportsTruncate {
+  private var disposition = disposition0
+
+  /** `mode("overwrite")` arrives here — Spark's truncate IS the
+    * WRITE_TRUNCATE disposition. */
+  override def truncate(): WriteBuilder = { disposition = "WRITE_TRUNCATE"; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new WarehouseBatchWrite(path, schema, queryId, disposition)
+  }
+}
+
+case class StagedFile(path: String, rows: Long) extends WriterCommitMessage
+
+class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
+    disposition: String) extends BatchWrite {
+  require(Set("WRITE_APPEND", "WRITE_TRUNCATE", "WRITE_EMPTY")(disposition),
+    s"unknown writeDisposition $disposition")
+  private val jobId = s"job_${queryId}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new WarehouseWriterFactory(root, s"$root/_staging/$jobId", schema)
+
+  /** THE LOAD JOB — driver-side, synchronous (`job.result()` semantics:
+    * when this returns, the data is visible; when it throws, nothing
+    * changed). All checks precede the first mutation of anything outside
+    * `_staging`, and visibility flips only at the final atomic rename.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = WarehouseMeta.fs(root)
+    WarehouseMeta.logJobState(fs, root, jobId, "RUNNING")
+    try {
+      val prev = WarehouseMeta.readManifest(root)
+      prev.foreach { m =>
+        // nullability-insensitive type equality (sameType is private):
+        // simpleString renders names + types, not nullability
+        require(m.schema.simpleString == schema.simpleString,
+          s"load job $jobId: schema drift — table has " +
+            s"${m.schema.simpleString}, load has ${schema.simpleString}")
+        if (disposition == "WRITE_EMPTY")
+          require(m.files.isEmpty,
+            s"load job $jobId: WRITE_EMPTY but table holds data")
+      }
+      val staged = messages.collect { case s: StagedFile => s }
+      val dataDir = new Path(root, s"data/$jobId")
+      fs.mkdirs(dataDir)
+      val moved = staged.map { s =>
+        val src = new Path(s.path)
+        val dst = new Path(dataDir, src.getName)
+        require(fs.rename(src, dst),
+          s"load job $jobId: cannot move staged ${s.path}")
+        s"data/$jobId/${src.getName}"
+      }
+      val kept =
+        if (disposition == "WRITE_TRUNCATE") Nil
+        else prev.map(_.files).getOrElse(Nil)
+      val gen = prev.map(_.generation + 1).getOrElse(0L)
+      WarehouseMeta.writeManifest(fs, root,
+        Manifest(gen, schema, kept ++ moved.toList, jobId, disposition))
+      fs.delete(new Path(root, s"_staging/$jobId"), true)
+      WarehouseMeta.logJobState(fs, root, jobId, "DONE")
+    } catch {
+      case e: Throwable =>
+        WarehouseMeta.logJobState(fs, root, jobId, s"ERROR ${e.getMessage}")
+        throw e
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = WarehouseMeta.fs(root)
+    fs.delete(new Path(root, s"_staging/$jobId"), true)
+    WarehouseMeta.logJobState(fs, root, jobId, "ABORTED")
+  }
+}
+
+class WarehouseWriterFactory(root: String, stagingDir: String,
+    schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new WarehouseDataWriter(
+      s"$stagingDir/part-$partitionId-$taskId.grow", root, schema)
+}
+
+/** Task-side staged writer: streams the partition through the row codec
+  * into ONE staging file; `commit` hands the file to the job, `abort`
+  * deletes it. Speculative twins collide on distinct taskIds, and only
+  * the committed message's file is ever loaded.
+  */
+class WarehouseDataWriter(file: String, root: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+  private val fs = WarehouseMeta.fs(root)
+  private val out = new DataOutputStream(
+    new java.io.BufferedOutputStream(fs.create(new Path(file), true)))
+  out.writeInt(WarehouseCodec.Magic)
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    WarehouseCodec.writeRow(out, record, schema)
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    StagedFile(file, rows)
+  }
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(new Path(file), false)
+  }
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------- read path
+
+class WarehouseScan(root: String) extends Scan with Batch {
+  private val manifest = WarehouseMeta.readManifest(root).getOrElse(
+    throw new IllegalArgumentException(
+      s"graft-warehouse table at $root has no committed manifest"))
+  override def readSchema(): StructType = manifest.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    manifest.files.map(f => WarehousePartition(s"$root/$f"): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarehouseReaderFactory(root, manifest.schema)
+}
+
+case class WarehousePartition(file: String) extends InputPartition
+
+class WarehouseReaderFactory(root: String, schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[WarehousePartition].file
+    new PartitionReader[InternalRow] {
+      private val fs = WarehouseMeta.fs(root)
+      private val in = new DataInputStream(
+        new java.io.BufferedInputStream(fs.open(new Path(file))))
+      require(in.readInt() == WarehouseCodec.Magic,
+        s"not a graft-warehouse data file: $file")
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        row = WarehouseCodec.readRow(in, schema)
+        row != null
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+// ------------------------------------------------------- manifest + codec
+
+case class Manifest(generation: Long, schema: StructType,
+    files: List[String], jobId: String, disposition: String)
+
+/** Manifest layer: one `manifest-<gen>` file per committed load job under
+  * `_manifest/`, written to a dot-temp name and atomically renamed; the
+  * table's visible state IS the highest generation. Line format (keyed
+  * lines, schema as Spark's own StructType JSON) keeps it dependency-free
+  * and debuggable with `cat`.
+  */
+object WarehouseMeta {
+  def fs(root: String): FileSystem =
+    new Path(root).getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  private val ManifestRe = "manifest-([0-9]+)".r
+
+  def readManifest(root: String): Option[Manifest] = {
+    val f = fs(root)
+    val dir = new Path(root, "_manifest")
+    if (!f.exists(dir)) return None
+    val gens = f.listStatus(dir).toSeq.flatMap(s =>
+      s.getPath.getName match {
+        case ManifestRe(g) => Some(g.toLong -> s.getPath)
+        case _ => None
+      })
+    if (gens.isEmpty) return None
+    val (gen, path) = gens.maxBy(_._1)
+    val lines = {
+      val in = f.open(path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    def one(k: String): String = lines.collectFirst {
+      case l if l.startsWith(s"$k=") => l.substring(k.length + 1)
+    }.getOrElse(throw new IllegalStateException(
+      s"manifest $path missing key $k"))
+    Some(Manifest(gen,
+      DataType.fromJson(one("schema")).asInstanceOf[StructType],
+      lines.filter(_.startsWith("file=")).map(_.substring(5)),
+      one("job"), one("disposition")))
+  }
+
+  def writeManifest(f: FileSystem, root: String, m: Manifest): Unit = {
+    val dir = new Path(root, "_manifest")
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".manifest-${m.generation}.tmp")
+    val out = new DataOutputStream(f.create(tmp, true))
+    try {
+      val body = (s"schema=${m.schema.json}" ::
+        s"job=${m.jobId}" ::
+        s"disposition=${m.disposition}" ::
+        m.files.map(p => s"file=$p")).mkString("", "\n", "\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    val dst = new Path(dir, s"manifest-${m.generation}")
+    require(f.rename(tmp, dst),
+      s"cannot commit manifest generation ${m.generation}")
+  }
+
+  /** Job observability (`job.result()`'s state surface): one log file per
+    * job under `_jobs/`, appended a state line per transition. */
+  def logJobState(f: FileSystem, root: String, jobId: String,
+      state: String): Unit = {
+    val p = new Path(root, s"_jobs/$jobId")
+    val prior =
+      if (f.exists(p)) {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } else ""
+    val out = f.create(p, true)
+    try out.write((prior + state + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def jobStates(root: String, jobId: String): Seq[String] = {
+    val f = fs(root)
+    val p = new Path(root, s"_jobs/$jobId")
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+  }
+
+  def jobs(root: String): Seq[String] = {
+    val f = fs(root)
+    val dir = new Path(root, "_jobs")
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+  }
+}
+
+/** Staged-row codec: schema-driven, null-byte + value per field. Covers
+  * the warehouse surface the reference loads (strings, integral/floating
+  * numerics, bool, timestamp, date, binary); anything else fails loudly at
+  * write time — no silent coercion into a lossy encoding.
+  */
+object WarehouseCodec {
+  val Magic: Int = 0x47524f57 // "GROW"
+
+  def writeRow(out: DataOutputStream, row: InternalRow,
+      schema: StructType): Unit = {
+    out.writeByte(1) // row marker
+    var i = 0
+    while (i < schema.length) {
+      if (row.isNullAt(i)) out.writeByte(0)
+      else {
+        out.writeByte(1)
+        schema(i).dataType match {
+          case BooleanType => out.writeBoolean(row.getBoolean(i))
+          case ByteType => out.writeByte(row.getByte(i))
+          case ShortType => out.writeShort(row.getShort(i))
+          case IntegerType | DateType => out.writeInt(row.getInt(i))
+          case LongType | TimestampType | TimestampNTZType =>
+            out.writeLong(row.getLong(i))
+          case FloatType => out.writeFloat(row.getFloat(i))
+          case DoubleType => out.writeDouble(row.getDouble(i))
+          case StringType =>
+            val b = row.getUTF8String(i).getBytes
+            out.writeInt(b.length); out.write(b)
+          case BinaryType =>
+            val b = row.getBinary(i)
+            out.writeInt(b.length); out.write(b)
+          case t => throw new UnsupportedOperationException(
+            s"graft-warehouse cannot stage ${t.simpleString} " +
+              s"(column ${schema(i).name})")
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** Returns null at clean EOF (the writer never splits a row across a
+    * flush, so EOF can only fall on a row boundary). */
+  def readRow(in: DataInputStream, schema: StructType): InternalRow = {
+    val marker = in.read()
+    if (marker == -1) return null
+    val row = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      if (in.readByte() == 0) row.setNullAt(i)
+      else schema(i).dataType match {
+        case BooleanType => row.setBoolean(i, in.readBoolean())
+        case ByteType => row.setByte(i, in.readByte())
+        case ShortType => row.setShort(i, in.readShort())
+        case IntegerType | DateType => row.setInt(i, in.readInt())
+        case LongType | TimestampType | TimestampNTZType =>
+          row.setLong(i, in.readLong())
+        case FloatType => row.setFloat(i, in.readFloat())
+        case DoubleType => row.setDouble(i, in.readDouble())
+        case StringType =>
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          row.update(i, UTF8String.fromBytes(b))
+        case BinaryType =>
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          row.update(i, b)
+        case t => throw new UnsupportedOperationException(t.simpleString)
+      }
+      i += 1
+    }
+    row
+  }
+}
