@@ -431,6 +431,38 @@ object Similarity {
     index.unionByName(ivfAssign(batch, centroids))
   }
 
+  /** The REFIT the drift gate demands (round-7 verdict item 5): when
+    * [[ivfAppend]] refuses — the appended volume has outgrown what the
+    * frozen quantizer was fit on — re-fit the quantizer over the CURRENT
+    * corpus and bring the persisted index up to date by PATCHING, not
+    * rewriting: the fresh assignment under the new centroids is
+    * anti-joined against the stored `(vec_id, list_id)` rows, and only
+    * the vectors whose list actually changed (plus genuinely new ids)
+    * are replaced — unchanged index rows are carried through untouched.
+    *
+    * Scale shape: the fit is one bounded Lloyd pass (centroids broadcast,
+    * shuffle ∝ corpus — the cost refusal already said we must pay); the
+    * patch adds two hash joins on the narrow 2-column index, and the
+    * REWRITE volume a persisted index pays downstream is ∝ moved rows,
+    * not the index — after a modest drift most vectors keep their list.
+    *
+    * Correctness invariant (the `ann_ivf_refit` oracle hashes it): the
+    * patched index is row-identical to a fresh
+    * `fitQuantizer` + `ivfAssign` over the whole corpus — patching is an
+    * IO optimization, never a semantic one. `emb` must be the full
+    * current corpus (base + appended); the refit quantizer to persist
+    * (under a fresh content fingerprint, the ann_ivf_trained discipline)
+    * is re-derivable via [[fitQuantizer]] on the same corpus.
+    */
+  def ivfRefit(index: DataFrame, emb: DataFrame, nlists: Int = 8,
+      iters: Int = 1): DataFrame = {
+    val cen = fitQuantizer(emb, nlists, iters)
+    val fresh = ivfAssign(emb, cen)
+    val moved = fresh.join(index, Seq("vec_id", "list_id"), "left_anti")
+    index.join(moved.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(moved)
+  }
+
   def ivfTrainedTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 3,
       nlists: Int = 8, nprobe: Int = 2, iters: Int = 1,
       centroids: Option[DataFrame] = None): DataFrame = {

@@ -103,6 +103,43 @@ class ClusteringSpec extends SparkSpec {
       .count() === emb.count())
   }
 
+  test("IVF lifecycle: refuse -> refit (patch ≡ fresh rebuild) -> accept") {
+    import org.apache.spark.sql.functions._
+    val S = graft.ops.Similarity
+    val emb = Tables.read(spark, sf, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 < 6)   // 60%
+    val grown = emb.filter(col("vec_id") % 10 >= 6) // 40% > 0.5·60%
+    val cen0 = S.fitQuantizer(base, nlists = 4)
+    val index0 = S.ivfAssign(base, cen0)
+
+    // 1. REFUSE: the growth exceeds the drift budget of the frozen fit
+    val boom = intercept[IllegalArgumentException] {
+      S.ivfAppend(index0, grown, cen0)
+    }
+    assert(boom.getMessage.contains("refit required"))
+
+    // 2. REFIT: patch the stale index under a quantizer re-fit on the
+    // full corpus; the patched index must be ROW-IDENTICAL to a fresh
+    // fitQuantizer + ivfAssign over the same corpus (patching is IO
+    // optimization, not semantics — the ann_ivf_refit oracle's invariant)
+    val refit = S.ivfRefit(index0, emb, nlists = 4)
+    val cen1 = S.fitQuantizer(emb, nlists = 4)
+    val fresh = S.ivfAssign(emb, cen1)
+    assert(refit.collect().map(_.toSeq).toSet ===
+      fresh.collect().map(_.toSeq).toSet)
+    assert(refit.count() === emb.count())
+    // the patch carries SOME base rows unchanged (the IO the refit
+    // avoids): stale and fresh assignments overlap on stable vectors
+    val carried = index0.join(fresh, Seq("vec_id", "list_id"), "left_semi")
+    assert(carried.count() > 0)
+
+    // 3. ACCEPT: the refit index + quantizer admit a modest new batch
+    val next = emb.limit(20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val after = S.ivfAppend(refit, next, cen1)
+    assert(after.count() === emb.count() + 20)
+  }
+
   test("power iteration recovers a planted dominant direction, repartition-stable") {
     import spark.implicits._
     // variance concentrated on dim 0 (values ±8), noise ~0.1 elsewhere:
