@@ -60,7 +60,10 @@ object Bench {
     }
     val names = queries.keys.toSeq
     val med = names.map(n => n -> median(passes.map(_(n)))).toMap
-    val qs = names.map(n => s"\"$n\":" + med(n)).mkString("{", ",", "}")
+    // per-query times rounded to ms: round-over-round comparison never
+    // needs sub-ms precision and the full line shrinks ~40%
+    def ms3(v: Double): String = f"$v%.3f"
+    val qs = names.map(n => s"\"$n\":" + ms3(med(n))).mkString("{", ",", "}")
     val total = med.values.sum
     val passTotals = passes.map(_.values.sum)
     val totals = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
@@ -71,7 +74,35 @@ object Bench {
     val spreadPct =
       if (passTotals.size < 2 || total == 0) 0.0
       else (passTotals.max - passTotals.min) / total * 100
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"totals":$totals,"spread_pct":$spreadPct%.1f}""")
+    val fullLine = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"totals":$totals,"spread_pct":$spreadPct%.1f}"""
+    // The contract line first (full stdout captures get everything) …
+    println(fullLine)
+    // … then two artifact-capture fixes for the driver's 2000-char
+    // stdout-TAIL window (BENCH_r07.json preserved 63 of 214 per-query
+    // rows and has parsed:null in every round — the full line has never
+    // fit):
+    //  1. sidecar: the COMPLETE json written to a file in the repo, so
+    //     every per-query number survives as a committed artifact;
+    //  2. a compact LAST line, sized to sit entirely inside the tail
+    //     window even after the runner's epilogue: headline fields +
+    //     as many heaviest queries as fit — the rows round-over-round
+    //     comparisons actually read — plus the sidecar pointer.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sidecar), fullLine + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
+    val budget = 1700
+    val heavy = names.sortBy(-med(_))
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":${names.size},"totals":$totals,"spread_pct":$spreadPct%.1f,"full":"$sidecar","top":{"""
+    val sb = new StringBuilder(head)
+    var first = true
+    for (n <- heavy) {
+      val piece = (if (first) "" else ",") + s"\"$n\":" + ms3(med(n))
+      if (sb.length + piece.length < budget) { sb.append(piece); first = false }
+    }
+    sb.append("}}")
+    println(sb.toString)
     spark.stop()
   }
 }
