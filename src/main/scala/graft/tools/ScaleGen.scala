@@ -21,8 +21,22 @@ import org.apache.spark.sql.functions._
   *   - embeddings: replica r > 0 adds a deterministic hash-derived jitter
   *     (±0.05 per dim) so ANN buckets don't fill with N exact copies.
   *
-  * Usage: ScaleGen [srcDir] [dstDir] [factor]. Writes dstDir/<t>.parquet
-  * directories readable by graft.core.Tables like the driver's layout.
+  * Usage: ScaleGen [srcDir] [dstDir] [factor] [dense]. Writes
+  * dstDir/<t>.parquet directories readable by graft.core.Tables like the
+  * driver's layout.
+  *
+  * Key layout modes (round-8, the byte-audit density control):
+  *   - default (shift): replica keys are `key + r·10⁸`. Simple, but the
+  *     high-bit entropy of shifted keys compresses WORSE under LZ4 than
+  *     the base corpus' dense keys — the round-7 market-basket audit
+  *     measured 26% of an apparent 12.6× byte growth as exactly this
+  *     serialization-density artifact, not plan growth.
+  *   - `dense`: replica keys are `key·factor + r` — unique, order- and
+  *     distribution-preserving, and only log₂(factor) bits wider than
+  *     the base domain, so exchange bytes/row stay comparable across
+  *     scale legs and audit ratios isolate PLAN growth. Also keeps every
+  *     key far inside the 2³¹ packPair bound at any factor (the shift
+  *     scheme crosses it at factor ≈ 21).
   */
 object ScaleGen {
 
@@ -34,6 +48,7 @@ object ScaleGen {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val dense = args.lift(3).contains("dense")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,7 +70,8 @@ object ScaleGen {
       df.crossJoin(
         spark.range(factor.toLong).select(col("id").as("r")))
     def shifted(c: String): org.apache.spark.sql.Column =
-      col(c) + col("r") * Shift
+      if (dense) col(c) * factor + col("r")
+      else col(c) + col("r") * Shift
 
     // fixed dims: straight copy
     for (t <- Seq("region", "nation")) write(read(t), t, 1)
