@@ -644,4 +644,23 @@ object Similarity {
       bands: Int = 4, knownCount: Option[Long] = None): DataFrame =
     embeddingNearDupsBanded(emb, threshold, bands,
       adaptiveBitsPerBand(knownCount.getOrElse(emb.count())))
+
+  /** [[embeddingNearDups]] (the didactic SINGLE-bucket blocking baseline)
+    * with its width chosen by the same [[adaptiveBitsPerBand]] rule —
+    * the round-8 fix for the sf2 bench finding: at fixed 4 bits the
+    * 16 buckets hold N/16 vectors each, so in-bucket cosine pairs grow
+    * ∝ N²/16 (measured 4.9× wall for 2× data at n=40k; the cost was
+    * COMPUTE, not shuffle — 20 MB of bytes behind 20 s of cosines).
+    * Adaptive width pins expected occupancy, restoring candidate volume
+    * ∝ N. `minBits = 4` keeps the driver-SF outputs bit-identical to the
+    * historical fixed-4 form; recall under AND-only single-probe
+    * blocking shrinks as bits grow — the OR-amplified
+    * [[embeddingNearDupsAdaptive]] banded family is the recall-correct
+    * production path, and `dedup_minhash_recall`/`ann_recall` measure
+    * that tradeoff on the declared surface.
+    */
+  def embeddingNearDupsAdaptiveSingle(emb: DataFrame,
+      threshold: Double = 0.35, knownCount: Option[Long] = None): DataFrame =
+    embeddingNearDups(emb, threshold,
+      adaptiveBitsPerBand(knownCount.getOrElse(emb.count()), minBits = 4))
 }

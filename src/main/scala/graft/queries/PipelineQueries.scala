@@ -162,12 +162,14 @@ object PipelineQueries {
     * Similarity.adaptiveBitsPerBand; no float log₂ on either engine). The
     * COALESCE mirrors the Scala rule's getOrElse(30) cap — above 2^30·64
     * vectors min(p) is NULL and the rule pins at 30 on both engines.
+    * `minBits` mirrors the Scala floor (6 for the banded family, 4 for
+    * the single-bucket baseline's historical width).
     */
-  private val adaptiveBitsCte: String =
-    """ab AS (SELECT GREATEST(6, COALESCE((SELECT CAST(min(p) AS INT)
-      |  FROM generate_series(0, 30) t(p)
-      |  WHERE (1::BIGINT << p) * 64 >= (SELECT count(*) FROM embeddings)), 30))
-      |  AS bits)""".stripMargin
+  private def adaptiveBitsCte(minBits: Int = 6): String =
+    s"""ab AS (SELECT GREATEST($minBits, COALESCE((SELECT CAST(min(p) AS INT)
+       |  FROM generate_series(0, 30) t(p)
+       |  WHERE (1::BIGINT << p) * 64 >= (SELECT count(*) FROM embeddings)), 30))
+       |  AS bits)""".stripMargin
 
   /** Shared CTE chain for the adaptive banded candidate pairs (mirror of
     * Similarity.embeddingNearDupsAdaptive's blocking): e (vectors+norms),
@@ -180,7 +182,7 @@ object PipelineQueries {
     }.mkString("\nUNION ALL\n")
     s"""e AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm
        |           FROM embeddings),
-       |$adaptiveBitsCte,
+       |${adaptiveBitsCte()},
        |keyed AS (
        |$bandSelects),
        |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -384,11 +386,20 @@ object PipelineQueries {
       (s, dir) => Dedup.ngramJaccardPairs(Tables.read(s, dir, "documents")),
       Some(ngramJaccardOracle)),
 
+    // Single-bucket hyperplane blocking baseline, bucket width ADAPTIVE
+    // since round 8 (minBits=4 keeps driver-SF outputs bit-identical to
+    // the historical fixed-4 form): at fixed width the sf2 bench read
+    // 4.9× wall for 2× data — N²/16 in-bucket cosines, a compute
+    // quadratic the byte audit could not see (20 MB of shuffle behind
+    // 20 s of cosines). The oracle gates the SAME integer width rule.
     QueryDef("dedup_embedding",
-      (s, dir) => Similarity.embeddingNearDups(Tables.read(s, dir, "embeddings")),
-      Some(s"""WITH bk AS (SELECT vec_id, embedding,
+      (s, dir) => Similarity.embeddingNearDupsAdaptiveSingle(
+        Tables.read(s, dir, "embeddings")),
+      Some(s"""WITH ${adaptiveBitsCte(4)},
+              |bk AS (SELECT vec_id, embedding,
               |  ${nrmSql("embedding")} AS nrm,
-              |  ${bucketSql("embedding", 4)} AS bucket FROM embeddings)
+              |  ${adaptiveBucketSql("embedding", 16)} AS bucket
+              |  FROM embeddings CROSS JOIN ab)
               |SELECT vec_a, vec_b, cos_sim FROM (
               |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
               |    ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim

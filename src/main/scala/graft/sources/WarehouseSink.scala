@@ -47,6 +47,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `graft.io.Sink.append/overwrite(format = "graft-warehouse")` route here
   * by short name (ServiceLoader registration); disposition can also be set
   * explicitly via `.option("writeDisposition", ...)`.
+  *
+  * Concurrency model: load jobs serialize at the table's writing driver
+  * (the reference's warehouse serializes load jobs server-side,
+  * `dim_loader.py:28-29` blocks on each). Multi-driver concurrent commits
+  * to one table are out of scope — the generation-numbered manifest makes
+  * a lost race visible (a re-read shows the other job's generation), but
+  * arbitration belongs to a catalog service this offline analog
+  * deliberately does not invent; the in-repo [[graft.ops.Txn]] layer
+  * demonstrates the optimistic-commit discipline where it matters.
   */
 class WarehouseSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-warehouse"

@@ -445,6 +445,37 @@ object Streams {
       .start()
   }
 
+  /** Streaming face of the warehouse LOAD-JOB sink: each micro-batch is
+    * one blocking, atomic load job against the `graft-warehouse` table —
+    * the production streaming→warehouse pattern (micro-batch commits are
+    * all-or-nothing manifest generations, so a reader never observes a
+    * torn batch, and a failed batch leaves the table at the last
+    * committed generation while the stream's checkpoint replays it).
+    * `foreachBatch` is the right surface: the DSv2 writer is a batch
+    * writer, and the stream engine's offset tracking supplies exactly
+    * the reference's incremental-slice semantics (`load_history.py`)
+    * with the terminal boundary of `dim_loader.py:23-30`.
+    */
+  def warehouseStreamingLoad(spark: SparkSession, srcDir: String,
+      glob: String, tablePath: String): StreamingQuery = {
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1) // one load job per source file
+      .format("parquet")
+      .load(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.io.Sink.append(batch, tablePath,
+          format = "graft-warehouse"): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tablePath/_checkpoint")
+      .start()
+  }
+
   /** Ingest-time LSH dedup as a stream: each micro-batch of new documents
     * computes its banded minhash signatures and semi-joins the corpus's
     * persisted (band, bh) store — the streaming face of

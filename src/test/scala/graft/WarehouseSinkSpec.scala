@@ -135,6 +135,37 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(readBack(path).count() === 1L)
   }
 
+  test("streaming micro-batches land as one atomic load job each") {
+    import spark.implicits._
+    // two source files => maxFilesPerTrigger(1) yields two micro-batches
+    // => two committed manifest generations, every job DONE, total exact
+    val src = fresh("stream_src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(1).write.parquet(s"$src/f1")
+    Seq((3L, "c")).toDF("id", "v")
+      .repartition(1).write.parquet(s"$src/f2")
+    // flatten the two parquet dirs into one source dir of files
+    val fs = WarehouseMeta.fs(src)
+    var i = 0
+    for (sub <- Seq("f1", "f2");
+         st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$src/$sub"))
+         if st.getPath.getName.endsWith(".parquet")) {
+      i += 1
+      fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(s"$src/part$i.parquet"))
+    }
+    val table = fresh("stream_table")
+    val q = graft.streaming.Streams.warehouseStreamingLoad(
+      spark, src, "part*.parquet", table)
+    q.awaitTermination(60000)
+    val got = readBack(table).orderBy("id").as[(Long, String)].collect()
+    assert(got.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val m = WarehouseMeta.readManifest(table).get
+    assert(m.generation === 1L) // two committed generations: 0 and 1
+    for (job <- WarehouseMeta.jobs(table))
+      assert(WarehouseMeta.jobStates(table, job).last === "DONE")
+  }
+
   test("the dim/fact pipeline runs end-to-end through the load-job sink") {
     // The reference's whole DAG terminates in BigQuery load jobs
     // (main.py:59-67 + dim_loader.py:23-30); prove ours runs through the
