@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -97,7 +97,7 @@ class WarehouseTable(path: String, schema0: StructType)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new WarehouseScan(path)
+    new WarehouseScanBuilder(path)
 }
 
 class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
@@ -114,7 +114,8 @@ class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
   }
 }
 
-case class StagedFile(path: String, rows: Long) extends WriterCommitMessage
+case class StagedFile(path: String, rows: Long,
+    stats: Map[String, (Long, Long)]) extends WriterCommitMessage
 
 class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
     disposition: String) extends BatchWrite {
@@ -154,14 +155,18 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
         val dst = new Path(dataDir, src.getName)
         require(fs.rename(src, dst),
           s"load job $jobId: cannot move staged ${s.path}")
-        s"data/$jobId/${src.getName}"
+        (s"data/$jobId/${src.getName}", s.stats)
       }
       val kept =
         if (disposition == "WRITE_TRUNCATE") Nil
         else prev.map(_.files).getOrElse(Nil)
+      val keptStats =
+        if (disposition == "WRITE_TRUNCATE") Map.empty[String, Map[String, (Long, Long)]]
+        else prev.map(_.stats).getOrElse(Map.empty)
       val gen = prev.map(_.generation + 1).getOrElse(0L)
       WarehouseMeta.writeManifest(fs, root,
-        Manifest(gen, schema, kept ++ moved.toList, jobId, disposition))
+        Manifest(gen, schema, kept ++ moved.map(_._1).toList, jobId,
+          disposition, keptStats ++ moved.toMap))
       fs.delete(new Path(root, s"_staging/$jobId"), true)
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
@@ -199,13 +204,42 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType)
   out.writeInt(WarehouseCodec.Magic)
   private var rows = 0L
 
+  // per-file zone map: min/max of every integral-typed column's non-null
+  // values, streamed alongside the write (zero extra passes) and carried
+  // into the manifest by the commit — the load-job analog of parquet
+  // row-group stats / warehouse clustering metadata
+  private val statIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
+      f.dataType == DateType || f.dataType == TimestampType ||
+      f.dataType == TimestampNTZType => i
+  }
+  private val mins = Array.fill(statIdx.length)(Long.MaxValue)
+  private val maxs = Array.fill(statIdx.length)(Long.MinValue)
+
   override def write(record: InternalRow): Unit = {
     WarehouseCodec.writeRow(out, record, schema)
+    var j = 0
+    while (j < statIdx.length) {
+      val i = statIdx(j)
+      if (!record.isNullAt(i)) {
+        val v = schema(i).dataType match {
+          case IntegerType | DateType => record.getInt(i).toLong
+          case _ => record.getLong(i)
+        }
+        if (v < mins(j)) mins(j) = v
+        if (v > maxs(j)) maxs(j) = v
+      }
+      j += 1
+    }
     rows += 1
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    StagedFile(file, rows)
+    val stats = statIdx.indices.collect {
+      case j if mins(j) <= maxs(j) =>
+        schema(statIdx(j)).name -> ((mins(j), maxs(j)))
+    }.toMap
+    StagedFile(file, rows, stats)
   }
   override def abort(): Unit = {
     out.close()
@@ -216,26 +250,129 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType)
 
 // ---------------------------------------------------------------- read path
 
-class WarehouseScan(root: String) extends Scan with Batch {
+/** Scan observability for specs (the RestPages.lastPlannedPartitions
+  * precedent): files planned and schema decoded by the LAST scan. */
+object WarehouseScanStats {
+  @volatile var lastPlannedFiles: Int = -1
+  @volatile var lastReadSchema: String = ""
+}
+
+/** ScanBuilder with the two pushdowns a 100 TB warehouse table needs:
+  *
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): the codec
+  *    decodes ONLY requested fields and byte-skips the rest — a
+  *    projection over 2 of 40 columns never allocates the other 38;
+  *  - **zone-map file pruning** (`SupportsPushDownFilters`): every load
+  *    job records per-file min/max for integral-typed columns in the
+  *    manifest (stats ride the SAME atomic commit as the data — they can
+  *    never disagree with a committed generation), and comparison
+  *    predicates prune whole files at PLANNING time. Filters are
+  *    reported back as residual (pruning is file-granular, the exact
+  *    predicate re-applies above the scan — the StatsIndex/RestSource
+  *    transparency discipline), so pruning can never change results,
+  *    only skip IO.
+  */
+class WarehouseScanBuilder(root: String) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private val manifest = WarehouseMeta.readManifest(root).getOrElse(
     throw new IllegalArgumentException(
       s"graft-warehouse table at $root has no committed manifest"))
-  override def readSchema(): StructType = manifest.schema
+  private var required: StructType = manifest.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(WarehouseZoneMap.prunable)
+    filters // ALL residual: pruning is inexact (file-granular)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new WarehouseScan(root, manifest, required, pushed)
+}
+
+class WarehouseScan(root: String, manifest: Manifest, required: StructType,
+    filters: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    manifest.files.map(f => WarehousePartition(s"$root/$f"): InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val surviving = manifest.files.filter { f =>
+      val stats = manifest.stats.getOrElse(f, Map.empty)
+      filters.forall(WarehouseZoneMap.mightMatch(_, stats))
+    }
+    WarehouseScanStats.lastPlannedFiles = surviving.size
+    WarehouseScanStats.lastReadSchema = required.simpleString
+    surviving.map(f => WarehousePartition(s"$root/$f"): InputPartition)
       .toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(root, manifest.schema)
+    new WarehouseReaderFactory(root, manifest.schema, required)
+}
+
+/** Conservative min/max file pruning: a file survives unless its stats
+  * PROVE no row can match. Columns without stats (non-integral types, or
+  * all-null in that file) never prune. NULL semantics are safe for the
+  * supported comparisons — a null row fails them anyway, and stats cover
+  * non-null values only.
+  */
+object WarehouseZoneMap {
+  import org.apache.spark.sql.sources._
+
+  private def lit(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => lit(v).isDefined
+    case GreaterThan(_, v) => lit(v).isDefined
+    case GreaterThanOrEqual(_, v) => lit(v).isDefined
+    case LessThan(_, v) => lit(v).isDefined
+    case LessThanOrEqual(_, v) => lit(v).isDefined
+    case _ => false
+  }
+
+  def mightMatch(f: Filter, stats: Map[String, (Long, Long)]): Boolean = {
+    def rng(col: String): Option[(Long, Long)] = stats.get(col)
+    f match {
+      case EqualTo(c, v) => (rng(c), lit(v)) match {
+        case (Some((lo, hi)), Some(x)) => lo <= x && x <= hi
+        case _ => true
+      }
+      case GreaterThan(c, v) => (rng(c), lit(v)) match {
+        case (Some((_, hi)), Some(x)) => hi > x
+        case _ => true
+      }
+      case GreaterThanOrEqual(c, v) => (rng(c), lit(v)) match {
+        case (Some((_, hi)), Some(x)) => hi >= x
+        case _ => true
+      }
+      case LessThan(c, v) => (rng(c), lit(v)) match {
+        case (Some((lo, _)), Some(x)) => lo < x
+        case _ => true
+      }
+      case LessThanOrEqual(c, v) => (rng(c), lit(v)) match {
+        case (Some((lo, _)), Some(x)) => lo <= x
+        case _ => true
+      }
+      case _ => true
+    }
+  }
 }
 
 case class WarehousePartition(file: String) extends InputPartition
 
-class WarehouseReaderFactory(root: String, schema: StructType)
-    extends PartitionReaderFactory {
+class WarehouseReaderFactory(root: String, fullSchema: StructType,
+    required: StructType) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[WarehousePartition].file
+    // map each full-schema ordinal to its slot in the pruned row (-1 = skip)
+    val slot: Array[Int] = fullSchema.fields.map(f =>
+      required.fieldNames.indexOf(f.name))
     new PartitionReader[InternalRow] {
       private val fs = WarehouseMeta.fs(root)
       private val in = new DataInputStream(
@@ -244,7 +381,7 @@ class WarehouseReaderFactory(root: String, schema: StructType)
         s"not a graft-warehouse data file: $file")
       private var row: InternalRow = _
       override def next(): Boolean = {
-        row = WarehouseCodec.readRow(in, schema)
+        row = WarehouseCodec.readRowProjected(in, fullSchema, required, slot)
         row != null
       }
       override def get(): InternalRow = row
@@ -256,7 +393,8 @@ class WarehouseReaderFactory(root: String, schema: StructType)
 // ------------------------------------------------------- manifest + codec
 
 case class Manifest(generation: Long, schema: StructType,
-    files: List[String], jobId: String, disposition: String)
+    files: List[String], jobId: String, disposition: String,
+    stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
 /** Manifest layer: one `manifest-<gen>` file per committed load job under
   * `_manifest/`, written to a dot-temp name and atomically renamed; the
@@ -290,10 +428,17 @@ object WarehouseMeta {
       case l if l.startsWith(s"$k=") => l.substring(k.length + 1)
     }.getOrElse(throw new IllegalStateException(
       s"manifest $path missing key $k"))
+    val stats = lines.filter(_.startsWith("stats="))
+      .map(_.substring(6).split('|'))
+      .collect { case Array(f, c, lo, hi) => (f, c, lo.toLong, hi.toLong) }
+      .groupBy(_._1)
+      .map { case (f, rows) =>
+        f -> rows.map(r => r._2 -> ((r._3, r._4))).toMap
+      }
     Some(Manifest(gen,
       DataType.fromJson(one("schema")).asInstanceOf[StructType],
       lines.filter(_.startsWith("file=")).map(_.substring(5)),
-      one("job"), one("disposition")))
+      one("job"), one("disposition"), stats))
   }
 
   def writeManifest(f: FileSystem, root: String, m: Manifest): Unit = {
@@ -302,10 +447,15 @@ object WarehouseMeta {
     val tmp = new Path(dir, s".manifest-${m.generation}.tmp")
     val out = new DataOutputStream(f.create(tmp, true))
     try {
+      val statLines = for {
+        (f, cols) <- m.stats.toList.sortBy(_._1)
+        (c, (lo, hi)) <- cols.toList.sortBy(_._1)
+        if !c.contains("|") // '|' is the stats-line separator
+      } yield s"stats=$f|$c|$lo|$hi"
       val body = (s"schema=${m.schema.json}" ::
         s"job=${m.jobId}" ::
         s"disposition=${m.disposition}" ::
-        m.files.map(p => s"file=$p")).mkString("", "\n", "\n")
+        (m.files.map(p => s"file=$p") ++ statLines)).mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     val dst = new Path(dir, s"manifest-${m.generation}")
@@ -391,31 +541,66 @@ object WarehouseCodec {
   /** Returns null at clean EOF (the writer never splits a row across a
     * flush, so EOF can only fall on a row boundary). */
   def readRow(in: DataInputStream, schema: StructType): InternalRow = {
+    val slot = Array.tabulate(schema.length)(identity)
+    readRowProjected(in, schema, schema, slot)
+  }
+
+  /** Projected read: decode only the fields whose full-schema ordinal maps
+    * to a slot (≥ 0) in the pruned output row; everything else is
+    * BYTE-SKIPPED — fixed widths skip in O(1), var-width fields skip by
+    * their length prefix, so a 2-of-40-column projection never allocates
+    * the other 38 (the column-pruning contract of the DSv2 scan).
+    */
+  def readRowProjected(in: DataInputStream, fullSchema: StructType,
+      required: StructType, slot: Array[Int]): InternalRow = {
     val marker = in.read()
     if (marker == -1) return null
-    val row = new GenericInternalRow(schema.length)
+    val row = new GenericInternalRow(required.length)
     var i = 0
-    while (i < schema.length) {
-      if (in.readByte() == 0) row.setNullAt(i)
-      else schema(i).dataType match {
-        case BooleanType => row.setBoolean(i, in.readBoolean())
-        case ByteType => row.setByte(i, in.readByte())
-        case ShortType => row.setShort(i, in.readShort())
-        case IntegerType | DateType => row.setInt(i, in.readInt())
+    while (i < fullSchema.length) {
+      val s = slot(i)
+      if (in.readByte() == 0) {
+        if (s >= 0) row.setNullAt(s)
+      } else fullSchema(i).dataType match {
+        case BooleanType =>
+          if (s >= 0) row.setBoolean(s, in.readBoolean()) else skip(in, 1)
+        case ByteType =>
+          if (s >= 0) row.setByte(s, in.readByte()) else skip(in, 1)
+        case ShortType =>
+          if (s >= 0) row.setShort(s, in.readShort()) else skip(in, 2)
+        case IntegerType | DateType =>
+          if (s >= 0) row.setInt(s, in.readInt()) else skip(in, 4)
         case LongType | TimestampType | TimestampNTZType =>
-          row.setLong(i, in.readLong())
-        case FloatType => row.setFloat(i, in.readFloat())
-        case DoubleType => row.setDouble(i, in.readDouble())
+          if (s >= 0) row.setLong(s, in.readLong()) else skip(in, 8)
+        case FloatType =>
+          if (s >= 0) row.setFloat(s, in.readFloat()) else skip(in, 4)
+        case DoubleType =>
+          if (s >= 0) row.setDouble(s, in.readDouble()) else skip(in, 8)
         case StringType =>
-          val b = new Array[Byte](in.readInt()); in.readFully(b)
-          row.update(i, UTF8String.fromBytes(b))
+          val n = in.readInt()
+          if (s >= 0) {
+            val b = new Array[Byte](n); in.readFully(b)
+            row.update(s, UTF8String.fromBytes(b))
+          } else skip(in, n)
         case BinaryType =>
-          val b = new Array[Byte](in.readInt()); in.readFully(b)
-          row.update(i, b)
+          val n = in.readInt()
+          if (s >= 0) {
+            val b = new Array[Byte](n); in.readFully(b)
+            row.update(s, b)
+          } else skip(in, n)
         case t => throw new UnsupportedOperationException(t.simpleString)
       }
       i += 1
     }
     row
+  }
+
+  private def skip(in: DataInputStream, n: Int): Unit = {
+    var left = n.toLong
+    while (left > 0) {
+      val k = in.skip(left)
+      if (k <= 0) { in.readByte(); left -= 1 } // skip() may return 0
+      else left -= k
+    }
   }
 }

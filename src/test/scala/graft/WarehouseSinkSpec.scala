@@ -166,6 +166,56 @@ class WarehouseSinkSpec extends SparkSpec {
       assert(WarehouseMeta.jobStates(table, job).last === "DONE")
   }
 
+  test("zone-map file pruning: comparison filters open only surviving files") {
+    import spark.implicits._
+    // three load jobs with disjoint id ranges => three files with
+    // disjoint manifest stats
+    val path = fresh("zonemap")
+    for (r <- Seq(0L until 10L, 10L until 20L, 20L until 30L))
+      Sink.append(r.map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+        path, format = "graft-warehouse")
+    val m = WarehouseMeta.readManifest(path).get
+    assert(m.files.size === 3)
+    assert(m.stats.size === 3 &&
+      m.stats.values.forall(_.contains("id")))
+
+    def planned(df: org.apache.spark.sql.DataFrame): (Long, Int) = {
+      sources.WarehouseScanStats.lastPlannedFiles = -1
+      val n = df.count()
+      (n, sources.WarehouseScanStats.lastPlannedFiles)
+    }
+    val all = readBack(path)
+    // id > 25 can only live in the third file
+    assert(planned(all.filter(col("id") > 25)) === ((4L, 1)))
+    // id >= 10 prunes the first file only
+    assert(planned(all.filter(col("id") >= 10)) === ((20L, 2)))
+    // equality hits exactly one file
+    assert(planned(all.filter(col("id") === 15)) === ((1L, 1)))
+    // a filter on an unstatted column prunes nothing — conservative
+    assert(planned(all.filter(col("v") === "v7")) === ((1L, 3)))
+    // pruning is semantically transparent: pruned ≡ unpruned post-filter
+    assert(all.filter(col("id") > 25).orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      (26L until 30L).map(i => (i, s"v$i")))
+  }
+
+  test("column pruning reaches the scan: only requested fields decode") {
+    import spark.implicits._
+    val path = fresh("prune")
+    Sink.append(
+      (0L until 50L).map(i => (i, s"name$i", i * 2.5, i % 2 == 0))
+        .toDF("id", "name", "score", "flag"),
+      path, format = "graft-warehouse")
+    sources.WarehouseScanStats.lastReadSchema = ""
+    val got = readBack(path).select("score", "id")
+      .orderBy("id").collect()
+    assert(got.length === 50 && got(10).getDouble(0) === 25.0)
+    // the DSv2 scan's readSchema is the pruned projection, not the table
+    val rs = sources.WarehouseScanStats.lastReadSchema
+    assert(rs.contains("id") && rs.contains("score") &&
+      !rs.contains("name") && !rs.contains("flag"), rs)
+  }
+
   test("the dim/fact pipeline runs end-to-end through the load-job sink") {
     // The reference's whole DAG terminates in BigQuery load jobs
     // (main.py:59-67 + dim_loader.py:23-30); prove ours runs through the
