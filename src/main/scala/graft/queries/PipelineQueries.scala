@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.{col, count, hash, lit, pmod, posexplode, round, sqrt, sum}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, count, floor, hash, lit, pmod, posexplode, round, sqrt, sum}
 
 import graft.QueryDef
 import graft.QueryDef.Sql
@@ -572,6 +573,38 @@ object PipelineQueries {
       (s, dir) => Similarity.embeddingNearDupsAdaptive(
         Tables.read(s, dir, "embeddings"), threshold = 0.35, bands = 4),
       Some(bandedEmbeddingOracle)),
+
+    // Threshold-calibration curve for embedding dedup: candidate-pair
+    // counts per 0.05 cosine bucket with a descending cumulative — "how
+    // many pairs would a threshold of t merge" as ONE extra agg over the
+    // same banded candidates the dedup itself scores (no new corpus
+    // pass; curve size ≤ 21 rows, the global window is free). The tuning
+    // artifact that turns threshold choice from folklore into a count.
+    QueryDef("dedup_threshold_curve",
+      (s, dir) => {
+        val pairs = Similarity.embeddingNearDupsAdaptive(
+          Tables.read(s, dir, "embeddings"), threshold = 0.0, bands = 4)
+        val byBucket = pairs
+          .withColumn("bucket", floor(col("cos_sim") * 20).cast("long"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        val w = Window.orderBy(col("bucket").desc)
+        byBucket.withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+          .select((col("bucket") * 5).as("threshold_centi"),
+            col("n_pairs"), col("cum_pairs"))
+          .orderBy("threshold_centi")
+      },
+      Some(s"""WITH ${adaptiveBandedCandSql()},
+              |scored AS (
+              |  SELECT ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
+              |  FROM cand JOIN e a ON vec_a = a.vec_id
+              |            JOIN e b ON vec_b = b.vec_id),
+              |bx AS (SELECT CAST(floor(cos_sim * 20) AS BIGINT) AS bucket,
+              |         count(*) AS n_pairs
+              |       FROM scored WHERE cos_sim >= 0.0 GROUP BY 1)
+              |SELECT bucket * 5 AS threshold_centi, n_pairs,
+              |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
+              |    AS cum_pairs
+              |FROM bx ORDER BY threshold_centi""".stripMargin)),
 
     QueryDef("ann_bruteforce",
       (s, dir) => Similarity.bruteForceTopK(Tables.read(s, dir, "embeddings")),

@@ -69,7 +69,8 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    WarehouseMeta.readManifest(root(options)) match {
+    WarehouseMeta.readManifest(root(options),
+        Option(options.get("generation")).map(_.toLong)) match {
       case Some(m) => m.schema
       case None => throw new IllegalArgumentException(
         s"graft-warehouse table at ${root(options)} has no committed " +
@@ -78,11 +79,19 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new WarehouseTable(properties.get("path"), schema)
+    new WarehouseTable(properties.get("path"), schema,
+      Option(properties.get("generation")).map(_.toLong))
 }
 
-/** One warehouse table rooted at `path`. */
-class WarehouseTable(path: String, schema0: StructType)
+/** One warehouse table rooted at `path`. `generation` (read option) pins
+  * scans to a PAST committed manifest — time travel for free out of the
+  * generation-numbered commit protocol (the Txn.readVersion idea at the
+  * warehouse boundary): any committed generation reads at latest-read
+  * cost, one manifest resolve, no log replay. Writes always commit on
+  * top of the LATEST generation regardless of the option.
+  */
+class WarehouseTable(path: String, schema0: StructType,
+    generation: Option[Long] = None)
     extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"graft-warehouse:$path"
   override def schema(): StructType = schema0
@@ -97,7 +106,7 @@ class WarehouseTable(path: String, schema0: StructType)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarehouseScanBuilder(path)
+    new WarehouseScanBuilder(path, generation)
 }
 
 class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
@@ -272,10 +281,11 @@ object WarehouseScanStats {
   *    transparency discipline), so pruning can never change results,
   *    only skip IO.
   */
-class WarehouseScanBuilder(root: String) extends ScanBuilder
+class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
+    extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-  private val manifest = WarehouseMeta.readManifest(root).getOrElse(
+  private val manifest = WarehouseMeta.readManifest(root, generation).getOrElse(
     throw new IllegalArgumentException(
       s"graft-warehouse table at $root has no committed manifest"))
   private var required: StructType = manifest.schema
@@ -408,7 +418,8 @@ object WarehouseMeta {
 
   private val ManifestRe = "manifest-([0-9]+)".r
 
-  def readManifest(root: String): Option[Manifest] = {
+  def readManifest(root: String,
+      generation: Option[Long] = None): Option[Manifest] = {
     val f = fs(root)
     val dir = new Path(root, "_manifest")
     if (!f.exists(dir)) return None
@@ -418,7 +429,13 @@ object WarehouseMeta {
         case _ => None
       })
     if (gens.isEmpty) return None
-    val (gen, path) = gens.maxBy(_._1)
+    val (gen, path) = generation match {
+      case Some(g) => gens.find(_._1 == g).getOrElse(
+        throw new IllegalArgumentException(
+          s"generation $g does not exist at $root (have " +
+            s"${gens.map(_._1).sorted.mkString(",")})"))
+      case None => gens.maxBy(_._1)
+    }
     val lines = {
       val in = f.open(path)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList

@@ -166,6 +166,42 @@ class WarehouseSinkSpec extends SparkSpec {
       assert(WarehouseMeta.jobStates(table, job).last === "DONE")
   }
 
+  test("generation option time-travels; compaction preserves rows atomically") {
+    import spark.implicits._
+    val path = fresh("timetravel")
+    // gen 0: two rows; gen 1: append one; gen 2: compaction (TRUNCATE
+    // rewrite of the current rows into one load job)
+    Sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(2),
+      path, format = "graft-warehouse")
+    Sink.append(Seq((3L, "c")).toDF("id", "v"), path,
+      format = "graft-warehouse")
+    // compaction = read current generation, size the output (the
+    // Maintenance.compact discipline — here one file), TRUNCATE-commit
+    Sink.overwrite(readBack(path).coalesce(1), path,
+      format = "graft-warehouse")
+
+    def gen(g: Long) = spark.read.format("graft-warehouse")
+      .option("generation", g.toString).load(path)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(gen(0L) === Seq((1L, "a"), (2L, "b")))
+    assert(gen(1L) === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(gen(2L) === gen(1L)) // compaction changed layout, not rows
+    assert(readBack(path).orderBy("id").as[(Long, String)]
+      .collect().toSeq === gen(2L)) // latest = the compacted generation
+    // the compacted generation holds fewer files than it replaced
+    val m1 = WarehouseMeta.readManifest(path, Some(1L)).get
+    val m2 = WarehouseMeta.readManifest(path, Some(2L)).get
+    assert(m2.files.size < m1.files.size)
+    // a missing generation fails loudly
+    val e = intercept[Exception] {
+      spark.read.format("graft-warehouse")
+        .option("generation", "99").load(path).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("generation 99")), e.toString)
+  }
+
   test("zone-map file pruning: comparison filters open only surviving files") {
     import spark.implicits._
     // three load jobs with disjoint id ranges => three files with
