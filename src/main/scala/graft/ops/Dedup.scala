@@ -202,6 +202,33 @@ object Dedup {
     * the true component minimum and still a deterministic function of the
     * input.
     */
+  /** Keep-BEST dedup: one representative per near-dup cluster, chosen by
+    * quality score (tie → lowest doc_id) instead of min-id — the decision
+    * a production dedup actually makes (keep-min-id deletes the cleanest
+    * copy whenever its id sorted higher). Labels come from [[cluster]]
+    * (∝ docs with a duplicate partner), quality from
+    * [[TextAnalysis.quality]] (one map-side corpus pass); the argmax is a
+    * per-cluster window over cluster-sized groups and ranks on the
+    * 6-dp-rounded score so cross-engine ordering cannot drift.
+    * Output: (canonical_id, kept_doc_id, kept_quality, n_members).
+    */
+  def keepBest(docs: DataFrame): DataFrame = {
+    val labels = cluster(docs)
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val scored = labels.join(q, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val kept = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("kept_doc_id"),
+        col("quality_score").as("kept_quality"))
+    val members = scored.groupBy("canonical_id")
+      .agg(count(lit(1)).as("n_members"))
+    kept.join(members, "canonical_id").orderBy("canonical_id")
+  }
+
   def clusterLss(docs: DataFrame): DataFrame =
     lssComponents(minhashPairs(docs).select("doc_a", "doc_b"))
 

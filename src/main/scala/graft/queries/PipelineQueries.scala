@@ -554,6 +554,45 @@ object PipelineQueries {
       (s, dir) => Dedup.clusterLss(Tables.read(s, dir, "documents")),
       Some(lssOracle)),
 
+    // WHICH duplicate survives: per near-dup cluster, keep the member
+    // with the best quality score (tie → lowest doc_id) — keep-best
+    // dedup instead of keep-min-id, the decision production pipelines
+    // actually make (deleting the longest/cleanest copy because its id
+    // sorted higher is a real data-quality regression). Composes the
+    // cluster labeler with the text_quality scorer: labels are
+    // duplicate-bounded (∝ docs with a partner), quality is one map-side
+    // corpus pass, the argmax is a per-cluster window over cluster-sized
+    // groups. Ranking uses the 6-dp-rounded score (the cosine
+    // discipline), so cross-engine ordering cannot drift.
+    QueryDef("dedup_keep_best",
+      (s, dir) => Dedup.keepBest(Tables.read(s, dir, "documents")),
+      Some(s"""WITH $clusterCtesSql,
+              |q AS (SELECT doc_id,
+              |  round(CAST(stop_hits AS DOUBLE) / n_tokens * 0.5 +
+              |        CAST(n_alpha AS DOUBLE) / n_chars * 0.5, 6)
+              |    AS quality_score
+              |  FROM (
+              |    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+              |      CAST(len(t) AS BIGINT) AS n_tokens,
+              |      CAST(len(list_filter(t, x -> x IN (${TextOps.StopEn.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS stop_hits,
+              |      CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+              |    FROM ($toksCte))),
+              |scored AS (SELECT l.doc_id, l.label AS canonical_id,
+              |             q.quality_score
+              |           FROM l3 l JOIN q ON l.doc_id = q.doc_id),
+              |kept AS (SELECT canonical_id, doc_id AS kept_doc_id,
+              |           quality_score AS kept_quality
+              |         FROM (SELECT *, row_number() OVER (
+              |             PARTITION BY canonical_id
+              |             ORDER BY quality_score DESC, doc_id) AS rn
+              |           FROM scored) WHERE rn = 1),
+              |members AS (SELECT canonical_id, count(*) AS n_members
+              |            FROM scored GROUP BY 1)
+              |SELECT k.canonical_id, k.kept_doc_id, k.kept_quality,
+              |  m.n_members
+              |FROM kept k JOIN members m ON k.canonical_id = m.canonical_id
+              |ORDER BY k.canonical_id""".stripMargin)),
+
     // Incremental dedup: the NEW snapshot (every 10th doc id, standing in
     // for an ingest batch) probes the CORPUS's persisted LSH band keys
     // with a semi-join — corpus text is never re-paired against itself.
@@ -1209,7 +1248,11 @@ object PipelineQueries {
   /** Mirror of Dedup.cluster: minhash pair edges, then 3 fixed rounds of
     * min-label propagation (label = min over self + neighbors).
     */
-  private lazy val clusterOracle: String = {
+  /** The min-label-propagation cluster chain (banded signatures, est-sim
+    * pairs, 3 label rounds ending in `l3`) — shared by the cluster oracle
+    * and the keep-best representative oracle.
+    */
+  private lazy val clusterCtesSql: String = {
     val matches = (0 until Dedup.MinhashSigs)
       .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
       .mkString(" + ")
@@ -1220,7 +1263,7 @@ object PipelineQueries {
          |  SELECT e.doc_a AS doc_id, l.label FROM edges e
          |  JOIN $prev l ON e.doc_b = l.doc_id)
          |GROUP BY doc_id)""".stripMargin
-    s"""WITH $bandedCtesSql,
+    s"""$bandedCtesSql,
        |pairs AS (SELECT doc_a, doc_b FROM (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST($matches AS DOUBLE) / ${Dedup.MinhashSigs} AS est_sim
@@ -1232,9 +1275,12 @@ object PipelineQueries {
        |l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
        |${round("l0", "l1")},
        |${round("l1", "l2")},
-       |${round("l2", "l3")}
-       |SELECT doc_id, label AS canonical_id FROM l3 ORDER BY doc_id""".stripMargin
+       |${round("l2", "l3")}""".stripMargin
   }
+
+  private lazy val clusterOracle: String =
+    s"""WITH $clusterCtesSql
+       |SELECT doc_id, label AS canonical_id FROM l3 ORDER BY doc_id""".stripMargin
 
   /** Mirror of Dedup.clusterLss: the converged large-star/small-star
     * result is the TRUE component minimum, so the oracle is exact

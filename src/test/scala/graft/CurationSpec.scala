@@ -308,6 +308,31 @@ class MergeSpec extends SparkSpec {
 
 class ClusterSpec extends SparkSpec {
 
+  test("keepBest keeps the HIGHER-quality duplicate, not the lower id") {
+    import spark.implicits._
+    // two near-identical docs where the LOWER id is the degraded copy
+    // (digit/punct padding sinks its alpha ratio) — keep-min-id would
+    // delete the clean one; a third unrelated doc forms its own world
+    val base = ("the quick brown fox jumps over the lazy dog and then " +
+      "the fox runs far away into the deep green forest tonight") * 3
+    val docs = Seq(
+      (1L, base + " 00 11 22 33 44 55 66 77 88 99 @@ ## $$ %% ^^ &&"),
+      (2L, base),
+      (9L, ("completely different content about warehouse manifests " +
+        "and atomic load job commits in a distributed engine") * 3))
+      .toDF("doc_id", "text")
+    val got = Dedup.keepBest(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // one cluster {1,2}, canonical label is the component min (1) but the
+    // KEPT doc is 2 — the higher-quality member
+    assert(got.toSeq === Seq((1L, 2L, 2L)))
+    // ties fall to the lowest doc_id: identical copies keep the first
+    val tied = Seq((5L, base), (6L, base)).toDF("doc_id", "text")
+    val t = Dedup.keepBest(tied).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(t.toSeq === Seq((5L, 5L, 2L)))
+  }
+
   test("cluster labels: every doc points at the min doc_id of its component") {
     val docs = graft.core.Tables.read(spark, sf, "documents")
     val pairs = Dedup.minhashPairs(docs).select("doc_a", "doc_b").collect()
