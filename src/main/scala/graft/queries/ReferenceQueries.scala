@@ -441,7 +441,40 @@ object ReferenceQueries {
           path, format = "graft-warehouse")
         Sink.read(s, path, "graft-warehouse").orderBy("date_key")
       },
-      Some(dateDimOracle))
+      Some(dateDimOracle)),
+
+    // The warehouse READ path under the oracle gate: a range-clustered
+    // orders slice lands in the load-job table once per corpus (content
+    // fingerprint keys the fixture, the ann_ivf_trained discipline;
+    // repartitionByRange gives the staged files disjoint o_orderkey
+    // zones), then the declared query filters + projects through the
+    // DSv2 scan — zone maps prune whole files at planning, the codec
+    // decodes only the two requested columns, and the oracle (a plain
+    // filter over the source parquet) proves the pruning changed
+    // nothing. WarehouseSinkSpec pins the file counts; this row pins the
+    // values at every SF the driver runs.
+    QueryDef("scan_warehouse_pruned",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_orders_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(
+            orders.repartitionByRange(8, col("o_orderkey")),
+            path, format = "graft-warehouse")
+        Sink.read(s, path, "graft-warehouse")
+          .filter(col("o_orderkey") >= 1000L && col("o_orderkey") < 3000L)
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   private lazy val dateDimOracle: String =

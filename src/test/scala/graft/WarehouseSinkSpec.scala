@@ -252,6 +252,24 @@ class WarehouseSinkSpec extends SparkSpec {
       !rs.contains("name") && !rs.contains("flag"), rs)
   }
 
+  test("the declared scan_warehouse_pruned query prunes files AND columns") {
+    sources.WarehouseScanStats.lastPlannedFiles = -1
+    sources.WarehouseScanStats.lastReadSchema = ""
+    // collect (not count) so the scan serves the query's real projection —
+    // under count() Catalyst prunes even o_totalprice away, which is its
+    // own nice proof that pruning reaches this scan
+    val n = SparkEntry.queries("scan_warehouse_pruned")(spark, sf)
+      .collect().length
+    assert(n > 0)
+    // the fixture range-clusters into 8 files; the [1000, 3000) key range
+    // must plan strictly fewer (zone maps engaged on real data)
+    val planned = sources.WarehouseScanStats.lastPlannedFiles
+    assert(planned > 0 && planned < 8, s"planned $planned of 8 files")
+    val rs = sources.WarehouseScanStats.lastReadSchema
+    assert(rs.contains("o_orderkey") && rs.contains("o_totalprice") &&
+      !rs.contains("o_custkey"), rs)
+  }
+
   test("the dim/fact pipeline runs end-to-end through the load-job sink") {
     // The reference's whole DAG terminates in BigQuery load jobs
     // (main.py:59-67 + dim_loader.py:23-30); prove ours runs through the
