@@ -316,6 +316,65 @@ object TextAnalysis {
     * a rolling-window fingerprint (min over 8-char-gram hashes — the
     * minhash-of-shingles form of a rolling content signature).
     */
+  /** BM25 top-k retrieval over the corpus for a self-derived query: the
+    * `nTerms` highest-df tokens (ties broken by token text) act as the
+    * query terms, every document is scored with the standard BM25 weight
+    *   idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    *   idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+    * and the top `topK` documents surface ordered by (rounded score desc,
+    * doc_id). Reference analog: none — the postings/tfidf family
+    * (text_postings / text_tfidf) builds the index; this is the *search*
+    * side of that index.
+    *
+    * Determinism: the per-document score is a FIXED-ORDER sum — each query
+    * term gets a rank (df desc, token asc) and the score adds the ranked
+    * weights w1 + w2 + ... explicitly, so engine and oracle fold the same
+    * doubles in the same order (a plain SUM over (doc, term) rows would be
+    * combiner-order-dependent at the last ulp).
+    *
+    * Scale: tokens shuffle once to build df (map-side combined); the query
+    * frame is `nTerms` rows — broadcast; tf is a broadcast semi-join of the
+    * token stream against those terms, so the only data-sized exchange is
+    * the (matched-doc × term) aggregate, ∝ hits not corpus; doc lengths
+    * reuse the token scan; avgdl rides a 1-row broadcast; the final top-k
+    * is TakeOrderedAndProject (no global sort shuffle).
+    */
+  def bm25TopK(docs: DataFrame, nTerms: Int = 3, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = withTokens(docs).select(col("doc_id"), explode(col("t")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val dfr = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val qterms = dfr.orderBy(col("df").desc, col("tok").asc).limit(nTerms)
+      .withColumn("qr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("tok").asc)))
+    val tf = toks.join(broadcast(qterms), "tok")
+      .groupBy("doc_id", "qr")
+      .agg(count(lit(1)).as("tf"), first(col("df")).as("df"))
+    val scored = tf
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("w", col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val ranked = (1 to nTerms).map(r =>
+      max(when(col("qr") === r, col("w"))).as(s"w$r"))
+    val score = (1 to nTerms)
+      .map(r => coalesce(col(s"w$r"), lit(0.0)))
+      .reduce(_ + _)
+    scored.groupBy("doc_id")
+      .agg(ranked.head, (ranked.tail :+ count(lit(1)).as("n_match")): _*)
+      .withColumn("score", round(score, 6))
+      .select(col("doc_id"), col("score"), col("n_match"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   def fingerprints(docs: DataFrame): DataFrame = {
     val normed = docs.repartition(col("doc_id")).select(col("doc_id"),
       lower(trim(col("text"))).as("txt"))

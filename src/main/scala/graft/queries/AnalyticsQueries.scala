@@ -432,6 +432,27 @@ object AnalyticsQueries {
       Some("""SELECT event_id,
              |json_extract_string(props, '$.k') AS k_str,
              |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // SKYLINE (Pareto frontier): parts not dominated on (minimize
+    // p_retailprice, maximize p_size) — see ops/Skyline.scala for the
+    // two-phase plan. The DuckDB oracle stays algorithm-independent
+    // (explicit NOT EXISTS dominance against the per-size representative
+    // frame, not a mirrored sweep).
+    QueryDef("agg_skyline",
+      (s, dir) => graft.ops.Skyline.paretoFront(
+          Tables.read(s, dir, "part")
+            .select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+          "p_size", "p_retailprice",
+          Seq("p_partkey", "p_size", "p_retailprice"))
+        .orderBy("p_partkey"),
+      Some("""WITH s AS (SELECT p_size, min(p_retailprice) AS minp
+             |          FROM part GROUP BY 1)
+             |SELECT p.p_partkey, p.p_size, p.p_retailprice
+             |FROM part p
+             |WHERE NOT EXISTS (SELECT 1 FROM s b
+             |  WHERE b.p_size >= p.p_size AND b.minp <= p.p_retailprice
+             |    AND (b.p_size > p.p_size OR b.minp < p.p_retailprice))
+             |ORDER BY p.p_partkey""".stripMargin))
   )
 }

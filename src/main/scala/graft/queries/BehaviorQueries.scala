@@ -331,6 +331,38 @@ object BehaviorQueries {
              |          / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
              |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))),
              |    6) AS z_score
-             |FROM w""".stripMargin))
+             |FROM w""".stripMargin)),
+
+    // Peak concurrency per hour by SWEEP LINE: each event opens an
+    // interval [ts, ts + max(1, ⌊value⌋) seconds); interval starts emit
+    // +1 boundaries and (half-open) ends emit −1, and the running sum of
+    // boundaries in (t, d) order IS the number of live intervals — see
+    // ops/Sweep.scala for the distributed two-phase prefix-sum plan.
+    QueryDef("events_concurrency",
+      (s, dir) => graft.ops.Sweep.hourlyConcurrency(
+        Tables.read(s, dir, "events")),
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(ts) AS st,
+             |    epoch_us(ts)
+             |      + greatest(1, CAST(floor(value) AS BIGINT)) * 1000000 AS en
+             |  FROM events),
+             |b AS (
+             |  SELECT st AS t, CAST(1 AS BIGINT) AS d FROM ev
+             |  UNION ALL
+             |  SELECT en AS t, CAST(-1 AS BIGINT) AS d FROM ev),
+             |r AS (SELECT t, d, t // 3600000000 AS bucket,
+             |        CAST(sum(d) OVER (ORDER BY t, d) AS BIGINT) AS run
+             |      FROM b),
+             |c AS (SELECT bucket, CAST(sum(d) AS BIGINT) AS ds,
+             |        count(*) AS nb FROM r GROUP BY 1),
+             |o AS (SELECT bucket, nb,
+             |        CAST(sum(ds) OVER (ORDER BY bucket) - ds AS BIGINT)
+             |          AS carry
+             |      FROM c)
+             |SELECT make_timestamp(r.bucket * 3600000000) AS hour_start,
+             |  greatest(max(r.run), max(o.carry)) AS peak,
+             |  max(o.nb) AS n_boundaries
+             |FROM r JOIN o ON r.bucket = o.bucket
+             |GROUP BY 1 ORDER BY hour_start""".stripMargin))
   )
 }

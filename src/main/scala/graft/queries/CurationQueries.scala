@@ -936,6 +936,33 @@ object CurationQueries {
               |  FROM drawn GROUP BY 1)
               |SELECT replica, n_drawn, total_chars,
               |  total_chars * 1000000 // greatest(n_drawn, 1) AS mean_chars_ppm
-              |FROM agg ORDER BY replica""".stripMargin))
+              |FROM agg ORDER BY replica""".stripMargin)),
+
+    // Mixture rebalancing: two-pass water-filling against a uniform
+    // per-source target — see ops/Mixture.scala for the allocation rule
+    // and its overflow-safe arithmetic.
+    QueryDef("curation_mixture_solver",
+      (s, dir) => graft.ops.Mixture.solve(Tables.read(s, dir, "documents")),
+      Some("""WITH a AS (SELECT source, count(*) AS avail
+             |          FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+             |        count(*) AS nsrc FROM a),
+             |r1 AS (SELECT source, avail, total // 10 AS budget,
+             |         least(avail, (total // 10) // nsrc) AS a1,
+             |         avail - least(avail, (total // 10) // nsrc) AS cap
+             |       FROM a CROSS JOIN t),
+             |t2 AS (SELECT CAST(sum(a1) AS BIGINT) AS s1,
+             |         CAST(sum(cap) AS BIGINT) AS scap FROM r1),
+             |r2 AS (SELECT source, avail,
+             |         a1 + CASE WHEN scap > 0 THEN
+             |             least(cap, CAST(floor(
+             |               CAST(budget - s1 AS DOUBLE) * cap / scap)
+             |               AS BIGINT))
+             |           ELSE CAST(0 AS BIGINT) END AS alloc
+             |       FROM r1 CROSS JOIN t2)
+             |SELECT source, avail, alloc,
+             |  round(CAST(alloc AS DOUBLE) / CAST(avail AS DOUBLE), 6)
+             |    AS rate
+             |FROM r2 ORDER BY source""".stripMargin))
   )
 }

@@ -387,6 +387,17 @@ object PipelineQueries {
       (s, dir) => Dedup.ngramJaccardPairs(Tables.read(s, dir, "documents")),
       Some(ngramJaccardOracle)),
 
+    // Exact set-similarity join via prefix filtering (AllPairs/PPJoin):
+    // the deterministic, provably-complete complement to the LSH pipeline
+    // — see Dedup.setSimilarityJoin's scaladoc for the prefix-filter
+    // theorem. The oracle is ALGORITHM-INDEPENDENT: it generates
+    // candidates from "any shared shingle" (a strict superset of the
+    // engine's prefix candidates) and verifies the same exact Jaccard, so
+    // a prefix-length bug that drops a true pair fails the gate.
+    QueryDef("join_set_similarity",
+      (s, dir) => Dedup.setSimilarityJoin(Tables.read(s, dir, "documents")),
+      Some(setSimJoinOracle)),
+
     // Single-bucket hyperplane blocking baseline, bucket width ADAPTIVE
     // since round 8 (minBits=4 keeps driver-SF outputs bit-identical to
     // the historical fixed-4 form): at fixed width the sf2 bench read
@@ -1142,6 +1153,15 @@ object PipelineQueries {
               |CAST(len(list_filter(t, x -> x IN (${TextOps.StopEn.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_masked
               |FROM ($toksCte) ORDER BY doc_id""".stripMargin)),
 
+    // BM25 retrieval: the search side of the postings/tfidf index family.
+    // The query is self-derived (top-3 df tokens, ties by token) so it is
+    // meaningful at every SF; the per-doc score folds the ranked term
+    // weights in a FIXED order (w1+w2+w3 via per-rank conditional aggs) —
+    // see TextAnalysis.bm25TopK.
+    QueryDef("text_bm25",
+      (s, dir) => TextAnalysis.bm25TopK(Tables.read(s, dir, "documents")),
+      Some(bm25Oracle)),
+
     QueryDef("multimodal_frames",
       (s, dir) => Multimodal.frameSample(Tables.read(s, dir, "documents")),
       Some("""SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
@@ -1323,6 +1343,88 @@ object PipelineQueries {
        |  JOIN shl sa ON sa.doc_id = doc_a
        |  JOIN shl sb ON sb.doc_id = doc_b)
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** join_set_similarity oracle. The VERIFICATION side is algorithm-
+    * independent (exact list-intersection Jaccard over the original
+    * shingle sets); the CANDIDATE side mirrors the engine's prefix +
+    * length + position filters because the synthetic corpus's tiny
+    * shingle vocabulary (931 distinct shingles across 5,000 sf0.1 docs)
+    * makes every algorithm-independent candidate rule quadratic — the
+    * "any shared shingle" form materializes 10.3M of the 12.5M possible
+    * pairs at sf0.1 and ~1B at sf1, unrunnable as a gate. Completeness of
+    * the prefix filter itself is gated where it belongs: OpsSpec compares
+    * setSimilarityJoin against brute-force all-pairs Jaccard on an
+    * adversarial corpus (see "prefix filter loses no pair").
+    */
+  private lazy val setSimJoinOracle: String =
+    s"""WITH toks AS ($toksCte),
+       |shl AS (SELECT doc_id, $shinglesExpr AS shs FROM toks),
+       |s2 AS (SELECT doc_id,
+       |         list_transform(shs, sgl -> ${Sql.hash64("sgl")}) AS sh
+       |       FROM shl WHERE len(shs) > 0),
+       |tok AS (SELECT doc_id, unnest(sh) AS g FROM s2),
+       |dfr AS (SELECT g, count(*) AS df FROM tok GROUP BY 1),
+       |srt AS (SELECT t.doc_id, list(t.g ORDER BY d.df, t.g) AS sorted
+       |        FROM tok t JOIN dfr d ON t.g = d.g GROUP BY 1),
+       |pe AS (SELECT doc_id, len(sorted) AS n,
+       |         unnest([{'p': i, 'g': sorted[i]} for i in generate_series(1,
+       |           len(sorted) - CAST(ceil(0.5 * len(sorted)) AS BIGINT) + 1)],
+       |           recursive := true)
+       |       FROM srt),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM pe a JOIN pe b
+       |           ON a.g = b.g AND a.doc_id < b.doc_id
+       |              AND b.n >= 0.5 * a.n AND a.n >= 0.5 * b.n
+       |         GROUP BY 1, 2
+       |         HAVING least(min(a.n) - min(a.p) + 1,
+       |                      min(b.n) - min(b.p) + 1) >=
+       |                ceil((0.5 / 1.5) * (min(a.n) + min(b.n)))),
+       |j AS (SELECT doc_a, doc_b,
+       |        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+       |        len(sa.sh) AS na, len(sb.sh) AS nb
+       |      FROM cand
+       |      JOIN s2 sa ON sa.doc_id = doc_a
+       |      JOIN s2 sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(inter / (na + nb - inter), 6) AS jaccard
+       |FROM j WHERE inter * (1.0 + 0.5) >= 0.5 * (na + nb)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** text_bm25 oracle: term-for-term mirror of TextAnalysis.bm25TopK —
+    * identical double expression trees (left-associative, (1.2 + 1.0)
+    * spelled as the sum so both engines fold the same literals) and the
+    * same fixed-order w1+w2+w3 score fold.
+    */
+  private lazy val bm25Oracle: String =
+    s"""WITH toks AS ($toksCte),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl
+       |       FROM dl),
+       |dfr AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |q AS (SELECT tok, df,
+       |        row_number() OVER (ORDER BY df DESC, tok) AS qr
+       |      FROM dfr ORDER BY df DESC, tok LIMIT 3),
+       |tf AS (SELECT t.doc_id, q.qr, q.df, count(*) AS tf
+       |       FROM tok t JOIN q ON t.tok = q.tok GROUP BY 1, 2, 3),
+       |w AS (SELECT tf.doc_id, tf.qr,
+       |        ln((CAST(st.n AS DOUBLE) - tf.df + 0.5)
+       |             / (CAST(tf.df AS DOUBLE) + 0.5) + 1.0)
+       |          * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+       |          / (CAST(tf.tf AS DOUBLE)
+       |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+       |          AS w
+       |      FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+       |g AS (SELECT doc_id,
+       |        max(CASE WHEN qr = 1 THEN w END) AS w1,
+       |        max(CASE WHEN qr = 2 THEN w END) AS w2,
+       |        max(CASE WHEN qr = 3 THEN w END) AS w3,
+       |        count(*) AS n_match
+       |      FROM w GROUP BY 1)
+       |SELECT doc_id,
+       |  round(coalesce(w1, 0.0) + coalesce(w2, 0.0) + coalesce(w3, 0.0), 6)
+       |    AS score, n_match
+       |FROM g ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   private lazy val containmentOracle: String =
     s"""WITH $bandedCtesSql,

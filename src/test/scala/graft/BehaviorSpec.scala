@@ -101,4 +101,60 @@ class BehaviorSpec extends SparkSpec {
       .select("doc_id", "dup_ppm").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 0L))
   }
+
+  test("concurrency: hand-built intervals, carry-in peak across the hour " +
+    "boundary") {
+    import spark.implicits._
+    // Three intervals open in hour 0 and stay open into hour 1 (durations
+    // 3600/3700/3800 s from 00:10); hour 1 has only −1 boundaries, so its
+    // peak (3) is PURE CARRY-IN. A fourth interval [00:20, 00:20+60s)
+    // nests inside: peak in hour 0 is 4. At 02:00:00 two intervals start
+    // at the SAME microsecond: hour 2 peak 2.
+    val ev = Seq(
+      ("2024-01-01 00:10:00", 3600.0),
+      ("2024-01-01 00:10:00", 3700.0),
+      ("2024-01-01 00:10:00", 3800.0),
+      ("2024-01-01 00:20:00", 60.0),
+      ("2024-01-01 02:00:00", 120.0),
+      ("2024-01-01 02:00:00", 120.0)
+    ).toDF("ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = graft.ops.Sweep.hourlyConcurrency(ev)
+      .select("hour_start", "peak", "n_boundaries")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map { case (h, p, n) => ((h.getTime / 3600000L) % 24, p, n) }
+    assert(out.toSeq === Seq(
+      (0L, 4L, 5L), // 3 long opens + short open/close
+      (1L, 3L, 3L), // only closes; peak is the carried-in 3
+      (2L, 2L, 4L)))
+  }
+
+  test("concurrency: two-phase prefix sum equals a driver-side sweep at " +
+    "sf0.001") {
+    import spark.implicits._
+    val events = graft.core.Tables.read(spark, sf, "events")
+    val rows = events
+      .select(unix_micros(col("ts")).as("st"), col("value"))
+      .as[(Long, Double)].collect()
+    val bounds = rows.flatMap { case (st, v) =>
+      val en = st + math.max(1L, math.floor(v).toLong) * 1000000L
+      Seq((st, 1L), (en, -1L))
+    }.sortBy(identity)
+    var run = 0L
+    val peak = scala.collection.mutable.LinkedHashMap[Long, Long]()
+    val nb = scala.collection.mutable.Map[Long, Long]()
+    bounds.foreach { case (t, d) =>
+      val b = Math.floorDiv(t, 3600000000L)
+      if (!peak.contains(b)) peak(b) = run // carry-in
+      run += d
+      peak(b) = math.max(peak(b), run)
+      nb(b) = nb.getOrElse(b, 0L) + 1
+    }
+    val expected = peak.toSeq.sortBy(_._1)
+      .map { case (b, p) => (b * 3600000000L, p, nb(b)) }
+    val got = graft.ops.Sweep.hourlyConcurrency(events)
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map { case (h, p, n) => (h.getTime * 1000L, p, n) }.toSeq
+    assert(got === expected)
+  }
 }

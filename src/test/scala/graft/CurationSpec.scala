@@ -425,3 +425,55 @@ class DecontaminateSpec extends SparkSpec {
     assert(capped === uncapped)
   }
 }
+
+class MixtureSolverSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mixture solver: exactly matches a driver-side recomputation and " +
+    "respects budget/availability") {
+    val counts = graft.core.Tables.read(spark, sf, "documents")
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    val nsrc = counts.size.toLong
+    val budget = total / 10
+    val fair = budget / nsrc
+    val a1 = counts.map { case (s, av) => s -> math.min(av, fair) }
+    val cap = counts.map { case (s, av) => s -> (av - a1(s)) }
+    val s1 = a1.values.sum
+    val scap = cap.values.sum
+    val expected = counts.map { case (s, av) =>
+      val a2 = if (scap > 0)
+        math.min(cap(s),
+          math.floor((budget - s1).toDouble * cap(s) / scap).toLong)
+      else 0L
+      val alloc = a1(s) + a2
+      (s, av, alloc,
+        BigDecimal(alloc.toDouble / av.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("curation_mixture_solver")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    // solver invariants: never over budget, never over availability
+    assert(got.map(_._3).sum <= budget)
+    got.foreach { case (_, av, alloc, _) => assert(alloc <= av) }
+  }
+
+  test("mixture solver: a scarce source is capped and its shortfall " +
+    "redistributes to sources with capacity") {
+    // 3 sources, one nearly empty: total 120 → budget 12, fair share 4;
+    // scarce has 1 doc → alloc 1; leftover 3 redistributes by remaining
+    // capacity: big_a floor(3·56/111) = 1, big_b floor(3·55/111) = 1
+    val docs = (
+      (1 to 60).map(i => (i.toLong, s"doc $i", "big_a")) ++
+      (61 to 119).map(i => (i.toLong, s"doc $i", "big_b")) ++
+      Seq((120L, "doc 120", "scarce"))
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.Mixture.solve(docs)
+      .select("source", "avail", "alloc")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("big_a", 60L, 5L), ("big_b", 59L, 5L), ("scarce", 1L, 1L)))
+  }
+}

@@ -622,3 +622,34 @@ class SessionVariantsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 }
+
+class SkylineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("skyline equals brute-force non-dominance over the full part table") {
+    val parts = graft.core.Tables.read(spark, sf, "part")
+      .select("p_partkey", "p_size", "p_retailprice")
+      .as[(Long, Int, Double)].collect().toSeq
+    // b dominates a: price ≤, size ≥, strictly better in one
+    val expected = parts.filter { case (_, sa, pa) =>
+      !parts.exists { case (_, sb, pb) =>
+        pb <= pa && sb >= sa && (pb < pa || sb > sa)
+      }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("agg_skyline")(spark, sf)
+      .select("p_partkey").as[Long].collect().toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
+  test("skyline keeps every part tied on a frontier point") {
+    // two parts share the frontier point (size 10, price 1.0): both stay;
+    // (size 10, 2.0) dominated by them; (5, 0.5) and (20, 3.0) frontier
+    val df = Seq(
+      (1L, 10, 1.0), (2L, 10, 1.0), (3L, 10, 2.0),
+      (4L, 5, 0.5), (5L, 20, 3.0)
+    ).toDF("p_partkey", "p_size", "p_retailprice")
+    val out = graft.ops.Skyline.paretoFront(df, "p_size", "p_retailprice",
+        Seq("p_partkey")).as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 4L, 5L))
+  }
+}

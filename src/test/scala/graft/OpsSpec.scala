@@ -60,6 +60,59 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs.contains((1L, 2L)))
   }
+
+  /** Driver-side brute force: distinct bigram-shingle Jaccard over every
+    * pair — the reference implementation the prefix filter must match.
+    */
+  private def bruteSetSim(rows: Seq[(Long, String)], t: Double) = {
+    def shingles(s: String): Set[String] = {
+      val tk = s.toLowerCase.trim.split("\\s+").toSeq
+      if (tk.length < 2) Set.empty
+      else tk.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, s) => id -> shingles(s) }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= t
+    } yield (a, b, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble)).toSet
+  }
+
+  test("set-similarity join: prefix filter loses no pair (sf0.001 corpus)") {
+    import spark.implicits._
+    val docsSf = graft.core.Tables.read(spark, sf, "documents")
+    val expected = bruteSetSim(
+      docsSf.select("doc_id", "text").as[(Long, String)].collect().toSeq, 0.5)
+    val got = Dedup.setSimilarityJoin(docsSf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected) // COMPLETE: every true pair, exact scores
+  }
+
+  test("set-similarity join: adversarial corpus where the smallest shared " +
+    "shingle is high-df") {
+    import spark.implicits._
+    // 10 boilerplate docs make "x1 x2 .. x9" shingles high-df; docs 100/101
+    // are near-dups whose ONLY rare content is shared; 102 shares just
+    // boilerplate with them (J < 0.5). The smallest shared shingle of
+    // (100,101) under (df, shingle) order must survive prefix truncation.
+    val boiler = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    val base = (1L to 10L).map(i => (i, s"$boiler filler$i"))
+    val adv = Seq(
+      (100L, s"rare alpha beta gamma delta $boiler"),
+      (101L, s"rare alpha beta gamma delta epsilon $boiler"),
+      (102L, boiler),
+      (103L, "entirely unrelated words about catalyst optimizer rules"))
+    val df = (base ++ adv).toDF("doc_id", "text")
+    val expected = bruteSetSim(base ++ adv, 0.5)
+    val got = Dedup.setSimilarityJoin(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.exists { case (a, b, _) => a == 100L && b == 101L })
+    assert(!got.exists { case (a, b, _) => b == 103L || a == 103L })
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -255,6 +308,66 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(fp(0)._2 === fp(1)._2 && fp(0)._3 === fp(1)._3)
     assert(fp(0)._2 !== fp(2)._2)
+  }
+
+  test("bm25: exactly matches a driver-side reimplementation at sf0.001") {
+    import spark.implicits._
+    val docsSf = graft.core.Tables.read(spark, sf, "documents")
+    val corpus = docsSf.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toSeq }
+    val n = toks.size
+    val dl = toks.map { case (id, t) => id -> t.size }.toMap
+    val avgdl = dl.values.map(_.toLong).sum.toDouble / n
+    val dfm = toks.flatMap { case (id, t) => t.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.size }
+    val q = dfm.toSeq.sortBy { case (w, d) => (-d, w) }.take(3).map(_._1)
+    val k1 = 1.2; val b = 0.75
+    // the exact expression-tree order of TextAnalysis.bm25TopK, so the
+    // doubles are bit-identical, not merely close
+    val scored = toks.flatMap { case (id, t) =>
+      val ws = q.map { w =>
+        val tf = t.count(_ == w).toDouble
+        if (tf == 0) None
+        else {
+          val d = dfm(w).toDouble
+          Some(math.log((n - d + 0.5) / (d + 0.5) + 1.0) *
+            (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + b * dl(id).toDouble / avgdl)))
+        }
+      }
+      val m = ws.count(_.isDefined)
+      if (m == 0) None
+      else {
+        val s = ws.map(_.getOrElse(0.0)).reduce(_ + _)
+        Some((id, BigDecimal(s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, m.toLong))
+      }
+    }
+    val expected = scored.sortBy { case (id, s, _) => (-s, id) }.take(20)
+    val got = TextAnalysis.bm25TopK(docsSf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("bm25: a doc matching more query terms outscores a one-term doc") {
+    import spark.implicits._
+    // qterms become (alpha, beta, gamma) by df; doc 1 matches all three,
+    // doc 2 one, doc 3 none (absent from output)
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha filler1 filler2"),
+      (3L, "unrelated words entirely"),
+      (4L, "alpha beta other"),
+      (5L, "alpha beta gamma alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(df).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(!byId.contains(3L))
+    assert(byId(1L)._3 === 3L && byId(2L)._3 === 1L)
+    assert(byId(1L)._2 > byId(2L)._2)
   }
 }
 
