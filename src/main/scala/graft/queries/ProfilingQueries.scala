@@ -683,6 +683,86 @@ object ProfilingQueries {
              |    AS autocorr_lag1
              |FROM m ORDER BY event_type""".stripMargin)),
 
+    // Lagged CROSS-correlation between the hourly 'view' and 'purchase'
+    // count series — the lead/lag detector agg_autocorr can't express
+    // (does purchasing trail browsing, and by how many hours?). Both
+    // series are zero-filled onto the complete hour grid (a 1-row min/max
+    // agg explodes to |hours| rows — TIME-bounded, ~87k rows/decade, not
+    // data-bounded), each lag in −3..3 joins the shifted grids hash-equi
+    // on h+lag, and Pearson r comes from EXACT BIGINT moment sums
+    // (hourly counts < 2^20, squares summed over 10^5 hours stay < 2^63)
+    // converted to double only in the final fixed expression — the sums
+    // commute, so combiner order cannot move the result. Zero-variance
+    // windows surface NULL, not NaN (IEEE 0/0 would hash-drift).
+    QueryDef("ts_cross_correlation",
+      (s, dir) => {
+        val hourly = Tables.read(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+          .agg(count(lit(1)).as("c"))
+        val rng = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+        val grid = rng.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+        def series(t: String, hc: String, vc: String) = grid
+          .join(hourly.filter(col("event_type") === t)
+            .select(col("h").as("jh"), col("c")), col("h") === col("jh"), "left")
+          .select(col("h").as(hc), coalesce(col("c"), lit(0L)).as(vc))
+        val x = series("view", "h", "xv")
+        val y = series("purchase", "hy", "yv")
+        val lags = s.range(-3, 4).select(col("id").as("lag_h"))
+        def d(c: Column) = c.cast("double")
+        val m = x.crossJoin(broadcast(lags))
+          .join(y, col("hy") === col("h") + col("lag_h"))
+          .groupBy("lag_h")
+          .agg(count(lit(1)).as("n"), sum("xv").as("sx"), sum("yv").as("sy"),
+            sum(col("xv") * col("yv")).as("sxy"),
+            sum(col("xv") * col("xv")).as("sxx"),
+            sum(col("yv") * col("yv")).as("syy"))
+          .withColumn("num",
+            d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          .withColumn("den",
+            sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+        m.select(col("lag_h"), col("n"),
+            when(col("den") > 0, round(col("num") / col("den"), 6))
+              .as("xcorr"))
+          .orderBy("lag_h")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             |    count(*) AS c
+             |  FROM events WHERE event_type IN ('view', 'purchase')
+             |  GROUP BY 1, 2),
+             |rng AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+             |grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM rng),
+             |x AS (SELECT g.h, CAST(coalesce(v.c, 0) AS BIGINT) AS xv
+             |      FROM grid g LEFT JOIN (SELECT h, c FROM hourly
+             |        WHERE event_type = 'view') v ON v.h = g.h),
+             |y AS (SELECT g.h AS hy, CAST(coalesce(p.c, 0) AS BIGINT) AS yv
+             |      FROM grid g LEFT JOIN (SELECT h, c FROM hourly
+             |        WHERE event_type = 'purchase') p ON p.h = g.h),
+             |lags AS (SELECT CAST(unnest(generate_series(-3, 3)) AS BIGINT)
+             |           AS lag_h),
+             |m AS (SELECT lag_h, count(*) AS n,
+             |        CAST(sum(xv) AS BIGINT) AS sx,
+             |        CAST(sum(yv) AS BIGINT) AS sy,
+             |        CAST(sum(xv * yv) AS BIGINT) AS sxy,
+             |        CAST(sum(xv * xv) AS BIGINT) AS sxx,
+             |        CAST(sum(yv * yv) AS BIGINT) AS syy
+             |      FROM x CROSS JOIN lags JOIN y ON hy = h + lag_h
+             |      GROUP BY 1),
+             |m2 AS (SELECT lag_h, n,
+             |        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             |        sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+             |      FROM m)
+             |SELECT lag_h, n,
+             |  CASE WHEN den > 0 THEN round(num / den, 6) END AS xcorr
+             |FROM m2 ORDER BY lag_h""".stripMargin)),
+
     // Rolling 7-day median of the daily value series per event type —
     // the robust-smoothing counterpart of ts_ewma. Computed as the
     // middle element of the sorted micro-unit frame array in BOTH

@@ -125,4 +125,41 @@ class ProfilingSpec extends SparkSpec {
     val got = HeavyHitters.approxTopK(spark, df, "item", k = 5, m = 64)
     assert(got.collect().forall(!_.getBoolean(2)))
   }
+
+  test("cross-correlation: exactly matches a driver-side recomputation " +
+    "at sf0.001") {
+    import spark.implicits._
+    val ev = graft.core.Tables.read(spark, sf, "events")
+      .select(unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[(Long, String)].collect()
+    def counts(t: String): Map[Long, Long] = ev.filter(_._2 == t)
+      .groupBy(r => Math.floorDiv(r._1, 3600000000L))
+      .map { case (h, xs) => h -> xs.size.toLong }
+    val xv = counts("view"); val yv = counts("purchase")
+    val hs = (xv.keySet ++ yv.keySet)
+    val (h0, h1) = (hs.min, hs.max)
+    val expected = (-3L to 3L).map { lag =>
+      // hours t where both t and t+lag are on the grid
+      val ts = (h0 to h1).filter(t => t + lag >= h0 && t + lag <= h1)
+      val n = ts.size.toLong
+      val xs = ts.map(t => xv.getOrElse(t, 0L))
+      val ys = ts.map(t => yv.getOrElse(t + lag, 0L))
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val syy = ys.map(a => a * a).sum
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val den = math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        math.sqrt(n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble)
+      val r = if (den > 0)
+        Some(BigDecimal(num / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+      (lag, n, r)
+    }
+    val got = SparkEntry.queries("ts_cross_correlation")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got === expected)
+  }
 }
