@@ -69,6 +69,70 @@ object Similarity {
     * plan instead of post-filtering a larger top-k (which can return fewer
     * than k and wastes distance work).
     */
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity-aware final stage of a retrieval stack:
+    * greedily pick k of the top-`nCand` candidates maximizing
+    *   mmr(c) = λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s)
+    * so near-duplicate hits cannot crowd the result list. The query is
+    * vector `queryId`; rel is the rounded cosine to it.
+    *
+    * Scale shape: the DISTRIBUTED work is candidate generation — one
+    * broadcast-query corpus scan + TakeOrdered top-nCand (swap in any of
+    * the ANN paths above for the scan at 100 TB). The greedy loop then
+    * runs on the COLLECTED nCand rows — a bounded driver artifact of the
+    * same class as the BPE merge table (nCand ≤ dozens; k·nCand cosine
+    * folds), not a driver-side join. Driver floats mirror the engine
+    * expressions exactly: float-multiply-then-double-accumulate per
+    * element (VectorOps.dotFold's fold), cosines rounded to 6 dp BEFORE
+    * the max/argmax, ties broken by vec_id — so the DuckDB oracle's
+    * unrolled-greedy CTE chain reproduces every pick bit-for-bit.
+    */
+  def mmrRerank(emb: DataFrame, queryId: Long = 0L, nCand: Int = 20,
+      k: Int = 5, lam: Double = 0.7): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val cand = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        cosFrom(dot(col("qv"), col("embedding")), col("qn"), col("nrm"))
+          .as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(nCand)
+    val rows = cand.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    val nrms = rows.map(r => r._1 -> math.sqrt(fdot(r._2, r._2))).toMap
+    var selected = Vector.empty[(Long, Double, Double)]
+    var remaining = rows.toVector
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, v, rel) =>
+        val ms =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (sid, _, _) =>
+            r6(fdot(v, vecs(sid)) / (nrms(id) * nrms(sid)))
+          }.max
+        (id, rel, r6(lam * rel - (1 - lam) * ms))
+      }
+      val best = scored.minBy { case (id, _, s) => (-s, id) }
+      selected :+= best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    selected.zipWithIndex
+      .map { case ((id, rel, s), i) => ((i + 1).toLong, id, rel, s) }
+      .toDF("rank", "vec_id", "rel", "mmr")
+  }
+
   def filteredTopK(emb: DataFrame, allowedIds: DataFrame,
       nQueries: Int = 5, k: Int = 5): DataFrame = {
     val e = emb.repartition(col("vec_id")).select(col("vec_id"),

@@ -122,6 +122,47 @@ object PipelineQueries {
   private def cosSql(a: String, b: String, na: String, nb: String): String =
     s"round(${dotSql(a, b)} / ($na * $nb), 6)"
 
+  /** ann_mmr_rerank oracle: the greedy MMR selection unrolled — one
+    * (maxsim-over-selected, argmax-pick) CTE generation per rank. λ terms
+    * are spelled `(1.0 - 0.7)`, never `0.3`, so both engines fold the
+    * identical doubles (0.3 parses to a different double than 1.0 − 0.7).
+    */
+  private def mmrOracle(k: Int = 5, nCand: Int = 20,
+      lamS: String = "0.7"): String = {
+    def cos(c: String, s: String) =
+      s"round(${dotSql(s"$c.embedding", s"$s.embedding")} / ($c.nrm * $s.nrm), 6)"
+    val base =
+      s"""e AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+         |cand AS (SELECT vec_id, embedding, nrm,
+         |    ${cosSql("qv", "embedding", "qn", "nrm")} AS rel
+         |  FROM e CROSS JOIN q WHERE vec_id != 0
+         |  ORDER BY rel DESC, vec_id LIMIT $nCand),
+         |p1 AS (SELECT vec_id, embedding, nrm, rel,
+         |    round($lamS * rel - (1.0 - $lamS) * 0.0, 6) AS mmr
+         |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT * FROM p1)""".stripMargin
+    val gens = (2 to k).map { i =>
+      s"""ms$i AS (SELECT c.vec_id, max(${cos("c", "s")}) AS ms
+         |  FROM cand c CROSS JOIN sel${i - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY c.vec_id),
+         |p$i AS (SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+         |    round($lamS * c.rel - (1.0 - $lamS) * m.ms, 6) AS mmr
+         |  FROM cand c JOIN ms$i m ON m.vec_id = c.vec_id
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1}
+         |  UNION ALL SELECT * FROM p$i)""".stripMargin
+    }
+    val ranks = (1 to k)
+      .map(i => s"SELECT $i AS rnk, vec_id, rel, mmr FROM p$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${(base +: gens).mkString(",\n")}\n" +
+      s"SELECT CAST(rnk AS BIGINT) AS rank, vec_id, rel, mmr FROM (\n" +
+      s"$ranks)\nORDER BY rank"
+  }
+
   /** Mirror of Similarity.lshBucket: plane p's ±1 signs come from the
     * "p|i" hash (or "band|p|i" for the banded family).
     */
@@ -671,6 +712,14 @@ object PipelineQueries {
               |    FROM e q JOIN e n ON n.vec_id <> q.vec_id
               |    WHERE q.vec_id < 5))
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // MMR diversity re-rank: greedy λ·rel − (1−λ)·maxSim over the top-20
+    // brute-force candidates for query vector 0 — the oracle unrolls the
+    // greedy one (maxsim, argmax) CTE generation per pick, the same
+    // unrolled-serial-oracle discipline the BPE trainer uses.
+    QueryDef("ann_mmr_rerank",
+      (s, dir) => Similarity.mmrRerank(Tables.read(s, dir, "embeddings")),
+      Some(mmrOracle())),
 
     // filtered vector search: metadata predicate (documents.lang = 'en')
     // semi-joins the corpus before any cosine math — retrieval-with-filters

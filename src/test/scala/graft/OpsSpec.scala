@@ -129,6 +129,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq(1.0, 0.0, 1.0))
   }
 
+  test("mmr re-rank demotes a near-duplicate of the top hit") {
+    // query = vec 0 along e1. Vec 1 (rel .7107) and its near-clone vec 2
+    // (rel .7103) beat vec 3 (rel .7071) on relevance — pure top-k ranks
+    // (1, 2, 3); but sim(1,2) ≈ 1 while sim(1,3) ≈ 0.005, so at λ = 0.7
+    // the clone's mmr (≈ .197) loses to the diverse vec 3 (≈ .493).
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.99f, 0.0f)),
+      (2L, Array(1.0f, 0.991f, 0.0f)), // near-clone of 1
+      (3L, Array(1.0f, -1.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb, queryId = 0L, nCand = 4, k = 3)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("mmr rank-1 is the pure-relevance argmax and scores are " +
+    "monotonically non-increasing") {
+    val emb = graft.core.Tables.read(spark, sf, "embeddings")
+    val out = Similarity.mmrRerank(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 5)
+    val top1 = Similarity.bruteForceTopK(emb, nQueries = 1, k = 1)
+      .collect().head.getLong(2)
+    assert(out.head._2 === top1)
+    // greedy invariant: each later pick's mmr cannot beat an earlier one
+    out.sliding(2).foreach { case Array(a, b) => assert(a._4 >= b._4) }
+  }
+
   test("brute-force top-k on real embeddings: self excluded, ranks dense") {
     val emb = graft.core.Tables.read(spark, sf, "embeddings")
     val out = Similarity.bruteForceTopK(emb, nQueries = 3, k = 4).collect()
