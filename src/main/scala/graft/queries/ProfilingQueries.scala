@@ -683,6 +683,96 @@ object ProfilingQueries {
              |    AS autocorr_lag1
              |FROM m ORDER BY event_type""".stripMargin)),
 
+    // Two-sample Kolmogorov-Smirnov test between every pair of event
+    // types' value distributions — the UNBINNED drift detector
+    // complementing curation_js_divergence's binned-histogram JS: D is
+    // the supremum of |ECDF_a − ECDF_b|, evaluated at every sample point
+    // (ECDFs only step there, and both engines' RANGE tie semantics put
+    // each evaluation AFTER all rows of equal value — the correct
+    // right-limit). The per-pair running counts reuse the same
+    // DISTRIBUTED TWO-PHASE PREFIX SUM as ops/Sweep: integer-value
+    // buckets give per-(pair, bucket) partial counts (≤ ~500 buckets —
+    // value-range-bounded), a tiny carry window, and per-bucket
+    // partitioned running sums — no per-pair global window ever sees the
+    // sample mass. Counts stay exact BIGINT; ECDF division and the
+    // √(n_a·n_b/(n_a+n_b))·D statistic convert to double only in the
+    // final fixed expression.
+    QueryDef("profile_ks_test",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+          .select(col("event_type").as("t"), col("value"))
+        val types = ev.select(col("t")).distinct()
+        val pairs = types.as("x").join(types.as("y"), col("x.t") < col("y.t"))
+          .select(col("x.t").as("ta"), col("y.t").as("tb"))
+        val sa = ev.join(broadcast(pairs), col("t") === col("ta"))
+          .select(col("ta"), col("tb"), col("value"),
+            lit(1L).as("ia"), lit(0L).as("ib"))
+        val sb = ev.join(broadcast(pairs), col("t") === col("tb"))
+          .select(col("ta"), col("tb"), col("value"),
+            lit(0L).as("ia"), lit(1L).as("ib"))
+        val u = sa.unionByName(sb)
+          .withColumn("bucket", floor(col("value")).cast("long"))
+        val perBucket = u.groupBy("ta", "tb", "bucket")
+          .agg(sum(col("ia")).as("da"), sum(col("ib")).as("db"))
+        val wOff = Window.partitionBy("ta", "tb").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = perBucket
+          .withColumn("ca0", coalesce(sum(col("da")).over(wOff), lit(0L)))
+          .withColumn("cb0", coalesce(sum(col("db")).over(wOff), lit(0L)))
+          .select("ta", "tb", "bucket", "ca0", "cb0")
+        val wRun = Window.partitionBy("ta", "tb", "bucket").orderBy("value")
+        val tot = u.groupBy("ta", "tb")
+          .agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"))
+        def d(c: Column) = c.cast("double")
+        u.join(broadcast(offsets), Seq("ta", "tb", "bucket"))
+          .withColumn("ca", col("ca0") + sum(col("ia")).over(wRun))
+          .withColumn("cb", col("cb0") + sum(col("ib")).over(wRun))
+          .join(broadcast(tot), Seq("ta", "tb"))
+          .withColumn("diff",
+            abs(d(col("ca")) / d(col("n_a")) - d(col("cb")) / d(col("n_b"))))
+          .groupBy("ta", "tb")
+          .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+            max(col("diff")).as("dmax"))
+          .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+            round(col("dmax"), 6).as("d_stat"),
+            round(sqrt(d(col("n_a")) * d(col("n_b")) /
+              (d(col("n_a")) + d(col("n_b")))) * col("dmax"), 6)
+              .as("ks_stat"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH t AS (SELECT DISTINCT event_type AS ty FROM events),
+             |p AS (SELECT a.ty AS ta, b.ty AS tb
+             |      FROM t a JOIN t b ON a.ty < b.ty),
+             |u AS (SELECT p.ta, p.tb, e.value,
+             |        CASE WHEN e.event_type = p.ta
+             |          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+             |          END AS ia,
+             |        CASE WHEN e.event_type = p.tb
+             |          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+             |          END AS ib
+             |      FROM events e
+             |      JOIN p ON e.event_type IN (p.ta, p.tb)),
+             |r AS (SELECT ta, tb,
+             |        CAST(sum(ia) OVER (PARTITION BY ta, tb ORDER BY value)
+             |          AS BIGINT) AS ca,
+             |        CAST(sum(ib) OVER (PARTITION BY ta, tb ORDER BY value)
+             |          AS BIGINT) AS cb
+             |      FROM u),
+             |n AS (SELECT ta, tb, CAST(sum(ia) AS BIGINT) AS n_a,
+             |        CAST(sum(ib) AS BIGINT) AS n_b
+             |      FROM u GROUP BY 1, 2),
+             |m AS (SELECT r.ta, r.tb,
+             |        max(abs(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |          - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS dmax
+             |      FROM r JOIN n ON n.ta = r.ta AND n.tb = r.tb
+             |      GROUP BY 1, 2)
+             |SELECT m.ta, m.tb, n.n_a, n.n_b, round(dmax, 6) AS d_stat,
+             |  round(sqrt(CAST(n.n_a AS DOUBLE) * CAST(n.n_b AS DOUBLE)
+             |    / (CAST(n.n_a AS DOUBLE) + CAST(n.n_b AS DOUBLE)))
+             |    * dmax, 6) AS ks_stat
+             |FROM m JOIN n ON n.ta = m.ta AND n.tb = m.tb
+             |ORDER BY m.ta, m.tb""".stripMargin)),
+
     // Lagged CROSS-correlation between the hourly 'view' and 'purchase'
     // count series — the lead/lag detector agg_autocorr can't express
     // (does purchasing trail browsing, and by how many hours?). Both

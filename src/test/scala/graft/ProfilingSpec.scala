@@ -126,6 +126,45 @@ class ProfilingSpec extends SparkSpec {
     assert(got.collect().forall(!_.getBoolean(2)))
   }
 
+  test("ks test: exactly matches a driver-side ECDF supremum at sf0.001") {
+    import spark.implicits._
+    val ev = graft.core.Tables.read(spark, sf, "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val byType = ev.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).sorted }
+    val types = byType.keys.toSeq.sorted
+    val expected = for {
+      ta <- types; tb <- types if ta < tb
+    } yield {
+      val (xa, xb) = (byType(ta), byType(tb))
+      val (na, nb) = (xa.length.toLong, xb.length.toLong)
+      val points = (xa ++ xb).distinct
+      val dmax = points.map { v =>
+        val ca = xa.count(_ <= v).toDouble / na
+        val cb = xb.count(_ <= v).toDouble / nb
+        math.abs(ca - cb)
+      }.max
+      val ks = math.sqrt(na.toDouble * nb.toDouble /
+        (na.toDouble + nb.toDouble)) * dmax
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (ta, tb, na, nb, r6(dmax), r6(ks))
+    }
+    val got = SparkEntry.queries("profile_ks_test")(spark, sf)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    // D and n are exact; ks may differ in the last ulp because the driver
+    // recomputation does not replicate the engine's exact double tree for
+    // dmax intermediates — compare at the rounded-6dp level the oracle
+    // gates, minus that tolerance on ks only
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ===
+      expected.map(r => (r._1, r._2, r._3, r._4)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 1e-9, s"d_stat ${g._1}/${g._2}")
+      assert(math.abs(g._6 - e._6) < 1e-9, s"ks_stat ${g._1}/${g._2}")
+    }
+  }
+
   test("cross-correlation: exactly matches a driver-side recomputation " +
     "at sf0.001") {
     import spark.implicits._
