@@ -44,7 +44,11 @@ object Sweep {
         struct(col("st").as("t"), lit(1L).as("d")),
         struct(col("en").as("t"), lit(-1L).as("d")))).as("b"))
       .select(col("b.t").as("t"), col("b.d").as("d"))
-      .withColumn("bucket", expr(s"t div $HourUs"))
+      // FLOOR division, not `div`: `div` truncates toward zero, so a
+      // pre-1970 timestamp (negative micros) would land one bucket high
+      // while the DuckDB mirror's `//` floors — (t − pmod(t, H)) is an
+      // exact multiple of H, where truncation ≡ floor for any sign
+      .withColumn("bucket", expr(s"(t - pmod(t, $HourUs)) div $HourUs"))
     val perBucket = bounds.groupBy("bucket")
       .agg(sum(col("d")).as("ds"), count(lit(1)).as("nb"))
     val wOff = Window.orderBy("bucket")

@@ -786,10 +786,13 @@ object ProfilingQueries {
     // windows surface NULL, not NaN (IEEE 0/0 would hash-drift).
     QueryDef("ts_cross_correlation",
       (s, dir) => {
+        // floor-div form (not `div`, which truncates toward zero): keeps
+        // pre-1970 timestamps in the same bucket as DuckDB's flooring `//`
         val hourly = Tables.read(s, dir, "events")
           .filter(col("event_type").isin("view", "purchase"))
           .groupBy(col("event_type"),
-            expr("unix_micros(ts) div 3600000000").as("h"))
+            expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))" +
+              " div 3600000000").as("h"))
           .agg(count(lit(1)).as("c"))
         val rng = hourly.agg(min("h").as("h0"), max("h").as("h1"))
         val grid = rng.select(explode(sequence(col("h0"), col("h1"))).as("h"))

@@ -129,6 +129,24 @@ class BehaviorSpec extends SparkSpec {
       (2L, 2L, 4L)))
   }
 
+  test("concurrency: pre-1970 timestamps floor into the correct hour " +
+    "bucket") {
+    import spark.implicits._
+    // 23:30 UTC on 1969-12-31 is NEGATIVE micros; truncating division
+    // would bucket it at hour 0 alongside the 00:30 interval — flooring
+    // keeps them one hour apart
+    val ev = Seq(
+      ("1969-12-31 23:30:00", 60.0),
+      ("1970-01-01 00:30:00", 60.0)
+    ).toDF("ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = graft.ops.Sweep.hourlyConcurrency(ev)
+      .select("hour_start", "peak")
+      .as[(java.sql.Timestamp, Long)].collect()
+      .map { case (h, p) => (h.getTime / 3600000L, p) }
+    assert(out.toSeq === Seq((-1L, 1L), (0L, 1L)))
+  }
+
   test("concurrency: two-phase prefix sum equals a driver-side sweep at " +
     "sf0.001") {
     import spark.implicits._
