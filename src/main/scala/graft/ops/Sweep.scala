@@ -22,49 +22,75 @@ import org.apache.spark.sql.functions._
   * [start, end) intervals), and both engines' default RANGE frame
   * collapses (t, d) ties to the tie-group-end value, so the per-row run
   * is engine-identical regardless of intra-tie row order.
+  *
+  * The per-bucket scan result (ds = Σd, maxpref = max prefix sum, nb =
+  * row count) is a MONOID element — combine((s₁,m₁),(s₂,m₂)) =
+  * (s₁+s₂, max(m₁, s₁+m₂)) — which is what makes the sweep
+  * INCREMENTALIZABLE: the streaming face
+  * ([[graft.streaming.Streams.concurrencyStreaming]]) emits exactly these
+  * per-bucket elements from `flatMapGroupsWithState` as watermark closes
+  * each bucket, and [[finalizeConcurrency]] assembles identical hourly
+  * peaks from either path (batch ≡ stream, gated by ConcStreamSpec).
   */
 object Sweep {
 
-  private val HourUs = 3600000000L
+  val HourUs = 3600000000L
 
-  /** Peak concurrent intervals per hour. Each event row opens an interval
-    * [ts, ts + max(1, ⌊value⌋) seconds); output is one row per hour with
-    * ≥1 boundary: (hour_start, peak, n_boundaries). An hour's peak is
-    * max(run, carry) — carry covers an hour whose maximum concurrency was
-    * inherited from the previous hour's close.
+  /** ±1 boundary rows from the event intervals [ts, ts + max(1, ⌊value⌋)
+    * seconds): (t micros, d, bucket). FLOOR division, not `div`: `div`
+    * truncates toward zero, so a pre-1970 timestamp (negative micros)
+    * would land one bucket high while the DuckDB mirror's `//` floors —
+    * (t − pmod(t, H)) is an exact multiple of H, where truncation ≡ floor
+    * for any sign.
     */
-  def hourlyConcurrency(events: DataFrame): DataFrame = {
+  def boundaries(events: DataFrame): DataFrame = {
     val ev = events
       .select(unix_micros(col("ts")).as("st"),
         (unix_micros(col("ts")) +
           greatest(lit(1L), floor(col("value")).cast("long")) * lit(1000000L))
           .as("en"))
-    val bounds = ev
-      .select(explode(array(
+    ev.select(explode(array(
         struct(col("st").as("t"), lit(1L).as("d")),
         struct(col("en").as("t"), lit(-1L).as("d")))).as("b"))
       .select(col("b.t").as("t"), col("b.d").as("d"))
-      // FLOOR division, not `div`: `div` truncates toward zero, so a
-      // pre-1970 timestamp (negative micros) would land one bucket high
-      // while the DuckDB mirror's `//` floors — (t − pmod(t, H)) is an
-      // exact multiple of H, where truncation ≡ floor for any sign
       .withColumn("bucket", expr(s"(t - pmod(t, $HourUs)) div $HourUs"))
-    val perBucket = bounds.groupBy("bucket")
-      .agg(sum(col("d")).as("ds"), count(lit(1)).as("nb"))
-    val wOff = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perBucket
-      .withColumn("carry", coalesce(sum(col("ds")).over(wOff), lit(0L)))
-      .select("bucket", "carry", "nb")
+  }
+
+  /** Phase-1 scan: one monoid row per bucket — (bucket, ds = Σd,
+    * maxpref = max over the (t, d)-ordered prefix sums, nb = boundary
+    * count). The within-bucket window is PARTITIONED BY bucket (parallel).
+    */
+  def perBucketScan(bounds: DataFrame): DataFrame = {
     val wRun = Window.partitionBy("bucket").orderBy("t", "d")
     bounds
-      .join(broadcast(offsets), "bucket")
-      .withColumn("run", col("carry") + sum(col("d")).over(wRun))
+      .withColumn("runl", sum(col("d")).over(wRun))
       .groupBy("bucket")
-      .agg(max(greatest(col("run"), col("carry"))).as("peak"),
-        max(col("nb")).as("n_boundaries"))
+      .agg(sum(col("d")).as("ds"), max(col("runl")).as("maxpref"),
+        count(lit(1)).as("nb"))
+  }
+
+  /** Phase-2 assembly over the |buckets|-row monoid frame: carry-in per
+    * bucket (prefix sums of ds), hour peak = carry + max(0, maxpref) —
+    * identical algebra whether the monoid rows came from the batch window
+    * scan or the streaming state operator.
+    */
+  def finalizeConcurrency(perBucket: DataFrame): DataFrame = {
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("carry", coalesce(sum(col("ds")).over(wOff), lit(0L)))
       .select(timestamp_micros(col("bucket") * lit(HourUs)).as("hour_start"),
-        col("peak"), col("n_boundaries"))
+        (col("carry") + greatest(lit(0L), col("maxpref"))).as("peak"),
+        col("nb").as("n_boundaries"))
       .orderBy("hour_start")
   }
+
+  /** Peak concurrent intervals per hour. Each event row opens an interval
+    * [ts, ts + max(1, ⌊value⌋) seconds); output is one row per hour with
+    * ≥1 boundary: (hour_start, peak, n_boundaries). An hour's peak is
+    * carry + max(0, maxpref) — pure carry covers an hour whose maximum
+    * concurrency was inherited from the previous hour's close.
+    */
+  def hourlyConcurrency(events: DataFrame): DataFrame =
+    finalizeConcurrency(perBucketScan(boundaries(events)))
 }

@@ -171,6 +171,90 @@ object Streams {
   final case class OpenSession(idx: Long, startUs: Long, lastUs: Long,
       n: Long, sumScaled: Long)
 
+  /** Per-bucket sweep buffer: boundary (t, d) rows awaiting bucket close
+    * (parallel arrays — product encoders handle Seq[Long] natively).
+    */
+  final case class BucketBuf(ts: Seq[Long], ds: Seq[Long])
+
+  /** One emitted sweep-monoid element per closed hour bucket. */
+  final case class BucketMonoid(bucket: Long, ds: Long, maxpref: Long,
+      nb: Long)
+
+  /** Streaming face of the peak-concurrency sweep line
+    * ([[graft.ops.Sweep]]): interval boundaries flow in event time, each
+    * hour bucket's rows buffer in state until the WATERMARK passes the
+    * bucket end (event-time timeout), then exactly one monoid row
+    * (Σd, max prefix sum, count) emits — and
+    * [[graft.ops.Sweep.finalizeConcurrency]] assembles hourly peaks from
+    * those rows identical to the batch path (gated by ConcStreamSpec).
+    * The per-row prefix maximum differs from the batch RANGE-collapsed
+    * maximum only among NEGATIVE prefixes (a bucket opening on −1
+    * boundaries), which the finalize algebra clamps with max(0, ·) — the
+    * assembled peaks are equal in every case.
+    *
+    * Scale: state ∝ one bucket's boundary mass per key, evicted at close;
+    * shrink the bucket (minute grain) for hotter feeds. Emission is one
+    * row per bucket per key — the downstream carry assembly stays a
+    * |buckets|-row batch job at any corpus size.
+    */
+  def concurrencyStreaming(spark: SparkSession, dir: String, glob: String,
+      queryName: String): StreamingQuery = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    implicit val stateEnc: Encoder[BucketBuf] = Encoders.product[BucketBuf]
+    implicit val outEnc: Encoder[BucketMonoid] = Encoders.product[BucketMonoid]
+    implicit val rowEnc: Encoder[(Long, Long, Long, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.TIMESTAMP)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val rawSchema = spark.read.parquet(Tables.path(dir, "events")).schema
+    val raw = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", glob)
+      .format("parquet")
+      .load(dir)
+    val bounds = graft.ops.Sweep.boundaries(
+        raw.transform(Catalog.rebuildTs(_, "ts")).select("ts", "value"))
+      .withColumn("tts", timestamp_micros(col("t")))
+      .withWatermark("tts", "10 minutes")
+      .select(col("bucket"), col("t"), col("d"), col("tts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)](rowEnc)
+    val monoids = bounds.groupByKey(_._1)
+      .flatMapGroupsWithState[BucketBuf, BucketMonoid](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            state: org.apache.spark.sql.streaming.GroupState[BucketBuf]) =>
+          if (state.hasTimedOut) {
+            val buf = state.getOption.getOrElse(BucketBuf(Nil, Nil))
+            val arr = buf.ts.zip(buf.ds).sortBy(identity)
+            var run = 0L
+            var maxp = Long.MinValue
+            arr.foreach { case (_, d) =>
+              run += d; if (run > maxp) maxp = run
+            }
+            state.remove()
+            if (arr.isEmpty) Iterator.empty
+            else Iterator.single(
+              BucketMonoid(bucket, run, maxp, arr.length.toLong))
+          } else {
+            val newRows = rows.toArray
+            val buf = state.getOption.getOrElse(BucketBuf(Nil, Nil))
+            state.update(BucketBuf(buf.ts ++ newRows.map(_._2),
+              buf.ds ++ newRows.map(_._3)))
+            // close when the watermark passes the bucket's end
+            state.setTimeoutTimestamp((bucket + 1) * 3600000L)
+            Iterator.empty
+          }
+      }
+    monoids.toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   /** Custom-state sessionization (`flatMapGroupsWithState`): emits each
     * session the moment a later event closes it (> gap of quiet), keeping
     * only the single open session per user in state — the

@@ -109,3 +109,70 @@ class SessionStreamSpec extends SparkSpec {
     assert(streamed === batch)
   }
 }
+
+/** Batch ≡ stream for the peak-concurrency sweep line: the streaming face
+  * emits one (Σd, max-prefix, count) monoid row per hour bucket as the
+  * watermark closes it; Sweep.finalizeConcurrency over those rows must
+  * equal the batch Sweep.hourlyConcurrency over the same events.
+  */
+class ConcStreamSpec extends SparkSpec {
+
+  private def fs = org.apache.hadoop.fs.FileSystem
+    .get(spark.sparkContext.hadoopConfiguration)
+
+  test("streamed sweep monoids assemble to the batch hourly peaks") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val dir = "/tmp/graft_concstream"
+    fs.delete(new Path(dir), true)
+    fs.mkdirs(new Path(dir))
+    FileUtil.copy(fs, new Path(graft.core.Tables.path(sf, "events")),
+      fs, new Path(s"$dir/events.parquet"), false, true,
+      spark.sparkContext.hadoopConfiguration)
+
+    // sentinel wave: every event shifted far forward, in the file's own
+    // ts domain (nanos long vs µs timestamp varies by generation) — the
+    // watermark must pass every real bucket's end so its timeout fires
+    def writeWave(hoursAhead: Int, wave: String): Unit = {
+      val raw = spark.read.parquet(graft.core.Tables.path(sf, "events"))
+        .limit(10)
+      val shifted = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") + lit(hoursAhead * 3600L * 1000000000L)
+        case _ => col("ts") + expr(s"INTERVAL $hoursAhead HOURS")
+      }
+      val sentinels = raw.withColumn("ts", shifted)
+        .withColumn("event_id", col("event_id") + 2000000000L)
+      val tmp = s"$dir-tmp-$wave"
+      fs.delete(new Path(tmp), true)
+      sentinels.write.parquet(tmp)
+      fs.listStatus(new Path(tmp))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          fs.rename(f.getPath, new Path(s"$dir/$wave-$i.parquet"))
+        }
+      fs.delete(new Path(tmp), true)
+    }
+
+    val q = Streams.concurrencyStreaming(spark, dir, "*.parquet", "conc_out")
+    try {
+      q.processAllAvailable()
+      writeWave(1000, "wave2")
+      q.processAllAvailable()
+      writeWave(2000, "wave3") // the data batch that applies wave2's watermark
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = graft.ops.Sweep.hourlyConcurrency(
+      graft.core.Tables.read(spark, sf, "events"))
+    val maxRealBucket = graft.core.Tables.read(spark, sf, "events")
+      .agg(max(unix_micros(col("ts")))).collect().head.getLong(0) /
+      graft.ops.Sweep.HourUs + 1
+    val streamedMonoids = spark.table("conc_out")
+      .filter(col("bucket") <= maxRealBucket)
+    val assembled = graft.ops.Sweep.finalizeConcurrency(streamedMonoids)
+      .collect().map(_.toSeq).toSeq
+    val expected = batch.collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty)
+    assert(assembled === expected)
+  }
+}
