@@ -233,4 +233,49 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("join_set_similarity: candidate and verify joins are hash-equi — " +
+    "no cartesian/nested-loop anywhere") {
+    val plan = executed(
+      SparkEntry.queries("join_set_similarity")(spark, sf)).toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filtered join must stay hash-equi:\n$plan")
+  }
+
+  test("events_concurrency: the boundary-mass window is bucket-" +
+    "partitioned; only the |buckets| carry frame is global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = executed(SparkEntry.queries("events_concurrency")(spark, sf))
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    val (global, parted) = wins.partition(_.partitionSpec.isEmpty)
+    assert(parted.nonEmpty,
+      "the data-sized running sum must be PARTITIONED BY bucket")
+    assert(parted.forall(_.partitionSpec
+      .exists(_.toString.contains("bucket"))))
+    assert(global.size == 1 && global.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty,
+      "a global window may only see the per-bucket aggregated frame")
+  }
+
+  test("profile_ks_test: every window is partitioned — the ECDF scan " +
+    "never serializes the sample mass") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = executed(SparkEntry.queries("profile_ks_test")(spark, sf))
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "no WindowExec may run with an empty partition spec")
+    assert(wins.exists(_.partitionSpec
+      .exists(_.toString.contains("bucket"))),
+      "the data-sized scan must be (pair, bucket)-partitioned")
+  }
+
+  test("text_bm25: the top-k is TakeOrderedAndProject, never a global " +
+    "sort exchange") {
+    val plan = executed(SparkEntry.queries("text_bm25")(spark, sf)).toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
