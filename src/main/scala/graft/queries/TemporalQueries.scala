@@ -202,6 +202,56 @@ object TemporalQueries {
              |JOIN (SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
              |      FROM generate_series(0, 9) t(i)) b
              |  ON e.value >= b.lo AND e.value < b.hi
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // INTERVAL-OVERLAP join — the interval×interval member of the
+    // temporal-join family (as-of = point×ordered, range = point×bands;
+    // this is the genomics/session-alignment shape): per user, every
+    // (view, purchase) interval pair that truly overlaps, with the
+    // overlap length. Intervals are half-open [ts, ts + max(1, ⌊value⌋)s)
+    // — touching endpoints do NOT overlap (strict <, pinned by spec).
+    //
+    // Scale: the join is EQUI on user_id — the natural co-partitioning
+    // key, one hash exchange per side, overlap as a residual predicate
+    // over the per-user candidate pairs (bounded by per-user activity,
+    // the same skew class every per-user window in this engine rides).
+    // For a KEYLESS interval join at 100 TB, the bucket-blocking variant
+    // of ops/Sweep's hour grid applies (explode each interval into its
+    // covered buckets, equi-join on bucket, dedup) — keyed overlap never
+    // needs it.
+    QueryDef("join_interval_overlap",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+        def iv(t: String, idc: String, sc: String, ec: String) =
+          ev.filter(col("event_type") === t)
+            .select(col("user_id"), col("event_id").as(idc),
+              unix_micros(col("ts")).as(sc),
+              (unix_micros(col("ts")) +
+                greatest(lit(1L), floor(col("value")).cast("long")) *
+                  lit(1000000L)).as(ec))
+        val v = iv("view", "view_id", "vs", "ve")
+        val p = iv("purchase", "purchase_id", "ps", "pe")
+        v.join(p, Seq("user_id"))
+          .filter(col("vs") < col("pe") && col("ps") < col("ve"))
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            (least(col("ve"), col("pe")) - greatest(col("vs"), col("ps")))
+              .as("overlap_us"))
+          .orderBy("user_id", "view_id", "purchase_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(ts) AS s,
+             |    epoch_us(ts)
+             |      + greatest(1, CAST(floor(value) AS BIGINT)) * 1000000
+             |      AS e
+             |  FROM events WHERE event_type IN ('view', 'purchase'))
+             |SELECT v.user_id, v.event_id AS view_id,
+             |  p.event_id AS purchase_id,
+             |  least(v.e, p.e) - greatest(v.s, p.s) AS overlap_us
+             |FROM iv v JOIN iv p
+             |  ON v.user_id = p.user_id
+             |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+             |  AND v.s < p.e AND p.s < v.e
+             |ORDER BY v.user_id, view_id, purchase_id""".stripMargin))
   )
 }

@@ -85,3 +85,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.getString(0) === "exact")
   }
 }
+
+/** Interval-overlap join semantics on a hand-built frame: true overlaps
+  * found with correct lengths, half-open touching endpoints excluded,
+  * users never cross.
+  */
+class IntervalOverlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overlap join: lengths exact, touching endpoints excluded, " +
+    "users never cross") {
+    // user 1: view [00:00, 00:02) (value 120 s), purchase [00:01, 00:03)
+    //   → overlap 60 s; purchase2 at [00:02, 00:04) TOUCHES the view's
+    //   end — half-open ⇒ NOT a pair
+    // user 2: purchase [00:01, 00:02) overlaps nothing of user 1
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 00:00:00", 120.0),
+      (1L, 2L, "purchase", "2024-01-01 00:01:00", 120.0),
+      (1L, 3L, "purchase", "2024-01-01 00:02:00", 120.0),
+      (2L, 4L, "purchase", "2024-01-01 00:01:00", 60.0)
+    ).toDF("user_id", "event_id", "event_type", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    // drive the declared query's exact shape on the fixture via a temp
+    // parquet dir so the (SparkSession, dir) contract stays the code
+    // under test
+    val dir = "/tmp/graft_ivjoin_fixture"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    ev.select("user_id", "event_id", "event_type", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("join_interval_overlap")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 2L, 60000000L)))
+  }
+}
