@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline ranking / classifier evaluation over scored tables — the metrics
+  * a training-data pipeline runs after every quality-classifier or
+  * retrieval-index refresh (extension surface, SURVEY §7.6; composes with
+  * `curation_quality_classifier` and the ANN family).
+  *
+  * Numeric discipline: every cross-engine-compared value is either an exact
+  * integer/half-integer sum (order-independent in IEEE double below 2^53) or
+  * is rounded and decimal-summed before the final division, so the DuckDB
+  * oracle can hash-match bit-for-bit.
+  */
+object Evaluate {
+
+  /** ROC AUC via the rank-sum (Mann-Whitney U) identity, computed in its
+    * SCALABLE form: never a per-row global sort. Rows collapse to one row
+    * per distinct score first (map-side combinable groupBy), then one
+    * cumulative window walks the distinct-score axis:
+    *
+    *   AUC = Σ_s np_s · (nn_below(s) + nn_s / 2) / (npos · nneg)
+    *
+    * which is the tie-corrected rank-sum. The window is over DISTINCT
+    * scores — cardinality bounded by the score domain, not the row count —
+    * so the single-partition window stage holds ~|scores| rows at 100 TB
+    * while the heavy aggregation stays distributed.
+    *
+    * Exactness: np/nn are integer-valued doubles and every term is a
+    * half-integer product below 2^53, so the sums are order-independent
+    * and engine-identical; the only rounding is the final 6 dp.
+    */
+  def aucByScore(scored: DataFrame, scoreCol: String,
+                 labelCol: String): DataFrame = {
+    val perS = scored
+      .groupBy(col(scoreCol).as("score"))
+      .agg(sum(col(labelCol)).cast("double").as("np"),
+        (count(lit(1)) - sum(col(labelCol))).cast("double").as("nn"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perS
+      .withColumn("nn_below", coalesce(sum(col("nn")).over(w), lit(0.0)))
+    cum.agg(
+        sum(col("np") * (col("nn_below") + col("nn") / 2)).as("usum"),
+        sum(col("np")).as("npos"), sum(col("nn")).as("nneg"))
+      .select(col("npos").cast("long").as("n_pos"),
+        col("nneg").cast("long").as("n_neg"),
+        round(col("usum") / (col("npos") * col("nneg")), 6).as("auc"))
+  }
+
+  /** Integer-scaled DCG discounts: round(1e9 / log2(r+1)) for r = 1..10.
+    * Scaling the discount to an exact BIGINT makes each user's DCG an exact
+    * integer sum — order-independent across engines — instead of a float
+    * sum whose grouping order differs between Spark and the oracle.
+    */
+  val NdcgDiscounts: Array[Long] = Array(1000000000L, 630929754L, 500000000L,
+    430676558L, 386852807L, 356207187L, 333333333L, 315464877L, 301029996L,
+    289064826L)
+
+  /** Mean NDCG@10 across groups: `rel` is graded relevance (int), the
+    * predicted ranking orders by `scoreCol` desc (ties broken by `idCol`
+    * so both engines pick the same top-10), the ideal ranking by `rel`
+    * desc. Both rankings are per-group windows — embarrassingly parallel
+    * across groups, state bounded by the group's row count. Per-group
+    * NDCG = exact-integer DCG / exact-integer IDCG, rounded to 9 dp and
+    * decimal-summed so the cross-group mean is order-independent.
+    */
+  def meanNdcgAt10(df: DataFrame, groupCol: String, idCol: String,
+                   scoreCol: String, relCol: String): DataFrame = {
+    val wPred = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wIdeal = Window.partitionBy(groupCol)
+      .orderBy(col(relCol).desc, col(idCol))
+    def dcg(w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = df
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 10)
+      .withColumn("d", element_at(lit(NdcgDiscounts), col("r")))
+      .groupBy(col(groupCol)).agg(sum(col(relCol) * col("d")).as("s"))
+    val perU = dcg(wPred).as("p")
+      .join(dcg(wIdeal).as("i"), groupCol)
+      .filter(col("i.s") > 0)
+      .select(round(col("p.s").cast("double") / col("i.s"), 9).as("ndcg"))
+    perU.agg(count(lit(1)).as("n_users"),
+      round(sum(col("ndcg").cast("decimal(18,9)")).cast("double") /
+        count(lit(1)), 6).as("mean_ndcg"))
+  }
+
+  /** K-fold out-of-fold smoothed target encoding — the leakage-safe
+    * categorical encoder (each row's category statistic excludes its own
+    * fold, so the encoded feature never sees the row's own target):
+    *
+    *   enc(cat, fold) = (sum(cat) − sum(cat, fold) + α·prior)
+    *                  / (cnt(cat) − cnt(cat, fold) + α)
+    *
+    * Three decimal-exact aggregations (global, per-category, per-fold) and
+    * a closed-form combine — two map-side-combinable shuffles, no per-row
+    * second pass: the per-(cat, fold) frame IS the encoder table, broadcast
+    * back onto the fact at apply time. Sums go through DECIMAL so the
+    * engine and oracle see the identical double after the cast.
+    */
+  def targetEncode(df: DataFrame, catCol: String, foldCol: Column,
+                   targetCol: String, alpha: Double = 10.0): DataFrame = {
+    val decSum = sum(col(targetCol).cast("decimal(20,6)")).cast("double")
+    val base = df.select(col(catCol).as("segment"), foldCol.as("fold"),
+      col(targetCol))
+    val g = base.agg(decSum.as("gs"), count(lit(1)).cast("double").as("gn"))
+    val cs = base.groupBy("segment")
+      .agg(decSum.as("csum"), count(lit(1)).cast("double").as("cn"))
+    val fs = base.groupBy("segment", "fold")
+      .agg(decSum.as("fsum"), count(lit(1)).as("fcnt"))
+    fs.join(cs, "segment").crossJoin(broadcast(g))
+      .select(col("segment"), col("fold").cast("long").as("fold"),
+        col("fcnt").cast("long").as("n_rows"),
+        round((col("csum") - col("fsum") +
+            lit(alpha) * (col("gs") / col("gn"))) /
+          (col("cn") - col("fcnt") + lit(alpha)), 6).as("enc"))
+      .orderBy("segment", "fold")
+  }
+}

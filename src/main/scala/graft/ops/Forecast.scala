@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-series forecasting / periodicity primitives over resampled event
+  * streams (extension surface, SURVEY §7.6). Both operators first collapse
+  * the raw stream to one row per (series, day) — a map-side-combinable
+  * count — so the stateful/sequential part only ever sees the BOUNDED
+  * resampled series (≤ horizon days), never the raw 100 TB event stream.
+  */
+object Forecast {
+
+  /** Holt's linear (double-exponential) smoothing per series, h-step
+    * forecast. Sequential by nature, so the recurrence runs as an
+    * `aggregate` fold over the series' day-ordered count array — one
+    * array per series, parallel ACROSS series, state O(1) per series.
+    * That is the right 100 TB shape: resample distributes, the fold
+    * touches ≤ |days| elements per group.
+    *
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},   l_1 = y_1, b_1 = y_2 − y_1
+    *
+    * α = 0.5 and β = 0.25 are exactly representable doubles, and the fold
+    * order is the day order in BOTH engines (the oracle's recursive CTE
+    * walks the identical recurrence), so the smoothed state is
+    * bit-identical before the final 6 dp rounding.
+    *
+    * Returns (series, h, yhat) for h = 1..horizon with
+    * yhat = level + h·trend.
+    */
+  def holtForecast(daily: DataFrame, seriesCol: String, dayCol: String,
+                   yCol: String, horizon: Int = 7): DataFrame = {
+    val series = daily
+      .groupBy(seriesCol)
+      .agg(array_sort(collect_list(struct(col(dayCol).as("day"),
+        col(yCol).cast("double").as("y")))).as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col(seriesCol), transform(col("s"), _.getField("y")).as("ys"))
+    val level0 = element_at(col("ys"), 1)
+    val trend0 = element_at(col("ys"), 2) - element_at(col("ys"), 1)
+    val folded = aggregate(
+      slice(col("ys"), lit(2), size(col("ys")) - 1),
+      struct(level0.as("level"), trend0.as("trend")),
+      (acc: Column, y: Column) => {
+        // lNew appears twice (also inside the trend update) — duplicated
+        // deterministic subexpression, mirrored verbatim in the oracle SQL
+        val lNew = lit(0.5) * y +
+          lit(0.5) * (acc.getField("level") + acc.getField("trend"))
+        struct(lNew.as("level"),
+          (lit(0.25) * (lNew - acc.getField("level")) +
+            lit(0.75) * acc.getField("trend")).as("trend"))
+      })
+    series.select(col(seriesCol), folded.as("st"))
+      .select(col(seriesCol), col("st.level").as("level"),
+        col("st.trend").as("trend"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col(seriesCol), col("h").cast("long").as("h"),
+        round(col("level") + col("h") * col("trend"), 6).as("yhat"))
+      .orderBy(seriesCol, "h")
+  }
+
+  /** Seasonality-strength scan (trig-free periodogram): for each candidate
+    * period p, fold the day index modulo p and measure the fraction of
+    * total variance explained by the per-phase means — the one-way-ANOVA
+    * ratio SS_between / SS_total. A dominant period shows up as the
+    * arg-max strength without any sin/cos (whose last-ulp engine drift
+    * would break the hash gate).
+    *
+    * All inputs to the final closed-form doubles are EXACT integer sums
+    * (daily counts), so the only cross-engine hazard is the per-phase term
+    * s1²/n — identical double division in both engines — decimal-summed
+    * after a 6 dp round so the Σ over phases is order-independent.
+    *
+    * Scale: |days| × |periods| intermediate rows (tiny after the daily
+    * resample); both aggregations are map-side combinable.
+    */
+  def periodStrength(daily: DataFrame, dCol: String, yCol: String,
+                     maxPeriod: Int = 14): DataFrame = {
+    val y = col(yCol)
+    val g = daily.agg(sum(y).cast("double").as("sy"),
+      sum(y * y).cast("double").as("syy"),
+      count(lit(1)).cast("double").as("n"))
+    val ph = daily
+      .select(explode(sequence(lit(2), lit(maxPeriod))).as("p"),
+        col(dCol), y.as("y"))
+      .groupBy(col("p"), pmod(col(dCol), col("p")).as("phase"))
+      .agg(sum(col("y")).cast("double").as("s1"),
+        count(lit(1)).cast("double").as("cnt"))
+    val bt = ph.groupBy("p")
+      .agg(sum(round(col("s1") * col("s1") / col("cnt"), 6)
+        .cast("decimal(28,6)")).cast("double").as("ssb"))
+    bt.crossJoin(broadcast(g))
+      .select(col("p").cast("long").as("period"),
+        round((col("ssb") - col("sy") * col("sy") / col("n")) /
+          (col("syy") - col("sy") * col("sy") / col("n")), 6).as("strength"))
+      .orderBy("period")
+  }
+}

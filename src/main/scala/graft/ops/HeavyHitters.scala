@@ -161,6 +161,18 @@ object HeavyHitters {
     * candidates under a failed certificate are partitioning-dependent,
     * so the declared query would drift from its exact-GROUP-BY oracle on
     * precisely the corpora where certification fails (round-7 advice).
+    *
+    * Result semantics on the certified path: the returned frame is a ≤k-row
+    * LOCAL RELATION — an eager driver-side snapshot of the loop's final
+    * certified head, NOT a lazy plan over `df`. Re-executing it replays the
+    * snapshot rather than recomputing from `df`; callers that mutate the
+    * underlying table and want fresh results must call the operator again.
+    * This is deliberate (round-8: a lazy return made every downstream
+    * action re-run the whole sketch pipeline). The snapshot's schema is
+    * derived from the distributed pipeline's own output schema, so all
+    * three return branches (certified local relation, exact fallback,
+    * in-loop distributed frame) expose identical column types AND
+    * nullability — callers can never observe a branch-dependent schema.
     */
   def approxTopKAdaptive(spark: SparkSession, df: DataFrame, itemCol: String,
       k: Int, m0: Int = 64, maxM: Int = 1 << 20): DataFrame = {
@@ -228,10 +240,13 @@ object HeavyHitters {
       // sketch pipeline; re-sort locally to keep the ordering contract
       // independent of head()'s row order.
       import scala.jdk.CollectionConverters._
-      val schema = StructType(Seq(
-        StructField("item", StringType, nullable = true),
-        StructField("cnt", LongType, nullable = false),
-        StructField("guaranteed", BooleanType, nullable = false)))
+      // Schema comes from the distributed pipeline itself (not hand-declared):
+      // round-9 advice — a hand-written StructType drifted in nullability from
+      // the other two return branches (`guaranteed` derives from min() and is
+      // nullable in the distributed paths), letting callers observe a
+      // branch-dependent schema. Deriving it keeps all branches identical by
+      // construction.
+      val schema = out.select("item", "cnt", "guaranteed").schema
       spark.createDataFrame(lastHead.toSeq.asJava, schema)
         .orderBy(desc("cnt"), col("item"))
     }

@@ -1,0 +1,431 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.QueryDef.Sql
+import graft.core.{GraftFunctions, Tables}
+import graft.ops.{Dedup, Evaluate, Forecast, TextOps}
+
+/** Round-10 extension surface: ML-adjacent pipeline operators — offline
+  * eval metrics (AUC / NDCG), leakage-safe target encoding, feature
+  * hashing, per-series forecasting and period detection, PMI collocations,
+  * PII scrubbing, blocked record linkage, and whole-graph connected
+  * components. Every entry is oracle-gated (SURVEY §7.6 discipline).
+  */
+object MlQueries {
+
+  /** Deterministic PII classes injected onto the synthetic corpus (the
+    * corpus itself contains none) — both engines append the SAME derived
+    * tokens, so detection exercises real regexes over real text offsets.
+    */
+  private val PiiClasses: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b")
+
+  private val piiAugSql =
+    """SELECT doc_id, text
+      |  || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+      |  || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' on file' ELSE '' END
+      |  || CASE WHEN doc_id % 13 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up' ELSE '' END
+      |  || CASE WHEN doc_id % 17 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END
+      |  AS t FROM documents""".stripMargin
+      // single line: this fragment is re-interpolated into another
+      // stripMargin string, which would strip the leading `|` of a
+      // line-initial `||` concat
+      .replace('\n', ' ')
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Whole-graph connected components via the alternating large-star /
+    // small-star edge rewrite (the CC-in-MapReduce formulation that
+    // converges in O(log n) rounds with NODE-bounded per-round state —
+    // the only CC shape that survives a 100 TB edge list). Reuses the
+    // dedup layer's component engine on the supplier–customer bipartite
+    // graph, hash-sparsified to 0.5% so the components are non-trivial at
+    // every SF. Output is the component-size census — bounded by the
+    // number of distinct sizes. Oracle: recursive min-reach closure.
+    QueryDef("graph_connected_components",
+      (s, dir) => {
+        val base = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("doc_a"),
+            (col("o_custkey") * 2 + 1).as("doc_b"))
+        val sparse = base.filter(pmod(GraftFunctions.hash64(
+          concat_ws("|", lit("cc"), col("doc_a").cast("string"),
+            col("doc_b").cast("string"))), lit(1000L)) < 5)
+        Dedup.lssComponents(sparse)
+          .groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_components"))
+          .select(col("sz").as("component_size"), col("n_components"),
+            (col("sz") * col("n_components")).cast("long").as("n_nodes"))
+          .orderBy("component_size")
+      },
+      Some(s"""WITH RECURSIVE base AS (
+              |  SELECT l_suppkey * 2 AS u, o_custkey * 2 + 1 AS v
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              |sp AS (SELECT DISTINCT u, v FROM base
+              |  WHERE ${Sql.hash64("'cc|' || CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)")} % 1000 < 5),
+              |e AS (SELECT u AS a, v AS b FROM sp UNION SELECT v, u FROM sp),
+              |n AS (SELECT DISTINCT a AS node FROM e),
+              |walk(node, reach) AS (
+              |  SELECT node, node FROM n
+              |  UNION
+              |  SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.reach),
+              |comp AS (SELECT node, min(reach) AS c FROM walk GROUP BY 1),
+              |sizes AS (SELECT c, count(*) AS sz FROM comp GROUP BY 1)
+              |SELECT sz AS component_size, count(*) AS n_components,
+              |  CAST(sz * count(*) AS BIGINT) AS n_nodes
+              |FROM sizes GROUP BY 1 ORDER BY component_size""".stripMargin)),
+
+    // PII detect-and-redact census: regex classes over the (deterministic
+    // PII-injected) corpus — per class, how many docs hit, how many
+    // matches, how many chars a redaction pass removes. ONE corpus scan
+    // computes all 12 aggregates map-side; the 4-row presentation is an
+    // explode over the aggregated struct, not a re-scan. The per-doc cost
+    // is regex-linear — at 100 TB this is compute-bound map work with a
+    // 4-row result, the ideal Spark shape.
+    QueryDef("curation_pii_scrub",
+      (s, dir) => {
+        val aug = Tables.read(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com now")))
+              .otherwise(""),
+            when(col("doc_id") % 11 === 0, concat(lit(" ssn 123-45-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" on file"))).otherwise(""),
+            when(col("doc_id") % 13 === 0, concat(lit(" host 10."),
+              (col("doc_id") % 256).cast("string"), lit(".0.1 up")))
+              .otherwise(""),
+            when(col("doc_id") % 17 === 0, concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" today"))).otherwise("")).as("t"))
+        val aggs = PiiClasses.flatMap { case (cls, re) =>
+          val cnt = regexp_count(col("t"), lit(re))
+          Seq(sum(when(cnt > 0, 1L).otherwise(0L)).as(s"d_$cls"),
+            sum(cnt.cast("long")).as(s"m_$cls"),
+            sum(length(col("t")) -
+              length(regexp_replace(col("t"), re, ""))).as(s"c_$cls"))
+        }
+        aug.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(PiiClasses.map { case (cls, _) =>
+            struct(lit(cls).as("pii_class"), col(s"d_$cls").as("n_docs"),
+              col(s"m_$cls").as("n_matches"), col(s"c_$cls").as("n_chars"))
+          }: _*)).as("r"))
+          .select("r.pii_class", "r.n_docs", "r.n_matches", "r.n_chars")
+          .orderBy("pii_class")
+      },
+      Some(s"""WITH aug AS ($piiAugSql),
+              |per AS (SELECT
+              |${PiiClasses.map { case (cls, re) =>
+                 s"""  len(regexp_extract_all(t, '$re')) AS m_$cls,
+                    |  length(t) - length(regexp_replace(t, '$re', '', 'g')) AS c_$cls""".stripMargin
+               }.mkString(",\n")}
+              |  FROM aug)
+              |${PiiClasses.map { case (cls, _) =>
+                 s"""SELECT '$cls' AS pii_class,
+                    |  CAST(sum(CASE WHEN m_$cls > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                    |  CAST(sum(m_$cls) AS BIGINT) AS n_matches,
+                    |  CAST(sum(c_$cls) AS BIGINT) AS n_chars FROM per""".stripMargin
+               }.mkString("\nUNION ALL\n")}
+              |ORDER BY pii_class""".stripMargin)),
+
+    // Leakage-safe K-fold target encoding of customer segment against
+    // order value — the encoder table (segment × fold) from three
+    // decimal-exact aggregations; see Evaluate.targetEncode.
+    QueryDef("fn_target_encode",
+      (s, dir) => {
+        val j = Tables.read(s, dir, "orders")
+          .join(Tables.read(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+        Evaluate.targetEncode(j, "c_mktsegment", pmod(col("o_custkey"),
+          lit(5L)), "o_totalprice")
+      },
+      Some("""WITH j AS (SELECT c.c_mktsegment AS segment,
+             |    o.o_custkey % 5 AS fold, o.o_totalprice AS y
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |g AS (SELECT CAST(sum(CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS gs,
+             |  CAST(count(*) AS DOUBLE) AS gn FROM j),
+             |cs AS (SELECT segment,
+             |  CAST(sum(CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS csum,
+             |  CAST(count(*) AS DOUBLE) AS cn FROM j GROUP BY 1),
+             |fs AS (SELECT segment, fold,
+             |  CAST(sum(CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS fsum,
+             |  count(*) AS fcnt FROM j GROUP BY 1, 2)
+             |SELECT f.segment, CAST(f.fold AS BIGINT) AS fold,
+             |  CAST(f.fcnt AS BIGINT) AS n_rows,
+             |  round((c.csum - f.fsum + 10 * (g.gs / g.gn)) /
+             |        (c.cn - f.fcnt + 10), 6) AS enc
+             |FROM fs f JOIN cs c USING (segment) CROSS JOIN g
+             |ORDER BY segment, fold""".stripMargin)),
+
+    // ROC AUC of event value as a purchase-vs-view score, in the
+    // distinct-score rank-sum form (see Evaluate.aucByScore).
+    QueryDef("eval_auc",
+      (s, dir) => Evaluate.aucByScore(
+        Tables.read(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("value").as("score"),
+            when(col("event_type") === "purchase", 1).otherwise(0)
+              .as("label")),
+        "score", "label"),
+      Some("""WITH scored AS (SELECT value AS score,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+             |  FROM events WHERE event_type IN ('purchase', 'view')),
+             |per_s AS (SELECT score, CAST(sum(label) AS DOUBLE) AS np,
+             |    CAST(count(*) - sum(label) AS DOUBLE) AS nn
+             |  FROM scored GROUP BY 1),
+             |cum AS (SELECT np, nn,
+             |    coalesce(sum(nn) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS nn_below
+             |  FROM per_s),
+             |u AS (SELECT CAST(sum(np * (nn_below + nn / 2)) AS DOUBLE)
+             |  AS usum FROM cum),
+             |tot AS (SELECT CAST(sum(np) AS DOUBLE) AS npos,
+             |               CAST(sum(nn) AS DOUBLE) AS nneg FROM per_s)
+             |SELECT CAST(npos AS BIGINT) AS n_pos,
+             |  CAST(nneg AS BIGINT) AS n_neg,
+             |  round(usum / (npos * nneg), 6) AS auc
+             |FROM u CROSS JOIN tot""".stripMargin)),
+
+    // Mean NDCG@10 per user: graded relevance from event type, predicted
+    // ranking by value (see Evaluate.meanNdcgAt10 for the exact-integer
+    // discount discipline).
+    QueryDef("eval_ndcg",
+      (s, dir) => Evaluate.meanNdcgAt10(
+        Tables.read(s, dir, "events").select(col("user_id"), col("event_id"),
+          col("value"),
+          when(col("event_type") === "purchase", 3)
+            .when(col("event_type") === "click", 2)
+            .when(col("event_type") === "signup", 1)
+            .when(col("event_type") === "view", 1)
+            .otherwise(0).as("rel")),
+        "user_id", "event_id", "value", "rel"),
+      Some(s"""WITH rel AS (SELECT user_id, event_id, value,
+              |    CASE event_type WHEN 'purchase' THEN 3 WHEN 'click' THEN 2
+              |      WHEN 'signup' THEN 1 WHEN 'view' THEN 1 ELSE 0 END AS rel
+              |  FROM events),
+              |pred AS (SELECT user_id, rel,
+              |    row_number() OVER (PARTITION BY user_id
+              |      ORDER BY value DESC, event_id) AS r FROM rel),
+              |ideal AS (SELECT user_id, rel,
+              |    row_number() OVER (PARTITION BY user_id
+              |      ORDER BY rel DESC, event_id) AS r FROM rel),
+              |ds AS (SELECT unnest(range(1, 11)) AS r,
+              |    unnest([${Evaluate.NdcgDiscounts.map(d =>
+                     s"CAST($d AS BIGINT)").mkString(", ")}]) AS d),
+              |dcg AS (SELECT user_id, sum(rel * d) AS s FROM pred
+              |  JOIN ds USING (r) GROUP BY 1),
+              |idcg AS (SELECT user_id, sum(rel * d) AS s FROM ideal
+              |  JOIN ds USING (r) GROUP BY 1),
+              |per_u AS (SELECT d.user_id,
+              |    round(CAST(d.s AS DOUBLE) / i.s, 9) AS ndcg
+              |  FROM dcg d JOIN idcg i USING (user_id) WHERE i.s > 0)
+              |SELECT count(*) AS n_users,
+              |  round(CAST(sum(CAST(ndcg AS DECIMAL(18,9))) AS DOUBLE) /
+              |    count(*), 6) AS mean_ndcg
+              |FROM per_u""".stripMargin)),
+
+    // Holt linear smoothing over daily per-type event counts, 7-day
+    // forecast (see Forecast.holtForecast).
+    QueryDef("ts_holt_forecast",
+      (s, dir) => Forecast.holtForecast(
+        Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y")),
+        "event_type", "day", "y"),
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |series AS (SELECT event_type, y,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS i
+             |  FROM daily),
+             |init AS (SELECT s1.event_type, CAST(1 AS BIGINT) AS i,
+             |    s1.y AS level, s2.y - s1.y AS trend
+             |  FROM series s1 JOIN series s2
+             |    ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2),
+             |hw(event_type, i, level, trend) AS (
+             |  SELECT * FROM init
+             |  UNION ALL
+             |  SELECT h.event_type, h.i + 1,
+             |    0.5 * s.y + 0.5 * (h.level + h.trend),
+             |    0.25 * (0.5 * s.y + 0.5 * (h.level + h.trend) - h.level)
+             |      + 0.75 * h.trend
+             |  FROM hw h JOIN series s
+             |    ON s.event_type = h.event_type AND s.i = h.i + 1),
+             |last AS (SELECT event_type, level, trend FROM hw h
+             |  WHERE i = (SELECT max(i) FROM hw h2
+             |             WHERE h2.event_type = h.event_type)),
+             |hz AS (SELECT unnest(range(1, 8)) AS h)
+             |SELECT l.event_type, CAST(hz.h AS BIGINT) AS h,
+             |  round(l.level + hz.h * l.trend, 6) AS yhat
+             |FROM last l CROSS JOIN hz ORDER BY event_type, h""".stripMargin)),
+
+    // Trig-free period detection over the global daily count series
+    // (see Forecast.periodStrength).
+    QueryDef("ts_period_detect",
+      (s, dir) => {
+        val daily = Tables.read(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val minDay = daily.agg(min(col("day")).as("d0"))
+        Forecast.periodStrength(
+          daily.crossJoin(broadcast(minDay))
+            .select(datediff(col("day"), col("d0")).cast("long").as("d"),
+              col("y")),
+          "d", "y")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_diff('day',
+             |      (SELECT min(CAST(ts AS DATE)) FROM events),
+             |      CAST(ts AS DATE)) AS BIGINT) AS d,
+             |    count(*) AS y
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT CAST(sum(y) AS DOUBLE) AS sy,
+             |             CAST(sum(y * y) AS DOUBLE) AS syy,
+             |             CAST(count(*) AS DOUBLE) AS n FROM daily),
+             |p AS (SELECT unnest(range(2, 15)) AS p),
+             |ph AS (SELECT p.p, d % p.p AS phase,
+             |    CAST(sum(y) AS DOUBLE) AS s1,
+             |    CAST(count(*) AS DOUBLE) AS cnt
+             |  FROM daily CROSS JOIN p GROUP BY 1, 2),
+             |bt AS (SELECT p, CAST(sum(CAST(round(s1 * s1 / cnt, 6)
+             |    AS DECIMAL(28,6))) AS DOUBLE) AS ssb FROM ph GROUP BY 1)
+             |SELECT CAST(bt.p AS BIGINT) AS period,
+             |  round((bt.ssb - g.sy * g.sy / g.n) /
+             |        (g.syy - g.sy * g.sy / g.n), 6) AS strength
+             |FROM bt CROSS JOIN g ORDER BY period""".stripMargin)),
+
+    // PMI-ranked bigram collocations: adjacent-pair counts vs unigram
+    // marginals. Bigrams explode MAP-SIDE from each doc's token array (no
+    // positional self-join), both count tables are map-side-combinable
+    // groupBys, and the small vocab side broadcasts onto the bigram
+    // counts. PMI's log sees an exact integer ratio, so the only
+    // cross-engine rounding is the final 6 dp.
+    QueryDef("text_collocations",
+      (s, dir) => {
+        val toks = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        val uni = toks.select(explode(col("t")).as("w"))
+        val ucnt = uni.groupBy("w").agg(count(lit(1)).as("cw"))
+        val nu = uni.agg(count(lit(1)).cast("double").as("nu"))
+        val bg = toks.filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(slice(t, 1, size(t) - 1), (x, i) -> " +
+              "struct(x AS w1, element_at(t, i + 2) AS w2))")).as("z"))
+          .select(col("z.w1"), col("z.w2"))
+        val bcnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+        val nb = bg.agg(count(lit(1)).cast("double").as("nb"))
+        bcnt.filter(col("cab") >= 5)
+          .join(broadcast(ucnt.withColumnRenamed("w", "w1")
+            .withColumnRenamed("cw", "ca")), "w1")
+          .join(broadcast(ucnt.withColumnRenamed("w", "w2")
+            .withColumnRenamed("cw", "cb")), "w2")
+          .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+          .select(col("w1"), col("w2"), col("cab").cast("long").as("n_pair"),
+            round(log(col("cab") * col("nu") * col("nu") /
+              (col("nb") * col("ca") * col("cb"))), 6).as("pmi"))
+          .orderBy(desc("pmi"), col("w1"), col("w2")).limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    string_split_regex(lower(trim(text)), '\s+') AS t
+             |  FROM documents),
+             |uni AS (SELECT unnest(t) AS w FROM toks),
+             |ucnt AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+             |un AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM uni),
+             |big AS (SELECT unnest(list_zip(list_slice(t, 1, len(t) - 1),
+             |                               list_slice(t, 2, len(t)))) AS z
+             |        FROM toks WHERE len(t) >= 2),
+             |bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM big),
+             |bcnt AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY 1, 2),
+             |bn AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bg)
+             |SELECT w1, w2, CAST(cab AS BIGINT) AS n_pair,
+             |  round(ln(cab * nu * nu / (nb * ca.cw * cb.cw)), 6) AS pmi
+             |FROM bcnt JOIN ucnt ca ON bcnt.w1 = ca.w
+             |JOIN ucnt cb ON bcnt.w2 = cb.w
+             |CROSS JOIN un CROSS JOIN bn
+             |WHERE cab >= 5
+             |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // Blocked record linkage: customers vs a deterministically-perturbed
+    // copy (last name char replaced), blocked on a 7-char name prefix of
+    // the id digits so candidates are block-bounded (|block| ≈ 100
+    // regardless of SF — the skew-proof property), scored with edit
+    // distance ≤ 2. Output: per-distance candidate counts and how many
+    // are TRUE links (same entity) — the precision ladder a linkage
+    // pipeline tunes its threshold on.
+    QueryDef("join_record_linkage",
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer")
+        val a = c.select(col("c_custkey").as("a_id"),
+          col("c_name").as("a_name"),
+          substring(col("c_name"), 10, 7).as("blk"))
+        val b = c.select(col("c_custkey").as("b_id"),
+          concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X"))
+            .as("b_name"),
+          substring(col("c_name"), 10, 7).as("blk"))
+        a.join(b, "blk")
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("a_name"), col("b_name")).as("lev"))
+          .filter(col("lev") <= 2)
+          .groupBy(col("lev").cast("long").as("lev"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("a_id") === col("b_id"), 1L).otherwise(0L))
+              .as("n_true"))
+          .orderBy("lev")
+      },
+      Some("""WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name,
+             |    substr(c_name, 10, 7) AS blk FROM customer),
+             |b AS (SELECT c_custkey AS b_id,
+             |    substr(c_name, 1, length(c_name) - 1) || 'X' AS b_name,
+             |    substr(c_name, 10, 7) AS blk FROM customer),
+             |cand AS (SELECT a_id, b_id, levenshtein(a_name, b_name) AS lev
+             |  FROM a JOIN b USING (blk)),
+             |m AS (SELECT lev, a_id = b_id AS is_true FROM cand
+             |  WHERE lev <= 2)
+             |SELECT CAST(lev AS BIGINT) AS lev, count(*) AS n_pairs,
+             |  CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_true
+             |FROM m GROUP BY 1 ORDER BY lev""".stripMargin)),
+
+    // Hashing-trick featurizer: tokens → 64 signed buckets (hash for the
+    // bucket, an independent hash for the sign — the standard
+    // collision-unbiasing trick). Pure map-side explode + one combinable
+    // groupBy; emitted as sparse (doc, bucket, tf, signed-weight) rows,
+    // the layout a downstream trainer consumes directly.
+    QueryDef("fn_feature_hash",
+      (s, dir) => {
+        val toks = Tables.read(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+            .as("tok"))
+        toks.groupBy(col("doc_id"),
+            pmod(GraftFunctions.hash64(concat(lit("fh|"), col("tok"))),
+              lit(64L)).as("bucket"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(pmod(GraftFunctions.hash64(
+                concat(lit("sg|"), col("tok"))), lit(2L)) === 0, 1L)
+              .otherwise(-1L)).as("w"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+              |    unnest(string_split_regex(lower(trim(text)), '\\s+'))
+              |      AS tok
+              |  FROM documents WHERE doc_id < 50)
+              |SELECT doc_id,
+              |  ${Sql.hash64("'fh|' || tok")} % 64 AS bucket,
+              |  count(*) AS n_tokens,
+              |  CAST(sum(CASE WHEN ${Sql.hash64("'sg|' || tok")} % 2 = 0
+              |    THEN 1 ELSE -1 END) AS BIGINT) AS w
+              |FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin))
+  )
+}

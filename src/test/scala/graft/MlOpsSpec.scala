@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Evaluate, Forecast}
+
+/** Hand-computed invariants for the round-10 eval/forecast/encoding
+  * operators. The oracle gate pins exact values on the real tables; these
+  * pin the SEMANTICS on tiny frames where the right answer is derivable
+  * by hand.
+  */
+class MlOpsSpec extends SparkSpec {
+
+  test("aucByScore: perfect separation gives 1, reversed gives 0") {
+    import spark.implicits._
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
+      .toDF("score", "label")
+    val r = Evaluate.aucByScore(perfect, "score", "label").head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 1.0)
+    val reversed = Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))
+      .toDF("score", "label")
+    assert(Evaluate.aucByScore(reversed, "score", "label")
+      .head.getDouble(2) == 0.0)
+  }
+
+  test("aucByScore: all-tied scores give 0.5 (tie correction)") {
+    import spark.implicits._
+    val tied = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))
+      .toDF("score", "label")
+    assert(Evaluate.aucByScore(tied, "score", "label")
+      .head.getDouble(2) == 0.5)
+  }
+
+  test("meanNdcgAt10: ideal ordering gives NDCG 1") {
+    import spark.implicits._
+    // predicted order (by score desc) == ideal order (by rel desc)
+    val df = Seq((1L, 1L, 0.9, 3), (1L, 2L, 0.8, 2), (1L, 3L, 0.7, 1))
+      .toDF("user_id", "event_id", "value", "rel")
+    val r = Evaluate.meanNdcgAt10(df, "user_id", "event_id", "value", "rel")
+      .head
+    assert(r.getLong(0) == 1)
+    assert(r.getDouble(1) == 1.0)
+  }
+
+  test("meanNdcgAt10: worst ordering of 0/3 rel pair") {
+    import spark.implicits._
+    // rel-3 item ranked 2nd: dcg = 3*D2, idcg = 3*D1 -> ndcg = D2/D1
+    val df = Seq((1L, 1L, 0.9, 0), (1L, 2L, 0.8, 3))
+      .toDF("user_id", "event_id", "value", "rel")
+    val want = BigDecimal(3.0 * Evaluate.NdcgDiscounts(1) /
+      (3.0 * Evaluate.NdcgDiscounts(0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Evaluate
+      .meanNdcgAt10(df, "user_id", "event_id", "value", "rel")
+      .head.getDouble(1)
+    assert(got == want)
+  }
+
+  test("targetEncode: out-of-fold stats exclude the row's own fold") {
+    import spark.implicits._
+    // cat A: fold 0 has y=10 (1 row), fold 1 has y=20,30 (2 rows)
+    val df = Seq(("A", 0L, 10.0), ("A", 1L, 20.0), ("A", 1L, 30.0))
+      .toDF("cat", "f", "y")
+    val out = Evaluate.targetEncode(df, "cat", col("f"), "y", alpha = 0.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // fold 0 encoder sees folds != 0: mean(20, 30) = 25
+    assert(out(0L) == 25.0)
+    // fold 1 encoder sees fold 0 only: mean(10) = 10
+    assert(out(1L) == 10.0)
+  }
+
+  test("targetEncode: alpha pulls a thin fold toward the global prior") {
+    import spark.implicits._
+    val df = Seq(("A", 0L, 0.0), ("A", 1L, 100.0)).toDF("cat", "f", "y")
+    // fold 0: oof sum=100 cnt=1, prior=50, alpha=2 ->
+    //   (100 + 2*50) / (1 + 2) = 66.666667
+    val out = Evaluate.targetEncode(df, "cat", col("f"), "y", alpha = 2.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(0L) == 66.666667)
+  }
+
+  test("holtForecast: a perfectly linear series forecasts the line") {
+    import spark.implicits._
+    // y_t = 10 + 5t: level/trend lock onto the line, every forecast
+    // continues it exactly (alpha/beta cancel on a zero-error series)
+    val daily = (1 to 8).map(t => ("s", t, 10.0 + 5 * t))
+      .toDF("series", "day", "y")
+    val out = Forecast.holtForecast(daily, "series", "day", "y", horizon = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == 10.0 + 5 * 9)
+    assert(out(3L) == 10.0 + 5 * 11)
+  }
+
+  test("holtForecast: constant series forecasts the constant") {
+    import spark.implicits._
+    val daily = (1 to 6).map(t => ("s", t, 42.0)).toDF("series", "day", "y")
+    val out = Forecast.holtForecast(daily, "series", "day", "y", horizon = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == 42.0 && out(2L) == 42.0)
+  }
+
+  test("periodStrength: an exact period-3 series maximizes at p=3") {
+    import spark.implicits._
+    // 12 days of [10, 20, 90] repeated: all variance is between phases
+    // at p=3 (strength 1), and p=6/p=9/p=12 also explain it (multiples);
+    // p=2 explains ~none
+    val daily = (0 until 12).map(d => (d.toLong, Seq(10L, 20L, 90L)(d % 3)))
+      .toDF("d", "y")
+    val out = Forecast.periodStrength(daily, "d", "y", maxPeriod = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(3L) == 1.0)
+    assert(out(6L) == 1.0)
+    assert(out(2L) < 0.1)
+  }
+
+  test("connected components census: sizes sum to the node count") {
+    val out = SparkEntry.queries("graph_connected_components")(spark, sf)
+      .agg(sum(col("n_nodes")), sum(col("n_components")))
+      .head
+    // every sparsified edge endpoint lands in exactly one component
+    assert(out.getLong(0) >= out.getLong(1) * 2,
+      "every component has >= 2 nodes (edges define membership)")
+  }
+
+  test("pii scrub: every class detects at least one injected match") {
+    val rows = SparkEntry.queries("curation_pii_scrub")(spark, sf)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)} found no docs")
+      assert(r.getLong(3) > 0, s"${r.getString(0)} redacted no chars")
+    }
+  }
+
+  test("feature hash: weights are bounded by token counts") {
+    val bad = SparkEntry.queries("fn_feature_hash")(spark, sf)
+      .filter(abs(col("w")) > col("n_tokens")).count()
+    assert(bad == 0)
+  }
+}
