@@ -87,7 +87,13 @@ object Bench {
     //     window even after the runner's epilogue: headline fields +
     //     as many heaviest queries as fit — the rows round-over-round
     //     comparisons actually read — plus the sidecar pointer.
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // Partial runs default to a SCRATCH sidecar: round-9 advice — a
+    // 2-query local iteration run clobbered the committed full-suite
+    // record in BENCH_FULL.json. Only an unfiltered pass may write the
+    // full-record default.
+    val defaultSidecar =
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultSidecar)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sidecar), fullLine + "\n")
     catch { case e: Exception =>

@@ -373,10 +373,20 @@ object MlQueries {
           concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X"))
             .as("b_name"),
           substring(col("c_name"), 10, 7).as("blk"))
-        a.join(b, "blk")
+        // Pinned-width repartition on the block key: the probe side is BYTE-
+        // tiny (15k rows at sf0.1) but the join EXPLODES |block|² scored
+        // pairs per probe row, so AQE's size-based coalescing — which only
+        // sees the pre-join bytes — squeezes a keyless REPARTITION_BY_COL
+        // back to one partition and serializes all 1.5M comparisons
+        // (measured 9.1 s at sf0.1; 0.6 s with the width pinned). The
+        // explicit count survives AQE, and the block key keeps each block's
+        // quadratic work on one task. THRESHOLDED levenshtein (the
+        // join_fuzzy verify discipline): banded DP abandons a pair once the
+        // distance must exceed 2 — O(k·n) per comparison, −1 past the band.
+        a.repartition(32, col("blk")).join(b, "blk")
           .select(col("a_id"), col("b_id"),
-            levenshtein(col("a_name"), col("b_name")).as("lev"))
-          .filter(col("lev") <= 2)
+            levenshtein(col("a_name"), col("b_name"), 2).as("lev"))
+          .filter(col("lev") >= 0)
           .groupBy(col("lev").cast("long").as("lev"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(when(col("a_id") === col("b_id"), 1L).otherwise(0L))
