@@ -365,14 +365,24 @@ object MlQueries {
     // pipeline tunes its threshold on.
     QueryDef("join_record_linkage",
       (s, dir) => {
+        // Linkage names derive from c_custkey, not c_name: the scaled
+        // test corpora replicate rows with shifted KEYS but identical
+        // names, which would grow every block with the replica count and
+        // turn the per-block quadratic into a corpus-level one (measured
+        // 35 s at sf1 from 150M pairs; 3 s once names are key-derived and
+        // blocks stay ~100 wide at every SF). Key-derived names keep the
+        // audit property blocking is FOR: candidate volume ∝ rows ×
+        // block_width, independent of corpus size.
         val c = Tables.read(s, dir, "customer")
+          .select(col("c_custkey"), concat(lit("Customer#"),
+            lpad(col("c_custkey").cast("string"), 9, "0")).as("nm"))
         val a = c.select(col("c_custkey").as("a_id"),
-          col("c_name").as("a_name"),
-          substring(col("c_name"), 10, 7).as("blk"))
+          col("nm").as("a_name"),
+          substring(col("nm"), 10, 7).as("blk"))
         val b = c.select(col("c_custkey").as("b_id"),
-          concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X"))
+          concat(expr("substr(nm, 1, length(nm) - 1)"), lit("X"))
             .as("b_name"),
-          substring(col("c_name"), 10, 7).as("blk"))
+          substring(col("nm"), 10, 7).as("blk"))
         // Pinned-width repartition on the block key: the probe side is BYTE-
         // tiny (15k rows at sf0.1) but the join EXPLODES |block|² scored
         // pairs per probe row, so AQE's size-based coalescing — which only
@@ -393,11 +403,14 @@ object MlQueries {
               .as("n_true"))
           .orderBy("lev")
       },
-      Some("""WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name,
-             |    substr(c_name, 10, 7) AS blk FROM customer),
+      Some("""WITH c AS (SELECT c_custkey, 'Customer#' ||
+             |    lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS nm
+             |  FROM customer),
+             |a AS (SELECT c_custkey AS a_id, nm AS a_name,
+             |    substr(nm, 10, 7) AS blk FROM c),
              |b AS (SELECT c_custkey AS b_id,
-             |    substr(c_name, 1, length(c_name) - 1) || 'X' AS b_name,
-             |    substr(c_name, 10, 7) AS blk FROM customer),
+             |    substr(nm, 1, length(nm) - 1) || 'X' AS b_name,
+             |    substr(nm, 10, 7) AS blk FROM c),
              |cand AS (SELECT a_id, b_id, levenshtein(a_name, b_name) AS lev
              |  FROM a JOIN b USING (blk)),
              |m AS (SELECT lev, a_id = b_id AS is_true FROM cand
