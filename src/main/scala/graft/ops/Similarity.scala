@@ -727,4 +727,48 @@ object Similarity {
       threshold: Double = 0.35, knownCount: Option[Long] = None): DataFrame =
     embeddingNearDups(emb, threshold,
       adaptiveBitsPerBand(knownCount.getOrElse(emb.count()), minBits = 4))
+
+  /** Hard-triplet mining for metric-learning batches: per anchor, the
+    * HARDEST positive (same label, MINIMUM cosine — the same-class pair
+    * the model most confuses) and HARDEST negative (different label,
+    * MAXIMUM cosine — the impostor), plus whether the pair violates the
+    * margin (neg + m > pos), i.e. contributes loss.
+    *
+    * Scale shape: the anchor set is a bounded slice (|A| ≪ N), so the
+    * cosine fan-out is |A|·N with the anchors BROADCAST — the corpus
+    * never shuffles, and each corpus partition scores its rows against
+    * every anchor map-side (the bruteForceTopK plan, reused). Both
+    * argmins ride one per-anchor window over the scored rows. Cosines
+    * round to 6 dp BEFORE the min/max/argmax (the cosine discipline), so
+    * tie-breaks (lowest neighbor id) are cross-engine deterministic.
+    */
+  def tripletMining(emb: DataFrame, nAnchors: Int = 20,
+                    margin: Double = 0.1): DataFrame = {
+    val e = emb.repartition(col("vec_id")).select(col("vec_id"),
+      col("label"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("av"), col("nrm").as("anrm"))
+    val scored = e.join(broadcast(a), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"), col("vec_id"), col("label"),
+        cosFrom(dot(col("av"), col("embedding")), col("anrm"), col("nrm"))
+          .as("cos"))
+    val pos = scored.filter(col("label") === col("a_label"))
+      .withColumn("r", row_number().over(Window.partitionBy("anchor_id")
+        .orderBy(col("cos"), col("vec_id"))))
+      .filter(col("r") === 1)
+      .select(col("anchor_id"), col("vec_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val neg = scored.filter(col("label") =!= col("a_label"))
+      .withColumn("r", row_number().over(Window.partitionBy("anchor_id")
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("r") === 1)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("neg_cos") + lit(margin) > col("pos_cos")).as("violates"))
+      .orderBy("anchor_id")
+  }
 }

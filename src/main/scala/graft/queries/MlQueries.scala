@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -24,6 +25,14 @@ object MlQueries {
     "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
     "phone" -> "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b",
     "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b")
+
+  /** DuckDB 64-dim dot products (the PipelineQueries dotSql convention).
+    * Declared before [[all]] — object vals initialize in order.
+    */
+  private def tripDot(x: String, y: String): String =
+    s"list_sum([CAST($x[i] * $y[i] AS DOUBLE) for i in generate_series(1, 64)])"
+  private val TripDotSelf = tripDot("embedding", "embedding")
+  private val TripDotAn = tripDot("a.embedding", "n.embedding")
 
   private val piiAugSql =
     """SELECT doc_id, text
@@ -449,6 +458,179 @@ object MlQueries {
               |  count(*) AS n_tokens,
               |  CAST(sum(CASE WHEN ${Sql.hash64("'sg|' || tok")} % 2 = 0
               |    THEN 1 ELSE -1 END) AS BIGINT) AS w
-              |FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin))
+              |FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin)),
+
+    // Benford first-digit drift detector: the observed leading-digit
+    // distribution of order totals against log10(1+1/d), with per-digit
+    // chi-square contributions — the classic fabricated-/synthetic-data
+    // tripwire (it fires loudly here: the generator's totals are nowhere
+    // near Benford, which is exactly what the detector is for). The first
+    // digit comes from the BIGINT floor's string rendering (exact in both
+    // engines), never from log-of-double bucketing; one map-side-combined
+    // 9-group aggregate regardless of corpus size.
+    QueryDef("profile_benford",
+      (s, dir) => {
+        val d = Tables.read(s, dir, "orders")
+          .filter(col("o_totalprice") >= 1)
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val t = d.agg(sum(col("n_obs")).cast("double").as("nt"))
+        val expN = col("nt") * log10(lit(1) + lit(1.0) / col("digit"))
+        d.crossJoin(broadcast(t))
+          .select(col("digit"), col("n_obs"),
+            round(expN, 6).as("exp_n"),
+            round((col("n_obs") - expN) * (col("n_obs") - expN) / expN, 6)
+              .as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some("""WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS n
+             |  FROM orders WHERE o_totalprice >= 1),
+             |d AS (SELECT CAST(substr(CAST(n AS VARCHAR), 1, 1) AS BIGINT)
+             |    AS digit, count(*) AS n_obs FROM v GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS nt FROM d)
+             |SELECT digit, n_obs,
+             |  round(t.nt * log10(1 + 1.0 / digit), 6) AS exp_n,
+             |  round((n_obs - t.nt * log10(1 + 1.0 / digit)) *
+             |        (n_obs - t.nt * log10(1 + 1.0 / digit)) /
+             |        (t.nt * log10(1 + 1.0 / digit)), 6) AS chi2_term
+             |FROM d CROSS JOIN t ORDER BY digit""".stripMargin)),
+
+    // RFM (recency / frequency / monetary) quintile segmentation — the
+    // standard customer-value grid: one user-keyed aggregate (the natural
+    // shuffle key), then three ntile(5) windows over the USER table (not
+    // the event stream — the windows see N_users rows). Monetary sums go
+    // through DECIMAL so the quintile ORDERING is cross-engine identical;
+    // every window order ends in user_id so ties are deterministic.
+    QueryDef("events_rfm",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+        val gmax = ev.agg(max(to_date(col("ts"))).as("gday"))
+        val u = ev.groupBy("user_id")
+          .agg(max(to_date(col("ts"))).as("uday"),
+            count(lit(1)).as("freq"),
+            sum(col("value").cast("decimal(20,6)")).cast("double")
+              .as("mon"))
+          .crossJoin(broadcast(gmax))
+          .select(col("user_id"),
+            datediff(col("gday"), col("uday")).as("rec"),
+            col("freq"), col("mon"))
+        u.select(col("user_id"),
+            ntile(5).over(Window.orderBy(col("rec"), col("user_id")))
+              .as("r_q"),
+            ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
+              .as("f_q"),
+            ntile(5).over(Window.orderBy(col("mon").desc, col("user_id")))
+              .as("m_q"))
+          .groupBy(col("r_q").cast("long").as("r_q"),
+            col("f_q").cast("long").as("f_q"),
+            col("m_q").cast("long").as("m_q"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("r_q", "f_q", "m_q")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    date_diff('day', CAST(max(ts) AS DATE),
+             |      (SELECT max(CAST(ts AS DATE)) FROM events)) AS rec,
+             |    count(*) AS freq,
+             |    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS mon
+             |  FROM events GROUP BY 1),
+             |q AS (SELECT user_id,
+             |    ntile(5) OVER (ORDER BY rec, user_id) AS r_q,
+             |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_q,
+             |    ntile(5) OVER (ORDER BY mon DESC, user_id) AS m_q
+             |  FROM u)
+             |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+             |  CAST(m_q AS BIGINT) AS m_q, count(*) AS n_users
+             |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin)),
+
+    // Top event-sequence trigrams (path analysis one step past the Markov
+    // transition matrix): two lead() taps on one per-user time-ordered
+    // window — the stream shuffles ONCE on user_id — then a
+    // map-side-combined count over path strings (alphabet³-bounded).
+    QueryDef("events_trigram_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        Tables.read(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .select(concat(col("event_type"), lit(">"), col("e2"), lit(">"),
+            col("e3")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("path")).limit(20)
+      },
+      Some("""WITH s AS (SELECT user_id, event_type,
+             |    lead(event_type, 1) OVER w AS e2,
+             |    lead(event_type, 2) OVER w AS e3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+             |  FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+             |SELECT path, count(*) AS n FROM p GROUP BY 1
+             |ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
+    // Reciprocal-rank fusion of two rankings (Cormack et al. SIGIR'09) —
+    // the standard hybrid-retrieval combiner (BM25 list + vector list in a
+    // RAG stack; here the two rankings every analytics stack has on hand:
+    // users by total value and by event count). Ranks are exact integers
+    // from deterministic row_number windows over the AGGREGATED user
+    // table; 1/(60+r) sums are closed-form doubles, identical engines.
+    QueryDef("ann_rrf_fusion",
+      (s, dir) => {
+        val u = Tables.read(s, dir, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("freq"),
+            sum(col("value").cast("decimal(20,6)")).cast("double")
+              .as("mon"))
+        val ra = u.select(col("user_id"), row_number()
+          .over(Window.orderBy(col("mon").desc, col("user_id"))).as("ra"))
+        val rb = u.select(col("user_id"), row_number()
+          .over(Window.orderBy(col("freq").desc, col("user_id"))).as("rb"))
+        u.join(ra, "user_id").join(rb, "user_id")
+          .select(col("user_id"), col("ra").cast("long").as("rank_value"),
+            col("rb").cast("long").as("rank_count"),
+            round(lit(1.0) / (lit(60) + col("ra")) +
+              lit(1.0) / (lit(60) + col("rb")), 6).as("rrf"))
+          .orderBy(desc("rrf"), col("user_id")).limit(20)
+      },
+      Some("""WITH u AS (SELECT user_id, count(*) AS freq,
+             |    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS mon
+             |  FROM events GROUP BY 1),
+             |ra AS (SELECT user_id,
+             |    row_number() OVER (ORDER BY mon DESC, user_id) AS r FROM u),
+             |rb AS (SELECT user_id,
+             |    row_number() OVER (ORDER BY freq DESC, user_id) AS r FROM u)
+             |SELECT u.user_id, CAST(ra.r AS BIGINT) AS rank_value,
+             |  CAST(rb.r AS BIGINT) AS rank_count,
+             |  round(1.0 / (60 + ra.r) + 1.0 / (60 + rb.r), 6) AS rrf
+             |FROM u JOIN ra USING (user_id) JOIN rb USING (user_id)
+             |ORDER BY rrf DESC, user_id LIMIT 20""".stripMargin)),
+
+    // Hard-triplet mining for metric learning (see
+    // Similarity.tripletMining for the broadcast-anchor scale shape).
+    QueryDef("embedding_triplet_mining",
+      (s, dir) => graft.ops.Similarity.tripletMining(
+        Tables.read(s, dir, "embeddings")),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+              |    sqrt($TripDotSelf) AS nrm FROM embeddings),
+              |sc AS (SELECT a.vec_id AS anchor_id, a.label AS a_label,
+              |    n.vec_id, n.label,
+              |    round($TripDotAn / (a.nrm * n.nrm), 6) AS cos
+              |  FROM e a JOIN e n ON n.vec_id <> a.vec_id
+              |  WHERE a.vec_id < 20),
+              |pos AS (SELECT anchor_id, vec_id AS pos_id, cos AS pos_cos
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+              |      ORDER BY cos, vec_id) AS r FROM sc
+              |    WHERE label = a_label) WHERE r = 1),
+              |neg AS (SELECT anchor_id, vec_id AS neg_id, cos AS neg_cos
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+              |      ORDER BY cos DESC, vec_id) AS r FROM sc
+              |    WHERE label <> a_label) WHERE r = 1)
+              |SELECT anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+              |  neg_cos + 0.1 > pos_cos AS violates
+              |FROM pos JOIN neg USING (anchor_id)
+              |ORDER BY anchor_id""".stripMargin))
   )
 }

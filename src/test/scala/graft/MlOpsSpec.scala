@@ -139,4 +139,58 @@ class MlOpsSpec extends SparkSpec {
       .filter(abs(col("w")) > col("n_tokens")).count()
     assert(bad == 0)
   }
+
+  test("benford: 9 digit rows, counts conserve, chi2 non-negative") {
+    val rows = SparkEntry.queries("profile_benford")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+    val total = rows.map(_.getLong(1)).sum
+    val orders = graft.core.Tables.read(spark, sf, "orders").count()
+    assert(total == orders)
+  }
+
+  test("rfm: quintile buckets balance within one user per axis") {
+    val out = SparkEntry.queries("events_rfm")(spark, sf)
+    val perR = out.groupBy("r_q").agg(sum("n_users").as("n"))
+      .collect().map(_.getLong(1))
+    assert(perR.max - perR.min <= 1, s"unbalanced r quintiles: ${perR.toSeq}")
+  }
+
+  test("trigram paths: shape and count bounds") {
+    val rows = SparkEntry.queries("events_trigram_paths")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getString(0).split(">").length == 3))
+    // descending count order
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("rrf fusion: scores bounded by the two-list identity") {
+    val rows = SparkEntry.queries("ann_rrf_fusion")(spark, sf).collect()
+    rows.foreach { r =>
+      val (ra, rb, s) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(s <= 2.0 / 61 + 1e-9)
+      val want = BigDecimal(1.0 / (60 + ra) + 1.0 / (60 + rb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(s == want, s"rrf($ra,$rb)=$s want $want")
+    }
+  }
+
+  test("triplet mining: picks the hardest positive and negative") {
+    import spark.implicits._
+    // anchor 0 (label 0): positives 1 (identical, cos 1) and 2
+    // (orthogonal-ish, cos 0) -> hardest positive is 2; negatives 3
+    // (cos ~1 impostor) and 4 (cos -1) -> hardest negative is 3, and the
+    // margin is violated (neg 1.0 + 0.1 > pos 0.0)
+    val emb = Seq(
+      (0L, 0, Array(1f, 0f)), (1L, 0, Array(2f, 0f)),
+      (2L, 0, Array(0f, 1f)), (3L, 1, Array(3f, 0f)),
+      (4L, 1, Array(-1f, 0f))).toDF("vec_id", "label", "embedding")
+    val r = graft.ops.Similarity.tripletMining(emb, nAnchors = 1)
+      .head
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 0.0)
+    assert(r.getLong(3) == 3L && r.getDouble(4) == 1.0)
+    assert(r.getBoolean(5))
+  }
 }
