@@ -60,6 +60,57 @@ object Forecast {
       .orderBy(seriesCol, "h")
   }
 
+  /** Rolling-origin backtest of the Holt forecaster — the MLOps loop that
+    * decides whether a forecaster is deployable: every prefix fold of the
+    * recurrence IS the model fit on that prefix, so the same single
+    * `aggregate` fold that fits the series also evaluates it — at each
+    * step the PRE-update state forecasts the incoming observation, and
+    * the last `lastK` one-step errors ride the accumulator as a bounded
+    * array. One pass, no per-cutoff refits, state O(lastK) per series.
+    *
+    * Errors are 6-dp-rounded AT CAPTURE and decimal-summed after the
+    * explode, so MAE/bias are order-independent and oracle-exact (the
+    * oracle reuses the holt recursive CTE, whose UNION ALL already
+    * retains every prefix state).
+    */
+  def holtBacktest(daily: DataFrame, seriesCol: String, dayCol: String,
+                   yCol: String, lastK: Int = 7): DataFrame = {
+    val series = daily
+      .groupBy(seriesCol)
+      .agg(array_sort(collect_list(struct(col(dayCol).as("day"),
+        col(yCol).cast("double").as("y")))).as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col(seriesCol), transform(col("s"), _.getField("y")).as("ys"))
+      .withColumn("n", size(col("ys")).cast("long"))
+    val init = struct(
+      element_at(col("ys"), 1).as("level"),
+      (element_at(col("ys"), 2) - element_at(col("ys"), 1)).as("trend"),
+      lit(1L).as("i"),
+      expr("CAST(array() AS ARRAY<DOUBLE>)").as("errs"))
+    val folded = aggregate(
+      slice(col("ys"), lit(2), size(col("ys")) - 1),
+      init,
+      (acc: Column, y: Column) => {
+        val f = acc.getField("level") + acc.getField("trend")
+        val lNew = lit(0.5) * y + lit(0.5) * f
+        val tNew = lit(0.25) * (lNew - acc.getField("level")) +
+          lit(0.75) * acc.getField("trend")
+        val errs = when(acc.getField("i") + 1 > col("n") - lastK,
+            concat(acc.getField("errs"), array(round(f - y, 6))))
+          .otherwise(acc.getField("errs"))
+        struct(lNew.as("level"), tNew.as("trend"),
+          (acc.getField("i") + 1).as("i"), errs.as("errs"))
+      })
+    series.select(col(seriesCol), explode(folded.getField("errs")).as("err"))
+      .groupBy(seriesCol)
+      .agg(count(lit(1)).as("n_evals"),
+        round(sum(abs(col("err")).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mae"),
+        round(sum(col("err").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("bias"))
+      .orderBy(seriesCol)
+  }
+
   /** Seasonality-strength scan (trig-free periodogram): for each candidate
     * period p, fold the day index modulo p and measure the fraction of
     * total variance explained by the per-phase means — the one-way-ANOVA

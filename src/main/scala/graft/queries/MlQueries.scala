@@ -631,6 +631,93 @@ object MlQueries {
               |SELECT anchor_id, pos_id, pos_cos, neg_id, neg_cos,
               |  neg_cos + 0.1 > pos_cos AS violates
               |FROM pos JOIN neg USING (anchor_id)
-              |ORDER BY anchor_id""".stripMargin))
+              |ORDER BY anchor_id""".stripMargin)),
+
+    // Rolling-origin backtest of the Holt forecaster (see
+    // Forecast.holtBacktest: one fold fits AND evaluates — every prefix
+    // state forecasts its incoming observation).
+    QueryDef("ts_forecast_backtest",
+      (s, dir) => Forecast.holtBacktest(
+        Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y")),
+        "event_type", "day", "y"),
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |series AS (SELECT event_type, y,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS i
+             |  FROM daily),
+             |init AS (SELECT s1.event_type, CAST(1 AS BIGINT) AS i,
+             |    s1.y AS level, s2.y - s1.y AS trend
+             |  FROM series s1 JOIN series s2
+             |    ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2),
+             |hw(event_type, i, level, trend) AS (
+             |  SELECT * FROM init
+             |  UNION ALL
+             |  SELECT h.event_type, h.i + 1,
+             |    0.5 * s.y + 0.5 * (h.level + h.trend),
+             |    0.25 * (0.5 * s.y + 0.5 * (h.level + h.trend) - h.level)
+             |      + 0.75 * h.trend
+             |  FROM hw h JOIN series s
+             |    ON s.event_type = h.event_type AND s.i = h.i + 1),
+             |n AS (SELECT event_type, max(i) AS n FROM hw GROUP BY 1),
+             |ev AS (SELECT h.event_type,
+             |    round(h.level + h.trend - s.y, 6) AS err
+             |  FROM hw h
+             |  JOIN series s ON s.event_type = h.event_type
+             |    AND s.i = h.i + 1
+             |  JOIN n ON n.event_type = h.event_type
+             |  WHERE h.i + 1 > n.n - 7)
+             |SELECT event_type, count(*) AS n_evals,
+             |  round(CAST(sum(CAST(abs(err) AS DECIMAL(18,6))) AS DOUBLE) /
+             |    count(*), 6) AS mae,
+             |  round(CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) /
+             |    count(*), 6) AS bias
+             |FROM ev GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Class-balanced downsampling: every label keeps exactly min-class
+    // rows, chosen by a deterministic hash order (not head-of-scan order,
+    // which is partitioning-dependent) — the curation step that equalizes
+    // a skewed label mix before training. The per-label window sees only
+    // that label's partition; the min-count frame broadcasts.
+    QueryDef("sample_balanced_class",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"))
+        val c = emb.groupBy("label").agg(count(lit(1)).as("n_total"))
+        val m = c.agg(min(col("n_total")).as("m"))
+        val w = Window.partitionBy("label")
+          .orderBy(GraftFunctions.hash64(concat(lit("bal|"),
+            col("vec_id").cast("string"))), col("vec_id"))
+        emb.withColumn("rn", row_number().over(w))
+          .crossJoin(broadcast(m))
+          .filter(col("rn") <= col("m"))
+          .groupBy(col("label").cast("long").as("label"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("vec_id")).cast("long").as("id_checksum"))
+          .join(c.select(col("label").cast("long").as("label"),
+            col("n_total")), "label")
+          .select(col("label"), col("n_total"), col("n_kept"),
+            col("id_checksum"))
+          .orderBy("label")
+      },
+      Some(s"""WITH c AS (SELECT label, count(*) AS n_total
+              |  FROM embeddings GROUP BY 1),
+              |m AS (SELECT min(n_total) AS m FROM c),
+              |r AS (SELECT label, vec_id,
+              |    row_number() OVER (PARTITION BY label
+              |      ORDER BY ${Sql.hash64("'bal|' || CAST(vec_id AS VARCHAR)")},
+              |        vec_id) AS rn
+              |  FROM embeddings),
+              |kept AS (SELECT label, vec_id FROM r CROSS JOIN m
+              |  WHERE rn <= m.m)
+              |SELECT CAST(k.label AS BIGINT) AS label, c.n_total,
+              |  count(*) AS n_kept, CAST(sum(k.vec_id) AS BIGINT)
+              |    AS id_checksum
+              |FROM kept k JOIN c ON k.label = c.label
+              |GROUP BY 1, 2 ORDER BY label""".stripMargin))
   )
 }

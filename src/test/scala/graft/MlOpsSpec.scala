@@ -177,6 +177,37 @@ class MlOpsSpec extends SparkSpec {
     }
   }
 
+  test("holtBacktest: zero error on a perfectly linear series") {
+    import spark.implicits._
+    // the fold locks onto y = 10 + 5t immediately, so every one-step
+    // forecast is exact: mae = bias = 0 over the evaluated tail
+    val daily = (1 to 12).map(t => ("s", t, 10.0 + 5 * t))
+      .toDF("series", "day", "y")
+    val r = Forecast.holtBacktest(daily, "series", "day", "y").head
+    assert(r.getLong(1) == 7)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+  }
+
+  test("holtBacktest: constant overshoot gives signed bias") {
+    import spark.implicits._
+    // series jumps once then stays flat: late-window forecasts converge,
+    // so |bias| <= mae always, and both are finite
+    val ys = Seq(10.0, 10.0, 10.0, 50.0) ++ Seq.fill(8)(50.0)
+    val daily = ys.zipWithIndex.map { case (y, t) => ("s", t, y) }
+      .toDF("series", "day", "y")
+    val r = Forecast.holtBacktest(daily, "series", "day", "y").head
+    assert(math.abs(r.getDouble(3)) <= r.getDouble(2) + 1e-9)
+  }
+
+  test("balanced sampling: every label keeps exactly the min count") {
+    val rows = SparkEntry.queries("sample_balanced_class")(spark, sf)
+      .collect()
+    val kept = rows.map(_.getLong(2)).toSet
+    assert(kept.size == 1, s"unequal kept counts: $kept")
+    assert(kept.head == rows.map(_.getLong(1)).min)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("triplet mining: picks the hardest positive and negative") {
     import spark.implicits._
     // anchor 0 (label 0): positives 1 (identical, cos 1) and 2
