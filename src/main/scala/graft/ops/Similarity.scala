@@ -765,7 +765,9 @@ object Similarity {
       .filter(col("r") === 1)
       .select(col("anchor_id"), col("vec_id").as("neg_id"),
         col("cos").as("neg_cos"))
-    pos.join(neg, "anchor_id")
+    // both sides are ≤|anchors| rows, but their size is opaque behind the
+    // windows — without the hint the final assembly falls to sort-merge
+    pos.join(broadcast(neg), "anchor_id")
       .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
         col("neg_id"), col("neg_cos"),
         (col("neg_cos") + lit(margin) > col("pos_cos")).as("violates"))

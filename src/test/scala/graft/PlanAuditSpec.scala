@@ -278,4 +278,63 @@ class PlanAuditSpec extends SparkSpec {
     val plan = executed(SparkEntry.queries("text_bm25")(spark, sf)).toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  // ---- round-10 pins ----
+
+  test("curation_pii_scrub: one map-side corpus pass — zero pre-agg " +
+    "exchanges") {
+    // 12 regex aggregates in a single global HashAggregate pair; the only
+    // exchange is the 1-row partial→final agg hop
+    val plan = executed(SparkEntry.queries("curation_pii_scrub")(spark, sf))
+    val ex = shuffles(plan)
+      .filterNot(_.outputPartitioning.toString.contains("rangepartitioning"))
+    assert(ex.forall(_.outputPartitioning.numPartitions == 1),
+      s"pii scrub should only exchange the 1-row aggregate:\n$plan")
+  }
+
+  test("embedding_triplet_mining: anchors broadcast; corpus never " +
+    "shuffle-joined") {
+    val plan = executed(
+      SparkEntry.queries("embedding_triplet_mining")(spark, sf)).toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"anchor join must stay broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("join_record_linkage: pair explosion runs on the pinned-width " +
+    "exchange, dim side broadcast") {
+    // the AQE-coalescing regression class: the pre-pair probe side is
+    // byte-tiny, so the plan must keep the explicit 32-way repartition
+    // AND join by broadcast (PLANS.md round-10)
+    val plan = executed(SparkEntry.queries("join_record_linkage")(spark, sf))
+    val s = plan.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"linkage block join must stay broadcast:\n$s")
+    assert(shuffles(plan).exists(_.outputPartitioning.numPartitions == 32),
+      s"pinned 32-way repartition missing:\n$s")
+  }
+
+  test("eval_auc: the cumulative window sees per-score partials, not rows") {
+    // the aggregate must run BELOW the window: plan order (bottom-up) is
+    // scan → partial/final agg on score → single-partition window
+    val plan = executed(SparkEntry.queries("eval_auc")(spark, sf)).toString
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"score aggregation must feed the window, not follow it:\n$plan")
+  }
+
+  test("ts_holt_forecast / ts_period_detect: the stream collapses to the " +
+    "daily resample before any stateful work") {
+    // every exchange carries the resampled frame (or smaller) — nothing
+    // data-sized moves after the first map-side-combined count
+    for (q <- Seq("ts_holt_forecast", "ts_period_detect")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf)).toString
+      assert(plan.contains("HashAggregate"), s"$q lost the resample:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q should never shuffle-join:\n$plan")
+    }
+  }
 }
