@@ -382,16 +382,22 @@ object MlQueries {
         // blocks stay ~100 wide at every SF). Key-derived names keep the
         // audit property blocking is FOR: candidate volume ∝ rows ×
         // block_width, independent of corpus size.
+        // 12-digit pad: lpad TRUNCATES (identically in both engines) when
+        // the rendered key outgrows the width — at sf2 the 10-digit
+        // shifted keys collapsed to one shared-prefix name per 10 ids AND
+        // an empty-substring block, i.e. one 150k-row block and a 22B-pair
+        // quadratic (measured 35 s steady). 12 digits holds to 1e12 keys;
+        // the block is all-but-the-last-2 digits → width ~100 at every SF.
         val c = Tables.read(s, dir, "customer")
-          .select(col("c_custkey"), concat(lit("Customer#"),
-            lpad(col("c_custkey").cast("string"), 9, "0")).as("nm"))
+          .select(col("c_custkey"), concat(lit("C#"),
+            lpad(col("c_custkey").cast("string"), 12, "0")).as("nm"))
         val a = c.select(col("c_custkey").as("a_id"),
           col("nm").as("a_name"),
-          substring(col("nm"), 10, 7).as("blk"))
+          substring(col("nm"), 3, 10).as("blk"))
         val b = c.select(col("c_custkey").as("b_id"),
           concat(expr("substr(nm, 1, length(nm) - 1)"), lit("X"))
             .as("b_name"),
-          substring(col("nm"), 10, 7).as("blk"))
+          substring(col("nm"), 3, 10).as("blk"))
         // Pinned-width repartition on the block key: the probe side is BYTE-
         // tiny (15k rows at sf0.1) but the join EXPLODES |block|² scored
         // pairs per probe row, so AQE's size-based coalescing — which only
@@ -412,14 +418,14 @@ object MlQueries {
               .as("n_true"))
           .orderBy("lev")
       },
-      Some("""WITH c AS (SELECT c_custkey, 'Customer#' ||
-             |    lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS nm
+      Some("""WITH c AS (SELECT c_custkey, 'C#' ||
+             |    lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS nm
              |  FROM customer),
              |a AS (SELECT c_custkey AS a_id, nm AS a_name,
-             |    substr(nm, 10, 7) AS blk FROM c),
+             |    substr(nm, 3, 10) AS blk FROM c),
              |b AS (SELECT c_custkey AS b_id,
              |    substr(nm, 1, length(nm) - 1) || 'X' AS b_name,
-             |    substr(nm, 10, 7) AS blk FROM c),
+             |    substr(nm, 3, 10) AS blk FROM c),
              |cand AS (SELECT a_id, b_id, levenshtein(a_name, b_name) AS lev
              |  FROM a JOIN b USING (blk)),
              |m AS (SELECT lev, a_id = b_id AS is_true FROM cand
