@@ -724,6 +724,98 @@ object MlQueries {
               |  count(*) AS n_kept, CAST(sum(k.vec_id) AS BIGINT)
               |    AS id_checksum
               |FROM kept k JOIN c ON k.label = c.label
-              |GROUP BY 1, 2 ORDER BY label""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY label""".stripMargin)),
+
+    // Population stability index — the scorecard-industry drift metric
+    // complementing the KS (unbinned) and JS (entropy) detectors: the
+    // CURRENT window binned by the REFERENCE window's fixed equal-width
+    // grid, per-bin (p−q)·ln(p/q) contributions. Equal-width edges (from
+    // exact min/max doubles) instead of quantile edges, so bin assignment
+    // is the identical IEEE division in both engines; +1 Laplace keeps
+    // every count an exact integer and the log finite. Two map-side
+    // passes (range, then 10-bin histogram) — scan-bound at 100 TB.
+    QueryDef("profile_psi",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+          .filter(col("event_type") === "view")
+        val minDay = ev.agg(min(to_date(col("ts"))).as("d0"))
+        val split = ev.crossJoin(broadcast(minDay))
+          .select(col("value"),
+            (to_date(col("ts")) < date_add(col("d0"), 15)).as("is_ref"))
+        val rng = split.filter(col("is_ref"))
+          .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        val c = split.crossJoin(broadcast(rng))
+          .filter(col("value") >= col("lo") && col("value") <= col("hi"))
+          .select(least(floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / 10)), lit(9.0)).cast("long")
+            .as("bin"), col("is_ref"))
+          .groupBy("bin")
+          .agg((lit(1) + sum(when(col("is_ref"), 1).otherwise(0)))
+            .as("n_ref"),
+            (lit(1) + sum(when(col("is_ref"), 0).otherwise(1)))
+              .as("n_cur"))
+        val t = c.agg(sum(col("n_ref")).cast("double").as("tr"),
+          sum(col("n_cur")).cast("double").as("tc"))
+        c.crossJoin(broadcast(t))
+          .select(col("bin"), col("n_ref").cast("long").as("n_ref"),
+            col("n_cur").cast("long").as("n_cur"),
+            round((col("n_ref") / col("tr") - col("n_cur") / col("tc")) *
+              log((col("n_ref") / col("tr")) / (col("n_cur") / col("tc"))),
+              6).as("psi_term"))
+          .orderBy("bin")
+      },
+      Some("""WITH split AS (SELECT value,
+             |    CAST(ts AS DATE) <
+             |      (SELECT min(CAST(ts AS DATE)) FROM events
+             |       WHERE event_type = 'view') + 15 AS is_ref
+             |  FROM events WHERE event_type = 'view'),
+             |rng AS (SELECT min(value) AS lo, max(value) AS hi
+             |  FROM split WHERE is_ref),
+             |b AS (SELECT CAST(least(
+             |      floor((value - rng.lo) / ((rng.hi - rng.lo) / 10)),
+             |      9) AS BIGINT) AS bin, is_ref
+             |  FROM split CROSS JOIN rng
+             |  WHERE value >= rng.lo AND value <= rng.hi),
+             |c AS (SELECT bin,
+             |    1 + CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_ref,
+             |    1 + CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS n_cur
+             |  FROM b GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+             |             CAST(sum(n_cur) AS DOUBLE) AS tc FROM c)
+             |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+             |  CAST(n_cur AS BIGINT) AS n_cur,
+             |  round((n_ref / t.tr - n_cur / t.tc) *
+             |    ln((n_ref / t.tr) / (n_cur / t.tc)), 6) AS psi_term
+             |FROM c CROSS JOIN t ORDER BY bin""".stripMargin)),
+
+    // Leakage-safe GROUP holdout: the split key is the USER's hash, so no
+    // user's events straddle train/test — the split row-level sampling
+    // (sample_split) cannot provide for user-correlated data. Pure
+    // map-side tag + one combinable aggregate.
+    QueryDef("sample_group_holdout",
+      (s, dir) => Tables.read(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          when(pmod(GraftFunctions.hash64(concat(lit("gh|"),
+            col("user_id").cast("string"))), lit(10L)) < 8, "train")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          // decimal-sum THEN scale (the value_micro convention): a per-row
+          // double→long cast truncates in Spark but rounds in DuckDB
+          (sum(col("value").cast("decimal(18,6)")) * 1000000).cast("long")
+            .as("value_micro"))
+        .orderBy("split"),
+      Some(s"""WITH tagged AS (SELECT user_id, value,
+              |    CASE WHEN ${Sql.hash64("'gh|' || CAST(user_id AS VARCHAR)")} % 10 < 8
+              |      THEN 'train' ELSE 'test' END AS split
+              |  FROM events)
+              |SELECT split, count(DISTINCT user_id) AS n_users,
+              |  count(*) AS n_events,
+              |  CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+              |    AS value_micro
+              |FROM tagged GROUP BY 1 ORDER BY split""".stripMargin))
   )
 }

@@ -208,6 +208,25 @@ class MlOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("psi: every contribution is non-negative ((p-q) and ln(p/q) " +
+    "share sign)") {
+    val rows = SparkEntry.queries("profile_psi")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0,
+      s"negative psi term at bin ${r.getLong(0)}"))
+  }
+
+  test("group holdout: no user straddles the split") {
+    val rows = SparkEntry.queries("sample_group_holdout")(spark, sf)
+      .collect()
+    val ev = graft.core.Tables.read(spark, sf, "events")
+    // if any user appeared in both splits, per-split distinct-user counts
+    // would sum to MORE than the global distinct count
+    val totalUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == totalUsers)
+    assert(rows.map(_.getLong(2)).sum == ev.count())
+  }
+
   test("triplet mining: picks the hardest positive and negative") {
     import spark.implicits._
     // anchor 0 (label 0): positives 1 (identical, cos 1) and 2
