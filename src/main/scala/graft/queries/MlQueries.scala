@@ -816,6 +816,76 @@ object MlQueries {
               |  count(*) AS n_events,
               |  CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
               |    AS value_micro
-              |FROM tagged GROUP BY 1 ORDER BY split""".stripMargin))
+              |FROM tagged GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // Spatial radius self-join by grid bucketing — the spatial member of
+    // the blocked-join family (record linkage blocks on a key prefix,
+    // set-similarity on rare shingles; this blocks on grid cells): points
+    // on an integer grid, each LEFT row exploded into its 3×3 neighbor
+    // cells and hash-joined against the RIGHT row's home cell — every
+    // within-radius pair shares one (neighbor, home) cell combination
+    // exactly once, so candidates are bounded by 9 × density × N, never
+    // N². The join keys (cell ids) are the natural 100 TB co-location
+    // keys. ALL-INTEGER math: coordinates, squared distances, and bucket
+    // ids are exact BIGINTs — zero float hazard. The coordinate DOMAIN
+    // scales with √n (D = 1000·⌈√(n/1500)⌉, mirrored from the same count
+    // in both engines) so point density — and with it the result size and
+    // candidate volume — stays CONSTANT as the corpus grows: the
+    // adaptive-LSH-bits discipline applied to space (a fixed domain went
+    // quadratic: 1.2 → 10.2 → 41.1 s across three decades; adaptive is
+    // linear). Coordinates derive from key hashes (the corpus has no
+    // native geo columns).
+    QueryDef("join_spatial_grid",
+      (s, dir) => {
+        val cust = Tables.read(s, dir, "customer")
+        val dom = cust.agg((lit(1000L) *
+          ceil(sqrt(count(lit(1)) / lit(1500.0))).cast("long")).as("d"))
+        def coord(tag: String) = pmod(GraftFunctions.hash64(
+          concat(lit(tag), col("c_custkey").cast("string"))), col("d"))
+        val p = cust.crossJoin(broadcast(dom))
+          .select(col("c_custkey").as("id"),
+            coord("x|").as("x"), coord("y|").as("y"))
+        val a9 = p
+          .select(col("id"), col("x"), col("y"),
+            explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
+          .select(col("id"), col("x"), col("y"),
+            (expr("x div 25") + col("dx")).as("cx"),
+            explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
+          .select(col("id").as("a_id"), col("x").as("ax"),
+            col("y").as("ay"), col("cx"),
+            (expr("y div 25") + col("dy")).as("cy"))
+        val b = p.select(col("id").as("b_id"), col("x").as("bx"),
+          col("y").as("by"), expr("x div 25").as("bcx"),
+          expr("y div 25").as("bcy"))
+        a9.join(b, col("cx") === col("bcx") && col("cy") === col("bcy") &&
+            col("a_id") < col("b_id"))
+          .select(((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+            (col("ay") - col("by")) * (col("ay") - col("by"))).as("d2"))
+          .filter(col("d2") <= 625)
+          .groupBy(expr("d2 div 125").as("d2_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("d2")).cast("long").as("sum_d2"))
+          .orderBy("d2_bucket")
+      },
+      Some(s"""WITH dom AS (SELECT 1000 * CAST(ceil(sqrt(count(*) / 1500.0))
+              |    AS BIGINT) AS d FROM customer),
+              |p AS (SELECT c_custkey AS id,
+              |    ${Sql.hash64("'x|' || CAST(c_custkey AS VARCHAR)")} % dom.d AS x,
+              |    ${Sql.hash64("'y|' || CAST(c_custkey AS VARCHAR)")} % dom.d AS y
+              |  FROM customer CROSS JOIN dom),
+              |offs AS (SELECT unnest([-1, 0, 1]) AS dx),
+              |a9 AS (SELECT p.id, p.x, p.y, (p.x // 25) + o1.dx AS cx,
+              |    (p.y // 25) + o2.dx AS cy
+              |  FROM p, offs o1, offs o2),
+              |cand AS (SELECT a.id AS a_id, b.id AS b_id,
+              |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              |      AS d2
+              |  FROM a9 a JOIN p b
+              |    ON a.cx = b.x // 25 AND a.cy = b.y // 25
+              |      AND a.id < b.id),
+              |m AS (SELECT d2 FROM cand WHERE d2 <= 625)
+              |SELECT CAST(d2 // 125 AS BIGINT) AS d2_bucket,
+              |  count(*) AS n_pairs, CAST(sum(d2) AS BIGINT) AS sum_d2
+              |FROM m GROUP BY 1 ORDER BY d2_bucket""".stripMargin))
   )
 }

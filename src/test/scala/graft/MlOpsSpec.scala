@@ -227,6 +227,19 @@ class MlOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == ev.count())
   }
 
+  test("spatial grid join: bucket sums are consistent with bucket bounds") {
+    val rows = SparkEntry.queries("join_spatial_grid")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, n, s2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(b >= 0 && b <= 5, s"bucket $b outside radius² range")
+      val lo = 125 * b
+      val hi = math.min(125 * (b + 1) - 1, 625)
+      assert(s2 >= n * lo && s2 <= n * hi,
+        s"bucket $b: sum_d2 $s2 inconsistent with $n pairs in [$lo,$hi]")
+    }
+  }
+
   test("triplet mining: picks the hardest positive and negative") {
     import spark.implicits._
     // anchor 0 (label 0): positives 1 (identical, cos 1) and 2
