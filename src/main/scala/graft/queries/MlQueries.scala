@@ -886,6 +886,88 @@ object MlQueries {
               |m AS (SELECT d2 FROM cand WHERE d2 <= 625)
               |SELECT CAST(d2 // 125 AS BIGINT) AS d2_bucket,
               |  count(*) AS n_pairs, CAST(sum(d2) AS BIGINT) AS sum_d2
-              |FROM m GROUP BY 1 ORDER BY d2_bucket""".stripMargin))
+              |FROM m GROUP BY 1 ORDER BY d2_bucket""".stripMargin)),
+
+    // Recency-weighted engagement score — the feature-store staple
+    // (recent activity outweighs old) with an EXACT decay: weight =
+    // 2^−age_weeks expressed in 256ths, so every term is an integer
+    // (vm · 256≫k) and the per-user sum is order-independent — no
+    // pow()/exp() parity surface at all. Two map-side-combinable
+    // aggregates on the user key; the decay lattice is (user × ≤9
+    // week-buckets)-bounded.
+    QueryDef("agg_decay_engagement",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+        val g = ev.agg(max(to_date(col("ts"))).as("gd"))
+        val sk = ev.crossJoin(broadcast(g))
+          .select(col("user_id"),
+            expr("datediff(gd, CAST(ts AS DATE)) div 7").as("k"),
+            col("value"))
+          .groupBy("user_id", "k")
+          .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("long").as("vm"))
+        sk.select(col("user_id"), (col("vm") *
+            expr("256 div (1 << CAST(least(k, 8) AS INT))")).as("term"))
+          .groupBy("user_id")
+          .agg(sum(col("term")).cast("long").as("decayed_q256"))
+          .orderBy(desc("decayed_q256"), col("user_id")).limit(20)
+      },
+      Some("""WITH g AS (SELECT max(CAST(ts AS DATE)) AS gd FROM events),
+             |w AS (SELECT user_id,
+             |    date_diff('day', CAST(ts AS DATE), g.gd) // 7 AS k,
+             |    value
+             |  FROM events CROSS JOIN g),
+             |s AS (SELECT user_id, k,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+             |      AS BIGINT) AS vm
+             |  FROM w GROUP BY 1, 2)
+             |SELECT user_id,
+             |  CAST(sum(vm * (256 // (1 << CAST(least(k, 8) AS INTEGER))))
+             |    AS BIGINT) AS decayed_q256
+             |FROM s GROUP BY 1
+             |ORDER BY decayed_q256 DESC, user_id LIMIT 20""".stripMargin)),
+
+    // Gaps-and-islands: consecutive-DAY activity streaks per user (the
+    // calendar-streak engagement metric; distinct from the gap-timeout
+    // sessionizers — islands are day - row_number groups, pure integer/
+    // date arithmetic). One user-keyed window over the DISTINCT
+    // (user, day) frame (≤ users × days rows), then two combinable
+    // aggregates; output is the longest-streak histogram.
+    QueryDef("window_streaks",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val d = Tables.read(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val islands = d.withColumn("rn", row_number().over(w))
+          .select(col("user_id"),
+            date_sub(col("day"), col("rn")).as("island"))
+          .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+        islands.groupBy("user_id")
+          .agg(max(col("len")).as("longest"),
+            count(lit(1)).as("n_islands"), sum(col("len")).as("active"))
+          .groupBy(col("longest").cast("long").as("longest_streak"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("n_islands")).cast("long").as("n_islands"),
+            sum(col("active")).cast("long").as("active_days"))
+          .orderBy("longest_streak")
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |r AS (SELECT user_id, day,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY day)
+             |      AS rn
+             |  FROM d),
+             |i AS (SELECT user_id, day - CAST(rn AS INTEGER) AS island,
+             |    count(*) AS len
+             |  FROM r GROUP BY 1, 2),
+             |per_u AS (SELECT user_id, max(len) AS longest,
+             |    count(*) AS n_islands, CAST(sum(len) AS BIGINT)
+             |      AS active_days
+             |  FROM i GROUP BY 1)
+             |SELECT CAST(longest AS BIGINT) AS longest_streak,
+             |  count(*) AS n_users,
+             |  CAST(sum(n_islands) AS BIGINT) AS n_islands,
+             |  CAST(sum(active_days) AS BIGINT) AS active_days
+             |FROM per_u GROUP BY 1 ORDER BY longest_streak""".stripMargin))
   )
 }

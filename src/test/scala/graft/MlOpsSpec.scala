@@ -240,6 +240,34 @@ class MlOpsSpec extends SparkSpec {
     }
   }
 
+  test("decay engagement: bounded by the undecayed 256x total") {
+    import spark.implicits._
+    val out = SparkEntry.queries("agg_decay_engagement")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val totals = graft.core.Tables.read(spark, sf, "events")
+      .groupBy("user_id")
+      .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("long").as("vm"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (u, d) =>
+      assert(d > 0 && d <= 256L * totals(u),
+        s"user $u decayed $d vs cap ${256L * totals(u)}")
+    }
+  }
+
+  test("streak histogram: user counts conserve; islands bound active days") {
+    val rows = SparkEntry.queries("window_streaks")(spark, sf).collect()
+    val users = graft.core.Tables.read(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "fewer islands than users")
+      assert(r.getLong(3) >= r.getLong(2), "fewer active days than islands")
+      // a bucket's longest streak cannot exceed its users' active days
+      assert(r.getLong(0) * r.getLong(1) <= r.getLong(3))
+    }
+  }
+
   test("triplet mining: picks the hardest positive and negative") {
     import spark.implicits._
     // anchor 0 (label 0): positives 1 (identical, cos 1) and 2
