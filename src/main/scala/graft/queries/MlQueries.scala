@@ -58,12 +58,8 @@ object MlQueries {
     // number of distinct sizes. Oracle: recursive min-reach closure.
     QueryDef("graph_connected_components",
       (s, dir) => {
-        val base = Tables.read(s, dir, "lineitem")
-          .join(Tables.read(s, dir, "orders")
-              .select("o_orderkey", "o_custkey"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select((col("l_suppkey") * 2).as("doc_a"),
-            (col("o_custkey") * 2 + 1).as("doc_b"))
+        val base = GraphFixtures.edges(s, dir)
+          .select(col("src").as("doc_a"), col("dst").as("doc_b"))
         val sparse = base.filter(pmod(GraftFunctions.hash64(
           concat_ws("|", lit("cc"), col("doc_a").cast("string"),
             col("doc_b").cast("string"))), lit(1000L)) < 5)
