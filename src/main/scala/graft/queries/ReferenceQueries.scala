@@ -474,7 +474,48 @@ object ReferenceQueries {
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // The warehouse read path pruning on a STRING predicate (round-8
+    // verdict item 2): the reference's natural keys are normalized
+    // strings (etl/core/utils.py:10-16 lower/strip), so a warehouse user's
+    // #1 filter is a string equality — this fixture clusters orders by
+    // o_orderpriority (repartitionByRange on the string column gives the
+    // staged files disjoint priority zones), and the declared query's
+    // equality predicate prunes whole files off the truncated binary
+    // min/max bounds at planning time. WarehouseSinkSpec pins
+    // planned-files < total plus the truncation/prefix edge cases; this
+    // row pins the VALUES against the source-of-truth parquet at every SF
+    // the driver runs. Output is a 1-row census (decimal-summed total) so
+    // the gate stays small at sf1+.
+    QueryDef("scan_warehouse_pruned_str",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordstr_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(
+            orders.repartitionByRange(8, col("o_orderpriority"),
+              col("o_orderkey")),
+            path, format = "graft-warehouse")
+        Sink.read(s, path, "graft-warehouse")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+      },
+      Some("""SELECT count(*) AS n_orders,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |    AS total_price
+             |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
   )
 
   private lazy val dateDimOracle: String =

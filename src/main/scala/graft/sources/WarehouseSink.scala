@@ -123,8 +123,70 @@ class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
   }
 }
 
+/** Per-file, per-column zone-map entry. Two shapes:
+  *
+  *  - [[ColStat.Longs]] — exact min/max of an integral-typed column
+  *    (long/int/date/timestamp), as before;
+  *  - [[ColStat.Strs]] — UTF-8 **binary-order** bounds of a string column,
+  *    truncated to [[ColStat.StrBound]] bytes (the parquet/warehouse
+  *    clustering-metadata rule): `lo` is a prefix of the true minimum, so
+  *    it is a valid lower bound as-is; `hi` is the truncated true maximum
+  *    with its last non-0xFF byte INCREMENTED (trailing 0xFF dropped) so
+  *    it stays an upper bound after losing the suffix. `hi = None` means
+  *    the increment overflowed (a ≥32-byte run of 0xFF) — unbounded above.
+  *    All comparisons are raw unsigned-byte order, matching Spark's
+  *    UTF8String binary ordering, NOT java.lang.String UTF-16 order (the
+  *    two disagree on supplementary characters).
+  */
+sealed trait ColStat
+object ColStat {
+  /** Truncation bound for string zone entries: long natural keys still
+    * prune on their discriminating prefix while the manifest stays
+    * O(files × cols × 32B) — metadata, never data. */
+  val StrBound = 32
+
+  case class Longs(lo: Long, hi: Long) extends ColStat
+  case class Strs(lo: Array[Byte], hi: Option[Array[Byte]]) extends ColStat
+
+  /** Unsigned lexicographic byte order — UTF8String.compareTo's order. */
+  def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Truncate a true MINIMUM: a byte prefix sorts ≤ the full string. */
+  def truncLo(v: Array[Byte]): Array[Byte] =
+    if (v.length <= StrBound) v else util.Arrays.copyOf(v, StrBound)
+
+  /** Truncate a true MAXIMUM: increment the last non-0xFF byte of the
+    * prefix and drop everything after it; all-0xFF ⇒ no finite bound. */
+  def truncHi(v: Array[Byte]): Option[Array[Byte]] =
+    if (v.length <= StrBound) Some(v)
+    else prefixSucc(util.Arrays.copyOf(v, StrBound))
+
+  /** Smallest byte string strictly above EVERY `p`-prefixed string: `p`
+    * with its last non-0xFF byte incremented, trailing 0xFF dropped;
+    * None when `p` is all 0xFF (no finite successor exists). */
+  def prefixSucc(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+}
+
 case class StagedFile(path: String, rows: Long,
-    stats: Map[String, (Long, Long)]) extends WriterCommitMessage
+    stats: Map[String, ColStat]) extends WriterCommitMessage
 
 class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
     disposition: String) extends BatchWrite {
@@ -170,7 +232,7 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
         if (disposition == "WRITE_TRUNCATE") Nil
         else prev.map(_.files).getOrElse(Nil)
       val keptStats =
-        if (disposition == "WRITE_TRUNCATE") Map.empty[String, Map[String, (Long, Long)]]
+        if (disposition == "WRITE_TRUNCATE") Map.empty[String, Map[String, ColStat]]
         else prev.map(_.stats).getOrElse(Map.empty)
       val gen = prev.map(_.generation + 1).getOrElse(0L)
       WarehouseMeta.writeManifest(fs, root,
@@ -224,6 +286,17 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType)
   }
   private val mins = Array.fill(statIdx.length)(Long.MaxValue)
   private val maxs = Array.fill(statIdx.length)(Long.MinValue)
+  // string columns get binary-order min/max too (the reference's natural
+  // keys are normalized strings — the #1 predicate a warehouse user
+  // filters on); truncation to ColStat.StrBound happens once at commit,
+  // the per-row path only compares and occasionally clones. The clone on
+  // new-extremum is required: getUTF8String may return a view over a
+  // buffer the next row overwrites.
+  private val strIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == StringType => i
+  }
+  private val smins = new Array[UTF8String](strIdx.length)
+  private val smaxs = new Array[UTF8String](strIdx.length)
 
   override def write(record: InternalRow): Unit = {
     WarehouseCodec.writeRow(out, record, schema)
@@ -240,15 +313,33 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType)
       }
       j += 1
     }
+    j = 0
+    while (j < strIdx.length) {
+      val i = strIdx(j)
+      if (!record.isNullAt(i)) {
+        val v = record.getUTF8String(i)
+        if (smins(j) == null || v.compareTo(smins(j)) < 0)
+          smins(j) = v.clone()
+        if (smaxs(j) == null || v.compareTo(smaxs(j)) > 0)
+          smaxs(j) = v.clone()
+      }
+      j += 1
+    }
     rows += 1
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    val stats = statIdx.indices.collect {
+    val longStats = statIdx.indices.collect {
       case j if mins(j) <= maxs(j) =>
-        schema(statIdx(j)).name -> ((mins(j), maxs(j)))
-    }.toMap
-    StagedFile(file, rows, stats)
+        schema(statIdx(j)).name -> (ColStat.Longs(mins(j), maxs(j)): ColStat)
+    }
+    val strStats = strIdx.indices.collect {
+      case j if smins(j) != null =>
+        schema(strIdx(j)).name -> (ColStat.Strs(
+          ColStat.truncLo(smins(j).getBytes),
+          ColStat.truncHi(smaxs(j).getBytes)): ColStat)
+    }
+    StagedFile(file, rows, (longStats ++ strStats).toMap)
   }
   override def abort(): Unit = {
     out.close()
@@ -272,10 +363,11 @@ object WarehouseScanStats {
   *    decodes ONLY requested fields and byte-skips the rest — a
   *    projection over 2 of 40 columns never allocates the other 38;
   *  - **zone-map file pruning** (`SupportsPushDownFilters`): every load
-  *    job records per-file min/max for integral-typed columns in the
-  *    manifest (stats ride the SAME atomic commit as the data — they can
-  *    never disagree with a committed generation), and comparison
-  *    predicates prune whole files at PLANNING time. Filters are
+  *    job records per-file min/max for integral-typed AND string columns
+  *    in the manifest (string bounds truncated per [[ColStat]]; stats
+  *    ride the SAME atomic commit as the data — they can never disagree
+  *    with a committed generation), and comparison/prefix predicates
+  *    prune whole files at PLANNING time. Filters are
   *    reported back as residual (pruning is file-granular, the exact
   *    predicate re-applies above the scan — the StatsIndex/RestSource
   *    transparency discipline), so pruning can never change results,
@@ -336,18 +428,74 @@ object WarehouseZoneMap {
     case _ => None
   }
 
+  private def slit(v: Any): Option[Array[Byte]] = v match {
+    case s: String => Some(UTF8String.fromString(s).getBytes)
+    case s: UTF8String => Some(s.getBytes)
+    case _ => None
+  }
+
+  private def comparable(v: Any): Boolean =
+    lit(v).isDefined || slit(v).isDefined
+
   def prunable(f: Filter): Boolean = f match {
-    case EqualTo(_, v) => lit(v).isDefined
-    case GreaterThan(_, v) => lit(v).isDefined
-    case GreaterThanOrEqual(_, v) => lit(v).isDefined
-    case LessThan(_, v) => lit(v).isDefined
-    case LessThanOrEqual(_, v) => lit(v).isDefined
+    case EqualTo(_, v) => comparable(v)
+    case GreaterThan(_, v) => comparable(v)
+    case GreaterThanOrEqual(_, v) => comparable(v)
+    case LessThan(_, v) => comparable(v)
+    case LessThanOrEqual(_, v) => comparable(v)
+    case StringStartsWith(_, v) => slit(v).isDefined
     case _ => false
   }
 
-  def mightMatch(f: Filter, stats: Map[String, (Long, Long)]): Boolean = {
-    def rng(col: String): Option[(Long, Long)] = stats.get(col)
+  /** String-zone verdicts against conservative bounds `L ≤ true min`,
+    * `H ≥ true max` (H possibly unbounded): a file is dropped only when
+    * the bounds PROVE emptiness — `x < L` or `x > H` for equality,
+    * `H ≤ x` / `H < x` / `L ≥ x` / `L > x` for the inequalities. All in
+    * unsigned byte order, the same order the writer minimized in.
+    */
+  private def strMatch(f: Filter, lo: Array[Byte],
+      hi: Option[Array[Byte]]): Boolean = {
+    import ColStat.cmp
     f match {
+      case EqualTo(_, v) => slit(v).forall(x =>
+        cmp(x, lo) >= 0 && hi.forall(h => cmp(x, h) <= 0))
+      case GreaterThan(_, v) => slit(v).forall(x =>
+        hi.forall(h => cmp(h, x) > 0))
+      case GreaterThanOrEqual(_, v) => slit(v).forall(x =>
+        hi.forall(h => cmp(h, x) >= 0))
+      case LessThan(_, v) => slit(v).forall(x => cmp(lo, x) < 0)
+      case LessThanOrEqual(_, v) => slit(v).forall(x => cmp(lo, x) <= 0)
+      // a p-prefixed value can exist in [min, max] unless the bounds
+      // prove min ≥ succ(p) (L ≥ succ(p) ⇒ everything sorts past the
+      // prefix range) or max < p (H < p ⇒ everything sorts before it)
+      case StringStartsWith(_, v) => slit(v).forall { p =>
+        ColStat.prefixSucc(p).forall(succ => cmp(lo, succ) < 0) &&
+          hi.forall(h => cmp(h, p) >= 0)
+      }
+      case _ => true
+    }
+  }
+
+  def mightMatch(f: Filter, stats: Map[String, ColStat]): Boolean = {
+    def rng(col: String): Option[(Long, Long)] = stats.get(col) collect {
+      case ColStat.Longs(lo, hi) => (lo, hi)
+    }
+    def srng(col: String): Option[ColStat.Strs] = stats.get(col) collect {
+      case s: ColStat.Strs => s
+    }
+    f match {
+      case EqualTo(c, v) if slit(v).isDefined =>
+        srng(c).forall(s => strMatch(f, s.lo, s.hi))
+      case GreaterThan(c, v) if slit(v).isDefined =>
+        srng(c).forall(s => strMatch(f, s.lo, s.hi))
+      case GreaterThanOrEqual(c, v) if slit(v).isDefined =>
+        srng(c).forall(s => strMatch(f, s.lo, s.hi))
+      case LessThan(c, v) if slit(v).isDefined =>
+        srng(c).forall(s => strMatch(f, s.lo, s.hi))
+      case LessThanOrEqual(c, v) if slit(v).isDefined =>
+        srng(c).forall(s => strMatch(f, s.lo, s.hi))
+      case StringStartsWith(c, _) =>
+        srng(c).forall(s => strMatch(f, s.lo, s.hi))
       case EqualTo(c, v) => (rng(c), lit(v)) match {
         case (Some((lo, hi)), Some(x)) => lo <= x && x <= hi
         case _ => true
@@ -404,7 +552,7 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
 
 case class Manifest(generation: Long, schema: StructType,
     files: List[String], jobId: String, disposition: String,
-    stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+    stats: Map[String, Map[String, ColStat]] = Map.empty)
 
 /** Manifest layer: one `manifest-<gen>` file per committed load job under
   * `_manifest/`, written to a dot-temp name and atomically renamed; the
@@ -445,12 +593,25 @@ object WarehouseMeta {
       case l if l.startsWith(s"$k=") => l.substring(k.length + 1)
     }.getOrElse(throw new IllegalStateException(
       s"manifest $path missing key $k"))
-    val stats = lines.filter(_.startsWith("stats="))
+    val b64 = java.util.Base64.getDecoder
+    val longStats = lines.filter(_.startsWith("stats="))
       .map(_.substring(6).split('|'))
-      .collect { case Array(f, c, lo, hi) => (f, c, lo.toLong, hi.toLong) }
+      .collect { case Array(f, c, lo, hi) =>
+        (f, c, ColStat.Longs(lo.toLong, hi.toLong): ColStat)
+      }
+    // string zones ride their own line kind (base64 bounds — raw
+    // truncated bytes need not be valid UTF-8, let alone line-safe);
+    // hi "*" = unbounded above
+    val strStats = lines.filter(_.startsWith("sstats="))
+      .map(_.substring(7).split('|'))
+      .collect { case Array(f, c, lo, hi) =>
+        (f, c, ColStat.Strs(b64.decode(lo),
+          if (hi == "*") None else Some(b64.decode(hi))): ColStat)
+      }
+    val stats = (longStats ++ strStats)
       .groupBy(_._1)
       .map { case (f, rows) =>
-        f -> rows.map(r => r._2 -> ((r._3, r._4))).toMap
+        f -> rows.map(r => r._2 -> r._3).toMap
       }
     Some(Manifest(gen,
       DataType.fromJson(one("schema")).asInstanceOf[StructType],
@@ -464,11 +625,17 @@ object WarehouseMeta {
     val tmp = new Path(dir, s".manifest-${m.generation}.tmp")
     val out = new DataOutputStream(f.create(tmp, true))
     try {
+      val b64 = java.util.Base64.getEncoder
       val statLines = for {
         (f, cols) <- m.stats.toList.sortBy(_._1)
-        (c, (lo, hi)) <- cols.toList.sortBy(_._1)
+        (c, st) <- cols.toList.sortBy(_._1)
         if !c.contains("|") // '|' is the stats-line separator
-      } yield s"stats=$f|$c|$lo|$hi"
+      } yield st match {
+        case ColStat.Longs(lo, hi) => s"stats=$f|$c|$lo|$hi"
+        case ColStat.Strs(lo, hi) =>
+          s"sstats=$f|$c|${b64.encodeToString(lo)}|" +
+            hi.map(b64.encodeToString).getOrElse("*")
+      }
       val body = (s"schema=${m.schema.json}" ::
         s"job=${m.jobId}" ::
         s"disposition=${m.disposition}" ::

@@ -208,7 +208,8 @@ class WarehouseSinkSpec extends SparkSpec {
     // disjoint manifest stats
     val path = fresh("zonemap")
     for (r <- Seq(0L until 10L, 10L until 20L, 20L until 30L))
-      Sink.append(r.map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      Sink.append(r.map(i => (i, s"v$i", i * 0.5))
+          .toDF("id", "v", "score").coalesce(1),
         path, format = "graft-warehouse")
     val m = WarehouseMeta.readManifest(path).get
     assert(m.files.size === 3)
@@ -227,12 +228,61 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(planned(all.filter(col("id") >= 10)) === ((20L, 2)))
     // equality hits exactly one file
     assert(planned(all.filter(col("id") === 15)) === ((1L, 1)))
-    // a filter on an unstatted column prunes nothing — conservative
-    assert(planned(all.filter(col("v") === "v7")) === ((1L, 3)))
+    // string equality prunes too: "v7" sorts past [v10,v19] and [v20,v29]
+    // in binary order, so only the first file survives
+    assert(planned(all.filter(col("v") === "v7")) === ((1L, 1)))
+    // a filter on an unstatted column (double) prunes nothing — conservative
+    assert(planned(all.filter(col("score") === 3.5)) === ((1L, 3)))
     // pruning is semantically transparent: pruned ≡ unpruned post-filter
     assert(all.filter(col("id") > 25).orderBy("id")
-      .as[(Long, String)].collect().toSeq ===
+      .select("id", "v").as[(Long, String)].collect().toSeq ===
       (26L until 30L).map(i => (i, s"v$i")))
+  }
+
+  test("string zone maps: truncation bounds, prefix filters, multibyte") {
+    import spark.implicits._
+    import graft.sources.ColStat
+    val path = fresh("strzone")
+    // three files with disjoint STRING key zones, including values past
+    // the 32-byte truncation bound and a multibyte (3-byte UTF-8) block
+    val pad = "x" * 40 // forces lo/hi truncation in file 1
+    Sink.append(Seq(s"alpha_$pad", s"alpha_${pad}zz", "amber")
+      .toDF("k").coalesce(1), path, format = "graft-warehouse")
+    Sink.append(Seq("kiwi", "lemon", "mango")
+      .toDF("k").coalesce(1), path, format = "graft-warehouse")
+    Sink.append(Seq("один", "пять", "семь") // Cyrillic: 0xD0/0xD1 lead bytes
+      .toDF("k").coalesce(1), path, format = "graft-warehouse")
+
+    val m = WarehouseMeta.readManifest(path).get
+    // file 1's zone is truncated: lo is a 32-byte prefix, hi's last byte
+    // is incremented past the true (longer) maximum
+    val strs = m.stats.values.flatMap(_.get("k")).collect {
+      case s: ColStat.Strs => s
+    }
+    assert(strs.exists(s => s.lo.length == ColStat.StrBound))
+    assert(strs.forall(_.hi.isDefined))
+
+    def planned(df: org.apache.spark.sql.DataFrame): (Long, Int) = {
+      sources.WarehouseScanStats.lastPlannedFiles = -1
+      val n = df.count()
+      (n, sources.WarehouseScanStats.lastPlannedFiles)
+    }
+    val all = readBack(path)
+    // equality on a mid-zone value: only its file survives
+    assert(planned(all.filter(col("k") === "lemon")) === ((1L, 1)))
+    // a value INSIDE file 1's truncated zone still matches despite the
+    // bounds being inexact — truncation may keep files, never drop rows
+    assert(planned(all.filter(col("k") === s"alpha_${pad}zz")) === ((1L, 1)))
+    // range predicates across zones
+    assert(planned(all.filter(col("k") >= "kiwi" && col("k") <= "mango"))
+      === ((3L, 1)))
+    // multibyte zone: Cyrillic sorts above all ASCII in UTF-8 binary order
+    assert(planned(all.filter(col("k") > "z")) === ((3L, 1)))
+    // prefix pushdown: startsWith plans only the matching zone
+    assert(planned(all.filter(col("k").startsWith("alpha_"))) === ((2L, 1)))
+    assert(planned(all.filter(col("k").startsWith("п"))) === ((1L, 1)))
+    // a prefix matching nothing plans zero files
+    assert(planned(all.filter(col("k").startsWith("zzz"))) === ((0L, 0)))
   }
 
   test("column pruning reaches the scan: only requested fields decode") {
