@@ -141,10 +141,14 @@ object Forecast {
     val bt = ph.groupBy("p")
       .agg(sum(round(col("s1") * col("s1") / col("cnt"), 6)
         .cast("decimal(28,6)")).cast("double").as("ssb"))
+    // zero-variance guard: a constant series has syy − sy²/n = 0, where
+    // Spark (non-ANSI) division returns NULL but IEEE engines return
+    // inf/NaN — the explicit when() pins NULL in BOTH (oracle: nullif)
+    val denom = col("syy") - col("sy") * col("sy") / col("n")
     bt.crossJoin(broadcast(g))
       .select(col("p").cast("long").as("period"),
         round((col("ssb") - col("sy") * col("sy") / col("n")) /
-          (col("syy") - col("sy") * col("sy") / col("n")), 6).as("strength"))
+          when(denom =!= 0.0, denom), 6).as("strength"))
       .orderBy("period")
   }
 }

@@ -4,7 +4,6 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 /** Exact heavy hitters (frequent items) via the approx-then-verify pattern:
   * a per-partition Misra-Gries summary proposes a small candidate set, a

@@ -182,22 +182,24 @@ object MlQueries {
         "score", "label"),
       Some("""WITH scored AS (SELECT value AS score,
              |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
-             |  FROM events WHERE event_type IN ('purchase', 'view')),
-             |per_s AS (SELECT score, CAST(sum(label) AS DOUBLE) AS np,
-             |    CAST(count(*) - sum(label) AS DOUBLE) AS nn
+             |  FROM events
+             |  WHERE event_type IN ('purchase', 'view')
+             |    AND value IS NOT NULL),
+             |per_s AS (SELECT score, CAST(sum(label) AS BIGINT) AS np,
+             |    CAST(count(*) - sum(label) AS BIGINT) AS nn
              |  FROM scored GROUP BY 1),
              |cum AS (SELECT np, nn,
-             |    coalesce(sum(nn) OVER (ORDER BY score
+             |    CAST(coalesce(sum(nn) OVER (ORDER BY score
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |      AS nn_below
+             |      AS BIGINT) AS nn_below
              |  FROM per_s),
-             |u AS (SELECT CAST(sum(np * (nn_below + nn / 2)) AS DOUBLE)
-             |  AS usum FROM cum),
-             |tot AS (SELECT CAST(sum(np) AS DOUBLE) AS npos,
-             |               CAST(sum(nn) AS DOUBLE) AS nneg FROM per_s)
-             |SELECT CAST(npos AS BIGINT) AS n_pos,
-             |  CAST(nneg AS BIGINT) AS n_neg,
-             |  round(usum / (npos * nneg), 6) AS auc
+             |u AS (SELECT CAST(sum(CAST(np AS HUGEINT)
+             |      * (nn_below * 2 + nn)) AS DOUBLE) / 2 AS usum
+             |  FROM cum),
+             |tot AS (SELECT CAST(sum(np) AS BIGINT) AS npos,
+             |               CAST(sum(nn) AS BIGINT) AS nneg FROM per_s)
+             |SELECT npos AS n_pos, nneg AS n_neg,
+             |  round(usum / (CAST(npos AS DOUBLE) * nneg), 6) AS auc
              |FROM u CROSS JOIN tot""".stripMargin)),
 
     // Mean NDCG@10 per user: graded relevance from event type, predicted
@@ -307,7 +309,7 @@ object MlQueries {
              |    AS DECIMAL(28,6))) AS DOUBLE) AS ssb FROM ph GROUP BY 1)
              |SELECT CAST(bt.p AS BIGINT) AS period,
              |  round((bt.ssb - g.sy * g.sy / g.n) /
-             |        (g.syy - g.sy * g.sy / g.n), 6) AS strength
+             |        nullif(g.syy - g.sy * g.sy / g.n, 0), 6) AS strength
              |FROM bt CROSS JOIN g ORDER BY period""".stripMargin)),
 
     // PMI-ranked bigram collocations: adjacent-pair counts vs unigram
@@ -740,11 +742,15 @@ object MlQueries {
             (to_date(col("ts")) < date_add(col("d0"), 15)).as("is_ref"))
         val rng = split.filter(col("is_ref"))
           .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        // zero-width guard: a constant reference window has hi == lo,
+        // where Spark's 0/0 is NULL but DuckDB's is NaN — nullif makes
+        // the division NULL in both, and both engines' null-skipping
+        // least() then lands every row in bin 9 identically
         val c = split.crossJoin(broadcast(rng))
           .filter(col("value") >= col("lo") && col("value") <= col("hi"))
           .select(least(floor((col("value") - col("lo")) /
-            ((col("hi") - col("lo")) / 10)), lit(9.0)).cast("long")
-            .as("bin"), col("is_ref"))
+            nullif((col("hi") - col("lo")) / 10, lit(0.0))), lit(9.0))
+            .cast("long").as("bin"), col("is_ref"))
           .groupBy("bin")
           .agg((lit(1) + sum(when(col("is_ref"), 1).otherwise(0)))
             .as("n_ref"),
@@ -768,7 +774,7 @@ object MlQueries {
              |rng AS (SELECT min(value) AS lo, max(value) AS hi
              |  FROM split WHERE is_ref),
              |b AS (SELECT CAST(least(
-             |      floor((value - rng.lo) / ((rng.hi - rng.lo) / 10)),
+             |      floor((value - rng.lo) / nullif((rng.hi - rng.lo) / 10, 0)),
              |      9) AS BIGINT) AS bin, is_ref
              |  FROM split CROSS JOIN rng
              |  WHERE value >= rng.lo AND value <= rng.hi),

@@ -32,6 +32,70 @@ class MlOpsSpec extends SparkSpec {
       .head.getDouble(2) == 0.5)
   }
 
+  test("aucByScore: null scores/labels are dropped, not NULL-ordered") {
+    import spark.implicits._
+    val withNulls = Seq((Some(0.9), Some(1)), (None, Some(0)),
+      (Some(0.8), None), (Some(0.2), Some(0)), (Some(0.1), Some(0)))
+      .toDF("score", "label")
+    val r = Evaluate.aucByScore(withNulls, "score", "label").head
+    assert(r.getLong(0) == 1 && r.getLong(1) == 2) // null rows gone
+    assert(r.getDouble(2) == 1.0)
+  }
+
+  test("aucByScore: high-cardinality continuous score — exact, and no " +
+    "unbounded single-partition window in the plan") {
+    import spark.implicits._
+    // 20k DISTINCT scores (distinct-scores ∝ N, the shape that made the
+    // old single-partition window a property of the data, round-10
+    // verdict item 3); label correlates with score with deterministic
+    // noise, AUC checked against the brute-force pair count
+    val rows = (0 until 20000).map { i =>
+      val score = i * 0.001 + (i % 7) * 1e-9 // all distinct
+      val label = if ((i * 2654435761L % 100) < (i / 200)) 1 else 0
+      (score, label)
+    }
+    val df = rows.toDF("score", "label").repartition(8)
+    val r = Evaluate.aucByScore(df, "score", "label").head
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1).sorted.toArray
+    def below(x: Double): Int = {
+      var lo = 0; var hi = neg.length
+      while (lo < hi) { val m = (lo + hi) / 2
+        if (neg(m) < x) lo = m + 1 else hi = m }
+      lo
+    }
+    val u = pos.map(p => below(p).toDouble).sum // distinct scores: no ties
+    val want = BigDecimal(u / (pos.size.toDouble * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == pos.size && r.getLong(1) == neg.length)
+    assert(r.getDouble(2) == want)
+    // plan shape: every global (empty-partition-spec) window must run
+    // over the pid-offsets metadata frame (an aggregate keyed by pid,
+    // ≤ numPartitions rows), never the per-score frame
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = Evaluate.aucByScore(df, "score", "label")
+      .queryExecution.optimizedPlan
+    val globalWindows = plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.nonEmpty, "expected the bounded offsets window")
+    globalWindows.foreach { w =>
+      val aggKeys = w.child.collect { case a: Aggregate =>
+        a.groupingExpressions.map(_.sql).mkString(",")
+      }
+      assert(aggKeys.exists(_.contains("pid")),
+        s"global window must consume only the pid-offset frame:\n$w")
+    }
+  }
+
+  test("periodStrength: a constant series yields NULL strength, not NaN") {
+    import spark.implicits._
+    val daily = (0 until 12).map(d => (d.toLong, 5L)).toDF("d", "y")
+    val out = Forecast.periodStrength(daily, "d", "y", maxPeriod = 4)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.isNullAt(1)))
+  }
+
   test("meanNdcgAt10: ideal ordering gives NDCG 1") {
     import spark.implicits._
     // predicted order (by score desc) == ideal order (by rel desc)
