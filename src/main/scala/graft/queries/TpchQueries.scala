@@ -75,6 +75,17 @@ object TpchQueries {
     //    decade above the gate beats a FAIL at the gate; the invariant
     //    "no DECIMAL-typed declared output column" is now lint-enforced
     //    across all declared queries.
+    //  - r11 (round-8 item 3's third option): the three 6-dp money sums
+    //    are ROUNDED TO 2 dp IN DECIMAL SPACE before the double cast
+    //    (HALF_UP in both engines; the inputs are positive). A 2-dp
+    //    decimal's scaled integer stays below 2^53 until the sum passes
+    //    ~9e13 (≈ sf 40,000 here), so the presentation cast is EXACT —
+    //    bit-identical across engines — at every gated decade; the sf1
+    //    ulp NEAR is gone by construction, not by luck. avg_price
+    //    divides the exactly-cast rounded sum (double ÷ long is
+    //    correctly rounded from identical operands in both engines);
+    //    output types stay DOUBLE, so the r7 decimal-canonicalization
+    //    hazard never re-enters.
     QueryDef("tpch_q1",
       (s, dir) => Tables.read(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -82,26 +93,26 @@ object TpchQueries {
         .agg(
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
             .as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
-            .as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
-          sum(((col("l_extendedprice") * (lit(1) - col("l_discount"))) *
-            (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double")
-            .as("sum_charge"),
+          round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double").as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("sum_disc_price"),
+          round(sum(((col("l_extendedprice") * (lit(1) - col("l_discount"))) *
+            (lit(1) + col("l_tax"))).cast("decimal(18,6)")), 2)
+            .cast("double").as("sum_charge"),
           (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
             count(lit(1))).as("avg_qty"),
-          (sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double") /
-            count(lit(1))).as("avg_price"),
+          (round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double") / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-             |CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+             |CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+             |CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
-             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+             |CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) / count(*) AS avg_price,
              |count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
