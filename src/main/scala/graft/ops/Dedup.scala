@@ -313,15 +313,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val SimhashBits = 48
-  val SimhashBandBits = 12
+  /** 64-bit fingerprints in 4×16-bit bands (round 11; was 48/12). The
+    * pigeonhole recall guarantee is band-count-only (hamming ≤ 3 over 4
+    * bands ⇒ one band must match), but band WIDTH bounds the random
+    * collision floor: a fixed b-bit band admits ~4·C(n,2)/2^b
+    * chance-collision candidates — quadratic in the corpus with a 1/2^b
+    * coefficient. The round-11 PairAudit measured that tail directly
+    * (1.13M cross-replica pairs at 500k docs under 12-bit bands; 16-bit
+    * bands cut it 16×). 64 bits is the widest fp one BIGINT carries in
+    * both engines; past ~10M docs, band the fp 8×16 over two lanes or
+    * pre-group by a cheap length bucket.
+    */
+  val SimhashBits = 64
+  val SimhashBandBits = 16
 
-  /** SimHash fingerprints (48-bit) over the token multiset: explode tokens,
+  /** SimHash fingerprints (64-bit) over the token multiset: explode tokens,
     * then ONE hash aggregate where each sum packs FOUR per-bit set-counts
-    * into 16-bit lanes of a long (12 sums + a count instead of 48 signed
+    * into 16-bit lanes of a long (16 sums + a count instead of 64 signed
     * sums — 4× fewer agg buffers and generated updates). Bit j of the
     * fingerprint is set iff 2*count_set(j) > n, identical to the classic
     * signed-sum > 0 form. Lane-safe for documents up to 65,535 tokens.
+    * Bit 63's addend is Long.MinValue; the fold wraps into the intended
+    * packed pattern under non-ANSI arithmetic, and the oracle's BIGINT
+    * sum does the same.
     */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val toks = docs.repartition(col("doc_id")).select(col("doc_id"),
@@ -350,7 +364,9 @@ object Dedup {
     * density instead of growing quadratically (hamming<=8 emitted 247k
     * pairs at sf0.1; <=3 emits the actual duplicates).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** SimHash band-collision candidates (pre-hamming-filter), exposed for
+    * the same PairAudit reason as [[lshCandidates]]. */
+  private[graft] def simhashCandidates(docs: DataFrame): DataFrame = {
     val fps = simhashFingerprints(docs)
     val banded = fps.withColumn("bd",
       explode(array((0 until SimhashBits / SimhashBandBits).map(b =>
@@ -367,9 +383,12 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashCandidates(docs)
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Exact n-gram (word-bigram) Jaccard, LSH-gated — the textbook two-stage
     * near-dup pipeline: MinHash band collisions generate candidate pairs
@@ -390,15 +409,25 @@ object Dedup {
     * exact array intersection disposes; scores rounded BEFORE the
     * threshold compare so the keep decision is engine-exact.
     */
-  def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val sh = withTokens(docs).select(col("doc_id"),
-      bigramShingles(col("t")).as("shingles"))
+  /** The MinHash-LSH candidate stage shared by [[containmentPairs]] and
+    * [[ngramJaccardPairs]]: band-collision self-join, distinct pairs.
+    * Public to the package so tools/PairAudit can count the CANDIDATE
+    * volume directly — the quantity byte audits miss when a block
+    * explodes inside a join (PLANS.md round-10 lessons).
+    */
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
     val banded = bandedSignatures(docs)
-    val cand = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val sh = withTokens(docs).select(col("doc_id"),
+      bigramShingles(col("t")).as("shingles"))
+    val cand = lshCandidates(docs)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
@@ -415,12 +444,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = withTokens(docs).select(col("doc_id"),
       bigramShingles(col("t")).as("shingles"))
-    val banded = bandedSignatures(docs)
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = lshCandidates(docs)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
