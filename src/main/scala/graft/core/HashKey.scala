@@ -143,6 +143,9 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "graft_audio_meta",
         exprs => graft.ops.AudioMeta(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_jaro_winkler",
+        exprs => JaroWinklerSim(exprs(0), exprs(1)), "built-in")
       // sessions built without GraftExtensions still get the HOF→kernel
       // optimizer rewrite through the experimental hook
       if (!spark.experimental.extraOptimizations

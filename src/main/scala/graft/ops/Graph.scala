@@ -82,6 +82,47 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank: the teleport mass lands only on the `seeds`
+    * nodes instead of uniformly — the similarity-to-a-neighborhood score
+    * behind "related entities" features (seed = an account, a query's
+    * clicked docs, a known-bad cluster). Same fixed-point integer
+    * arithmetic as [[pagerank]] (exactly oracle-checkable), same
+    * broadcast-gated loop (ranks frame ≤ |nodes| rows; the checkpointed
+    * edge list never shuffles inside the gate):
+    *
+    *   r_{t+1}(v) = [v ∈ S]·(1−d)·Scale + (d · Σ_{u→v} r_t(u)/deg(u))
+    *
+    * Unnormalized restart (each seed gets the full (1−d)·Scale rather
+    * than a 1/|S| share) — ranks scale linearly with |S|, ordering is
+    * unaffected, and the integer division stays exact.
+    */
+  def personalizedPagerank(edges: DataFrame, seeds: Column, iters: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    val e = edges.select("src", "dst").distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("od_src"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (nodes.count() <= broadcastMaxNodes) broadcast else identity
+    val restart = when(seeds, lit(BaseScaled)).otherwise(lit(0L))
+    var ranks = nodes.withColumn("r",
+      when(seeds, lit(Scale)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(hint(ranks), col("node") === e("src"))
+        .join(hint(outdeg), col("src") === col("od_src"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(hint(contribs), Seq("node"), "left")
+        .select(col("node"),
+          (restart +
+            expr(s"($DampNum * coalesce(contrib, 0L)) div 1000")).as("r"))
+    }
+    ranks
+  }
+
   /** Hop distances from a landmark set over an undirected edge list by
     * `rounds` of synchronous frontier relaxation (min-plus BFS):
     * dist_{t+1}(v) = min(dist_t(v), min_{u~v} dist_t(u) + 1). Exact for

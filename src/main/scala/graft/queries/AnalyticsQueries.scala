@@ -422,6 +422,67 @@ object AnalyticsQueries {
              |FROM cand WHERE levenshtein(probe_name, c_name) <= 1
              |ORDER BY probe_id, c_custkey""".stripMargin)),
 
+    // Jaro-Winkler-scored linkage over the SAME SymSpell deletion-key
+    // candidates as join_fuzzy — the graded-similarity face of entity
+    // resolution (edit distance is a hard gate; survey-statistics linkage
+    // ranks candidates by JW and thresholds at ~0.9). The scorer is a
+    // native codegen'd BinaryExpression (core/StringSim.scala): at 100 TB
+    // the verify stage runs over every candidate pair, so it must stay
+    // inside whole-stage codegen — a UDF boundary here would dominate the
+    // join. Semantics pinned to DuckDB's jaro_winkler_similarity (match
+    // window, transposition halving, prefix boost only past jaro 0.7 —
+    // probed + spec-gated), both engines rounding to 6 dp before the
+    // threshold so the keep decision is engine-exact.
+    QueryDef("join_linkage_jw",
+      (s, dir) => {
+        def delKeys(c: Column): Column = array_distinct(concat(
+          array(c),
+          transform(sequence(lit(1), length(c)),
+            i => concat(c.substr(lit(1), i - 1),
+              c.substr(i + 1, length(c))))))
+        val cust = Tables.read(s, dir, "customer")
+          .select("c_custkey", "c_name")
+        val probes = cust.filter(pmod(col("c_custkey"), lit(19)) === 0)
+          .select(col("c_custkey").as("probe_id"),
+            concat(expr("substring(c_name, 1, length(c_name) - 1)"),
+              lit("X")).as("probe_name"))
+        val pk = probes.select(col("probe_id"), col("probe_name"),
+          explode(delKeys(col("probe_name"))).as("k"))
+        val ck = cust.select(col("c_custkey"), col("c_name"),
+          explode(delKeys(col("c_name"))).as("k"))
+        pk.join(ck, "k")
+          .select("probe_id", "probe_name", "c_custkey", "c_name")
+          .distinct()
+          .withColumn("jw", round(call_function("graft_jaro_winkler",
+            col("probe_name"), col("c_name")), 6))
+          .filter(col("jw") >= 0.9)
+          .select("probe_id", "c_custkey", "jw")
+          .orderBy("probe_id", "c_custkey")
+      },
+      Some("""WITH probes AS (
+             |  SELECT c_custkey AS probe_id,
+             |    substring(c_name, 1, length(c_name) - 1) || 'X' AS probe_name
+             |  FROM customer WHERE c_custkey % 19 = 0),
+             |pk AS (SELECT probe_id, probe_name,
+             |  unnest(list_distinct(list_append(
+             |    [substr(probe_name, 1, i - 1) ||
+             |     substr(probe_name, i + 1, length(probe_name))
+             |     for i in generate_series(1, length(probe_name))],
+             |    probe_name))) AS k FROM probes),
+             |ck AS (SELECT c_custkey, c_name,
+             |  unnest(list_distinct(list_append(
+             |    [substr(c_name, 1, i - 1) ||
+             |     substr(c_name, i + 1, length(c_name))
+             |     for i in generate_series(1, length(c_name))],
+             |    c_name))) AS k FROM customer),
+             |cand AS (SELECT DISTINCT probe_id, probe_name, c_custkey, c_name
+             |  FROM pk JOIN ck USING (k))
+             |SELECT probe_id, c_custkey,
+             |  round(jaro_winkler_similarity(probe_name, c_name), 6) AS jw
+             |FROM cand
+             |WHERE round(jaro_winkler_similarity(probe_name, c_name), 6) >= 0.9
+             |ORDER BY probe_id, c_custkey""".stripMargin)),
+
     // JSON extraction from the props column
     QueryDef("fn_json_extract",
       (s, dir) => Tables.read(s, dir, "events")

@@ -89,7 +89,63 @@ object GraphQueries {
       s"\nSELECT node, r FROM it$iters ORDER BY r DESC, node LIMIT 50"
   }
 
+  /** Oracle for graph_ppr: the pagerankSql skeleton with the teleport
+    * mass confined to the seed suppliers (s1..s4 — engine nodes 2,4,6,8).
+    */
+  private def pprSql(iters: Int): String = {
+    val seed = "(n.node LIKE 's%' AND CAST(substr(n.node, 2) AS BIGINT) BETWEEN 1 AND 4)"
+    val base =
+      s"""WITH edges AS (
+         |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         |    'c' || CAST(o_custkey AS VARCHAR) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |it0 AS (SELECT n.node,
+         |  CAST(CASE WHEN $seed THEN ${Graph.Scale} ELSE 0 END AS BIGINT)
+         |    AS r FROM nodes n)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |it$i AS (SELECT n.node,
+         |  CAST((CASE WHEN $seed THEN ${Graph.BaseScaled} ELSE 0 END) +
+         |    (${Graph.DampNum} * COALESCE(s.contrib, 0)) // 1000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r // d.deg) AS contrib
+         |    FROM it${i - 1} p
+         |    JOIN edges e ON e.src = p.node
+         |    JOIN outdeg d ON d.src = p.node
+         |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    }.mkString
+    base + its +
+      s"""
+         |SELECT node, r FROM it$iters WHERE r > 0
+         |ORDER BY r DESC, node LIMIT 50""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // PERSONALIZED PageRank from a 4-supplier seed set over the same
+    // fulfillment graph — "entities related to this neighborhood", the
+    // graph-feature complement of global pagerank. Teleport mass is
+    // confined to the seeds (restart = (1−d)·Scale on seeds, 0
+    // elsewhere); after 3 rounds only nodes within 3 hops hold mass, so
+    // the r > 0 filter keeps the output neighborhood-sized at any SF.
+    // Same integer fixed-point and broadcast-gated loop as
+    // graph_pagerank; seeds are suppliers 1-4 (even engine node ids
+    // 2,4,6,8 — the same s-prefix labels the oracle rebuilds).
+    QueryDef("graph_ppr",
+      (s, dir) => {
+        Graph.personalizedPagerank(GraphFixtures.edges(s, dir),
+            col("node") % 2 === 0 && col("node").between(2, 8),
+            PrIters)
+          .filter(col("r") > 0)
+          .select(concat(
+            when(col("node") % 2 === 0, "s").otherwise("c"),
+            (col("node") / 2).cast("long").cast("string")).as("node"),
+            col("r"))
+          .orderBy(desc("r"), col("node")).limit(50)
+      },
+      Some(pprSql(PrIters))),
 
     // Fixed-point PageRank over the supplier→customer fulfillment graph
     // (who supplies whose orders). Integer-scaled ranks make an iterative
