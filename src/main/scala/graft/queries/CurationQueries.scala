@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -213,6 +214,88 @@ object CurationQueries {
              |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
              |FROM toks WHERE length(token) >= 2
              |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
+
+    // Heaps-law vocabulary growth: how fast the type count grows as the
+    // corpus streams in (V ≈ k·N^β) — the curve that sizes a tokenizer
+    // vocab and predicts marginal novelty of the next data batch. The
+    // corpus is cut into 16 doc_id-range buckets (the ingest order);
+    // each token contributes its FIRST-SEEN bucket (one min aggregate,
+    // shuffle ∝ token types); per-bucket token mass is a second
+    // combinable aggregate. The cumulative walk and the closed-form
+    // log-log least-squares slope run over the 16-row bucket table —
+    // metadata scale — with the exact-moments identical-double-formula
+    // discipline from agg_corr_matrix, so β is engine-exact at 6 dp.
+    QueryDef("text_heaps_law",
+      (s, dir) => {
+        val toks = graft.ops.TextOps.withTokens(
+          Tables.read(s, dir, "documents"))
+          .select(col("doc_id"), explode(col("t")).as("token"))
+          .filter(length(col("token")) >= 1)
+        val mx = Tables.read(s, dir, "documents")
+          .agg((max(col("doc_id")) + 1).as("m"))
+        val bucketed = toks.crossJoin(broadcast(mx))
+          .select(expr("doc_id * 16 div m").as("bucket"), col("token"))
+        val firstSeen = bucketed.groupBy("token")
+          .agg(min(col("bucket")).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+        val mass = bucketed.groupBy("bucket")
+          .agg(count(lit(1)).as("n_tokens"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = mass.join(firstSeen, Seq("bucket"), "left")
+          .na.fill(0L, Seq("new_types"))
+          .select(col("bucket"),
+            sum(col("n_tokens")).over(w).as("cum_tokens"),
+            sum(col("new_types")).over(w).as("cum_vocab"))
+          .localCheckpoint()
+        // exact-moments fit: the log points are rounded to 9 dp and
+        // carried as DECIMAL so every moment sum is order-independent;
+        // only the final slope formula runs in double, sequenced
+        // identically in the oracle (the agg_corr_matrix discipline)
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val fit = cum.select(
+            round(log(d(col("cum_tokens"))), 9).cast("decimal(15,9)").as("x"),
+            round(log(d(col("cum_vocab"))), 9).cast("decimal(15,9)").as("y"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(round((d(col("n")) * d(col("sxy")) -
+            d(col("sx")) * d(col("sy"))) /
+            (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))), 6)
+            .as("heaps_beta"))
+        cum.crossJoin(broadcast(fit)).orderBy("bucket")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |  FROM documents),
+             |m AS (SELECT max(doc_id) + 1 AS m FROM documents),
+             |b AS (SELECT doc_id * 16 // m.m AS bucket, token
+             |  FROM toks CROSS JOIN m WHERE length(token) >= 1),
+             |fs AS (SELECT min(bucket) AS bucket FROM b GROUP BY token),
+             |nt AS (SELECT bucket, count(*) AS new_types FROM fs GROUP BY 1),
+             |ms AS (SELECT bucket, count(*) AS n_tokens FROM b GROUP BY 1),
+             |cum AS (SELECT ms.bucket,
+             |    CAST(sum(ms.n_tokens) OVER (ORDER BY ms.bucket
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             |    CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY ms.bucket
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+             |  FROM ms LEFT JOIN nt ON nt.bucket = ms.bucket),
+             |pts AS (SELECT
+             |    CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 9)
+             |      AS DECIMAL(15,9)) AS x,
+             |    CAST(round(ln(CAST(cum_vocab AS DOUBLE)), 9)
+             |      AS DECIMAL(15,9)) AS y FROM cum),
+             |f AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts),
+             |fit AS (SELECT round(
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             |    AS heaps_beta
+             |  FROM f)
+             |SELECT bucket, cum_tokens, cum_vocab, heaps_beta
+             |FROM cum CROSS JOIN fit ORDER BY bucket""".stripMargin)),
 
     // Temperature-rebalanced source mix (the multilingual-training trick,
     // α = 0.5): per-source keep rates ∝ sqrt(share), so over-represented

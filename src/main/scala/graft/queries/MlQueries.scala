@@ -240,6 +240,124 @@ object MlQueries {
               |    count(*), 6) AS mean_ndcg
               |FROM per_u""".stripMargin)),
 
+    // Mutual information between two categorical features (event type ×
+    // day-of-week) — the model-free feature-relevance screen that ranks
+    // candidate features before any training run (information-gain
+    // feature selection). MI = Σ_xy (n_xy/N)·ln(n_xy·N / (n_x·n_y)) over
+    // EXACT integer contingency counts: three map-side-combinable
+    // aggregates (cells, row-marginals, col-marginals — each bounded by
+    // its domain, never by rows), marginals broadcast back onto the
+    // |X|·|Y|-bounded cell table. Per-cell terms rounded to 9 dp and
+    // decimal-summed (the meanNdcgAt10 discipline) so the cross-cell sum
+    // is order-independent; the ln sees identically-sequenced double
+    // products in both engines (counts ≤ ~3e7 here, so n_xy·N stays an
+    // exact double; at 100 TB switch the ratio to (n_xy/n_x)·(N/n_y)
+    // before the log). Output: domain sizes, N, and MI in nats.
+    QueryDef("eval_mutual_info",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+          .select(col("event_type").as("x"),
+            dayofweek(col("ts")).cast("long").as("y"))
+        val cells = ev.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+        val mx = ev.groupBy("x").agg(count(lit(1)).as("n_x"))
+        val my = ev.groupBy("y").agg(count(lit(1)).as("n_y"))
+        val tot = ev.agg(count(lit(1)).as("n"))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        cells
+          .join(broadcast(mx), "x").join(broadcast(my), "y")
+          .crossJoin(broadcast(tot))
+          .select(round((d(col("n_xy")) / d(col("n"))) *
+            log((d(col("n_xy")) * d(col("n"))) /
+              (d(col("n_x")) * d(col("n_y")))), 9).as("term"),
+            col("n"))
+          .groupBy("n")
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(col("term").cast("decimal(18,9)")).cast("double"), 6)
+              .as("mi_nats"))
+          .select(col("n").as("n_events"), col("n_cells"), col("mi_nats"))
+      },
+      Some("""WITH ev AS (SELECT event_type AS x,
+             |    CAST(dayofweek(ts) + 1 AS BIGINT) AS y FROM events),
+             |cells AS (SELECT x, y, count(*) AS n_xy FROM ev GROUP BY 1, 2),
+             |mx AS (SELECT x, count(*) AS n_x FROM ev GROUP BY 1),
+             |my AS (SELECT y, count(*) AS n_y FROM ev GROUP BY 1),
+             |tot AS (SELECT count(*) AS n FROM ev),
+             |terms AS (SELECT n,
+             |    round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |      ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)) /
+             |        (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 9)
+             |      AS term
+             |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot)
+             |SELECT n AS n_events, count(*) AS n_cells,
+             |  round(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6)
+             |    AS mi_nats
+             |FROM terms GROUP BY 1""".stripMargin)),
+
+    // Theil-Sen robust trend per event-type series: the MEDIAN of all
+    // pairwise slopes (y_j−y_i)/(d_j−d_i) over the daily-count series —
+    // the estimator that shrugs off the outlier days that wreck an OLS
+    // slope (29% breakdown point). The corpus collapses to the per-day
+    // resample FIRST (one combinable aggregate — the stream never feeds
+    // the pair join), so the pairwise explode is |days|²-bounded PER
+    // SERIES: time-bounded, not corpus-bounded, embarrassingly parallel
+    // across series. Median selection is rank-based (row_number to the
+    // middle ranks, mean of the two middles when even) with a
+    // deterministic tie order, identical in both engines; slopes are
+    // exact-integer ratios divided once in double.
+    QueryDef("ts_theil_sen",
+      (s, dir) => {
+        val daily = Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val minDay = daily.agg(min(col("day")).as("d0"))
+        val series = daily.crossJoin(broadcast(minDay))
+          .select(col("event_type"),
+            datediff(col("day"), col("d0")).cast("long").as("d"), col("y"))
+        val pairs = series.as("a").join(series.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.d") < col("b.d"))
+          .select(col("a.event_type").as("event_type"),
+            col("a.d").as("da"), col("b.d").as("db"),
+            ((col("b.y") - col("a.y")).cast("double") /
+              (col("b.d") - col("a.d"))).as("slope"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("slope"), col("da"), col("db"))
+        val ranked = pairs
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt", count(lit(1))
+            .over(Window.partitionBy("event_type")))
+        ranked
+          .filter(col("rn") === expr("(cnt + 1) div 2") ||
+            col("rn") === expr("(cnt + 2) div 2"))
+          .groupBy("event_type")
+          .agg(max(col("cnt")).as("n_pairs"),
+            round(sum(col("slope")) / count(lit(1)), 6)
+              .as("median_slope"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |d0 AS (SELECT min(day) AS d0 FROM daily),
+             |series AS (SELECT event_type,
+             |    CAST(date_diff('day', d0.d0, day) AS BIGINT) AS d, y
+             |  FROM daily CROSS JOIN d0),
+             |pairs AS (SELECT a.event_type, a.d AS da, b.d AS db,
+             |    CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope
+             |  FROM series a JOIN series b
+             |    ON a.event_type = b.event_type AND a.d < b.d),
+             |ranked AS (SELECT event_type, slope,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY slope, da, db) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+             |      AS cnt
+             |  FROM pairs)
+             |SELECT event_type, max(cnt) AS n_pairs,
+             |  round(sum(slope) / count(*), 6) AS median_slope
+             |FROM ranked
+             |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // Holt linear smoothing over daily per-type event counts, 7-day
     // forecast (see Forecast.holtForecast).
     QueryDef("ts_holt_forecast",

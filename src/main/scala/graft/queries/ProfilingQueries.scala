@@ -40,6 +40,76 @@ object ProfilingQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Referential-integrity census over the star's four FK edges — the
+    // first audit a warehouse load runs (orphaned facts mean a broken
+    // extract or an out-of-order load; the reference's FK stamping,
+    // etl/core/key_mapper.py, silently maps misses to the unknown member
+    // — this measures what WOULD have been mapped away). Per edge the
+    // child collapses to its DISTINCT key frame first (one combinable
+    // groupBy; shuffle ∝ keys, never rows) and anti-joins the parent key
+    // set, so a 100 TB fact costs one aggregate plus a key-sized join.
+    // NULL FKs count as orphans in both engines (anti-join keeps them;
+    // the oracle's LEFT JOIN ... IS NULL does too).
+    QueryDef("profile_referential",
+      (s, dir) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame,
+            fk: String, parent: org.apache.spark.sql.DataFrame,
+            pk: String) = {
+          val ck = child.groupBy(col(fk).cast("long").as("k"))
+            .agg(count(lit(1)).as("cnt"))
+            .localCheckpoint()
+          val orphans = ck.join(
+            parent.select(col(pk).cast("long").as("k")).distinct(),
+            Seq("k"), "left_anti")
+          ck.agg(sum(col("cnt")).as("n_rows"),
+              count(lit(1)).as("n_keys"))
+            .crossJoin(broadcast(orphans.agg(
+              coalesce(sum(col("cnt")), lit(0L)).as("n_orphan_rows"),
+              count(lit(1)).as("n_orphan_keys"))))
+            .select(lit(name).as("relationship"), col("n_rows"),
+              col("n_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
+        }
+        val li = Tables.read(s, dir, "lineitem")
+        edge("lineitem->orders", li, "l_orderkey",
+            Tables.read(s, dir, "orders"), "o_orderkey")
+          .unionByName(edge("lineitem->part", li, "l_partkey",
+            Tables.read(s, dir, "part"), "p_partkey"))
+          .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+            Tables.read(s, dir, "supplier"), "s_suppkey"))
+          .unionByName(edge("orders->customer",
+            Tables.read(s, dir, "orders"), "o_custkey",
+            Tables.read(s, dir, "customer"), "c_custkey"))
+          .orderBy("relationship")
+      },
+      Some("""WITH e AS (
+             |  SELECT 'lineitem->orders' AS relationship,
+             |    l_orderkey AS k FROM lineitem
+             |  UNION ALL SELECT 'lineitem->part', l_partkey FROM lineitem
+             |  UNION ALL SELECT 'lineitem->supplier', l_suppkey FROM lineitem
+             |  UNION ALL SELECT 'orders->customer', o_custkey FROM orders),
+             |p AS (
+             |  SELECT 'lineitem->orders' AS relationship,
+             |    o_orderkey AS k FROM orders
+             |  UNION ALL SELECT 'lineitem->part', p_partkey FROM part
+             |  UNION ALL SELECT 'lineitem->supplier', s_suppkey FROM supplier
+             |  UNION ALL SELECT 'orders->customer', c_custkey FROM customer),
+             |ck AS (SELECT relationship, k, count(*) AS cnt
+             |  FROM e GROUP BY 1, 2),
+             |o AS (SELECT ck.relationship,
+             |    sum(CASE WHEN p.k IS NULL THEN ck.cnt ELSE 0 END)
+             |      AS n_orphan_rows,
+             |    sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+             |      AS n_orphan_keys,
+             |    sum(ck.cnt) AS n_rows, count(*) AS n_keys
+             |  FROM ck LEFT JOIN (SELECT DISTINCT relationship, k FROM p) p
+             |    ON p.relationship = ck.relationship AND p.k = ck.k
+             |  GROUP BY 1)
+             |SELECT relationship, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_keys AS BIGINT) AS n_keys,
+             |  CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+             |  CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys
+             |FROM o ORDER BY relationship""".stripMargin)),
+
     // One-pass table profiler: every column's null count, exact distinct
     // count, min and max from a SINGLE scan (one wide aggregate; the
     // multiple DISTINCTs plan as one Expand, not N scans), then the 1-row
