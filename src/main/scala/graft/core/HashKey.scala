@@ -146,6 +146,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "graft_jaro_winkler",
         exprs => JaroWinklerSim(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_blocklist_mask",
+        exprs => graft.ops.BlocklistMask.fromExprs(exprs(0), exprs(1)),
+        "built-in")
       // sessions built without GraftExtensions still get the HOF→kernel
       // optimizer rewrite through the experimental hook
       if (!spark.experimental.extraOptimizations

@@ -215,6 +215,48 @@ object CurationQueries {
              |FROM toks WHERE length(token) >= 2
              |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
 
+    // Multi-phrase blocklist census via ONE Aho-Corasick pass per doc
+    // (ops/Blocklist.scala: goto+failure automaton, ≤64 phrases ride a
+    // long bitmask) — the safety/boilerplate screen every curation
+    // pipeline runs. K `contains` scans cost O(K·n) per doc; the
+    // automaton costs O(n) regardless of K, inside whole-stage codegen
+    // (the phrase list folds at plan time and ships as one reference
+    // object). Census: per phrase, docs hit + the multi-hit histogram —
+    // 12 shift/mask aggregates off the one mask column, a single
+    // map-side pass (the pii_scrub shape). The oracle pays the K-scan
+    // price with plain contains(), proving the automaton ≡ K substring
+    // searches.
+    QueryDef("text_blocklist",
+      (s, dir) => {
+        val phrases = Seq("fast table", "table table", "scan query",
+          "slow filter", "key agg", "window data", "batch batch",
+          "merge batch", "order data", "spark a", "big vector",
+          "value sort")
+        val masked = Tables.read(s, dir, "documents")
+          .select(call_function("graft_blocklist_mask", col("text"),
+            array(phrases.map(lit): _*)).as("m"))
+        val sums = phrases.indices.map(j =>
+          sum(shiftright(col("m"), j).bitwiseAND(1)).as(s"s$j"))
+        masked.agg(count(lit(1)).as("n_docs"), sums: _*)
+          .select(explode(array(phrases.zipWithIndex.map { case (p, j) =>
+            struct(lit(p).as("phrase"), col(s"s$j").as("n_docs_hit"))
+          }: _*)).as("e"), col("n_docs"))
+          .select(col("e.phrase").as("phrase"),
+            col("e.n_docs_hit").as("n_docs_hit"), col("n_docs"))
+          .orderBy("phrase")
+      },
+      Some("""WITH p AS (SELECT unnest(['fast table', 'table table',
+             |    'scan query', 'slow filter', 'key agg', 'window data',
+             |    'batch batch', 'merge batch', 'order data', 'spark a',
+             |    'big vector', 'value sort']) AS phrase),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT p.phrase,
+             |  CAST(sum(CASE WHEN contains(d.text, p.phrase)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+             |  n.n_docs
+             |FROM p CROSS JOIN documents d CROSS JOIN n
+             |GROUP BY p.phrase, n.n_docs ORDER BY phrase""".stripMargin)),
+
     // Heaps-law vocabulary growth: how fast the type count grows as the
     // corpus streams in (V ≈ k·N^β) — the curve that sizes a tokenizer
     // vocab and predicts marginal novelty of the next data batch. The
