@@ -42,4 +42,48 @@ object Mixture {
       .select(col("source"), col("avail"), col("alloc"), col("rate"))
       .orderBy("source")
   }
+
+  /** RAKING (iterative proportional fitting): per-cell sampling weights
+    * that make the weighted (lang × source) marginals match uniform
+    * targets — the survey-statistics calibration a curation pipeline runs
+    * when it must hit BOTH a language mix and a source mix at once (the
+    * 1-D temperature sampler can't satisfy two marginals simultaneously).
+    *
+    * IPF operates on the contingency CELL table — |lang|·|source| rows,
+    * metadata scale — so the corpus is touched exactly once (the count
+    * aggregate); each iteration alternates row- and column-scaling
+    * windows over the cell frame. Cross-engine exactness: per-cell math
+    * is double with an identical operation sequence, each scale step
+    * rounds the weight to 12 dp, and every cross-cell marginal sum rides
+    * DECIMAL (round-then-cast, so the sum is order-independent) — the
+    * profile-family discipline applied to an iterative fixed point.
+    */
+  def rake(docs: DataFrame, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val tot = cells.agg(sum(col("n")).as("total"),
+      countDistinct(col("lang")).as("nl"),
+      countDistinct(col("source")).as("ns"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val wL = Window.partitionBy("lang")
+    val wS = Window.partitionBy("source")
+    var w = cells.crossJoin(broadcast(tot)).withColumn("w", lit(1.0))
+    for (_ <- 1 to iters) {
+      w = w
+        .withColumn("msum", d(sum(round(col("w") * col("n"), 12)
+          .cast("decimal(28,12)")).over(wL)))
+        .withColumn("w", round(col("w") *
+          ((d(col("total")) / d(col("nl"))) / col("msum")), 12))
+        .drop("msum")
+        .withColumn("msum", d(sum(round(col("w") * col("n"), 12)
+          .cast("decimal(28,12)")).over(wS)))
+        .withColumn("w", round(col("w") *
+          ((d(col("total")) / d(col("ns"))) / col("msum")), 12))
+        .drop("msum")
+    }
+    w.select(col("lang"), col("source"), col("n").as("n_docs"),
+        round(col("w"), 6).as("weight"))
+      .orderBy("lang", "source")
+  }
 }

@@ -1088,6 +1088,40 @@ object CurationQueries {
              |SELECT source, avail, alloc,
              |  round(CAST(alloc AS DOUBLE) / CAST(avail AS DOUBLE), 6)
              |    AS rate
-             |FROM r2 ORDER BY source""".stripMargin))
+             |FROM r2 ORDER BY source""".stripMargin)),
+
+    // RAKING / iterative proportional fitting (see Mixture.rake): cell
+    // weights calibrated so the weighted lang AND source marginals both
+    // hit uniform targets — 3 alternating row/column scaling iterations
+    // over the |lang|·|source| contingency table. The oracle unrolls the
+    // same iterations as CTEs with the identical round-then-decimal-sum
+    // marginals, so the fixed-point trajectory is engine-exact step by
+    // step, not just at convergence.
+    QueryDef("curation_raking",
+      (s, dir) => graft.ops.Mixture.rake(Tables.read(s, dir, "documents")),
+      Some {
+        def step(prev: String, cur: String, part: String,
+            tgt: String): String =
+          s"""$cur AS (SELECT lang, source, n, total, nl, ns,
+             |  round(w * ((CAST(total AS DOUBLE) / $tgt) /
+             |    CAST(sum(CAST(round(w * n, 12) AS DECIMAL(28,12)))
+             |      OVER (PARTITION BY $part) AS DOUBLE)), 12) AS w
+             |  FROM $prev)""".stripMargin
+        val iterations = (1 to 3).flatMap { i =>
+          Seq(step(if (i == 1) "it0" else s"it${i - 1}b", s"it${i}a",
+            "lang", "nl"),
+            step(s"it${i}a", s"it${i}b", "source", "ns"))
+        }.mkString(",\n")
+        s"""WITH cells AS (SELECT lang, source, count(*) AS n
+           |  FROM documents GROUP BY 1, 2),
+           |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+           |  count(DISTINCT lang) AS nl, count(DISTINCT source) AS ns
+           |  FROM cells),
+           |it0 AS (SELECT lang, source, n, total, nl, ns,
+           |  CAST(1.0 AS DOUBLE) AS w FROM cells CROSS JOIN t),
+           |$iterations
+           |SELECT lang, source, n AS n_docs, round(w, 6) AS weight
+           |FROM it3b ORDER BY lang, source""".stripMargin
+      })
   )
 }

@@ -476,4 +476,33 @@ class MixtureSolverSpec extends SparkSpec {
     assert(got === Seq(
       ("big_a", 60L, 5L), ("big_b", 59L, 5L), ("scarce", 1L, 1L)))
   }
+
+  test("raking: 3 IPF iterations calibrate both marginals to uniform") {
+    import org.apache.spark.sql.functions._
+    val w = graft.ops.Mixture.rake(
+      graft.core.Tables.read(spark, sf, "documents"), iters = 3)
+    val rows = w.collect()
+    assert(rows.forall(_.getDouble(3) > 0.0), "weights must be positive")
+    // weighted marginals: each lang's share of total weighted mass must
+    // land within 2% of uniform after 3 alternating scalings (the column
+    // pass perturbs the row calibration slightly — IPF converges, it
+    // does not finish, in finitely many steps)
+    val total = rows.map(r => r.getLong(2) * r.getDouble(3)).sum
+    val langs = rows.groupBy(_.getString(0)).view.mapValues(
+      _.map(r => r.getLong(2) * r.getDouble(3)).sum / total).toMap
+    val uniform = 1.0 / langs.size
+    langs.foreach { case (l, share) =>
+      assert(math.abs(share - uniform) < 0.02 * uniform + 0.02,
+        s"lang $l share $share vs uniform $uniform")
+    }
+    // the SOURCE marginal was scaled last, so it is exactly calibrated
+    // up to the 12-dp weight rounding
+    val srcs = rows.groupBy(_.getString(1)).view.mapValues(
+      _.map(r => r.getLong(2) * r.getDouble(3)).sum / total).toMap
+    val uniformS = 1.0 / srcs.size
+    srcs.foreach { case (s, share) =>
+      assert(math.abs(share - uniformS) < 1e-6,
+        s"source $s share $share vs uniform $uniformS")
+    }
+  }
 }
