@@ -215,6 +215,50 @@ object CurationQueries {
              |FROM toks WHERE length(token) >= 2
              |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
 
+    // Balanced shard assignment: size-sorted round-robin (the classic
+    // "sort descending, deal like cards" heuristic — within 1 max-item
+    // of perfect token balance) into 8 training shards, so no shard
+    // drags a data-parallel epoch. The global size rank is DISTRIBUTED
+    // via the agg_gini idiom (range-partition on the sort key,
+    // row_number within partitions, broadcast pid offsets) — no
+    // single-partition window at any corpus size; the oracle computes
+    // the same rank with a plain window, proving the distributed rank
+    // exact. Output: the 8-row shard census.
+    QueryDef("curation_shard_balance",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val parted = docs
+          .repartitionByRange(32, col("n_chars").desc, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val offs = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset", coalesce(sum("cnt").over(
+            Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val ranked = parted
+          .join(broadcast(offs.select("pid", "offset")), "pid")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("pid")
+              .orderBy(col("n_chars").desc, col("doc_id")))
+            .cast("long") + col("offset"))
+        ranked
+          .groupBy(pmod(col("rnk") - 1, lit(8)).as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("shard")
+      },
+      Some("""WITH r AS (SELECT doc_id, n_chars,
+             |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+             |      AS BIGINT) AS rnk
+             |  FROM documents)
+             |SELECT (rnk - 1) % 8 AS shard, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)),
+
     // Multi-phrase blocklist census via ONE Aho-Corasick pass per doc
     // (ops/Blocklist.scala: goto+failure automaton, ≤64 phrases ride a
     // long bitmask) — the safety/boilerplate screen every curation

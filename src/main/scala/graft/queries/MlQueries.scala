@@ -293,6 +293,82 @@ object MlQueries {
              |    AS mi_nats
              |FROM terms GROUP BY 1""".stripMargin)),
 
+    // Weight-of-evidence binning + information value — the scorecard
+    // twin of target encoding: per equal-width value bin,
+    // WOE = ln(good_share / bad_share) with +1 Laplace counts, and
+    // IV = Σ (good_share − bad_share)·WOE ranks the feature's predictive
+    // power (the credit-risk feature screen; composes with
+    // eval_mutual_info's model-free view). Bin edges derive from the
+    // exact global min/max (one map-side pass, the profile_psi grid), so
+    // bin assignment is the identical IEEE division in both engines;
+    // counts are exact integers, shares divide once in double, terms
+    // round to 9 dp and decimal-sum into IV.
+    QueryDef("fn_woe_iv",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "view") &&
+            col("value").isNotNull)
+          .select(col("value"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("good"))
+        val rng = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        val binned = ev.crossJoin(broadcast(rng))
+          .select(least(floor((col("value") - col("lo")) /
+            nullif((col("hi") - col("lo")) / 10, lit(0.0))), lit(9.0))
+            .cast("long").as("bin"), col("good"))
+        val c = binned.groupBy("bin")
+          .agg((lit(1) + sum(col("good"))).as("n_good"),
+            (lit(1) + count(lit(1)) - sum(col("good"))).as("n_bad"))
+        val t = c.agg(sum(col("n_good")).cast("double").as("tg"),
+          sum(col("n_bad")).cast("double").as("tb"))
+        def d(c0: org.apache.spark.sql.Column) = c0.cast("double")
+        val woe = c.crossJoin(broadcast(t))
+          .select(col("bin"), col("n_good").cast("long").as("n_good"),
+            col("n_bad").cast("long").as("n_bad"),
+            round(log((d(col("n_good")) / col("tg")) /
+              (d(col("n_bad")) / col("tb"))), 6).as("woe"),
+            round((d(col("n_good")) / col("tg") -
+              d(col("n_bad")) / col("tb")) *
+              log((d(col("n_good")) / col("tg")) /
+                (d(col("n_bad")) / col("tb"))), 9).as("term"))
+          .localCheckpoint()
+        val iv = woe.agg(round(sum(col("term").cast("decimal(18,9)"))
+          .cast("double"), 6).as("iv"))
+        woe.crossJoin(broadcast(iv))
+          .select(col("bin"), col("n_good"), col("n_bad"), col("woe"),
+            col("iv"))
+          .orderBy("bin")
+      },
+      Some("""WITH ev AS (SELECT value,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             |      AS good
+             |  FROM events
+             |  WHERE event_type IN ('purchase', 'view')
+             |    AND value IS NOT NULL),
+             |rng AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+             |b AS (SELECT CAST(least(
+             |      floor((value - rng.lo) / nullif((rng.hi - rng.lo) / 10, 0)),
+             |      9) AS BIGINT) AS bin, good
+             |  FROM ev CROSS JOIN rng),
+             |c AS (SELECT bin,
+             |    1 + CAST(sum(good) AS BIGINT) AS n_good,
+             |    1 + CAST(count(*) - sum(good) AS BIGINT) AS n_bad
+             |  FROM b GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_good) AS DOUBLE) AS tg,
+             |             CAST(sum(n_bad) AS DOUBLE) AS tb FROM c),
+             |w AS (SELECT bin, n_good, n_bad,
+             |    round(ln((CAST(n_good AS DOUBLE) / t.tg) /
+             |             (CAST(n_bad AS DOUBLE) / t.tb)), 6) AS woe,
+             |    round((CAST(n_good AS DOUBLE) / t.tg
+             |           - CAST(n_bad AS DOUBLE) / t.tb) *
+             |      ln((CAST(n_good AS DOUBLE) / t.tg) /
+             |         (CAST(n_bad AS DOUBLE) / t.tb)), 9) AS term
+             |  FROM c CROSS JOIN t),
+             |iv AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(18,9)))
+             |    AS DOUBLE), 6) AS iv FROM w)
+             |SELECT bin, n_good, n_bad, woe, iv
+             |FROM w CROSS JOIN iv ORDER BY bin""".stripMargin)),
+
     // Theil-Sen robust trend per event-type series: the MEDIAN of all
     // pairwise slopes (y_j−y_i)/(d_j−d_i) over the daily-count series —
     // the estimator that shrugs off the outlier days that wreck an OLS
@@ -357,6 +433,61 @@ object MlQueries {
              |FROM ranked
              |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Seasonal-trend decomposition of the global daily series (the
+    // classical additive form: trend = centered 7-day moving average,
+    // seasonal = per-weekday-phase mean of the detrended series,
+    // remainder = what neither explains) — the diagnostic that splits
+    // "traffic is growing" from "it's just Tuesday". All three parts are
+    // windows/aggregates over the |days|-bounded resample: time-bounded,
+    // not corpus-bounded. Exactness: the MA divides exact integer sums
+    // once in double; detrended values round to 6 dp and the per-phase
+    // mean decimal-sums them (order-independent) before its one double
+    // division; remainder = detrended − seasonal, both already rounded.
+    QueryDef("ts_stl",
+      (s, dir) => {
+        val daily = Tables.read(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val minDay = daily.agg(min(col("day")).as("d0"))
+        val series = daily.crossJoin(broadcast(minDay))
+          .select(datediff(col("day"), col("d0")).cast("long").as("d"),
+            col("y"))
+        val wMa = Window.orderBy("d").rowsBetween(-3, 3)
+        val detr = series
+          .withColumn("trend", round(sum(col("y")).over(wMa)
+            .cast("double") / count(lit(1)).over(wMa), 6))
+          .withColumn("detr", round(col("y") - col("trend"), 6))
+          .withColumn("phase", pmod(col("d"), lit(7)))
+          .localCheckpoint()
+        val seasonal = detr.groupBy("phase")
+          .agg(round(sum(col("detr").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("seasonal"))
+        detr.join(broadcast(seasonal), "phase")
+          .select(col("d"), col("y"), col("trend"), col("seasonal"),
+            round(col("detr") - col("seasonal"), 6).as("remainder"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+             |  FROM events GROUP BY 1),
+             |d0 AS (SELECT min(day) AS d0 FROM daily),
+             |series AS (SELECT CAST(date_diff('day', d0.d0, day) AS BIGINT)
+             |    AS d, y FROM daily CROSS JOIN d0),
+             |tr AS (SELECT d, y,
+             |    round(CAST(sum(y) OVER w AS DOUBLE) /
+             |          count(*) OVER w, 6) AS trend
+             |  FROM series
+             |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+             |    AND 3 FOLLOWING)),
+             |dt AS (SELECT d, y, trend, round(y - trend, 6) AS detr,
+             |    d % 7 AS phase FROM tr),
+             |se AS (SELECT phase,
+             |    round(CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) /
+             |          count(*), 6) AS seasonal
+             |  FROM dt GROUP BY 1)
+             |SELECT d, y, trend, seasonal,
+             |  round(detr - seasonal, 6) AS remainder
+             |FROM dt JOIN se USING (phase) ORDER BY d""".stripMargin)),
 
     // Holt linear smoothing over daily per-type event counts, 7-day
     // forecast (see Forecast.holtForecast).
