@@ -136,3 +136,28 @@ object BlocklistMask {
     BlocklistMask(text, phrases)
   }
 }
+
+/** The blocklist census as a shared batch/stream transform: per phrase,
+  * how many docs hit — ONE automaton pass per doc, 12 shift/mask
+  * aggregates off the mask column. Every aggregate is a sum/count monoid,
+  * so the IDENTICAL transform runs as a streaming complete-mode aggregate
+  * over a document feed (BlocklistStreamSpec proves batch ≡ stream on the
+  * same files) — the shape a live ingestion safety screen runs in.
+  */
+object Blocklist {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def census(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val masked = docs.select(call_function("graft_blocklist_mask",
+      col("text"), array(phrases.map(lit): _*)).as("m"))
+    val sums = phrases.indices.map(j =>
+      sum(shiftright(col("m"), j).bitwiseAND(1)).as(s"s$j"))
+    masked.agg(count(lit(1)).as("n_docs"), sums: _*)
+      .select(explode(array(phrases.zipWithIndex.map { case (p, j) =>
+        struct(lit(p).as("phrase"), col(s"s$j").as("n_docs_hit"))
+      }: _*)).as("e"), col("n_docs"))
+      .select(col("e.phrase").as("phrase"),
+        col("e.n_docs_hit").as("n_docs_hit"), col("n_docs"))
+  }
+}

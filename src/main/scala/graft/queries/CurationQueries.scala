@@ -276,17 +276,8 @@ object CurationQueries {
           "slow filter", "key agg", "window data", "batch batch",
           "merge batch", "order data", "spark a", "big vector",
           "value sort")
-        val masked = Tables.read(s, dir, "documents")
-          .select(call_function("graft_blocklist_mask", col("text"),
-            array(phrases.map(lit): _*)).as("m"))
-        val sums = phrases.indices.map(j =>
-          sum(shiftright(col("m"), j).bitwiseAND(1)).as(s"s$j"))
-        masked.agg(count(lit(1)).as("n_docs"), sums: _*)
-          .select(explode(array(phrases.zipWithIndex.map { case (p, j) =>
-            struct(lit(p).as("phrase"), col(s"s$j").as("n_docs_hit"))
-          }: _*)).as("e"), col("n_docs"))
-          .select(col("e.phrase").as("phrase"),
-            col("e.n_docs_hit").as("n_docs_hit"), col("n_docs"))
+        graft.ops.Blocklist.census(Tables.read(s, dir, "documents"),
+            phrases)
           .orderBy("phrase")
       },
       Some("""WITH p AS (SELECT unnest(['fast table', 'table table',

@@ -429,7 +429,8 @@ object MlQueries {
              |      AS cnt
              |  FROM pairs)
              |SELECT event_type, max(cnt) AS n_pairs,
-             |  round(sum(slope) / count(*), 6) AS median_slope
+             |  round(CAST(sum(slope) AS DOUBLE) / count(*), 6)
+             |    AS median_slope
              |FROM ranked
              |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
