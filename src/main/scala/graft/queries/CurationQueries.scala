@@ -215,6 +215,54 @@ object CurationQueries {
              |FROM toks WHERE length(token) >= 2
              |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
 
+    // N-gram novelty of an incoming batch vs the standing corpus: what
+    // fraction of the new batch's distinct bigram shingles were never
+    // seen before (the staleness/freshness meter that decides whether
+    // another crawl of a source is worth the compute). Both sides
+    // collapse to DISTINCT shingle sets first (map-side-combinable;
+    // shuffle ∝ types, not tokens); the overlap is one key-joined
+    // aggregate. Batch = odd doc_ids, corpus = even — deterministic at
+    // every SF.
+    QueryDef("curation_novelty",
+      (s, dir) => {
+        val sh = graft.ops.TextOps.withTokens(
+          Tables.read(s, dir, "documents"))
+          .select(pmod(col("doc_id"), lit(2)).as("half"),
+            explode(graft.ops.TextOps.bigramShingles(col("t"))).as("sh"))
+          .distinct()
+        val oldSh = sh.filter(col("half") === 0).select("sh")
+        val newSh = sh.filter(col("half") === 1).select("sh")
+        val nNew = newSh.agg(count(lit(1)).as("n_new_types"))
+        val nOld = oldSh.agg(count(lit(1)).as("n_old_types"))
+        val seen = newSh.join(oldSh, Seq("sh"), "left_semi")
+          .agg(count(lit(1)).as("n_seen"))
+        nNew.crossJoin(broadcast(nOld)).crossJoin(broadcast(seen))
+          .select(col("n_old_types"), col("n_new_types"), col("n_seen"),
+            round((col("n_new_types") - col("n_seen")).cast("double") /
+              col("n_new_types"), 6).as("novelty_rate"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              |  FROM documents),
+              |sh AS (SELECT DISTINCT doc_id % 2 AS half, sh
+              |  FROM (SELECT doc_id,
+              |      unnest(CASE WHEN len(t) >= 2
+              |        THEN [t[i] || ' ' || t[i+1]
+              |              for i in generate_series(1, len(t)-1)]
+              |        ELSE []::VARCHAR[] END) AS sh
+              |    FROM toks)),
+              |o AS (SELECT sh FROM sh WHERE half = 0),
+              |n AS (SELECT sh FROM sh WHERE half = 1),
+              |c AS (SELECT
+              |  (SELECT count(*) FROM o) AS n_old_types,
+              |  (SELECT count(*) FROM n) AS n_new_types,
+              |  (SELECT count(*) FROM n WHERE sh IN (SELECT sh FROM o))
+              |    AS n_seen)
+              |SELECT n_old_types, n_new_types, n_seen,
+              |  round(CAST(n_new_types - n_seen AS DOUBLE) / n_new_types, 6)
+              |    AS novelty_rate
+              |FROM c""".stripMargin)),
+
     // Balanced shard assignment: size-sorted round-robin (the classic
     // "sort descending, deal like cards" heuristic — within 1 max-item
     // of perfect token balance) into 8 training shards, so no shard

@@ -40,6 +40,51 @@ object ProfilingQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Functional-dependency discovery over candidate column pairs — the
+    // schema-inference profiling step (a→b holds iff no a-value maps to
+    // two b-values): per candidate, ONE combinable groupBy on the LHS
+    // counting distinct RHS values, then a 1-row census — shuffle ∝
+    // distinct LHS values, never rows. Candidates chosen to exercise
+    // both verdicts: the key FDs hold, the reverse/low-cardinality ones
+    // must not.
+    QueryDef("profile_fd",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+        def fd(name: String, a: String, b: String) = o
+          .groupBy(col(a).as("lhs"))
+          .agg(countDistinct(col(b)).as("nb"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+            (col("n_violating") === 0).as("holds"))
+        fd("o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+          .unionByName(fd("o_custkey->o_orderstatus",
+            "o_custkey", "o_orderstatus"))
+          .unionByName(fd("o_orderpriority->o_orderstatus",
+            "o_orderpriority", "o_orderstatus"))
+          .unionByName(fd("o_orderkey->o_totalprice",
+            "o_orderkey", "o_totalprice"))
+          .orderBy("fd")
+      },
+      Some("""WITH c AS (
+             |  SELECT 'o_orderkey->o_custkey' AS fd,
+             |    CAST(o_orderkey AS VARCHAR) AS lhs,
+             |    CAST(o_custkey AS VARCHAR) AS rhs FROM orders
+             |  UNION ALL SELECT 'o_custkey->o_orderstatus',
+             |    CAST(o_custkey AS VARCHAR), o_orderstatus FROM orders
+             |  UNION ALL SELECT 'o_orderpriority->o_orderstatus',
+             |    o_orderpriority, o_orderstatus FROM orders
+             |  UNION ALL SELECT 'o_orderkey->o_totalprice',
+             |    CAST(o_orderkey AS VARCHAR),
+             |    CAST(o_totalprice AS VARCHAR) FROM orders),
+             |g AS (SELECT fd, lhs, count(DISTINCT rhs) AS nb
+             |  FROM c GROUP BY 1, 2)
+             |SELECT fd, count(*) AS n_lhs,
+             |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_violating,
+             |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             |FROM g GROUP BY 1 ORDER BY fd""".stripMargin)),
+
     // Referential-integrity census over the star's four FK edges — the
     // first audit a warehouse load runs (orphaned facts mean a broken
     // extract or an out-of-order load; the reference's FK stamping,
