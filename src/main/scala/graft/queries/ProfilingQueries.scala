@@ -82,7 +82,8 @@ object ProfilingQueries {
              |SELECT fd, count(*) AS n_lhs,
              |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_violating,
-             |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+             |    AS holds
              |FROM g GROUP BY 1 ORDER BY fd""".stripMargin)),
 
     // Referential-integrity census over the star's four FK edges — the
