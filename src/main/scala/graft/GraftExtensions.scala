@@ -62,5 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer extension: transparently fold the hand-written HOF dot
     // product into the codegen'd graft_dot kernel
     e.injectOptimizerRule(_ => graft.plans.FoldVectorHofs)
+    // optimizer extension: bin-bucket pure range joins into equi joins
+    // when spark.graft.rangeJoin.binSize is set (inert otherwise)
+    e.injectOptimizerRule(_ => graft.plans.RangeBinJoin)
   }
 }

@@ -157,6 +157,11 @@ object GraftFunctions {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.FoldVectorHofs
       }
+      if (!spark.experimental.extraOptimizations
+            .contains(graft.plans.RangeBinJoin)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.RangeBinJoin
+      }
     }
 
   /** `hash_key(cols)`: surrogate key over already-normalized natural-key

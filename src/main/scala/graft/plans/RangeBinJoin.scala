@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule: rewrite a pure RANGE join (point-in-interval, no equi
+  * keys — which Spark can only plan as a broadcast-nested-loop: every
+  * point row compared against EVERY interval) into the bin-bucketed
+  * equi-join `join_range_binned` builds by hand:
+  *
+  *   points ⋈ [v >= lo && v < hi]  intervals
+  *     ⇒ points+bin(v)  ⋈ [binEq && original-cond]  intervals×bins(lo..hi)
+  *
+  * Each interval explodes into the ⌈len/w⌉+1 bins it covers, the join
+  * becomes a hash join on the bin key, and the ORIGINAL range condition
+  * rides along as the residual — so the rewrite can never change results,
+  * only the join strategy (the WarehouseZoneMap transparency discipline
+  * applied to a plan rewrite). At 100 TB this is the difference between
+  * O(points × intervals) comparisons and O(points + intervals × bins/len)
+  * hash probes.
+  *
+  * Like production range-join rules, the bin width is a user hint — no
+  * plan-time statistics can pick it: set `spark.graft.rangeJoin.binSize`
+  * (a positive double) to enable; unset = rule inert. Fires only on an
+  * INNER join whose condition contains a lower AND an upper bound on the
+  * same point expression against the same interval side, with no equi
+  * conjunct (if one exists the join already hash-plans). Idempotent by
+  * construction: the rewritten join HAS an equi conjunct.
+  */
+object RangeBinJoin extends Rule[LogicalPlan] {
+  val BinSizeKey = "spark.graft.rangeJoin.binSize"
+
+  private def sideOf(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[Boolean] = {
+    val refs = e.references
+    if (refs.isEmpty) None
+    else if (refs.subsetOf(left.outputSet)) Some(true)
+    else if (refs.subsetOf(right.outputSet)) Some(false)
+    else None
+  }
+
+  /** Both readings of a cross-side comparison conjunct, as
+    * (point, pointSideIsLeft, bound, boundIsUpper): `a < b` says b has
+    * lower bound a AND a has upper bound b — which expression is "the
+    * point" is decided later by whichever side accumulates both a lower
+    * and an upper bound. */
+  private def asBounds(c: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Seq[(Expression, Boolean, Expression, Boolean)] = {
+    def mk(a: Expression, b: Expression) = // semantics: a ≤/< b
+      (sideOf(a, l, r), sideOf(b, l, r)) match {
+        case (Some(sa), Some(sb)) if sa != sb =>
+          Seq((b, sb, a, false), (a, sa, b, true))
+        case _ => Nil
+      }
+    c match {
+      case LessThan(a, b) => mk(a, b)
+      case LessThanOrEqual(a, b) => mk(a, b)
+      case GreaterThan(a, b) => mk(b, a)
+      case GreaterThanOrEqual(a, b) => mk(b, a)
+      case _ => Nil
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val wStr = conf.getConfString(BinSizeKey, "")
+    if (wStr.isEmpty) return plan
+    val binW = wStr.toDouble
+    require(binW > 0, s"$BinSizeKey must be positive, got $wStr")
+
+    plan transform {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        val conjuncts = splitConjuncts(cond)
+        val hasEqui = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (sideOf(a, left, right), sideOf(b, left, right)) match {
+              case (Some(sa), Some(sb)) => sa != sb
+              case _ => false
+            }
+          case _ => false
+        }
+        val bounds = conjuncts.flatMap(asBounds(_, left, right))
+        // one point expression bounded below AND above by the OTHER side,
+        // all numeric and deterministic
+        val candidate = bounds.groupBy { case (pt, side, _, _) =>
+          (pt.canonicalized, side)
+        }.collectFirst {
+          case ((_, ptLeft), bs)
+            if bs.exists(b => !b._4) && bs.exists(b => b._4) &&
+              bs.forall(b => b._1.dataType.isInstanceOf[
+                org.apache.spark.sql.types.NumericType] &&
+                b._3.dataType.isInstanceOf[
+                  org.apache.spark.sql.types.NumericType] &&
+                b._1.deterministic && b._3.deterministic) =>
+            val pt = bs.head._1
+            val lo = bs.find(b => !b._4).get._3 // bound ≤ point: lower edge
+            val hi = bs.find(b => b._4).get._3 // point ≤ bound: upper edge
+            (pt, ptLeft, lo, hi)
+        }
+        (if (hasEqui) None else candidate) match {
+          case None => j
+          case Some((pt, ptLeft, lo, hi)) =>
+            def binOf(e: Expression): Expression =
+              Cast(Floor(Divide(Cast(e, DoubleType), Literal(binW))),
+                LongType)
+            val (probe, build) = if (ptLeft) (left, right) else (right, left)
+            val probeBin = Alias(binOf(pt), "graft_range_bin")()
+            val probe2 = Project(probe.output :+ probeBin, probe)
+            val genOut = AttributeReference("graft_range_bin_g",
+              LongType, nullable = false)()
+            val build2 = Generate(
+              Explode(Sequence(binOf(lo), binOf(hi), None,
+                Some(conf.sessionLocalTimeZone))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(genOut), child = build)
+            val newCond = And(
+              EqualTo(probeBin.toAttribute, genOut), cond)
+            val (l2, r2) = if (ptLeft) (probe2, build2) else (build2, probe2)
+            Project(j.output, Join(l2, r2, Inner, Some(newCond), hint))
+        }
+    }
+  }
+}

@@ -173,6 +173,39 @@ object TemporalQueries {
              |  ON e.value >= b.lo AND e.value < b.hi
              |ORDER BY e.event_id""".stripMargin)),
 
+    // The same range join, AUTO-binned by the Catalyst optimizer rule
+    // (plans/RangeBinJoin, installed session-wide but inert without its
+    // hint): the user writes the PLAIN declarative range join, sets only
+    // the bin-size hint, and the rule rewrites the nested-loop into the
+    // bin-bucketed equi join that join_range_binned builds by hand —
+    // production range-join support as a plan rewrite, not a query
+    // rewrite. The hint is scoped: set → eagerly optimized+materialized
+    // (localCheckpoint) → unset, so no other query's plan is touched.
+    // Same oracle as join_range: the rewrite must be result-identical
+    // (RangeBinJoinSpec additionally pins the plan shape and the
+    // equi-key extraction).
+    QueryDef("join_range_auto",
+      (s, dir) => {
+        s.conf.set(graft.plans.RangeBinJoin.BinSizeKey, "32")
+        try {
+          val bands = s.range(0, 10).select(
+            col("id").as("band_id"),
+            (col("id") * 50.0d).as("lo"),
+            ((col("id") + 1) * 50.0d).as("hi"))
+          Tables.read(s, dir, "events")
+            .join(bands,
+              col("value") >= col("lo") && col("value") < col("hi"))
+            .select(col("event_id"), col("band_id"))
+            .localCheckpoint() // optimize NOW, while the hint is in scope
+            .orderBy("event_id")
+        } finally s.conf.unset(graft.plans.RangeBinJoin.BinSizeKey)
+      },
+      Some("""SELECT e.event_id, b.band_id FROM events e
+             |JOIN (SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+             |      FROM generate_series(0, 9) t(i)) b
+             |  ON e.value >= b.lo AND e.value < b.hi
+             |ORDER BY e.event_id""".stripMargin)),
+
     // The same range join, binned: every interval explodes to the fixed-
     // width bins it overlaps, points key to their bin, and the range
     // predicate becomes an EQUI-join on bin + a residual filter. This is

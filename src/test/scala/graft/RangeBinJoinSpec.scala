@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.plans.RangeBinJoin
+
+/** The range-join auto-binning rule: with the bin-size hint set, a pure
+  * point-in-interval join must plan as a hash join on the generated bin
+  * key (never a nested-loop over every pair), with results identical to
+  * the rule-off plan — the rewrite is strategy-only.
+  */
+class RangeBinJoinSpec extends SparkSpec {
+
+  private def rangeJoin() = {
+    val bands = spark.range(0, 10).select(
+      col("id").as("band_id"),
+      (col("id") * 50.0d).as("lo"),
+      ((col("id") + 1) * 50.0d).as("hi"))
+    Tables.read(spark, sf, "events")
+      .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+      .select(col("event_id"), col("band_id"))
+  }
+
+  private def withBin[T](w: String)(f: => T): T = {
+    spark.conf.set(RangeBinJoin.BinSizeKey, w)
+    try f finally spark.conf.unset(RangeBinJoin.BinSizeKey)
+  }
+
+  test("rule off: inert; rule on: equi join on the generated bin key") {
+    val off = rangeJoin().queryExecution.optimizedPlan.toString
+    assert(!off.contains("graft_range_bin"), off)
+    withBin("32") {
+      val on = rangeJoin().queryExecution
+      val opt = on.optimizedPlan.toString
+      assert(opt.contains("graft_range_bin"), opt)
+      // the planner must extract the bin equality as a hash-join key:
+      // no nested-loop join survives anywhere in the physical plan
+      val phys = on.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      assert(phys.contains("Join") || phys.contains("HashJoin"), phys)
+    }
+  }
+
+  test("rewrite is strategy-only: results identical, bin width irrelevant") {
+    val want = rangeJoin().orderBy("event_id", "band_id").collect().toSeq
+    assert(want.nonEmpty)
+    for (w <- Seq("32", "7.5", "500")) {
+      val got = withBin(w) {
+        rangeJoin().orderBy("event_id", "band_id").collect().toSeq
+      }
+      assert(got === want, s"bin width $w changed results")
+    }
+  }
+
+  test("guards: equi-joins and one-sided ranges are left alone") {
+    withBin("32") {
+      // an equi conjunct present: already hash-joinable, no rewrite
+      val bands = spark.range(0, 5).select(col("id").as("k"),
+        (col("id") * 100.0d).as("lo"), ((col("id") + 1) * 100.0d).as("hi"))
+      val equi = Tables.read(spark, sf, "events")
+        .join(bands, pmod(col("user_id"), lit(5)) === col("k") &&
+          col("value") >= col("lo") && col("value") < col("hi"))
+      assert(!equi.queryExecution.optimizedPlan.toString
+        .contains("graft_range_bin"))
+      // only an upper bound: binning could not cover, no rewrite
+      val oneSided = Tables.read(spark, sf, "events")
+        .join(bands, col("value") < col("hi"))
+      assert(!oneSided.queryExecution.optimizedPlan.toString
+        .contains("graft_range_bin"))
+    }
+  }
+}
