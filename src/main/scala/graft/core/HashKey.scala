@@ -110,6 +110,20 @@ object GraftFunctions {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
+  /** Arity gate for the registrations below: a wrong-arity call surfaces
+    * as a clean analysis-time error naming the expected signature (the way
+    * built-in registrations do) instead of an IndexOutOfBoundsException
+    * from a bare `exprs(i)`.
+    */
+  private def arity(name: String, sig: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"Invalid number of arguments for function $name: expected $n " +
+          s"($name($sig)), found ${exprs.length}")
+      build(exprs)
+    }
+
   def ensureRegistered(spark: SparkSession): Unit =
     if (registeredSessions.add(spark)) {
       // Reference semantics are pandas' errors="coerce": invalid casts/array
@@ -121,34 +135,52 @@ object GraftFunctions {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction(
-        "graft_md5_mod_1e9", exprs => Md5Mod1e9(exprs.head), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_md5_hi64", exprs => Md5Hi64(exprs.head), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_top_k_by",
-        exprs => TopKBy.withCasts(exprs(0), exprs(1), exprs(2)),
+        "graft_md5_mod_1e9",
+        arity("graft_md5_mod_1e9", "str", 1)(e => Md5Mod1e9(e.head)),
         "built-in")
       reg.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotFold(exprs(0), exprs(1)), "built-in")
+        "graft_md5_hi64",
+        arity("graft_md5_hi64", "str", 1)(e => Md5Hi64(e.head)),
+        "built-in")
       reg.createOrReplaceTempFunction(
-        "graft_sumsq", exprs => SumSqFold(exprs.head), "built-in")
+        "graft_top_k_by",
+        arity("graft_top_k_by", "value, key, k", 3)(e =>
+          TopKBy.withCasts(e(0), e(1), e(2))),
+        "built-in")
       reg.createOrReplaceTempFunction(
-        "graft_dot_mixed", exprs => DotMixed(exprs(0), exprs(1)), "built-in")
+        "graft_dot",
+        arity("graft_dot", "vecA, vecB", 2)(e => DotFold(e(0), e(1))),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_sumsq",
+        arity("graft_sumsq", "vec", 1)(e => SumSqFold(e.head)),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_dot_mixed",
+        arity("graft_dot_mixed", "vecA, vecB", 2)(e => DotMixed(e(0), e(1))),
+        "built-in")
       reg.createOrReplaceTempFunction(
         "graft_bloom_contains",
-        exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
+        arity("graft_bloom_contains", "filter, value", 2)(e =>
+          BloomMightContain(e(0), e(1))),
+        "built-in")
       reg.createOrReplaceTempFunction(
         "graft_image_dims",
-        exprs => graft.ops.ImageDims(exprs.head), "built-in")
+        arity("graft_image_dims", "bytes", 1)(e => graft.ops.ImageDims(e.head)),
+        "built-in")
       reg.createOrReplaceTempFunction(
         "graft_audio_meta",
-        exprs => graft.ops.AudioMeta(exprs.head), "built-in")
+        arity("graft_audio_meta", "bytes", 1)(e => graft.ops.AudioMeta(e.head)),
+        "built-in")
       reg.createOrReplaceTempFunction(
         "graft_jaro_winkler",
-        exprs => JaroWinklerSim(exprs(0), exprs(1)), "built-in")
+        arity("graft_jaro_winkler", "strA, strB", 2)(e =>
+          JaroWinklerSim(e(0), e(1))),
+        "built-in")
       reg.createOrReplaceTempFunction(
         "graft_blocklist_mask",
-        exprs => graft.ops.BlocklistMask.fromExprs(exprs(0), exprs(1)),
+        arity("graft_blocklist_mask", "text, phrases", 2)(e =>
+          graft.ops.BlocklistMask.fromExprs(e(0), e(1))),
         "built-in")
       // sessions built without GraftExtensions still get the HOF→kernel
       // optimizer rewrite through the experimental hook

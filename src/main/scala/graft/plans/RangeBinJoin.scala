@@ -24,11 +24,25 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Like production range-join rules, the bin width is a user hint — no
   * plan-time statistics can pick it: set `spark.graft.rangeJoin.binSize`
-  * (a positive double) to enable; unset = rule inert. Fires only on an
+  * (a positive double) to enable; unset = rule inert. A malformed or
+  * non-positive value is logged and IGNORED (rule stays inert) rather
+  * than thrown: the rule is installed session-wide, so a bad hint must
+  * not fail unrelated queries mid-optimization. Fires only on an
   * INNER join whose condition contains a lower AND an upper bound on the
   * same point expression against the same interval side, with no equi
   * conjunct (if one exists the join already hash-plans). Idempotent by
   * construction: the rewritten join HAS an equi conjunct.
+  *
+  * Failure mode to size the hint against: each interval explodes into
+  * ⌈len/w⌉+1 bin rows, so a width tiny relative to the interval lengths
+  * multiplies the build side accordingly, and past ~2³¹ bins for ONE
+  * interval Spark's `Sequence` itself fails with its max-array-length
+  * error at runtime (a reversed interval, lo > hi, still explodes — into
+  * the descending bin sequence — but the original condition rides along
+  * as the residual and is unsatisfiable for it, so results are
+  * unchanged; only the bin rows are wasted). Pick w within a few orders
+  * of magnitude of the median interval length; the `join_range_binned`
+  * query and RangeBinJoinSpec document the working shape.
   */
 object RangeBinJoin extends Rule[LogicalPlan] {
   val BinSizeKey = "spark.graft.rangeJoin.binSize"
@@ -72,8 +86,17 @@ object RangeBinJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val wStr = conf.getConfString(BinSizeKey, "")
     if (wStr.isEmpty) return plan
-    val binW = wStr.toDouble
-    require(binW > 0, s"$BinSizeKey must be positive, got $wStr")
+    // Parse defensively: the rule runs on EVERY query in the session, so a
+    // malformed/non-positive hint must leave plans untouched, not throw.
+    val binW = try wStr.toDouble catch { case _: NumberFormatException =>
+      logWarning(s"$BinSizeKey='$wStr' is not a number; rule inert")
+      return plan
+    }
+    if (!(binW > 0) || binW.isInfinite) { // !(>0) also catches NaN
+      logWarning(s"$BinSizeKey='$wStr' must be a positive finite double; " +
+        "rule inert")
+      return plan
+    }
 
     plan transform {
       case j @ Join(left, right, Inner, Some(cond), hint) =>

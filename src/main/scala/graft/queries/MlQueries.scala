@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 import graft.QueryDef.Sql
-import graft.core.{GraftFunctions, Tables}
+import graft.core.{DistRank, GraftFunctions, Tables}
 import graft.ops.{Dedup, Evaluate, Forecast, TextOps}
 
 /** Round-10 extension surface: ML-adjacent pipeline operators — offline
@@ -752,10 +752,17 @@ object MlQueries {
 
     // RFM (recency / frequency / monetary) quintile segmentation — the
     // standard customer-value grid: one user-keyed aggregate (the natural
-    // shuffle key), then three ntile(5) windows over the USER table (not
-    // the event stream — the windows see N_users rows). Monetary sums go
-    // through DECIMAL so the quintile ORDERING is cross-engine identical;
-    // every window order ends in user_id so ties are deterministic.
+    // shuffle key), then three quintile assignments over the USER table.
+    // The user frame is data-proportional (N_users rows), so the naive
+    // `ntile(5) OVER (ORDER BY ...)` — one task sorting every user — is
+    // the round-11-verdict scale-killer; instead each metric gets an
+    // exact DISTRIBUTED row_number (DistRank: range-partition +
+    // pid-offset broadcast, the eval_auc idiom) and the quintile is
+    // computed from (rank, total) with ntile's exact integer bucket rule,
+    // so the plain-ntile oracle gates the distributed form. Monetary sums
+    // go through DECIMAL so the quintile ORDERING is cross-engine
+    // identical; every rank order ends in user_id so ties are
+    // deterministic.
     QueryDef("events_rfm",
       (s, dir) => {
         val ev = Tables.read(s, dir, "events")
@@ -769,13 +776,22 @@ object MlQueries {
           .select(col("user_id"),
             datediff(col("gday"), col("uday")).as("rec"),
             col("freq"), col("mon"))
-        u.select(col("user_id"),
-            ntile(5).over(Window.orderBy(col("rec"), col("user_id")))
-              .as("r_q"),
-            ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
-              .as("f_q"),
-            ntile(5).over(Window.orderBy(col("mon").desc, col("user_id")))
-              .as("m_q"))
+          .localCheckpoint() // one user agg feeds three rank exchanges
+        val rr = DistRank.withRowNumber(u.select("user_id", "rec"),
+          "rnk_r", col("rec"), col("user_id")).select("user_id", "rnk_r")
+        val rf = DistRank.withRowNumber(u.select("user_id", "freq"),
+          "rnk_f", col("freq").desc, col("user_id"))
+          .select("user_id", "rnk_f")
+        val rm = DistRank.withRowNumber(u.select("user_id", "mon"),
+          "rnk_m", col("mon").desc, col("user_id"))
+          .select("user_id", "rnk_m")
+        val n = u.agg(count(lit(1)).as("n_tot"))
+        rr.join(rf, "user_id").join(rm, "user_id")
+          .crossJoin(broadcast(n))
+          .select(
+            DistRank.ntileFromRank("rnk_r", "n_tot", 5).as("r_q"),
+            DistRank.ntileFromRank("rnk_f", "n_tot", 5).as("f_q"),
+            DistRank.ntileFromRank("rnk_m", "n_tot", 5).as("m_q"))
           .groupBy(col("r_q").cast("long").as("r_q"),
             col("f_q").cast("long").as("f_q"),
             col("m_q").cast("long").as("m_q"))
@@ -829,22 +845,26 @@ object MlQueries {
     // Reciprocal-rank fusion of two rankings (Cormack et al. SIGIR'09) —
     // the standard hybrid-retrieval combiner (BM25 list + vector list in a
     // RAG stack; here the two rankings every analytics stack has on hand:
-    // users by total value and by event count). Ranks are exact integers
-    // from deterministic row_number windows over the AGGREGATED user
-    // table; 1/(60+r) sums are closed-form doubles, identical engines.
+    // users by total value and by event count). Each ranking is an exact
+    // DISTRIBUTED row_number over the aggregated user table (DistRank —
+    // the user frame is data-proportional, so a global row_number window
+    // is the same single-partition-sort scale-killer events_rfm had);
+    // 1/(60+r) sums are closed-form doubles, identical engines, and the
+    // fused top-20 is a TakeOrdered head, never a full sort.
     QueryDef("ann_rrf_fusion",
       (s, dir) => {
         val u = Tables.read(s, dir, "events").groupBy("user_id")
           .agg(count(lit(1)).as("freq"),
             sum(col("value").cast("decimal(20,6)")).cast("double")
               .as("mon"))
-        val ra = u.select(col("user_id"), row_number()
-          .over(Window.orderBy(col("mon").desc, col("user_id"))).as("ra"))
-        val rb = u.select(col("user_id"), row_number()
-          .over(Window.orderBy(col("freq").desc, col("user_id"))).as("rb"))
-        u.join(ra, "user_id").join(rb, "user_id")
-          .select(col("user_id"), col("ra").cast("long").as("rank_value"),
-            col("rb").cast("long").as("rank_count"),
+          .localCheckpoint() // one user agg feeds both rank exchanges
+        val ra = DistRank.withRowNumber(u.select("user_id", "mon"),
+          "ra", col("mon").desc, col("user_id")).select("user_id", "ra")
+        val rb = DistRank.withRowNumber(u.select("user_id", "freq"),
+          "rb", col("freq").desc, col("user_id")).select("user_id", "rb")
+        ra.join(rb, "user_id")
+          .select(col("user_id"), col("ra").as("rank_value"),
+            col("rb").as("rank_count"),
             round(lit(1.0) / (lit(60) + col("ra")) +
               lit(1.0) / (lit(60) + col("rb")), 6).as("rrf"))
           .orderBy(desc("rrf"), col("user_id")).limit(20)

@@ -457,8 +457,12 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
+        // Cache key covers EVERY persisted column, not just the key set: a
+        // regenerated corpus with the same keys but different values must
+        // miss the /tmp fixture (GraphFixtures discipline).
         val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey")))).head()
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")))).head()
         val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
           fpRow.getLong(1))}"
         val path = s"/tmp/graft_wh_orders_${dir
@@ -492,8 +496,10 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        // Same full-column cache key as scan_warehouse_pruned above.
         val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey")))).head()
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")))).head()
         val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
           fpRow.getLong(1))}"
         val path = s"/tmp/graft_wh_ordstr_${dir

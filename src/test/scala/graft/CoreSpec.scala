@@ -219,4 +219,21 @@ class KeyMapperSpec extends SparkSpec {
     val out = KeyMapper.assignKeys(fact, dim, Seq("k"), "key")
     assert(out.count() === 1 && out.select("key").collect().head.isNullAt(0))
   }
+
+  test("registered functions reject wrong arity with a named signature") {
+    // a bare exprs(i) would surface as IndexOutOfBoundsException; the
+    // registration gate must name the function and expected count instead
+    for ((sql, fn) <- Seq(
+        ("SELECT graft_jaro_winkler('a')", "graft_jaro_winkler"),
+        ("SELECT graft_blocklist_mask('a')", "graft_blocklist_mask"),
+        ("SELECT graft_dot(array(1.0))", "graft_dot"),
+        ("SELECT graft_md5_mod_1e9('a', 'b')", "graft_md5_mod_1e9"),
+        ("SELECT graft_top_k_by(1, 2)", "graft_top_k_by"))) {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains(fn) && msg.contains("arguments"),
+        s"$sql raised ${e.getClass.getName}: $msg")
+    }
+  }
 }

@@ -70,4 +70,19 @@ class RangeBinJoinSpec extends SparkSpec {
         .contains("graft_range_bin"))
     }
   }
+
+  test("malformed or non-positive hint leaves the session usable (inert)") {
+    val want = rangeJoin().orderBy("event_id", "band_id").collect().toSeq
+    // the rule runs on EVERY query while installed: a bad hint must never
+    // throw inside the optimizer, only fall back to the untouched plan
+    for (w <- Seq("not-a-number", "-3", "0", "NaN", "Infinity")) {
+      val got = withBin(w) {
+        val q = rangeJoin()
+        assert(!q.queryExecution.optimizedPlan.toString
+          .contains("graft_range_bin"), s"hint '$w' should be inert")
+        q.orderBy("event_id", "band_id").collect().toSeq
+      }
+      assert(got === want, s"hint '$w' changed results")
+    }
+  }
 }
