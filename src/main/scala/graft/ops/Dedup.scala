@@ -313,19 +313,17 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** 64-bit fingerprints in 4×16-bit bands (round 11; was 48/12). The
-    * pigeonhole recall guarantee is band-count-only (hamming ≤ 3 over 4
-    * bands ⇒ one band must match), but band WIDTH bounds the random
-    * collision floor: a fixed b-bit band admits ~4·C(n,2)/2^b
+  /** 64-bit fingerprints (round 11; was 48). The pigeonhole recall
+    * guarantee comes from the block COUNT, but block-key WIDTH bounds the
+    * random collision floor: a fixed b-bit key admits ~keys·C(n,2)/2^b
     * chance-collision candidates — quadratic in the corpus with a 1/2^b
     * coefficient. The round-11 PairAudit measured that tail directly
     * (1.13M cross-replica pairs at 500k docs under 12-bit bands; 16-bit
-    * bands cut it 16×). 64 bits is the widest fp one BIGINT carries in
-    * both engines; past ~10M docs, band the fp 8×16 over two lanes or
-    * pre-group by a cheap length bucket.
+    * bands cut it 16×); round 12 made the blocking RIDE the corpus size
+    * (see [[SimhashBlockLadder]]) so the floor is controlled at any n.
+    * 64 bits is the widest fp one BIGINT carries in both engines.
     */
   val SimhashBits = 64
-  val SimhashBandBits = 16
 
   /** SimHash fingerprints (64-bit) over the token multiset: explode tokens,
     * then ONE hash aggregate where each sum packs FOUR per-bit set-counts
@@ -356,23 +354,88 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("fp"))
   }
 
-  /** SimHash near-dup pairs: band the 48-bit fingerprint into 4×12-bit
-    * chunks, self-join per band, keep pairs with hamming <= maxHamming.
-    * The default 3 is the pigeonhole-exact regime: any pair within hamming
-    * 3 of 48 bits MUST share one of the 4 bands, so recall is 1.0 — and on
-    * a shared-vocabulary corpus it keeps the output tracking true near-dup
-    * density instead of growing quadratically (hamming<=8 emitted 247k
-    * pairs at sf0.1; <=3 emits the actual duplicates).
+  /** Pigeonhole hamming radius the blocking is exact for: any pair within
+    * hamming [[SimhashMaxHamming]] differs in at most that many blocks,
+    * so it agrees EXACTLY on at least `blocks - maxHamming` blocks — and
+    * one of the enumerated block combinations below is a shared key.
+    * Recall is 1.0 by construction at EVERY rung of the ladder, which is
+    * what lets the adaptive rule change the blocking without changing the
+    * output (the oracle mirrors the rule, and a brute-force gate in
+    * DedupSimhashSpec proves each rung complete).
     */
-  /** SimHash band-collision candidates (pre-hamming-filter), exposed for
-    * the same PairAudit reason as [[lshCandidates]]. */
-  private[graft] def simhashCandidates(docs: DataFrame): DataFrame = {
+  val SimhashMaxHamming = 3
+
+  /** Block-count ladder for the combinatorial blocking (Manku, Jain &
+    * Sarma, WWW'07 §3 — the permuted-table construction, expressed as
+    * block subsets): splitting the 64-bit fp into B blocks and keying
+    * every (B−k)-subset gives C(B,k) keys of width 64·(B−k)/B bits.
+    * More blocks = more keys but exponentially wider keys, so the
+    * CHANCE-collision floor (the one real quadratic round-11's PairAudit
+    * found: fixed 4×16 banding has floor ~4·C(n,2)/2¹⁶) drops from
+    * 2⁻¹⁶ to 2⁻⁴⁰ per key at the B=8 rung.
+    */
+  private[graft] val SimhashBlockLadder = Seq(4, 8)
+
+  /** Expected chance candidates PER DOC the rule holds the blocking to
+    * UNDER THE UNIFORM-KEY MODEL. Set to 1 (not, say, 16) because real
+    * simhash fingerprints are far from uniform — correlated bit biases
+    * from the shared vocabulary concentrate keys — and the measured
+    * excess at 50k docs was ~24× the uniform floor (B=4 emitted 3.61M
+    * candidates where the model predicts ~150k; forcing B=8 cut them
+    * 48.8× to 74k, zeroed the cross-replica floor, and kept every one of
+    * the 8,710 true hamming≤3 pairs — PLANS.md round-12). The tight
+    * target is the margin for that non-uniformity.
+    */
+  private[graft] val SimhashTargetPerDoc = 1L
+
+  /** Smallest ladder rung whose chance floor is within target at corpus
+    * size `n`: combos(B)·n ≤ 2^width(B)·target (integer-only — mirrors
+    * into the oracle as a CASE on count(*)). B=4 (4 keys × 16 bits, the
+    * historical banding) holds to n = 2¹⁴ = 16,384; B=8 (56 keys × 40
+    * bits) to ~2·10¹⁰ docs — past that the next rung is a WIDER
+    * fingerprint (two 64-bit lanes), not more blocks of this one.
+    */
+  def simhashNumBlocks(n: Long): Int =
+    SimhashBlockLadder.find { b =>
+      val width = SimhashBits * (b - SimhashMaxHamming) / b
+      val combos = (0 until b).combinations(b - SimhashMaxHamming).size
+      // combos·n ≤ 2^width·target, kept in BigInt: 2^40·16 overflows no
+      // long here, but the form should survive ladder edits
+      BigInt(combos) * BigInt(n) <=
+        (BigInt(1) << width) * BigInt(SimhashTargetPerDoc)
+    }.getOrElse(SimhashBlockLadder.last)
+
+  /** The C(B, B−k) combination keys for a B-block split of `fp`: each key
+    * concatenates its combination's blocks (low block in the low bits).
+    * For B=4, k=3 this degenerates to exactly the historical 4×16-bit
+    * banding (each "combination" is one block).
+    */
+  private def simhashComboKeys(blocks: Int): Seq[Column] = {
+    val w = SimhashBits / blocks
+    val mask = (1L << w) - 1
+    (0 until blocks).combinations(blocks - SimhashMaxHamming).toSeq.map {
+      combo =>
+        combo.zipWithIndex.map { case (b, i) =>
+          shiftleft(expr(s"shiftright(fp, ${b * w}) & $mask"), i * w)
+        }.reduce[Column](_ bitwiseOR _)
+    }
+  }
+
+  /** SimHash blocking-collision candidates (pre-hamming-filter), exposed
+    * for the same PairAudit reason as [[lshCandidates]]. Block count from
+    * [[simhashNumBlocks]] unless forced (tests force the B=8 rung on
+    * small corpora to brute-force-gate it).
+    */
+  private[graft] def simhashCandidates(docs: DataFrame,
+      knownCount: Option[Long] = None,
+      forceBlocks: Option[Int] = None): DataFrame = {
+    val nBlocks = forceBlocks.getOrElse(
+      simhashNumBlocks(knownCount.getOrElse(docs.count())))
     val fps = simhashFingerprints(docs)
     val banded = fps.withColumn("bd",
-      explode(array((0 until SimhashBits / SimhashBandBits).map(b =>
-        struct(lit(b).as("band"),
-          expr(s"shiftright(fp, ${b * SimhashBandBits}) & ${(1 << SimhashBandBits) - 1}")
-            .as("bv"))): _*)))
+      explode(array(simhashComboKeys(nBlocks).zipWithIndex.map {
+        case (key, ci) => struct(lit(ci).as("band"), key.as("bv"))
+      }: _*)))
       .select(col("doc_id"), col("fp"),
         col("bd.band").as("band"), col("bd.bv").as("bv"))
     val a = banded.as("a")
@@ -385,10 +448,21 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashCandidates(docs)
+  /** SimHash near-dup pairs: combinatorial-blocked candidates (exact
+    * recall at hamming ≤ [[SimhashMaxHamming]] by pigeonhole at every
+    * ladder rung), then the hamming filter. The default 3 keeps the
+    * output tracking true near-dup density instead of growing
+    * quadratically (hamming<=8 emitted 247k pairs at sf0.1; <=3 emits
+    * the actual duplicates).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      knownCount: Option[Long] = None): DataFrame = {
+    require(maxHamming <= SimhashMaxHamming,
+      s"blocking is pigeonhole-exact only to hamming $SimhashMaxHamming")
+    simhashCandidates(docs, knownCount)
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
 
   /** Exact n-gram (word-bigram) Jaccard, LSH-gated — the textbook two-stage
     * near-dup pipeline: MinHash band collisions generate candidate pairs

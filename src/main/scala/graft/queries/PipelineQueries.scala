@@ -1499,17 +1499,39 @@ object PipelineQueries {
     val fpExpr = (0 until Dedup.SimhashBits)
       .map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    val nBands = Dedup.SimhashBits / Dedup.SimhashBandBits
-    val mask = (1 << Dedup.SimhashBandBits) - 1
-    val bandSelects = (0 until nBands).map(b =>
-      s"SELECT doc_id, fp, $b AS band, (fp >> ${b * Dedup.SimhashBandBits}) & $mask AS bv FROM fp")
-      .mkString("\nUNION ALL\n")
+    // Mirror of Dedup.simhashNumBlocks: smallest ladder rung B with
+    // combos(B)·n ≤ 2^width(B)·target (integer-only; thresholds are
+    // BigInt-exact literals), falling back to the last rung.
+    val k = Dedup.SimhashMaxHamming
+    val ladderCases = Dedup.SimhashBlockLadder.map { b =>
+      val width = Dedup.SimhashBits * (b - k) / b
+      val combos = (0 until b).combinations(b - k).size
+      val thr = (BigInt(1) << width) * Dedup.SimhashTargetPerDoc / combos
+      s"WHEN n <= $thr THEN $b"
+    }.mkString(" ")
+    // Mirror of Dedup.simhashComboKeys at EVERY rung, each branch gated on
+    // the rule's chosen block count — the inert rungs contribute 0 rows.
+    val bandSelects = Dedup.SimhashBlockLadder.flatMap { b =>
+      val w = Dedup.SimhashBits / b
+      val mask = (1L << w) - 1
+      (0 until b).combinations(b - k).toSeq.zipWithIndex.map {
+        case (combo, ci) =>
+          val key = combo.zipWithIndex.map { case (blk, i) =>
+            s"(((fp >> ${blk * w}) & $mask) << ${i * w})"
+          }.mkString(" + ")
+          s"SELECT doc_id, fp, $ci AS band, $key AS bv FROM fp " +
+            s"WHERE (SELECT b FROM nb) = $b"
+      }
+    }.mkString("\nUNION ALL\n")
     s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents),
        |th AS (SELECT doc_id, ${Sql.hash64("tok")} AS th FROM toks),
        |sums AS (SELECT doc_id,
        |  $bitSums
        |  FROM th GROUP BY doc_id),
        |fp AS (SELECT doc_id, $fpExpr AS fp FROM sums),
+       |nb AS (SELECT CASE $ladderCases
+       |         ELSE ${Dedup.SimhashBlockLadder.last} END AS b
+       |       FROM (SELECT count(*) AS n FROM documents)),
        |banded AS (
        |$bandSelects)
        |SELECT doc_a, doc_b, hamming FROM (
@@ -1517,7 +1539,7 @@ object PipelineQueries {
        |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE hamming <= $k ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Mirror of Similarity.embeddingNearDupsBanded (4 bands × 6 bits,

@@ -99,10 +99,18 @@ object PairAudit {
     // of any id is floor(id / 10⁸): splitting candidates into within- vs
     // cross-replica attributes superlinear growth — within-replica excess
     // means the generator raised in-corpus duplicate density, cross-
-    // replica means the blocking key itself couples replicas.
+    // replica means the blocking key itself couples replicas. Dense-mode
+    // datasets (key·factor + r) pass `dense:<factor>` as the 2nd arg and
+    // the replica becomes id mod factor.
+    val denseFactor = args.lift(1)
+      .filter(_.startsWith("dense:")).map(_.stripPrefix("dense:").toLong)
+    def replicaOf(c: Column): Column = denseFactor match {
+      case Some(f) => pmod(c, lit(f))
+      case None => floor(c / 1e8)
+    }
     def breakdown(cand: DataFrame, a: String, b: String): (Long, Long) = {
       val r = cand.agg(count(lit(1)),
-        sum(when(floor(col(a) / 1e8) =!= floor(col(b) / 1e8), 1L)
+        sum(when(replicaOf(col(a)) =!= replicaOf(col(b)), 1L)
           .otherwise(0L))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }

@@ -61,6 +61,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash block ladder: rule switches at the integer occupancy bound") {
+    // B=4 holds exactly to combos·n ≤ 2^width·target: 4n ≤ 2^16·1 ⇒ 2^14
+    assert(Dedup.simhashNumBlocks(1L) === 4)
+    assert(Dedup.simhashNumBlocks(1L << 14) === 4)
+    assert(Dedup.simhashNumBlocks((1L << 14) + 1) === 8)
+    // the B=8 rung (56 keys × 40 bits) holds to 2^40/56 ≈ 2·10^10 docs
+    assert(Dedup.simhashNumBlocks(1L << 34) === 8)
+    // past its own bound the rule pins at the last rung (the next step is
+    // a wider fingerprint, not more blocks of this one)
+    assert(Dedup.simhashNumBlocks(1L << 40) === 8)
+  }
+
+  test("simhash blocking is COMPLETE at every ladder rung (brute-force gate)") {
+    // hamming<=3 pairs agree on >= B-3 blocks, so every rung's combination
+    // keys must recover exactly the brute-force pair set — this is what
+    // lets the adaptive rule change the blocking without changing results
+    val corpus = graft.core.Tables.read(spark, sf, "documents")
+      .select("doc_id", "text")
+    val fps = Dedup.simhashFingerprints(corpus).localCheckpoint()
+    val brute = fps.as("a")
+      .join(fps.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
+      .filter(col("hamming") <= Dedup.SimhashMaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "fixture corpus must contain near-dups")
+    for (b <- Dedup.SimhashBlockLadder) {
+      val blocked = Dedup.simhashCandidates(corpus, forceBlocks = Some(b))
+        .filter(col("hamming") <= Dedup.SimhashMaxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(blocked === brute, s"rung B=$b lost or invented pairs")
+    }
+  }
+
   /** Driver-side brute force: distinct bigram-shingle Jaccard over every
     * pair — the reference implementation the prefix filter must match.
     */
