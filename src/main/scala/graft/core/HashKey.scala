@@ -194,6 +194,14 @@ object GraftFunctions {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.RangeBinJoin
       }
+      if (!spark.experimental.extraOptimizations
+            .contains(graft.plans.GlobalRankRewrite)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.plans.GlobalRankRewrite
+      }
+      // the rewrite's target needs its strategy in the same session
+      graft.plans.GlobalRank.ensureStrategy(spark)
     }
 
   /** `hash_key(cols)`: surrogate key over already-normalized natural-key

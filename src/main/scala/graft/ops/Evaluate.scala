@@ -140,4 +140,38 @@ object Evaluate {
           (col("cn") - col("fcnt") + lit(alpha)), 6).as("enc"))
       .orderBy("segment", "fold")
   }
+
+  /** Average precision (the area under the precision-recall curve in its
+    * rank-sum form): AP = (1/P) · Σ_{positives} precision@rank, where
+    * rank runs over the TOTAL order (score desc, id asc) — the
+    * deterministic-tie definition, since AP under ties is otherwise
+    * ambiguous. The complement of [[aucByScore]]: ROC-AUC is blind to
+    * class skew, AP is the metric for rare-positive curation filters.
+    *
+    * Plan shape: two global ranks — every scored row's rank k, then each
+    * positive's index p among positives — both through the NATIVE
+    * distributed row_number operator ([[graft.plans.GlobalRank]]: range
+    * exchange + shuffle-read count pass; no single-partition window at
+    * any N). Each positive contributes the exact integral term
+    * (p·1e6) div k; the sum div P is the fixed-point AP the oracle
+    * mirrors term-for-term.
+    */
+  def averagePrecision(scored: DataFrame, scoreCol: String,
+      labelCol: String, idCol: String): DataFrame = {
+    val base = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("id"), col(scoreCol).as("score"),
+        col(labelCol).cast("long").as("label"))
+    val ranked = graft.plans.GlobalRank.withRowNumber(
+      base, "k", ("score", false), ("id", true))
+    val pos = graft.plans.GlobalRank.withRowNumber(
+      ranked.filter(col("label") === 1L).select("id", "score", "k"),
+      "p", ("score", false), ("id", true))
+    val tot = base.agg(count(lit(1)).as("n_scored"))
+    pos.agg(count(lit(1)).as("n_pos"),
+        sum(expr("p * 1000000L div k")).as("tsum"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_pos"), col("n_scored"),
+        expr("tsum div n_pos").as("ap_ppm"))
+  }
 }

@@ -129,4 +129,85 @@ object Sampling {
         .when(b < trainBp + valBp, "val")
         .otherwise("test"))
   }
+
+  /** DSIR-style target-affinity scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw document by how much its HASHED-unigram profile looks like
+    * a target domain, then keep the top-k — the importance-resampling
+    * step that turns "we want more docs like the target set" into a
+    * deterministic selection.
+    *
+    * Fixed-point rational form (the classifier's rational-sigmoid
+    * discipline — no float log on either engine): each token hashes into
+    * one of `buckets` feature buckets (salted 63-bit MD5, the repo's
+    * cross-engine hash); per-bucket ratio_ppm = (tgt+1)·1e6 div (raw+1)
+    * (add-1 smoothed target/raw count ratio); a document's affinity_ppm
+    * is the mean ratio over its tokens (sum div n_tokens). DSIR proper
+    * scores log(p_tgt/p_raw) with totals-normalized multinomials: the
+    * totals factor is a GLOBAL constant (drops out of any top-k/threshold
+    * selection) and log is monotone, so this integral surrogate selects
+    * by the same per-bucket evidence while staying bit-identical to the
+    * SQL oracle. Long arithmetic is exact while bucket counts stay below
+    * ~9·10¹² tokens; past that, widen to decimal — noted here because the
+    * gate can't see it.
+    *
+    * Scale shape: token→bucket is map-side; the bucket table is
+    * domain-bounded (`buckets` rows) and BROADCAST back onto the token
+    * stream; the per-doc mean is one partial-agg shuffle ∝ docs; top-k is
+    * a distributed TakeOrdered (k-row state per partition). The corpus
+    * text never shuffles.
+    */
+  def dsirAffinity(docs: DataFrame, targetLang: String = "en",
+      buckets: Int = 4096, topK: Int = 20): DataFrame = {
+    val toks = TextOps.withTokens(docs)
+      .select(col("doc_id"), col("lang"), explode(col("t")).as("w"))
+      .withColumn("b", pmod(GraftFunctions.hash64(
+        concat_ws("|", lit("dsir"), col("w"))), lit(buckets.toLong)))
+    val stats = toks.groupBy("b").agg(
+      count(lit(1)).as("raw_n"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt_n"))
+      .select(col("b"),
+        expr("(tgt_n + 1) * 1000000L div (raw_n + 1)").as("ratio_ppm"))
+    toks.join(broadcast(stats), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ratio_ppm")).as("rsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("rsum div n_tokens").as("affinity_ppm"))
+      .orderBy(col("affinity_ppm").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Per-group frequency cap — the domain-cap step of web-corpus curation
+    * (no single domain/source may contribute more than `cap` documents):
+    * within each group keep the `cap` docs with the SMALLEST salted
+    * content-independent hash (a deterministic uniform draw, re-run
+    * identical), report the census. The kept set is stable under corpus
+    * growth ONLY in distribution (a new doc can displace a kept one) —
+    * that is inherent to an exact cap; rate-based [[stratified]] is the
+    * stable-membership alternative.
+    *
+    * Scale shape: the top-cap-per-key runs through the graft_top_k_by
+    * TypedImperativeAggregate — per-key state is `cap` entries with
+    * map-side partial combine, so a hot key costs bounded memory and the
+    * shuffle carries pre-combined k-row sketches, never the group's rows
+    * (the skew-proof form of `row_number over (partition by source)`).
+    * The hash is folded to 1e12 (< 2^53) so the aggregate's DOUBLE value
+    * slot holds it exactly.
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, cap: Int): DataFrame = {
+    val hv = pmod(GraftFunctions.hash64(
+      concat_ws("|", lit("cap"), col("doc_id").cast("string"))),
+      lit(1000000000000L))
+    docs.select(col(groupCol), col("doc_id"), (-hv).cast("double").as("nh"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        call_function("graft_top_k_by", col("nh"), col("doc_id"),
+          lit(cap)).as("kept"))
+      .select(col(groupCol), col("n_docs"),
+        size(col("kept")).cast("long").as("n_kept"),
+        aggregate(col("kept"), lit(0L), (acc, e) =>
+          acc + e.getField("id")).as("kept_id_sum"))
+      .orderBy(groupCol)
+  }
 }

@@ -773,4 +773,67 @@ object Similarity {
         (col("neg_cos") + lit(margin) > col("pos_cos")).as("violates"))
       .orderBy("anchor_id")
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate pruning = partition the embedding space into
+    * k clusters, then prune within each cluster — the cluster IS the
+    * blocking key, so the pairwise pass never crosses cluster boundaries
+    * and k scales with the corpus to hold per-cluster volume constant
+    * (the paper's 50k clusters over LAION at 100 TB scale).
+    *
+    * Deterministic form (the repo's oracle discipline): centroids are the
+    * k lowest-id vectors (a frozen quantizer, the `ann_ivf_trained`
+    * persistence discipline applies to a production fit); assignment is
+    * argmax rounded cosine, ties to the lowest centroid id, via a
+    * BROADCAST of the k×dims centroid block (the corpus never shuffles to
+    * be assigned). Within a cluster, candidates are additionally blocked
+    * by the corpus-adaptive hyperplane bucket ([[adaptiveBitsPerBand]],
+    * the round-8 lesson) so a degenerate cluster cannot go quadratic:
+    * pair volume stays ∝ N even if assignment skews. A vector is DROPPED
+    * when any LOWER-id vector in the same (cluster, bucket) block has
+    * cosine >= threshold — keep-lowest-id, the exact-dedup canonical rule.
+    *
+    * Output is the per-cluster census (cluster_id, n_vecs, n_dropped,
+    * dropped_id_sum) — domain-bounded (k rows), so the gate stays small
+    * at any SF while hashing every drop decision through the id sum.
+    */
+  def semanticDedup(emb: DataFrame, k: Int = 8, threshold: Double = 0.35,
+      knownCount: Option[Long] = None): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cnrm"))
+    val asg = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        cosFrom(dot(col("cv"), col("embedding")), col("cnrm"), col("nrm"))
+          .as("ccos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cid")))) // k-row frames: bounded
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    val bits = adaptiveBitsPerBand(knownCount.getOrElse(emb.count()),
+      minBits = 4)
+    val dims = embDims(emb)
+    val bk = asg.withColumn("bucket",
+      lshBucket(col("embedding"), bits, dims))
+    val a = bk.select(col("cid"), col("bucket"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = bk.select(col("cid"), col("bucket"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cid", "bucket"))
+      .filter(col("va") < col("vb"))
+      .filter(cosFrom(dot(col("ea"), col("eb")), col("na"), col("nb"))
+        >= threshold)
+      .select(col("cid"), col("vb").as("vec_id")).distinct()
+    asg.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      .join(dropped.groupBy("cid")
+        .agg(count(lit(1)).as("nd"), sum(col("vec_id")).as("ds")),
+        Seq("cid"), "left")
+      .select(col("cid").cast("long").as("cluster_id"), col("n_vecs"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        coalesce(col("ds"), lit(0L)).as("dropped_id_sum"))
+      .orderBy("cluster_id")
+  }
 }

@@ -391,4 +391,33 @@ object TextAnalysis {
       .join(rolled, "doc_id")
       .orderBy("doc_id")
   }
+
+  /** Tokenizer-fertility census per language: how many whitespace tokens,
+    * characters per token, and tokens per document each language costs —
+    * the numbers that size a tokenizer's vocabulary and a mixture's
+    * per-language token budget (multilingual corpora differ 2-5× in
+    * chars/token, so a char-budgeted mix is NOT a token-budgeted mix).
+    * One map-side-combinable aggregate over per-row counts; integral ppm
+    * ratios (the fixed-point discipline). Output is domain-bounded
+    * (one row per language).
+    */
+  def fertility(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("lang"),
+        greatest(expr("CAST(size(t) AS BIGINT)"), lit(1L)).as("n_toks"),
+        expr("CAST(aggregate(t, 0L, (a, x) -> a + length(x)) AS BIGINT)")
+          .as("tok_chars"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("tok_chars")).as("n_token_chars"),
+        sum(col("n_chars")).as("n_text_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("n_token_chars * 1000000L div n_tokens")
+          .as("chars_per_token_ppm"),
+        expr("n_tokens * 1000000L div n_docs").as("tokens_per_doc_ppm"),
+        expr("n_text_chars * 1000000L div n_tokens")
+          .as("text_chars_per_token_ppm"))
+      .orderBy("lang")
 }

@@ -35,17 +35,24 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Failure mode to size the hint against: each interval explodes into
   * ⌈len/w⌉+1 bin rows, so a width tiny relative to the interval lengths
-  * multiplies the build side accordingly, and past ~2³¹ bins for ONE
-  * interval Spark's `Sequence` itself fails with its max-array-length
-  * error at runtime (a reversed interval, lo > hi, still explodes — into
-  * the descending bin sequence — but the original condition rides along
-  * as the residual and is unsatisfiable for it, so results are
-  * unchanged; only the bin rows are wasted). Pick w within a few orders
-  * of magnitude of the median interval length; the `join_range_binned`
-  * query and RangeBinJoinSpec document the working shape.
+  * multiplies the build side accordingly — and past ~2³¹ bins for ONE
+  * interval Spark's `Sequence` would fail with its opaque
+  * max-array-length error (or silently blow executor memory well before
+  * that). The rewrite therefore guards every generated sequence: an
+  * interval spanning more than `spark.graft.rangeJoin.maxBinsPerInterval`
+  * bins (default 2²² ≈ 4.2M) fails AT RUNTIME with a clear message naming
+  * both confs, instead of OOM-ing or erroring opaquely. A reversed
+  * interval (lo > hi) would explode into the descending bin sequence —
+  * semantically harmless (the original condition rides along as the
+  * residual and is unsatisfiable for it) but just as unbounded, so the
+  * guard is on |span|. Pick w within a few orders of magnitude of the
+  * median interval length; the `join_range_binned` query and
+  * RangeBinJoinSpec document the working shape.
   */
 object RangeBinJoin extends Rule[LogicalPlan] {
   val BinSizeKey = "spark.graft.rangeJoin.binSize"
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
+  val MaxBinsDefault = 1L << 22
 
   private def sideOf(e: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[Boolean] = {
@@ -97,6 +104,16 @@ object RangeBinJoin extends Rule[LogicalPlan] {
         "rule inert")
       return plan
     }
+    // Same defensive-parse discipline for the bin-count cap.
+    val maxBinsStr = conf.getConfString(MaxBinsKey, MaxBinsDefault.toString)
+    val maxBins = try maxBinsStr.toLong catch { case _: NumberFormatException =>
+      logWarning(s"$MaxBinsKey='$maxBinsStr' is not a long; rule inert")
+      return plan
+    }
+    if (maxBins <= 0) {
+      logWarning(s"$MaxBinsKey='$maxBinsStr' must be positive; rule inert")
+      return plan
+    }
 
     plan transform {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
@@ -138,8 +155,26 @@ object RangeBinJoin extends Rule[LogicalPlan] {
             val probe2 = Project(probe.output :+ probeBin, probe)
             val genOut = AttributeReference("graft_range_bin_g",
               LongType, nullable = false)()
+            // Per-interval bin-count guard (|binHi-binLo|+1 ≤ maxBins):
+            // a hint width tiny relative to one interval's length must
+            // fail loudly with both conf names, not OOM or hit Sequence's
+            // opaque max-array error. Null-safe: a null span (null lo/hi
+            // bound) falls through to the null Sequence, which outer=false
+            // explode drops — exactly the un-guarded behavior.
+            val binLo = binOf(lo)
+            val binHi = binOf(hi)
+            val span = Subtract(binHi, binLo)
+            val guardedHi = If(
+              Or(IsNull(span),
+                LessThanOrEqual(Abs(span), Literal(maxBins - 1L))),
+              binHi,
+              Cast(RaiseError(Literal(
+                s"graft range-join binning: an interval spans more than " +
+                  s"$maxBins bins at $BinSizeKey=$binW; raise the bin " +
+                  s"width (or $MaxBinsKey) so intervals cover a bounded " +
+                  "bin count")), LongType))
             val build2 = Generate(
-              Explode(Sequence(binOf(lo), binOf(hi), None,
+              Explode(Sequence(binLo, guardedHi, None,
                 Some(conf.sessionLocalTimeZone))),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(genOut), child = build)

@@ -71,6 +71,35 @@ class RangeBinJoinSpec extends SparkSpec {
     }
   }
 
+  test("bin-count guard: an interval spanning too many bins fails loudly") {
+    // events values live in [0, 500): at width 1e-6 one 50-wide band is
+    // 5e7 bins — past the cap set here, so execution must fail with the
+    // guard's message (naming both confs), NOT an opaque Sequence
+    // max-array error or an executor OOM.
+    spark.conf.set(RangeBinJoin.MaxBinsKey, "1000")
+    try {
+      val ex = intercept[Exception] {
+        withBin("0.000001")(rangeJoin().count())
+      }
+      val msg = Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("spans more than 1000 bins") ||
+        msg.contains(RangeBinJoin.BinSizeKey), msg)
+      // and a width that fits the cap still runs and matches rule-off
+      val want = rangeJoin().orderBy("event_id", "band_id").collect().toSeq
+      val got = withBin("32") {
+        rangeJoin().orderBy("event_id", "band_id").collect().toSeq
+      }
+      assert(got === want)
+    } finally spark.conf.unset(RangeBinJoin.MaxBinsKey)
+    // a malformed cap is as defensively parsed as the width hint
+    spark.conf.set(RangeBinJoin.MaxBinsKey, "huge")
+    try withBin("32") {
+      assert(!rangeJoin().queryExecution.optimizedPlan.toString
+        .contains("graft_range_bin"), "bad cap should leave the rule inert")
+    } finally spark.conf.unset(RangeBinJoin.MaxBinsKey)
+  }
+
   test("malformed or non-positive hint leaves the session usable (inert)") {
     val want = rangeJoin().orderBy("event_id", "band_id").collect().toSeq
     // the rule runs on EVERY query while installed: a bad hint must never
