@@ -514,6 +514,41 @@ object AnalyticsQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM s b
              |  WHERE b.p_size >= p.p_size AND b.minp <= p.p_retailprice
              |    AND (b.p_size > p.p_size OR b.minp < p.p_retailprice))
-             |ORDER BY p.p_partkey""".stripMargin))
+             |ORDER BY p.p_partkey""".stripMargin)),
+
+    // EXACT order statistics without collecting: the p25/p50/p75/p100
+    // user by total spend, found by exact global rank — the NATIVE
+    // distributed row_number operator (plans/GlobalRank: range exchange
+    // + shuffle-read count pass), then a 4-row broadcast of the target
+    // ranks. percentile_approx trades exactness for one pass; this is
+    // the exact complement at one extra metadata-cheap pass, and never
+    // a single-partition sort.
+    QueryDef("window_exact_quantiles",
+      (s, dir) => {
+        val u = Tables.read(s, dir, "events").groupBy("user_id")
+          .agg(sum(col("value").cast("decimal(20,6)")).cast("double")
+            .as("mon"))
+        val r = graft.plans.GlobalRank.withRowNumber(u, "rk",
+          ("mon", true), ("user_id", true))
+        val n = u.agg(count(lit(1)).as("n_tot"))
+        val targets = n.select(
+            explode(array(lit(25), lit(50), lit(75), lit(100))).as("pct"),
+            col("n_tot"))
+          .select(col("pct").cast("long").as("pct"),
+            greatest(lit(1L), expr("n_tot * pct div 100")).as("target"))
+        r.join(broadcast(targets), col("rk") === col("target"))
+          .select(col("pct"), col("user_id"), col("mon"))
+          .orderBy("pct")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS mon
+             |  FROM events GROUP BY user_id),
+             |r AS (SELECT user_id, mon,
+             |    row_number() OVER (ORDER BY mon, user_id) AS rk FROM u),
+             |n AS (SELECT count(*) AS n_tot FROM u),
+             |t AS (SELECT pct, greatest(1, n_tot * pct // 100) AS target
+             |  FROM n, (VALUES (25), (50), (75), (100)) v(pct))
+             |SELECT CAST(pct AS BIGINT) AS pct, user_id, mon
+             |FROM t JOIN r ON rk = target ORDER BY pct""".stripMargin))
   )
 }

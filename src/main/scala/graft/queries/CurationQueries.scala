@@ -1205,6 +1205,55 @@ object CurationQueries {
            |$iterations
            |SELECT lang, source, n AS n_docs, round(w, 6) AS weight
            |FROM it3b ORDER BY lang, source""".stripMargin
-      })
+      }),
+
+    // DSIR-style target-affinity selection (Xie et al., NeurIPS 2023):
+    // score every doc by its hashed-unigram target/raw count-ratio
+    // profile (fixed-point rational surrogate for the log-likelihood
+    // ratio — monotone-equivalent for selection, integral for the gate;
+    // see Sampling.dsirAffinity), keep the top 20. Bucket table is
+    // domain-bounded (4096 rows) and broadcast; top-k is TakeOrdered.
+    QueryDef("curation_dsir",
+      (s, dir) => Sampling.dsirAffinity(Tables.read(s, dir, "documents")),
+      Some(s"""WITH toks AS (SELECT doc_id, lang,
+              |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              |  FROM documents),
+              |tb AS (SELECT doc_id, lang,
+              |    ${Sql.hash64("'dsir|' || w")} % 4096 AS b FROM toks),
+              |stats AS (SELECT b,
+              |    (count(*) FILTER (WHERE lang = 'en') + 1) * 1000000
+              |      // (count(*) + 1) AS ratio_ppm
+              |  FROM tb GROUP BY b),
+              |d AS (SELECT doc_id, count(*) AS n_tokens,
+              |    sum(ratio_ppm) AS rsum
+              |  FROM tb JOIN stats USING (b) GROUP BY doc_id)
+              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST(rsum // n_tokens AS BIGINT) AS affinity_ppm
+              |FROM d ORDER BY affinity_ppm DESC, doc_id
+              |LIMIT 20""".stripMargin)),
+
+    // Per-source frequency cap (the domain-cap curation step): keep at
+    // most 15 docs per source, chosen by smallest salted hash — a
+    // deterministic uniform draw. Engine side runs the graft_top_k_by
+    // bounded-state aggregate (cap-row state per key, map-side partial
+    // combine — the skew-proof form of a per-source rank window); the
+    // oracle is the plain window form, so the aggregate's keep set is
+    // gated against the rank definition.
+    QueryDef("curation_domain_cap",
+      (s, dir) => Sampling.capPerGroup(
+        Tables.read(s, dir, "documents"), "source", 15),
+      Some(s"""WITH h AS (SELECT source, doc_id,
+              |    ${Sql.hash64("'cap|' || CAST(doc_id AS VARCHAR)")}
+              |      % 1000000000000 AS hv
+              |  FROM documents),
+              |r AS (SELECT source, doc_id, row_number()
+              |    OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+              |  FROM h)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_kept,
+              |  CAST(sum(CASE WHEN rn <= 15 THEN doc_id ELSE 0 END) AS BIGINT)
+              |    AS kept_id_sum
+              |FROM r GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -202,6 +202,36 @@ object MlQueries {
              |  round(usum / (CAST(npos AS DOUBLE) * nneg), 6) AS auc
              |FROM u CROSS JOIN tot""".stripMargin)),
 
+    // Average precision (PR-AUC in rank-sum form) for the same scored
+    // frame as eval_auc — the class-skew-honest metric for rare-positive
+    // curation filters. Deterministic-tie definition (rank over
+    // score desc, event_id); both global ranks run through the NATIVE
+    // distributed row_number operator (plans/GlobalRank); each positive
+    // contributes the exact integral term (p·1e6) div k.
+    QueryDef("eval_pr_auc",
+      (s, dir) => Evaluate.averagePrecision(
+        Tables.read(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("event_id"), col("value").as("score"),
+            when(col("event_type") === "purchase", 1).otherwise(0)
+              .as("label")),
+        "score", "label", "event_id"),
+      Some("""WITH scored AS (SELECT event_id AS id, value AS score,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+             |  FROM events
+             |  WHERE event_type IN ('purchase', 'view')
+             |    AND value IS NOT NULL),
+             |r AS (SELECT id, label,
+             |    row_number() OVER (ORDER BY score DESC, id) AS k
+             |  FROM scored),
+             |p AS (SELECT k, row_number() OVER (ORDER BY k) AS p
+             |  FROM r WHERE label = 1)
+             |SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pos,
+             |  CAST((SELECT count(*) FROM scored) AS BIGINT) AS n_scored,
+             |  CAST(sum(p * 1000000 // k) // (SELECT count(*) FROM p)
+             |    AS BIGINT) AS ap_ppm
+             |FROM p""".stripMargin)),
+
     // Mean NDCG@10 per user: graded relevance from event type, predicted
     // ranking by value (see Evaluate.meanNdcgAt10 for the exact-integer
     // discount discipline).

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, count, floor, hash, lit, pmod, posexplode, round, sqrt, sum}
+import org.apache.spark.sql.functions.{broadcast, col, count, floor, hash, lit, max, min, pmod, posexplode, round, sqrt, sum}
 
 import graft.QueryDef
 import graft.QueryDef.Sql
@@ -1254,7 +1254,114 @@ object PipelineQueries {
       (s, dir) => Streams.dedupBatch(s, dir),
       Some("""SELECT event_type, count(*) AS n_events,
              |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup = k-cluster the
+    // embedding space (frozen lowest-id centroids, broadcast argmax
+    // assignment), prune near-dups WITHIN clusters only, with the
+    // adaptive hyperplane bucket as a second block so a skewed cluster
+    // can't go quadratic. Keep-lowest-id; per-cluster census output
+    // (domain-bounded k rows, drop decisions hashed via the id sum).
+    QueryDef("dedup_semantic",
+      (s, dir) => Similarity.semanticDedup(
+        Tables.read(s, dir, "embeddings")),
+      Some(s"""WITH ${adaptiveBitsCte(4)},
+              |e AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm
+              |  FROM embeddings),
+              |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+              |  FROM e WHERE vec_id < 8),
+              |sc AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+              |    ${cosSql("cv", "e.embedding", "cnrm", "e.nrm")} AS ccos
+              |  FROM e CROSS JOIN c),
+              |asg AS (SELECT vec_id, embedding, nrm, cid FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY ccos DESC, cid) AS rn FROM sc) WHERE rn = 1),
+              |bk AS (SELECT vec_id, embedding, nrm, cid,
+              |    ${adaptiveBucketSql("embedding", 16)} AS bucket
+              |  FROM asg CROSS JOIN ab),
+              |dropped AS (SELECT DISTINCT b.cid, b.vec_id
+              |  FROM bk a JOIN bk b
+              |    ON a.cid = b.cid AND a.bucket = b.bucket
+              |      AND a.vec_id < b.vec_id
+              |  WHERE ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= 0.35),
+              |census AS (SELECT cid, count(*) AS n_vecs FROM asg GROUP BY cid),
+              |dc AS (SELECT cid, count(*) AS nd, sum(vec_id) AS ds
+              |  FROM dropped GROUP BY cid)
+              |SELECT CAST(census.cid AS BIGINT) AS cluster_id,
+              |  CAST(census.n_vecs AS BIGINT) AS n_vecs,
+              |  CAST(coalesce(dc.nd, 0) AS BIGINT) AS n_dropped,
+              |  CAST(coalesce(dc.ds, 0) AS BIGINT) AS dropped_id_sum
+              |FROM census LEFT JOIN dc USING (cid)
+              |ORDER BY cluster_id""".stripMargin)),
+
+    // Tokenizer fertility per language: chars/token and tokens/doc ppm —
+    // the numbers that turn a char-budgeted multilingual mix into a
+    // token-budgeted one. Map-side-combinable agg, |langs| output rows.
+    QueryDef("text_fertility",
+      (s, dir) => TextAnalysis.fertility(Tables.read(s, dir, "documents")),
+      Some(s"""WITH toks AS ($toksCte),
+              |per AS (SELECT doc_id, lang,
+              |    greatest(CAST(len(t) AS BIGINT), 1) AS n_toks,
+              |    CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+              |      AS BIGINT) AS tok_chars,
+              |    CAST(length(text) AS BIGINT) AS n_chars
+              |  FROM toks)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              |  CAST(sum(tok_chars) * 1000000 // sum(n_toks) AS BIGINT)
+              |    AS chars_per_token_ppm,
+              |  CAST(sum(n_toks) * 1000000 // count(*) AS BIGINT)
+              |    AS tokens_per_doc_ppm,
+              |  CAST(sum(n_chars) * 1000000 // sum(n_toks) AS BIGINT)
+              |    AS text_chars_per_token_ppm
+              |FROM per GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Fluency deciles over the corpus's own bigram-LM score (the
+    // text_ngram_lm surface bucketed for curation): EXACT decile of every
+    // scored doc via the NATIVE distributed row_number operator
+    // (plans/GlobalRank — range exchange + count pass; no
+    // single-partition window at any N) + ntile's integer bucket rule
+    // from (rank, total), so the plain-ntile oracle gates the
+    // distributed plan exactly. The perplexity-filter step of a curation
+    // pipeline: drop/downweight the bottom deciles.
+    QueryDef("text_perplexity_bucket",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val lm = TextAnalysis.bigramLmScore(Tables.read(s, dir, "documents"))
+          .select("doc_id", "n_bigrams", "avg_p_ppm")
+        val ranked = graft.plans.GlobalRank.withRowNumber(lm, "rnk",
+          ("avg_p_ppm", true), ("doc_id", true))
+        val n = lm.agg(count(lit(1)).as("n_tot"))
+        ranked.crossJoin(broadcast(n))
+          .select(graft.core.DistRank.ntileFromRank("rnk", "n_tot", 10)
+            .cast("long").as("decile"),
+            col("n_bigrams"), col("avg_p_ppm"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bigrams")).as("n_bigrams"),
+            min(col("avg_p_ppm")).as("min_score"),
+            max(col("avg_p_ppm")).as("max_score"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH toks AS ($toksCte),
+              |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+              |    THEN [{'w1': t[i], 'w2': t[i+1]} for i in generate_series(1, len(t)-1)]
+              |    ELSE [] END, recursive := true) FROM toks),
+              |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+              |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+              |lm AS (SELECT doc_id, count(*) AS n_bigrams,
+              |    round(CAST(sum((c12 * 1000000) // c1) AS DOUBLE) / count(*), 6)
+              |      AS avg_p_ppm
+              |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+              |  GROUP BY doc_id),
+              |r AS (SELECT n_bigrams, avg_p_ppm,
+              |    ntile(10) OVER (ORDER BY avg_p_ppm, doc_id) AS decile
+              |  FROM lm)
+              |SELECT CAST(decile AS BIGINT) AS decile,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+              |  min(avg_p_ppm) AS min_score, max(avg_p_ppm) AS max_score
+              |FROM r GROUP BY decile ORDER BY decile""".stripMargin))
   )
 
   // ---- generated oracles --------------------------------------------------
