@@ -358,4 +358,53 @@ object Graph {
         "packPair: key outside [0, 2^31) — 32-bit pair packing would " +
           "corrupt ordering/decoding; widen the pair key")))
   }
+
+  /** HITS scale: 1e6, NOT [[Scale]]'s 1e9 — each renorm computes
+    * raw·HitsScale div max(raw), and raw ≤ maxdeg·HitsScale, so 1e6 keeps
+    * the product inside a LONG for maxdeg up to ~9·10⁶ (past that, widen
+    * to decimal; loud overflow under ANSI, never silent here by bound).
+    */
+  val HitsScale: Long = 1000000L
+
+  /** HITS hubs & authorities (Kleinberg, JACM'99) over a directed edge
+    * list: a_{t+1}(v) = Σ_{u→v} h_t(u), h_{t+1}(u) = Σ_{u→v} a_{t+1}(v),
+    * each half-step renormalized so the top score is exactly
+    * [[HitsScale]] — the max-renorm is ONE 1-row broadcast aggregate and
+    * an integral `raw·S div max` per node, replacing the float L2
+    * normalization with arithmetic both engines reproduce bit-for-bit
+    * (the [[pagerank]] fixed-point discipline).
+    *
+    * Plan shape per half-step: one join of the CHECKPOINTED edge list
+    * against the one-row-per-node score frame (broadcast-gated exactly
+    * like [[pagerank]] — past the gate the same plan runs as shuffle
+    * joins), one dst/src-keyed partial agg (≤ |nodes| rows), one 1-row
+    * max. Edges never shuffle inside the gate. Output: both role frames
+    * ("hub" = src side, "authority" = dst side) with their final scores.
+    */
+  def hits(edges: DataFrame, iters: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    val e = edges.select("src", "dst").distinct().localCheckpoint()
+    val hubs0 = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (hubs0.count() <= broadcastMaxNodes) broadcast else identity
+    var h = hubs0.withColumn("s", lit(HitsScale))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(hint(h), col("node") === e("src"))
+        .groupBy(col("dst").as("anode")).agg(sum(col("s")).as("raw"))
+      val amax = araw.agg(max(col("raw")).as("mx"))
+      a = araw.crossJoin(broadcast(amax))
+        .select(col("anode").as("node"),
+          expr(s"raw * $HitsScale div mx").as("s"))
+      val hraw = e.join(hint(a), col("node") === e("dst"))
+        .groupBy(col("src").as("hnode")).agg(sum(col("s")).as("raw"))
+      val hmax = hraw.agg(max(col("raw")).as("mx"))
+      h = hraw.crossJoin(broadcast(hmax))
+        .select(col("hnode").as("node"),
+          expr(s"raw * $HitsScale div mx").as("s"))
+    }
+    h.select(lit("hub").as("role"), col("node"), col("s").as("score"))
+      .unionByName(a.select(lit("authority").as("role"), col("node"),
+        col("s").as("score")))
+  }
 }

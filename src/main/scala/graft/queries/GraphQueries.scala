@@ -122,7 +122,71 @@ object GraphQueries {
          |ORDER BY r DESC, node LIMIT 50""".stripMargin
   }
 
+  /** Oracle for graph_hits: the unrolled max-renormalized HITS trajectory
+    * (mirror of Graph.hits — CAST-bounded integral renorms, role-split
+    * top-25 heads).
+    */
+  private def hitsSql(iters: Int): String = {
+    val S = Graph.HitsScale
+    // every CTE is MATERIALIZED: each a{i}r/h{i}r is referenced twice
+    // (its renorm + the scalar max) — inlined, DuckDB would re-run the
+    // 6M-row edge join a growing number of times per iteration
+    val base =
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         |    'c' || CAST(o_custkey AS VARCHAR) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |h0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+         |  CAST($S AS BIGINT) AS s FROM edges)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |a${i}r AS MATERIALIZED (SELECT e.dst AS node, sum(h.s) AS raw
+         |  FROM edges e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT node, CAST(raw * $S
+         |    // (SELECT max(raw) FROM a${i}r) AS BIGINT) AS s FROM a${i}r),
+         |h${i}r AS MATERIALIZED (SELECT e.src AS node, sum(a.s) AS raw
+         |  FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |h$i AS MATERIALIZED (SELECT node, CAST(raw * $S
+         |    // (SELECT max(raw) FROM h${i}r) AS BIGINT) AS s FROM h${i}r)"""
+        .stripMargin
+    }.mkString
+    base + its +
+      s"""
+         |SELECT role, node, CAST(s AS BIGINT) AS score FROM (
+         |  SELECT 'hub' AS role, node, s FROM h$iters
+         |  ORDER BY s DESC, node LIMIT 25)
+         |UNION ALL
+         |SELECT role, node, CAST(s AS BIGINT) AS score FROM (
+         |  SELECT 'authority' AS role, node, s FROM a$iters
+         |  ORDER BY s DESC, node LIMIT 25)
+         |ORDER BY role, score DESC, node""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // HITS hubs & authorities over the fulfillment graph — "which
+    // suppliers feed the important customers, which customers aggregate
+    // the important suppliers" (the bipartite centrality pagerank's
+    // single damping can't express). Integer max-renorm per half-step
+    // (top score exactly 1e6) keeps the iterative algorithm
+    // hash-checkable; per-role top-25 heads are TakeOrdered, never a
+    // role-partitioned rank window (2 partitions over |nodes| rows would
+    // be a skew trap).
+    QueryDef("graph_hits",
+      (s, dir) => {
+        val out = Graph.hits(GraphFixtures.edges(s, dir), 2)
+          .select(col("role"), concat(
+            when(col("node") % 2 === 0, "s").otherwise("c"),
+            (col("node") / 2).cast("long").cast("string")).as("node"),
+            col("score"))
+        val hubs = out.filter(col("role") === "hub")
+          .orderBy(desc("score"), col("node")).limit(25)
+        val auths = out.filter(col("role") === "authority")
+          .orderBy(desc("score"), col("node")).limit(25)
+        hubs.unionByName(auths)
+          .orderBy(col("role"), desc("score"), col("node"))
+      },
+      Some(hitsSql(2))),
 
     // PERSONALIZED PageRank from a 4-supplier seed set over the same
     // fulfillment graph — "entities related to this neighborhood", the
