@@ -174,4 +174,48 @@ object Evaluate {
       .select(col("n_pos"), col("n_scored"),
         expr("tsum div n_pos").as("ap_ppm"))
   }
+
+  /** Confusion cells for a (predicted, actual) label pair — the exact
+    * contingency census every agreement metric reads. Domain-bounded
+    * (|labels|² rows), one map-side-combinable aggregate over the scored
+    * frame; at 100 TB this is the ONLY pass the data pays, everything
+    * downstream is metadata-scale.
+    */
+  def confusionCells(scored: DataFrame, predCol: String,
+      actualCol: String): DataFrame =
+    scored.groupBy(col(predCol).as("predicted"),
+        col(actualCol).as("actual"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Cohen's kappa — inter-rater agreement corrected for chance:
+    * κ = (p_o − p_e) / (1 − p_e) with p_o = agree/T and
+    * p_e = Σ_k row_k·col_k / T². Computed over [[confusionCells]], so
+    * every aggregate after the one corpus pass is |labels|-bounded.
+    * The three ratios are exact BIGINT products cast to double for ONE
+    * division each, 6-dp-rounded (the cross-engine float discipline);
+    * T·agree and T² stay inside a LONG below ~3·10⁹ scored rows — past
+    * that, widen the products to decimal (noted because the gate can't
+    * see it).
+    */
+  def cohenKappa(scored: DataFrame, predCol: String,
+      actualCol: String): DataFrame = {
+    val cells = confusionCells(scored, predCol, actualCol)
+      .localCheckpoint() // |labels|² rows feed three tiny aggregates
+    val tot = cells.agg(sum(col("n")).as("t"),
+      sum(when(col("predicted") === col("actual"), col("n"))
+        .otherwise(0L)).as("agree"))
+    val rm = cells.groupBy(col("predicted").as("k"))
+      .agg(sum(col("n")).as("r"))
+    val cm = cells.groupBy(col("actual").as("k"))
+      .agg(sum(col("n")).as("c"))
+    val pe = rm.join(cm, "k")
+      .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("pen"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("t").as("n_docs"), col("agree").as("n_agree"),
+        round(col("agree").cast("double") / col("t"), 6).as("po"),
+        round(col("pen").cast("double") /
+          (col("t").cast("double") * col("t")), 6).as("pe"),
+        round((col("t") * col("agree") - col("pen")).cast("double") /
+          (col("t") * col("t") - col("pen")).cast("double"), 6).as("kappa"))
+  }
 }

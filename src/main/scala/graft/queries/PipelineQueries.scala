@@ -1361,7 +1361,44 @@ object PipelineQueries {
               |  CAST(count(*) AS BIGINT) AS n_docs,
               |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
               |  min(avg_p_ppm) AS min_score, max(avg_p_ppm) AS max_score
-              |FROM r GROUP BY decile ORDER BY decile""".stripMargin))
+              |FROM r GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // Exact confusion census for the langid heuristic vs the labeled
+    // corpus — the contingency every agreement metric reads; one
+    // map-side-combinable pass, |langs|² output rows.
+    QueryDef("eval_confusion_matrix",
+      (s, dir) => graft.ops.Evaluate.confusionCells(
+          TextAnalysis.langId(Tables.read(s, dir, "documents")),
+          "predicted", "lang")
+        .orderBy("predicted", "actual"),
+      Some(s"""SELECT predicted, lang AS actual,
+              |  CAST(count(*) AS BIGINT) AS n
+              |FROM ($langPredSql)
+              |GROUP BY 1, 2 ORDER BY predicted, actual""".stripMargin)),
+
+    // Cohen's kappa of langid vs truth — agreement corrected for chance
+    // (the honest number when one class dominates, where raw accuracy
+    // flatters). Everything after the one corpus pass is |langs|-bounded;
+    // exact BIGINT products, one 6-dp division per ratio.
+    QueryDef("eval_cohen_kappa",
+      (s, dir) => graft.ops.Evaluate.cohenKappa(
+        TextAnalysis.langId(Tables.read(s, dir, "documents")),
+        "predicted", "lang"),
+      Some(s"""WITH cells AS (SELECT predicted, lang AS actual,
+              |    count(*) AS n FROM ($langPredSql) GROUP BY 1, 2),
+              |t AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+              |  CAST(sum(CASE WHEN predicted = actual THEN n ELSE 0 END)
+              |    AS BIGINT) AS agree FROM cells),
+              |rm AS (SELECT predicted AS k, sum(n) AS r FROM cells GROUP BY 1),
+              |cm AS (SELECT actual AS k, sum(n) AS c FROM cells GROUP BY 1),
+              |pe AS (SELECT CAST(coalesce(sum(r * c), 0) AS BIGINT) AS pen
+              |  FROM rm JOIN cm USING (k))
+              |SELECT t AS n_docs, agree AS n_agree,
+              |  round(CAST(agree AS DOUBLE) / t, 6) AS po,
+              |  round(CAST(pen AS DOUBLE) / (CAST(t AS DOUBLE) * t), 6) AS pe,
+              |  round(CAST(t * agree - pen AS DOUBLE)
+              |    / CAST(t * t - pen AS DOUBLE), 6) AS kappa
+              |FROM t CROSS JOIN pe""".stripMargin))
   )
 
   // ---- generated oracles --------------------------------------------------
@@ -1791,11 +1828,13 @@ object PipelineQueries {
        |FROM hits, n_ex ORDER BY method""".stripMargin
   }
 
-  private lazy val langIdOracle: String = {
+  /** The langid predicted-label subquery (doc_id, lang, predicted) —
+    * shared by text_langid, eval_confusion_matrix, eval_cohen_kappa.
+    */
+  private lazy val langPredSql: String = {
     def hits(words: Seq[String]) =
       s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
-    s"""SELECT doc_id, predicted, lang, predicted = lang AS is_match FROM (
-       |  SELECT doc_id, lang,
+    s"""SELECT doc_id, lang,
        |    CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
        |         WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
@@ -1808,7 +1847,11 @@ object PipelineQueries {
        |      ${hits(TextOps.StopEs)} AS s_es,
        |      ${hits(TextOps.StopFr)} AS s_fr,
        |      len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
-       |    FROM ($toksCte)))
-       |ORDER BY doc_id""".stripMargin
+       |    FROM ($toksCte))""".stripMargin
   }
+
+  private lazy val langIdOracle: String =
+    s"""SELECT doc_id, predicted, lang, predicted = lang AS is_match FROM (
+       |$langPredSql)
+       |ORDER BY doc_id""".stripMargin
 }

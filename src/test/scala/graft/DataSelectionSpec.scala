@@ -90,6 +90,24 @@ class DataSelectionSpec extends SparkSpec {
       "every doc has at least one token (floor guard)")
   }
 
+  test("cohenKappa: perfect agreement = 1; chance-level crossed labels " +
+    "near 0; cells conserve the frame") {
+    import spark.implicits._
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("b", "b"))
+      .toDF("predicted", "lang")
+    assert(Evaluate.cohenKappa(perfect, "predicted", "lang")
+      .head().getAs[Double]("kappa") === 1.0)
+    // rater ignores the input and always says "a": p_o equals p_e exactly
+    // (chance agreement), kappa = 0
+    val constant = Seq(("a", "a"), ("a", "b"), ("a", "a"), ("a", "b"))
+      .toDF("predicted", "lang")
+    assert(Evaluate.cohenKappa(constant, "predicted", "lang")
+      .head().getAs[Double]("kappa") === 0.0)
+    val cells = Evaluate.confusionCells(
+      TextAnalysis.langId(docs), "predicted", "lang")
+    assert(cells.agg(sum("n")).head().getLong(0) === docs.count())
+  }
+
   test("averagePrecision: definitional identities on a hand-built ranking") {
     import spark.implicits._
     // scores 10..1; positives at ranks 1,2,4 → AP = (1/3)(1/1 + 2/2 + 3/4)
