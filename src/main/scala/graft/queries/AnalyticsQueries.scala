@@ -549,6 +549,52 @@ object AnalyticsQueries {
              |t AS (SELECT pct, greatest(1, n_tot * pct // 100) AS target
              |  FROM n, (VALUES (25), (50), (75), (100)) v(pct))
              |SELECT CAST(pct AS BIGINT) AS pct, user_id, mon
-             |FROM t JOIN r ON rk = target ORDER BY pct""".stripMargin))
+             |FROM t JOIN r ON rk = target ORDER BY pct""".stripMargin)),
+
+    // Herfindahl-Hirschman concentration index per nation's supplier
+    // market — the standard market-concentration census (antitrust
+    // thresholds live at 1500/2500 points; here in basis-point² units,
+    // 0..1e8). Revenue is carried as EXACT integer ten-thousandths
+    // (decimal-summed then ×1e4 — integer-valued, so the BIGINT cast
+    // can't round differently across engines); shares are integral
+    // basis points; HHI = Σ share_bp² is an exact integer sum. Plan:
+    // one supplier-keyed partial agg over lineitem, dims broadcast,
+    // |nations| output rows.
+    QueryDef("agg_hhi",
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem")
+        val sup = Tables.read(s, dir, "supplier")
+        val n = Tables.read(s, dir, "nation")
+        val rev = li.groupBy("l_suppkey")
+          .agg(expr("CAST(sum(CAST(l_extendedprice * (1 - l_discount)" +
+            " AS DECIMAL(18,6))) * 10000 AS BIGINT)").as("rev_tm"))
+        val bySupp = rev
+          .join(broadcast(sup), rev("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .select(col("n_name"), col("rev_tm"))
+        val nat = bySupp.groupBy("n_name")
+          .agg(sum(col("rev_tm")).as("nat_tm"),
+            count(lit(1)).as("n_suppliers"))
+        bySupp.join(broadcast(nat), "n_name")
+          .withColumn("share_bp", expr("rev_tm * 10000L div nat_tm"))
+          .groupBy("n_name")
+          .agg(max(col("n_suppliers")).as("n_suppliers"),
+            sum(expr("share_bp * share_bp")).as("hhi_bp2"))
+          .orderBy("n_name")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+             |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+             |      AS DECIMAL(18,6))) * 10000 AS BIGINT) AS rev_tm
+             |  FROM lineitem GROUP BY 1),
+             |bs AS (SELECT n.n_name, rev_tm FROM rev
+             |  JOIN supplier s ON l_suppkey = s_suppkey
+             |  JOIN nation n ON s_nationkey = n_nationkey),
+             |nat AS (SELECT n_name, sum(rev_tm) AS nat_tm,
+             |    count(*) AS ns FROM bs GROUP BY 1)
+             |SELECT b.n_name AS n_name, CAST(ns AS BIGINT) AS n_suppliers,
+             |  CAST(sum((rev_tm * 10000 // nat_tm)
+             |    * (rev_tm * 10000 // nat_tm)) AS BIGINT) AS hhi_bp2
+             |FROM bs b JOIN nat USING (n_name)
+             |GROUP BY b.n_name, ns ORDER BY n_name""".stripMargin))
   )
 }

@@ -1079,5 +1079,66 @@ object ProfilingQueries {
           s"$m AS val FROM lineitem")
         .mkString("", "\nUNION ALL\n",
           "\nORDER BY l_orderkey, l_linenumber, measure")))
+  ,
+
+    // Tukey-fence outlier census over order totals: EXACT Q1/Q3 via the
+    // native distributed row_number (the window_exact_quantiles rank
+    // definition — value at rank max(1, n·q div 100), so quartiles are
+    // observed values, not interpolations, and cross-engine identical),
+    // 1.5·IQR fences, then one combinable census pass. The profiling
+    // face of GlobalRank: exact order statistics at any N, no collect,
+    // no percentile_approx error bars.
+    QueryDef("profile_outliers_iqr",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val r = graft.plans.GlobalRank.withRowNumber(o, "rk",
+          ("o_totalprice", true), ("o_orderkey", true))
+        val n = o.agg(count(lit(1)).as("n_tot"))
+        val q1rk = greatest(lit(1L), expr("n_tot * 25 div 100"))
+        val q3rk = greatest(lit(1L), expr("n_tot * 75 div 100"))
+        val qs = r.crossJoin(broadcast(n))
+          .filter(col("rk") === q1rk || col("rk") === q3rk)
+          .agg(min(when(col("rk") === q1rk, col("o_totalprice")))
+            .as("q1"),
+            max(when(col("rk") === q3rk, col("o_totalprice")))
+              .as("q3"))
+        o.crossJoin(broadcast(qs)).crossJoin(broadcast(n))
+          .agg(max(col("n_tot")).as("n_rows"),
+            max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+            sum(when(col("o_totalprice") <
+              col("q1") - (col("q3") - col("q1")) * 1.5, 1L)
+              .otherwise(0L)).as("n_below"),
+            sum(when(col("o_totalprice") >
+              col("q3") + (col("q3") - col("q1")) * 1.5, 1L)
+              .otherwise(0L)).as("n_above"))
+          .select(col("n_rows"), col("q1"), col("q3"),
+            round(col("q1") - (col("q3") - col("q1")) * 1.5, 2)
+              .as("lo_fence"),
+            round(col("q3") + (col("q3") - col("q1")) * 1.5, 2)
+              .as("hi_fence"),
+            col("n_below"), col("n_above"))
+      },
+      Some("""WITH r AS (SELECT o_totalprice,
+             |    row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+             |      AS rk FROM orders),
+             |n AS (SELECT count(*) AS n_tot FROM orders),
+             |q AS (SELECT
+             |    min(CASE WHEN rk = greatest(1, n_tot * 25 // 100)
+             |      THEN o_totalprice END) AS q1,
+             |    max(CASE WHEN rk = greatest(1, n_tot * 75 // 100)
+             |      THEN o_totalprice END) AS q3
+             |  FROM r CROSS JOIN n)
+             |SELECT (SELECT CAST(n_tot AS BIGINT) FROM n) AS n_rows,
+             |  q1, q3,
+             |  round(q1 - (q3 - q1) * 1.5, 2) AS lo_fence,
+             |  round(q3 + (q3 - q1) * 1.5, 2) AS hi_fence,
+             |  (SELECT CAST(sum(CASE WHEN o_totalprice <
+             |      q1 - (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    FROM orders) AS n_below,
+             |  (SELECT CAST(sum(CASE WHEN o_totalprice >
+             |      q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    FROM orders) AS n_above
+             |FROM q""".stripMargin))
   )
 }

@@ -285,6 +285,65 @@ object TemporalQueries {
              |  ON v.user_id = p.user_id
              |  AND v.event_type = 'view' AND p.event_type = 'purchase'
              |  AND v.s < p.e AND p.s < v.e
-             |ORDER BY v.user_id, view_id, purchase_id""".stripMargin))
+             |ORDER BY v.user_id, view_id, purchase_id""".stripMargin)),
+
+    // NEAREST-in-time as-of: the closest purchase in EITHER direction
+    // per click (ties → the earlier/backward match) — the sensor-fusion
+    // flavor of as-of both pandas (direction='nearest') and kdb offer.
+    // Composed from the backward running-max and forward running-min on
+    // ONE user-partitioned window pass each (the join_asof plan: one
+    // shuffle on the key, no join explosion); the pick is pure per-row
+    // arithmetic on exact microsecond longs.
+    QueryDef("join_asof_nearest",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("us", unix_micros(col("ts")))
+        val wb = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(Window.unboundedPreceding, 0)
+        val wf = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(0, Window.unboundedFollowing)
+        ev.withColumn("lp",
+            max(when(col("event_type") === "purchase", col("us"))).over(wb))
+          .withColumn("np",
+            min(when(col("event_type") === "purchase", col("us"))).over(wf))
+          .filter(col("event_type") === "click")
+          .withColumn("nearest", when(col("lp").isNull, col("np"))
+            .when(col("np").isNull, col("lp"))
+            .when(col("us") - col("lp") <= col("np") - col("us"), col("lp"))
+            .otherwise(col("np")))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), tsFmt).as("click_ts"),
+            date_format(timestamp_micros(col("nearest")), tsFmt)
+              .as("nearest_purchase"),
+            (col("nearest") - col("us")).as("signed_dist_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us
+             |  FROM events WHERE event_type = 'click'),
+             |purchases AS (SELECT user_id, epoch_us(ts) AS pus
+             |  FROM events WHERE event_type = 'purchase'),
+             |lp AS (SELECT c.event_id, max(p.pus) AS lp FROM clicks c
+             |  JOIN purchases p ON p.user_id = c.user_id AND p.pus <= c.us
+             |  GROUP BY 1),
+             |np AS (SELECT c.event_id, min(p.pus) AS np FROM clicks c
+             |  JOIN purchases p ON p.user_id = c.user_id AND p.pus >= c.us
+             |  GROUP BY 1)
+             |SELECT c.event_id, c.user_id,
+             |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+             |  strftime(make_timestamp(CASE
+             |      WHEN lp.lp IS NULL THEN np.np
+             |      WHEN np.np IS NULL THEN lp.lp
+             |      WHEN c.us - lp.lp <= np.np - c.us THEN lp.lp
+             |      ELSE np.np END), '%Y-%m-%d %H:%M:%S.%f')
+             |    AS nearest_purchase,
+             |  CAST(CASE WHEN lp.lp IS NULL THEN np.np
+             |      WHEN np.np IS NULL THEN lp.lp
+             |      WHEN c.us - lp.lp <= np.np - c.us THEN lp.lp
+             |      ELSE np.np END - c.us AS BIGINT) AS signed_dist_us
+             |FROM clicks c
+             |LEFT JOIN lp ON lp.event_id = c.event_id
+             |LEFT JOIN np ON np.event_id = c.event_id
+             |ORDER BY c.event_id""".stripMargin))
   )
 }
