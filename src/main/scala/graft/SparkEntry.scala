@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.TemporalQueries.all ++ graft.queries.TpchQueries.all ++
       graft.queries.FunctionQueries.all ++ graft.queries.CurationQueries.all ++
       graft.queries.ProfilingQueries.all ++ graft.queries.GraphQueries.all ++
-      graft.queries.BehaviorQueries.all ++ graft.queries.MlQueries.all
+      graft.queries.BehaviorQueries.all ++ graft.queries.MlQueries.all ++
+      graft.queries.StatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full star build — clean fact, three broadcast dim stampings,

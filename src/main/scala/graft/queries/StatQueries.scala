@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Round-12 fourth wave: statistical diagnostics a curation/analytics
+  * pipeline runs before trusting its data — model-lift tables, survival
+  * curves, join-key skew censuses, inequality decomposition, trend
+  * significance, and sentence-level text structure. Discipline as
+  * established: exact integer/decimal arithmetic wherever possible
+  * (basis points / centi-units / decimal-summed 12-dp log terms), global
+  * ranks through the native distributed row_number operator
+  * (plans/GlobalRank), and every remaining global window bounded by a
+  * DOMAIN (10 deciles, calendar-day durations), never by the corpus.
+  */
+object StatQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Decile lift/gains table for the scored frame eval_auc/eval_pr_auc
+    // already gate (purchase=positive, value=score): the model-quality
+    // view every targeting pipeline reads. Global rank over (score desc,
+    // id) runs through the NATIVE distributed row_number operator — one
+    // range exchange + a shuffle-read count pass, no single-task sort —
+    // then decile = ((rank-1)*10) div N from a 1-row broadcast count.
+    // Gains and lift are exact integer basis points (cum_pos*1e4 div
+    // pos_total; cum_pos*N*1e4 div (cum_n*pos_total)); the only window
+    // is the 10-row decile grid.
+    QueryDef("eval_lift",
+      (s, dir) => {
+        val sc = Tables.read(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "view") &&
+            col("value").isNotNull)
+          .select(col("event_id"), col("value").as("score"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("label"))
+        val tot = sc.agg(count(lit(1)).as("n_total"),
+          sum("label").as("n_pos_total"))
+        val ranked = graft.plans.GlobalRank.withRowNumber(sc, "rk",
+          ("score", false), ("event_id", true))
+        val dec = ranked.crossJoin(broadcast(tot))
+          .withColumn("decile", expr("(rk - 1) * 10 div n_total + 1"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), sum("label").as("n_pos"),
+            first("n_total").as("n_total"),
+            first("n_pos_total").as("n_pos_total"))
+        val w = Window.orderBy("decile") // 10-row decile grid (bounded)
+        dec
+          .withColumn("cum_n", sum("n").over(w))
+          .withColumn("cum_pos", sum("n_pos").over(w))
+          .select(col("decile"), col("n"), col("n_pos"),
+            expr("cum_pos * 10000 div n_pos_total").as("gain_bp"),
+            expr("cum_pos * n_total * 10000 div (cum_n * n_pos_total)")
+              .as("lift_bp"))
+          .orderBy("decile")
+      },
+      Some("""WITH scored AS (SELECT event_id AS id, value AS score,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+             |  FROM events
+             |  WHERE event_type IN ('purchase', 'view')
+             |    AND value IS NOT NULL),
+             |tot AS (SELECT count(*) AS n_total, sum(label) AS n_pos_total
+             |  FROM scored),
+             |r AS (SELECT label,
+             |    row_number() OVER (ORDER BY score DESC, id) AS rk
+             |  FROM scored),
+             |d AS (SELECT (rk - 1) * 10 // n_total + 1 AS decile,
+             |    count(*) AS n, sum(label) AS n_pos
+             |  FROM r CROSS JOIN tot GROUP BY 1),
+             |c AS (SELECT decile, n, n_pos,
+             |    sum(n) OVER (ORDER BY decile) AS cum_n,
+             |    sum(n_pos) OVER (ORDER BY decile) AS cum_pos FROM d)
+             |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+             |  CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(cum_pos * 10000 // n_pos_total AS BIGINT) AS gain_bp,
+             |  CAST(cum_pos * n_total * 10000 // (cum_n * n_pos_total)
+             |    AS BIGINT) AS lift_bp
+             |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin)),
+
+    // Kaplan-Meier survival for time-to-first-high-value-purchase
+    // (value ≥ 150 — ~5% of purchases, so roughly half the users convert
+    // inside the corpus window and the rest are right-censored at their
+    // last observed event: a REAL censoring mix, not a degenerate CDF).
+    // The life table groups by CALENDAR-DAY duration — a domain-bounded
+    // frame (≤ the corpus date range in days, independent of user
+    // count) — so the cumulative windows are grid-sized. Survival =
+    // exp(Σ ln(1 - d/n)): each log term rounds to 12 dp and decimal-sums
+    // (order-independent across engines) before the single exp; an
+    // absorbing step (d = n_at_risk) pins survival to exactly 0 rather
+    // than feeding ln(0) into the sum.
+    QueryDef("events_survival",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+          .select("user_id", "ts", "event_type", "value")
+        val u = ev.groupBy("user_id")
+          .agg(min("ts").as("f"), max("ts").as("l"),
+            min(when(col("event_type") === "purchase" &&
+              col("value") >= 150.0, col("ts"))).as("p"))
+        val life = u
+          .select(
+            datediff(to_date(coalesce(col("p"), col("l"))),
+              to_date(col("f"))).cast("long").as("t"),
+            when(col("p").isNotNull, 1L).otherwise(0L).as("ev"))
+        val tot = life.agg(count(lit(1)).as("n_users"))
+        val g = life.groupBy("t")
+          .agg(count(lit(1)).as("n_all"), sum("ev").as("deaths"))
+        val w = Window.orderBy("t") // calendar-day duration domain
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+        val c = g.crossJoin(broadcast(tot))
+          .withColumn("n_risk",
+            col("n_users") - coalesce(sum("n_all").over(wPrev), lit(0L)))
+        c.withColumn("term",
+            when(col("deaths") >= col("n_risk"),
+              lit(null).cast("decimal(28,12)"))
+              .otherwise(round(
+                log(lit(1.0) - col("deaths").cast("double") / col("n_risk")),
+                12).cast("decimal(28,12)")))
+          .withColumn("logs", sum("term").over(w))
+          .withColumn("absorbed",
+            sum(when(col("deaths") >= col("n_risk"), 1L).otherwise(0L))
+              .over(w))
+          .filter(col("deaths") > 0)
+          .select(col("t").as("t_days"), col("n_risk"), col("deaths"),
+            when(col("absorbed") > 0, lit(0.0))
+              .otherwise(round(exp(col("logs").cast("double")), 6))
+              .as("survival"))
+          .orderBy("t_days")
+      },
+      Some("""WITH u AS (SELECT user_id, min(ts) AS f, max(ts) AS l,
+             |    min(CASE WHEN event_type = 'purchase' AND value >= 150.0
+             |      THEN ts END) AS p
+             |  FROM events GROUP BY 1),
+             |life AS (SELECT
+             |    CAST(date_diff('day', CAST(f AS DATE),
+             |      CAST(coalesce(p, l) AS DATE)) AS BIGINT) AS t,
+             |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+             |  FROM u),
+             |tot AS (SELECT count(*) AS n_users FROM life),
+             |g AS (SELECT t, count(*) AS n_all, sum(ev) AS deaths
+             |  FROM life GROUP BY 1),
+             |c AS (SELECT t, deaths,
+             |    n_users - coalesce(sum(n_all) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS n_risk
+             |  FROM g CROSS JOIN tot),
+             |s AS (SELECT t, n_risk, deaths,
+             |    sum(CASE WHEN deaths >= n_risk THEN NULL
+             |      ELSE CAST(round(ln(1.0 - CAST(deaths AS DOUBLE) / n_risk),
+             |        12) AS DECIMAL(28,12)) END) OVER (ORDER BY t) AS logs,
+             |    CAST(sum(CASE WHEN deaths >= n_risk THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY t) AS BIGINT) AS absorbed
+             |  FROM c)
+             |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(deaths AS BIGINT) AS deaths,
+             |  CASE WHEN absorbed > 0 THEN 0.0
+             |    ELSE round(exp(CAST(logs AS DOUBLE)), 6) END AS survival
+             |FROM s WHERE deaths > 0 ORDER BY t_days""".stripMargin)),
+
+    // Join-key skew census on the lineitem→supplier FK — the diagnostic
+    // that tells you BEFORE a 100 TB join whether it needs salting/AQE
+    // skew handling. One groupBy over the key, a 1-row min/max/count
+    // census, and a deterministic top-10 head (TakeOrdered, ≤10 rows);
+    // shares are exact integer basis points. skew_x_bp = max/avg in bp —
+    // the number the salting decision reads.
+    QueryDef("profile_skew",
+      (s, dir) => {
+        val k = Tables.read(s, dir, "lineitem")
+          .groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+        val t = k.agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("c").as("max_cnt"))
+        val top10 = k.orderBy(col("c").desc, col("l_suppkey")).limit(10)
+          .agg(sum("c").as("s10"))
+        t.crossJoin(broadcast(top10))
+          .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+            expr("max_cnt * 10000 div n_rows").as("top1_bp"),
+            expr("s10 * 10000 div n_rows").as("top10_bp"),
+            expr("max_cnt * n_keys * 10000 div n_rows").as("skew_x_bp"))
+      },
+      Some("""WITH k AS (SELECT l_suppkey, count(*) AS c
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT sum(c) AS n_rows, count(*) AS n_keys,
+             |    max(c) AS max_cnt FROM k),
+             |top10 AS (SELECT sum(c) AS s10 FROM
+             |  (SELECT c FROM k ORDER BY c DESC, l_suppkey LIMIT 10))
+             |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_keys AS BIGINT) AS n_keys,
+             |  CAST(max_cnt AS BIGINT) AS max_cnt,
+             |  CAST(max_cnt * 10000 // n_rows AS BIGINT) AS top1_bp,
+             |  CAST(s10 * 10000 // n_rows AS BIGINT) AS top10_bp,
+             |  CAST(max_cnt * n_keys * 10000 // n_rows AS BIGINT)
+             |    AS skew_x_bp
+             |FROM t CROSS JOIN top10""".stripMargin)),
+
+    // Theil T inequality index over order values, decomposed between/
+    // within customer regions — the additive inequality decomposition
+    // (gini can't decompose; Theil can). Group sums are exact
+    // DECIMAL(18,2) (order-independent), so every mean is one identical
+    // double division in both engines; per-row entropy terms round to
+    // 12 dp and decimal-sum before the final 6-dp rounding; the within
+    // component is the exact raw difference (total − between), computed
+    // before any 6-dp rounding so the decomposition identity holds.
+    QueryDef("agg_theil",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .select("o_custkey", "o_totalprice")
+        val c = Tables.read(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")
+        val n = Tables.read(s, dir, "nation")
+          .select("n_nationkey", "n_regionkey")
+        val r = Tables.read(s, dir, "region")
+          .select("r_regionkey", "r_name")
+        val x = o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("o_totalprice").as("x"))
+        val tot = x.agg(
+          sum(col("x").cast("decimal(18,2)")).as("sx"),
+          count(lit(1)).as("n"))
+        val mu = col("sx").cast("double") / col("n")
+        val totalRaw = x.crossJoin(broadcast(tot))
+          .select(round((col("x") / mu) * log(col("x") / mu), 12)
+            .cast("decimal(28,12)").as("term"),
+            col("n"), col("sx"))
+          .groupBy("n", "sx")
+          .agg((sum("term").cast("double") / col("n")).as("t_total_raw"))
+        val grp = x.groupBy("r_name").agg(
+          sum(col("x").cast("decimal(18,2)")).as("sxg"),
+          count(lit(1)).as("ng"))
+        val mug = col("sxg").cast("double") / col("ng")
+        val betweenRaw = grp.crossJoin(broadcast(tot))
+          .select(round(
+            (col("sxg").cast("double") / col("sx").cast("double")) *
+              log(mug / mu), 12).cast("decimal(28,12)").as("bterm"))
+          .agg(sum("bterm").cast("double").as("t_between_raw"))
+        totalRaw.crossJoin(broadcast(betweenRaw))
+          .select(col("n").as("n_orders"),
+            round(col("t_total_raw"), 6).as("theil_total"),
+            round(col("t_between_raw"), 6).as("theil_between"),
+            round(col("t_total_raw") - col("t_between_raw"), 6)
+              .as("theil_within"))
+      },
+      Some("""WITH x AS (SELECT r.r_name, o.o_totalprice AS x
+             |  FROM orders o
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+             |tot AS (SELECT sum(CAST(x AS DECIMAL(18,2))) AS sx,
+             |    count(*) AS n FROM x),
+             |tr AS (SELECT max(n) AS n,
+             |    CAST(sum(CAST(round((x / (CAST(sx AS DOUBLE) / n)) *
+             |      ln(x / (CAST(sx AS DOUBLE) / n)), 12)
+             |      AS DECIMAL(28,12))) AS DOUBLE) / max(n) AS t_total_raw
+             |  FROM x CROSS JOIN tot),
+             |g AS (SELECT r_name, sum(CAST(x AS DECIMAL(18,2))) AS sxg,
+             |    count(*) AS ng FROM x GROUP BY 1),
+             |br AS (SELECT CAST(sum(CAST(round(
+             |      (CAST(sxg AS DOUBLE) / CAST(sx AS DOUBLE)) *
+             |      ln((CAST(sxg AS DOUBLE) / ng) /
+             |         (CAST(sx AS DOUBLE) / n)), 12)
+             |      AS DECIMAL(28,12))) AS DOUBLE) AS t_between_raw
+             |  FROM g CROSS JOIN tot)
+             |SELECT CAST(n AS BIGINT) AS n_orders,
+             |  round(t_total_raw, 6) AS theil_total,
+             |  round(t_between_raw, 6) AS theil_between,
+             |  round(t_total_raw - t_between_raw, 6) AS theil_within
+             |FROM tr CROSS JOIN br""".stripMargin)),
+
+    // Mann-Kendall trend test per event-type daily series (the
+    // significance companion to ts_theil_sen's slope, same
+    // days-domain-bounded pairwise frame): S = Σ sign(y_j − y_i) over
+    // time-ordered pairs — EXACT integers since y is a count — with the
+    // tie-corrected variance n(n−1)(2n+5) − Σ t(t−1)(2t+5) (kept ×18 as
+    // an exact integer) and the continuity-corrected z. Pairs grow with
+    // the DATE RANGE (≤ |days|²/2), never with the corpus.
+    QueryDef("ts_mann_kendall",
+      (s, dir) => {
+        val daily = Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.day") < col("b.day"))
+          .select(col("a.event_type").as("event_type"),
+            when(col("b.y") > col("a.y"), 1L)
+              .when(col("b.y") < col("a.y"), -1L).otherwise(0L).as("sg"))
+        val sStat = pairs.groupBy("event_type")
+          .agg(sum("sg").as("s_stat"))
+        val nDays = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"))
+        val ties = daily.groupBy("event_type", "y")
+          .agg(count(lit(1)).as("tt"))
+          .filter(col("tt") > 1)
+          .groupBy("event_type")
+          .agg(sum(expr("tt * (tt - 1) * (2 * tt + 5)")).as("tie18"))
+        val z = col("s_stat").cast("double")
+        sStat.join(nDays, "event_type")
+          .join(ties, Seq("event_type"), "left")
+          .withColumn("var18",
+            expr("n_days * (n_days - 1) * (2 * n_days + 5)") -
+              coalesce(col("tie18"), lit(0L)))
+          .select(col("event_type"), col("n_days"), col("s_stat"),
+            col("var18"),
+            round(
+              when(col("s_stat") > 0,
+                (z - 1.0) / sqrt(col("var18") / 18.0))
+                .when(col("s_stat") < 0,
+                  (z + 1.0) / sqrt(col("var18") / 18.0))
+                .otherwise(0.0), 6).as("z_score"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |pairs AS (SELECT a.event_type,
+             |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+             |      ELSE 0 END AS sg
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.day < b.day),
+             |s AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
+             |  FROM pairs GROUP BY 1),
+             |nd AS (SELECT event_type, count(*) AS n_days
+             |  FROM daily GROUP BY 1),
+             |ties AS (SELECT event_type,
+             |    CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie18
+             |  FROM (SELECT event_type, y, count(*) AS tt FROM daily
+             |        GROUP BY 1, 2) WHERE tt > 1 GROUP BY 1),
+             |v AS (SELECT s.event_type, nd.n_days, s.s_stat,
+             |    nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+             |      - coalesce(ties.tie18, 0) AS var18
+             |  FROM s JOIN nd USING (event_type)
+             |  LEFT JOIN ties USING (event_type))
+             |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(s_stat AS BIGINT) AS s_stat,
+             |  CAST(var18 AS BIGINT) AS var18,
+             |  round(CASE
+             |    WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+             |      / sqrt(var18 / 18.0)
+             |    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+             |      / sqrt(var18 / 18.0)
+             |    ELSE 0.0 END, 6) AS z_score
+             |FROM v ORDER BY event_type""".stripMargin)),
+
+    // Sentence-level structure census per source: split on [.!?]+ runs,
+    // count whitespace-delimited words per sentence — the text-curation
+    // signal one level below the document quality score (burstiness of
+    // sentence length separates prose from listings/boilerplate). Pure
+    // map-side explode + one groupBy(|sources|); words use an explicit
+    // [ \t\n\r] class so the Java and RE2 regex engines agree, and both
+    // engines filter empty split artifacts identically. avg is exact
+    // centi-words (total*100 div n).
+    QueryDef("text_sentence_stats",
+      (s, dir) => {
+        val sent = Tables.read(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), "[.!?]+")).as("raw"))
+          .select(col("source"), trim(col("raw")).as("sent"))
+          .filter(length(col("sent")) > 0)
+        sent
+          .withColumn("words",
+            size(org.apache.spark.sql.functions.filter(
+              split(col("sent"), "[ \\t\\n\\r]+"),
+              x => length(x) > 0)).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sentences"),
+            sum("words").as("total_words"),
+            expr("sum(words) * 100 div count(*)").as("avg_words_c"),
+            max("words").as("max_words"))
+          .orderBy("source")
+      },
+      Some("""WITH raw AS (SELECT source,
+             |    unnest(regexp_split_to_array(text, '[.!?]+')) AS piece
+             |  FROM documents),
+             |sent AS (SELECT source, trim(piece) AS sent FROM raw
+             |  WHERE length(trim(piece)) > 0),
+             |w AS (SELECT source,
+             |    CAST(len(list_filter(
+             |      regexp_split_to_array(sent, '[ \t\n\r]+'),
+             |      x -> length(x) > 0)) AS BIGINT) AS words
+             |  FROM sent)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_sentences,
+             |  CAST(sum(words) AS BIGINT) AS total_words,
+             |  CAST(sum(words) * 100 // count(*) AS BIGINT) AS avg_words_c,
+             |  CAST(max(words) AS BIGINT) AS max_words
+             |FROM w GROUP BY source ORDER BY source""".stripMargin))
+  )
+}

@@ -45,6 +45,8 @@ class WindowLintSpec extends SparkSpec {
     // domain-bounded grids (cardinality fixed by the domain, not N)
     "agg_chi_square" -> "contingency grid (|event_type| x 7 weekdays)",
     "dedup_threshold_curve" -> "21-row cosine-bucket curve",
+    "eval_lift" -> "10-row decile grid (rank itself is the native operator)",
+    "events_survival" -> "calendar-day duration domain (life table rows)",
     "events_attribution" -> "per-touch-type rollup (|event_type| rows)",
     "events_concurrency" -> "per-bucket aggregate (|buckets| rows)",
     "profile_drift" -> "10-bin PSI grid"
