@@ -521,7 +521,46 @@ object ReferenceQueries {
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
              |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
              |    AS total_price
-             |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
+             |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
+
+    // The warehouse ANSWER-FROM-METADATA path (round-12 DSv2 aggregate
+    // pushdown): global MIN/MAX/COUNT(*) over the load-job table served
+    // entirely from manifest zone maps + per-file row counts — the scan
+    // plans ZERO data files (WarehouseAggSpec pins lastAggServed /
+    // lastPlannedFiles=0); at 100 TB this is a metadata lookup where a
+    // naive engine reads the whole table. The oracle recomputes the same
+    // aggregates from the source parquet, proving metadata == data.
+    // Partial-pushdown contract keeps it result-transparent: Spark's
+    // final aggregate merges the one emitted row.
+    QueryDef("scan_warehouse_agg",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        // Full-column cache key (GraphFixtures discipline); a distinct
+        // path from scan_warehouse_pruned so the manifest carries the
+        // round-12 frows metadata even where an older fixture survives.
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordagg_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(
+            orders.repartitionByRange(8, col("o_orderkey")),
+            path, format = "graft-warehouse")
+        Sink.read(s, path, "graft-warehouse")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            min(col("o_custkey")).as("min_cust"),
+            max(col("o_custkey")).as("max_cust"))
+      },
+      Some("""SELECT count(*) AS n_orders,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+             |FROM orders""".stripMargin))
   )
 
   private lazy val dateDimOracle: String =

@@ -226,7 +226,7 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
         val dst = new Path(dataDir, src.getName)
         require(fs.rename(src, dst),
           s"load job $jobId: cannot move staged ${s.path}")
-        (s"data/$jobId/${src.getName}", s.stats)
+        (s"data/$jobId/${src.getName}", s.stats, s.rows)
       }
       val kept =
         if (disposition == "WRITE_TRUNCATE") Nil
@@ -234,10 +234,14 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
       val keptStats =
         if (disposition == "WRITE_TRUNCATE") Map.empty[String, Map[String, ColStat]]
         else prev.map(_.stats).getOrElse(Map.empty)
+      val keptRows =
+        if (disposition == "WRITE_TRUNCATE") Map.empty[String, Long]
+        else prev.map(_.rows).getOrElse(Map.empty)
       val gen = prev.map(_.generation + 1).getOrElse(0L)
       WarehouseMeta.writeManifest(fs, root,
         Manifest(gen, schema, kept ++ moved.map(_._1).toList, jobId,
-          disposition, keptStats ++ moved.toMap))
+          disposition, keptStats ++ moved.map(m => m._1 -> m._2).toMap,
+          keptRows ++ moved.map(m => m._1 -> m._3).toMap))
       fs.delete(new Path(root, s"_staging/$jobId"), true)
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
@@ -355,6 +359,9 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType)
 object WarehouseScanStats {
   @volatile var lastPlannedFiles: Int = -1
   @volatile var lastReadSchema: String = ""
+  /** True when the LAST scan answered an aggregate from manifest
+    * metadata alone (zero data files opened). */
+  @volatile var lastAggServed: Boolean = false
 }
 
 /** ScanBuilder with the two pushdowns a 100 TB warehouse table needs:
@@ -376,12 +383,14 @@ object WarehouseScanStats {
 class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private val manifest = WarehouseMeta.readManifest(root, generation).getOrElse(
     throw new IllegalArgumentException(
       s"graft-warehouse table at $root has no committed manifest"))
   private var required: StructType = manifest.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -392,8 +401,116 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new WarehouseScan(root, manifest, required, pushed)
+  /** MIN/MAX/COUNT(*) answered from the manifest zone maps — the scan
+    * plans ZERO data files; at 100 TB this is the difference between a
+    * metadata lookup and a full-table read. Partial-pushdown contract
+    * (supportCompletePushDown stays false): the scan emits ONE row of
+    * per-source partials and Spark's final aggregate merges it, so a
+    * wrong refusal can never change results, only cost.
+    *
+    * Servable iff every requested aggregate is provably exact from
+    * metadata:
+    *  - no residual filters (zone pruning is file-granular — a filter
+    *    re-applies ABOVE the scan, so stats can't see it). Spark only
+    *    offers aggregates when no Filter node remains, but guard anyway;
+    *  - no GROUP BY (per-file stats don't subdivide);
+    *  - MIN/MAX: integral-typed column (writer records exact lo/hi per
+    *    file; a file with NO stat is all-null there — contributes
+    *    nothing, exactly like the real aggregate). String stats are
+    *    TRUNCATED bounds — never servable. '|'-named columns are
+    *    excluded from manifest stat lines — refuse those too;
+    *  - COUNT(*): per-file row counts present for EVERY file (absent in
+    *    pre-round-12 manifests → refuse, fall back to a real scan).
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    val integral = Set[DataType](LongType, IntegerType, DateType,
+      TimestampType, TimestampNTZType)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        manifest.schema.fields.find(_.name == r.fieldNames()(0))
+          .filter(f => integral(f.dataType) && !f.name.contains("|"))
+      case _ => None
+    }
+    def bound(name: String, takeHi: Boolean): Option[Long] = {
+      val bs = manifest.files.flatMap(f =>
+        manifest.stats.getOrElse(f, Map.empty).get(name).collect {
+          case ColStat.Longs(lo, hi) => if (takeHi) hi else lo
+        })
+      if (bs.isEmpty) None
+      else Some(if (takeHi) bs.max else bs.min)
+    }
+    def internal(field: StructField, v: Option[Long]): Any = v match {
+      case None => null
+      case Some(x) => field.dataType match {
+        case IntegerType | DateType => x.toInt
+        case _ => x
+      }
+    }
+    val fields = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        if (manifest.files.forall(manifest.rows.contains)) {
+          val n = manifest.files.map(manifest.rows).sum
+          Some((StructField("COUNT(*)", LongType, nullable = false),
+            n: Any))
+        } else None
+      case m: Min => colOf(m.column).map(f =>
+        (StructField(s"MIN(${f.name})", f.dataType),
+          internal(f, bound(f.name, takeHi = false))))
+      case m: Max => colOf(m.column).map(f =>
+        (StructField(s"MAX(${f.name})", f.dataType),
+          internal(f, bound(f.name, takeHi = true))))
+      case _ => None
+    }
+    if (fields.exists(_.isEmpty)) return false
+    val resolved = fields.flatten
+    aggResult = Some((StructType(resolved.map(_._1)),
+      new GenericInternalRow(resolved.map(_._2).toArray)))
+    true
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new WarehouseAggScan(schema, row)
+    case None => new WarehouseScan(root, manifest, required, pushed)
+  }
+}
+
+/** Metadata-only scan for a pushed aggregate: one partition, one row,
+  * zero file IO. Partial-pushdown shape — Spark's final aggregate
+  * (min-of-min / max-of-max / sum-of-count) runs above it.
+  */
+class WarehouseAggScan(schema: StructType, row: InternalRow)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-warehouse agg-from-manifest ${schema.simpleString}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    WarehouseScanStats.lastPlannedFiles = 0
+    WarehouseScanStats.lastReadSchema = schema.simpleString
+    WarehouseScanStats.lastAggServed = true
+    Array(WarehousePartition("<manifest>"))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarehouseAggReaderFactory(row)
+}
+
+class WarehouseAggReaderFactory(row: InternalRow)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 class WarehouseScan(root: String, manifest: Manifest, required: StructType,
@@ -407,6 +524,7 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
     }
     WarehouseScanStats.lastPlannedFiles = surviving.size
     WarehouseScanStats.lastReadSchema = required.simpleString
+    WarehouseScanStats.lastAggServed = false
     surviving.map(f => WarehousePartition(s"$root/$f"): InputPartition)
       .toArray
   }
@@ -552,7 +670,8 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
 
 case class Manifest(generation: Long, schema: StructType,
     files: List[String], jobId: String, disposition: String,
-    stats: Map[String, Map[String, ColStat]] = Map.empty)
+    stats: Map[String, Map[String, ColStat]] = Map.empty,
+    rows: Map[String, Long] = Map.empty)
 
 /** Manifest layer: one `manifest-<gen>` file per committed load job under
   * `_manifest/`, written to a dot-temp name and atomically renamed; the
@@ -613,10 +732,17 @@ object WarehouseMeta {
       .map { case (f, rows) =>
         f -> rows.map(r => r._2 -> r._3).toMap
       }
+    // per-file row counts (round-12 agg-pushdown metadata); absent in
+    // pre-round-12 manifests — readers must treat a missing entry as
+    // "count unknown", never as zero
+    val rowCounts = lines.filter(_.startsWith("frows="))
+      .map(_.substring(6).split('|'))
+      .collect { case Array(f, n) => f -> n.toLong }
+      .toMap
     Some(Manifest(gen,
       DataType.fromJson(one("schema")).asInstanceOf[StructType],
       lines.filter(_.startsWith("file=")).map(_.substring(5)),
-      one("job"), one("disposition"), stats))
+      one("job"), one("disposition"), stats, rowCounts))
   }
 
   def writeManifest(f: FileSystem, root: String, m: Manifest): Unit = {
@@ -636,10 +762,13 @@ object WarehouseMeta {
           s"sstats=$f|$c|${b64.encodeToString(lo)}|" +
             hi.map(b64.encodeToString).getOrElse("*")
       }
+      val rowLines = m.rows.toList.sortBy(_._1)
+        .collect { case (f, n) if !f.contains("|") => s"frows=$f|$n" }
       val body = (s"schema=${m.schema.json}" ::
         s"job=${m.jobId}" ::
         s"disposition=${m.disposition}" ::
-        (m.files.map(p => s"file=$p") ++ statLines)).mkString("", "\n", "\n")
+        (m.files.map(p => s"file=$p") ++ statLines ++ rowLines))
+        .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     val dst = new Path(dir, s"manifest-${m.generation}")

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Sink
+import graft.sources.WarehouseScanStats
+
+/** DSv2 aggregate pushdown on the warehouse table: global MIN/MAX/COUNT(*)
+  * answered from manifest zone maps — zero data files planned — with
+  * value-identical fallbacks whenever metadata can't PROVE the answer
+  * (filters, group-by, string columns, count(col)).
+  */
+class WarehouseAggSpec extends SparkSpec {
+
+  private def fresh(tag: String): String =
+    s"/tmp/graft_wh_agg_${tag}_${System.nanoTime()}"
+
+  private def table(path: String) = {
+    import spark.implicits._
+    val df = Seq(
+      (5L, 10, "kiwi", Some(100L)),
+      (2L, 40, "apple", None),
+      (9L, -3, "pear", Some(7L)),
+      (4L, 8, "fig", None))
+      .toDF("k", "v", "name", "opt")
+    Sink.overwrite(df.repartition(3, col("k")), path,
+      format = "graft-warehouse")
+    Sink.read(spark, path, "graft-warehouse")
+  }
+
+  test("global min/max/count(*) serve from the manifest: zero files " +
+    "planned, values exact") {
+    val path = fresh("serve")
+    val t = table(path)
+    val row = t.agg(min("k").as("mn"), max("k").as("mx"),
+      count(lit(1)).as("n"), min("v").as("vmn"), max("v").as("vmx"))
+      .collect().head
+    assert(WarehouseScanStats.lastAggServed,
+      "aggregate must be answered from metadata")
+    assert(WarehouseScanStats.lastPlannedFiles === 0)
+    assert(row.getLong(0) === 2L && row.getLong(1) === 9L)
+    assert(row.getLong(2) === 4L)
+    assert(row.getInt(3) === -3 && row.getInt(4) === 40)
+  }
+
+  test("a residual filter refuses the pushdown and still gets the right " +
+    "answer from a real scan") {
+    val path = fresh("filter")
+    val t = table(path)
+    val row = t.filter(col("k") >= 4L)
+      .agg(min("k").as("mn"), count(lit(1)).as("n")).collect().head
+    assert(!WarehouseScanStats.lastAggServed,
+      "a filtered aggregate must read data")
+    assert(row.getLong(0) === 4L && row.getLong(1) === 3L)
+  }
+
+  test("group-by, string min, and count(col) refuse; values match a " +
+    "parquet-side recompute") {
+    val path = fresh("refuse")
+    val t = table(path)
+    val g = t.groupBy("v").agg(count(lit(1))).collect()
+    assert(!WarehouseScanStats.lastAggServed && g.length === 4)
+    val sm = t.agg(min("name")).collect().head.getString(0)
+    assert(!WarehouseScanStats.lastAggServed && sm === "apple")
+    // count(col) needs null counts the manifest doesn't carry
+    val cc = t.agg(count(col("opt"))).collect().head.getLong(0)
+    assert(!WarehouseScanStats.lastAggServed && cc === 2L)
+  }
+
+  test("all-null integral column: min/max are null from metadata, like " +
+    "the real aggregate") {
+    import spark.implicits._
+    val path = fresh("nulls")
+    val df = Seq((1L, None: Option[Long]), (2L, None))
+      .toDF("k", "empty")
+    Sink.overwrite(df, path, format = "graft-warehouse")
+    val row = Sink.read(spark, path, "graft-warehouse")
+      .agg(min("empty").as("mn"), max("empty").as("mx"),
+        count(lit(1)).as("n")).collect().head
+    assert(WarehouseScanStats.lastAggServed)
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.getLong(2) === 2L)
+  }
+
+  test("append accumulates row counts across generations; count serves " +
+    "the union") {
+    import spark.implicits._
+    val path = fresh("append")
+    val df = Seq((1L, 5L), (2L, 6L)).toDF("k", "v")
+    Sink.append(df, path, format = "graft-warehouse")
+    Sink.append(df.select(col("k") + 10, col("v")).toDF("k", "v"), path,
+      format = "graft-warehouse")
+    val row = Sink.read(spark, path, "graft-warehouse")
+      .agg(count(lit(1)).as("n"), max("k").as("mx")).collect().head
+    assert(WarehouseScanStats.lastAggServed)
+    assert(row.getLong(0) === 4L && row.getLong(1) === 12L)
+  }
+}
