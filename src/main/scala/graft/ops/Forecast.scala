@@ -60,6 +60,63 @@ object Forecast {
       .orderBy(seriesCol, "h")
   }
 
+  /** Holt-Winters additive seasonal smoothing per series (period m),
+    * h-step forecast — [[holtForecast]] plus a rolling m-slot seasonal
+    * state riding the same `aggregate` fold:
+    *
+    *   l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(y_t − l_{t−1} − b_{t−1}) + (1−γ)s_{t−m}
+    *
+    * Init is the textbook two-cycle form: l_m = mean(first cycle),
+    * b_m = (mean(second) − mean(first))/m, s_i = y_i − l_m — every mean
+    * an EXPLICIT left-associated chain of element adds so the oracle's
+    * recursive CTE reproduces the identical double at every step
+    * (α = 0.5, β = γ = 0.25 are exact binary fractions, the
+    * holtForecast determinism discipline). Forecast
+    * yhat_{n+h} = l_n + h·b_n + s_{n+h−m} for h = 1..m. State O(m) per
+    * series, fold ≤ |days| elements — the raw stream never reaches the
+    * sequential part.
+    */
+  def holtWinters(daily: DataFrame, seriesCol: String, dayCol: String,
+                  yCol: String, period: Int = 7): DataFrame = {
+    val m = period
+    val series = daily
+      .groupBy(seriesCol)
+      .agg(array_sort(collect_list(struct(col(dayCol).as("day"),
+        col(yCol).cast("double").as("y")))).as("s"))
+      .filter(size(col("s")) >= 2 * m)
+      .select(col(seriesCol), transform(col("s"), _.getField("y")).as("ys"))
+    def chainMean(offset: Int): Column =
+      (1 until m).foldLeft(element_at(col("ys"), offset + 1))(
+        (acc, i) => acc + element_at(col("ys"), offset + i + 1)) / m
+    val l0 = chainMean(0)
+    val b0 = (chainMean(m) - chainMean(0)) / m
+    val seas0 = transform(slice(col("ys"), 1, m), y => y - l0)
+    val folded = aggregate(
+      slice(col("ys"), lit(m + 1), size(col("ys")) - m),
+      struct(l0.as("level"), b0.as("trend"), seas0.as("seas")),
+      (acc: Column, y: Column) => {
+        val level = acc.getField("level")
+        val trend = acc.getField("trend")
+        val seas = acc.getField("seas")
+        val sOld = element_at(seas, 1)
+        val lNew = lit(0.5) * (y - sOld) + lit(0.5) * (level + trend)
+        val bNew = lit(0.25) * (lNew - level) + lit(0.75) * trend
+        val sNew = lit(0.25) * (y - level - trend) + lit(0.75) * sOld
+        struct(lNew.as("level"), bNew.as("trend"),
+          concat(slice(seas, 2, m - 1), array(sNew)).as("seas"))
+      })
+    series.select(col(seriesCol), folded.as("st"))
+      .select(col(seriesCol), col("st.level").as("level"),
+        col("st.trend").as("trend"), col("st.seas").as("seas"),
+        explode(sequence(lit(1), lit(m))).as("h"))
+      .select(col(seriesCol), col("h").cast("long").as("h"),
+        round(col("level") + col("h") * col("trend") +
+          element_at(col("seas"), col("h")), 6).as("yhat"))
+      .orderBy(seriesCol, "h")
+  }
+
   /** Rolling-origin backtest of the Holt forecaster — the MLOps loop that
     * decides whether a forecaster is deployable: every prefix fold of the
     * recurrence IS the model fit on that prefix, so the same single

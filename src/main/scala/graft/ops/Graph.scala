@@ -157,6 +157,36 @@ object Graph {
       when(col("d") >= Unreached, lit(-1L)).otherwise(col("d")).as("hop"))
   }
 
+  /** Per-seed hop distances (the multi-label twin of [[hopDistances]]):
+    * state is the SPARSE (seed, node, d) frontier — only reached pairs
+    * exist, so round r's state is exactly the union of the seeds'
+    * r-balls, never |seeds|×|nodes|. Per round: one edge join against
+    * the state (broadcast-gated like [[pagerank]] while the reached set
+    * is small) + one min agg keyed (seed, node). Exact within `rounds`
+    * hops; unreached pairs simply never appear. This is the
+    * landmark-distance primitive closeness/harmonic centrality reads.
+    */
+  def seededDistances(edges: DataFrame, seeds: Column, rounds: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    val e = edges.select("src", "dst")
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val gate = nodes.count() <= broadcastMaxNodes
+    val hint: DataFrame => DataFrame = if (gate) broadcast else identity
+    var dist = nodes.filter(seeds)
+      .select(col("node").as("seed"), col("node"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relax = e.join(hint(dist), col("node") === e("src"))
+        .select(col("seed"), col("dst").as("node"), (col("d") + 1).as("d"))
+      dist = dist.unionByName(relax)
+        .groupBy("seed", "node").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** k-core membership after `rounds` peeling iterations: repeatedly
     * drop nodes whose CURRENT degree is below k (synchronous peel — all
     * sub-k nodes leave together each round, so the result is a

@@ -363,6 +363,56 @@ object BehaviorQueries {
              |  greatest(max(r.run), max(o.carry)) AS peak,
              |  max(o.nb) AS n_boundaries
              |FROM r JOIN o ON r.bucket = o.bucket
-             |GROUP BY 1 ORDER BY hour_start""".stripMargin))
+             |GROUP BY 1 ORDER BY hour_start""".stripMargin)),
+
+    // Cohort LTV matrix: users grouped by first-seen week (cohort), purchase
+    // revenue rolled up by weeks-since-first-seen (age) — the
+    // lifetime-value view that retention (count-based) can't show. Both
+    // week indexes derive from exact integer day arithmetic against
+    // broadcast 1-row anchors; revenue decimal-sums before its one double
+    // cast. Frame is a weeks×weeks DOMAIN grid; the heavy lifting is two
+    // user-keyed aggregations sharing the user_id exchange.
+    QueryDef("events_cohort_ltv",
+      (s, dir) => {
+        val ev = Tables.read(s, dir, "events")
+          .select("user_id", "ts", "event_type", "value")
+        val first = ev.groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("d0"))
+        val g0 = ev.agg(min(to_date(col("ts"))).as("g0"))
+        val rev = ev
+          .filter(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+        rev.join(first, "user_id").crossJoin(broadcast(g0))
+          .select(
+            expr("CAST(datediff(d0, g0) div 7 AS BIGINT)").as("cohort_week"),
+            expr("CAST(datediff(day, d0) div 7 AS BIGINT)").as("age_week"),
+            col("user_id"), col("value"))
+          .groupBy("cohort_week", "age_week")
+          .agg(countDistinct("user_id").as("n_buyers"),
+            count(lit(1)).as("n_purchases"),
+            round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+              .as("revenue"))
+          .orderBy("cohort_week", "age_week")
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+             |  FROM events GROUP BY 1),
+             |g0 AS (SELECT min(CAST(ts AS DATE)) AS g0 FROM events),
+             |rev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |j AS (SELECT
+             |    CAST(date_diff('day', g0.g0, f.d0) // 7 AS BIGINT)
+             |      AS cohort_week,
+             |    CAST(date_diff('day', f.d0, r.day) // 7 AS BIGINT)
+             |      AS age_week,
+             |    r.user_id, r.value
+             |  FROM rev r JOIN f USING (user_id) CROSS JOIN g0)
+             |SELECT cohort_week, age_week,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+             |  count(*) AS n_purchases,
+             |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+             |    AS revenue
+             |FROM j GROUP BY 1, 2
+             |ORDER BY cohort_week, age_week""".stripMargin))
   )
 }

@@ -264,6 +264,43 @@ object GraphQueries {
              |FROM n LEFT JOIN md USING (node)
              |GROUP BY 1 ORDER BY hop""".stripMargin)),
 
+    // Harmonic closeness centrality for the landmark seeds (the same
+    // node<5 set hop_distance sketches, but PER SEED): Σ 1/d over every
+    // node within `rounds` hops — the disconnected-safe closeness form.
+    // Graph.seededDistances keeps the SPARSE (seed, node, d) frontier
+    // (union of r-balls, never |seeds|×|nodes|); 1/d terms round to
+    // 12 dp and decimal-sum so both engines agree to the final 6 dp.
+    QueryDef("graph_closeness",
+      (s, dir) => {
+        Graph.seededDistances(GraphFixtures.edges(s, dir),
+            col("node") < 5, rounds = 4)
+          .filter(col("d") > 0)
+          .groupBy("seed")
+          .agg(count(lit(1)).as("n_reached"),
+            round(sum(round(lit(1.0) / col("d"), 12)
+              .cast("decimal(28,12)")).cast("double"), 6).as("harmonic"))
+          .orderBy("seed")
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e AS (SELECT DISTINCT src, dst FROM (
+             |        SELECT src, dst FROM base
+             |        UNION ALL SELECT dst, src FROM base)),
+             |n AS (SELECT DISTINCT src AS node FROM e),
+             |walk(seed, node, d) AS (
+             |  SELECT node, node, 0 FROM n WHERE node < 5
+             |  UNION
+             |  SELECT w.seed, e.dst, w.d + 1 FROM walk w
+             |  JOIN e ON e.src = w.node WHERE w.d < 4),
+             |md AS (SELECT seed, node, min(d) AS d FROM walk
+             |  GROUP BY 1, 2)
+             |SELECT seed, count(*) AS n_reached,
+             |  round(CAST(sum(CAST(round(1.0 / d, 12) AS DECIMAL(28,12)))
+             |    AS DOUBLE), 6) AS harmonic
+             |FROM md WHERE d > 0
+             |GROUP BY 1 ORDER BY seed""".stripMargin)),
+
     // Exact triangle count + clustering coefficient over the supplier
     // co-occurrence graph (suppliers sharing an order), deterministically
     // hash-sparsified to ~8% of edges so the graph stays wedge-countable

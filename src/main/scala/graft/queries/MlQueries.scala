@@ -557,6 +557,77 @@ object MlQueries {
              |  round(l.level + hz.h * l.trend, 6) AS yhat
              |FROM last l CROSS JOIN hz ORDER BY event_type, h""".stripMargin)),
 
+    // Holt-Winters ADDITIVE SEASONAL smoothing (period 7) per event-type
+    // daily series — holt plus a rolling 7-slot seasonal state on the
+    // same aggregate fold (see Forecast.holtWinters for the exactness
+    // discipline: binary-exact coefficients, explicit left-associated
+    // init means, the oracle's recursive CTE carrying the seasonal LIST
+    // through the identical recurrence).
+    QueryDef("ts_holt_winters",
+      (s, dir) => Forecast.holtWinters(
+        Tables.read(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y")),
+        "event_type", "day", "y"),
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |series AS (SELECT event_type, y,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS i
+             |  FROM daily),
+             |p AS (SELECT event_type,
+             |    max(CASE WHEN i = 1 THEN y END) AS y1,
+             |    max(CASE WHEN i = 2 THEN y END) AS y2,
+             |    max(CASE WHEN i = 3 THEN y END) AS y3,
+             |    max(CASE WHEN i = 4 THEN y END) AS y4,
+             |    max(CASE WHEN i = 5 THEN y END) AS y5,
+             |    max(CASE WHEN i = 6 THEN y END) AS y6,
+             |    max(CASE WHEN i = 7 THEN y END) AS y7,
+             |    max(CASE WHEN i = 8 THEN y END) AS y8,
+             |    max(CASE WHEN i = 9 THEN y END) AS y9,
+             |    max(CASE WHEN i = 10 THEN y END) AS y10,
+             |    max(CASE WHEN i = 11 THEN y END) AS y11,
+             |    max(CASE WHEN i = 12 THEN y END) AS y12,
+             |    max(CASE WHEN i = 13 THEN y END) AS y13,
+             |    max(CASE WHEN i = 14 THEN y END) AS y14,
+             |    max(i) AS n
+             |  FROM series GROUP BY 1 HAVING max(i) >= 14),
+             |init AS (SELECT event_type,
+             |    (y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7 AS l0,
+             |    ((y8 + y9 + y10 + y11 + y12 + y13 + y14) / 7
+             |      - (y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7) / 7 AS b0,
+             |    [y1 - (y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7,
+             |     y2 - (y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7,
+             |     y3 - (y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7,
+             |     y4 - (y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7,
+             |     y5 - (y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7,
+             |     y6 - (y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7,
+             |     y7 - (y1 + y2 + y3 + y4 + y5 + y6 + y7) / 7] AS seas
+             |  FROM p),
+             |hw(event_type, i, level, trend, seas) AS (
+             |  SELECT event_type, CAST(7 AS BIGINT), l0, b0, seas
+             |  FROM init
+             |  UNION ALL
+             |  SELECT h.event_type, h.i + 1,
+             |    0.5 * (s.y - h.seas[1]) + 0.5 * (h.level + h.trend),
+             |    0.25 * ((0.5 * (s.y - h.seas[1])
+             |      + 0.5 * (h.level + h.trend)) - h.level)
+             |      + 0.75 * h.trend,
+             |    h.seas[2:7] ||
+             |      [0.25 * (s.y - h.level - h.trend) + 0.75 * h.seas[1]]
+             |  FROM hw h JOIN series s
+             |    ON s.event_type = h.event_type AND s.i = h.i + 1),
+             |last AS (SELECT event_type, level, trend, seas FROM hw h
+             |  WHERE i = (SELECT max(i) FROM hw h2
+             |             WHERE h2.event_type = h.event_type)),
+             |hz AS (SELECT unnest(range(1, 8)) AS h)
+             |SELECT l.event_type, CAST(hz.h AS BIGINT) AS h,
+             |  round(l.level + hz.h * l.trend
+             |    + l.seas[CAST(hz.h AS INT)], 6) AS yhat
+             |FROM last l CROSS JOIN hz ORDER BY event_type, h""".stripMargin)),
+
     // Trig-free period detection over the global daily count series
     // (see Forecast.periodStrength).
     QueryDef("ts_period_detect",

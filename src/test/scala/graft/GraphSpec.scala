@@ -9,6 +9,24 @@ import graft.ops.{Graph, Scd2}
   */
 class GraphSpec extends SparkSpec {
 
+  test("seededDistances: per-seed BFS distances on a path + an island") {
+    import spark.implicits._
+    // path 1-2-3-4 plus disconnected island 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val d = Graph.seededDistances(edges, col("node") <= 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(d((1L, 1L)) === 0L && d((1L, 2L)) === 1L)
+    assert(d((1L, 3L)) === 2L && d((1L, 4L)) === 3L)
+    assert(d((2L, 1L)) === 1L && d((2L, 4L)) === 2L)
+    // the island never appears in any seed's ball; non-seeds spawn none
+    assert(!d.contains((1L, 10L)) && !d.contains((2L, 11L)))
+    assert(!d.keys.exists(_._1 > 2L))
+    // sparse state: exactly the union of the two 3-balls
+    assert(d.size === 8)
+  }
+
   test("pagerank: one rank per node, floor 0.15, sinks keep the floor") {
     import spark.implicits._
     // star: 1 -> {2,3,4}; 2..4 are sinks, 1 has no in-edges

@@ -165,6 +165,28 @@ class MlOpsSpec extends SparkSpec {
     assert(out(1L) == 42.0 && out(2L) == 42.0)
   }
 
+  test("holtWinters: a pure period-7 series forecasts the exact pattern") {
+    import spark.implicits._
+    // binary-exact seasonal offsets summing to 0: every smoothing step is
+    // exact, so the forecast reproduces 100 + s[(t-1) mod 7] bit-for-bit
+    val s = Seq(0.0, 16.0, -8.0, 4.0, -4.0, 8.0, -16.0)
+    val daily = (1 to 21).map(t => ("a", t, 100.0 + s((t - 1) % 7)))
+      .toDF("series", "day", "y")
+    val out = Forecast.holtWinters(daily, "series", "day", "y")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size === 7)
+    for (h <- 1 to 7)
+      assert(out(h.toLong) === 100.0 + s((21 + h - 1) % 7),
+        s"h=$h got ${out(h.toLong)}")
+  }
+
+  test("holtWinters: series shorter than two cycles are dropped") {
+    import spark.implicits._
+    val daily = (1 to 13).map(t => ("short", t, 1.0 * t))
+      .toDF("series", "day", "y")
+    assert(Forecast.holtWinters(daily, "series", "day", "y").count() === 0L)
+  }
+
   test("periodStrength: an exact period-3 series maximizes at p=3") {
     import spark.implicits._
     // 12 days of [10, 20, 90] repeated: all variance is between phases
