@@ -560,7 +560,63 @@ object ReferenceQueries {
       Some("""SELECT count(*) AS n_orders,
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
              |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // STORAGE-PARTITIONED JOIN (round-12 DSv2 SupportsReportPartitioning):
+    // orders and customer land in cluster-loaded warehouse tables sharing
+    // a 64-bucket layout (`clusterBy` on pmod(custkey, 64) — one cluster
+    // value per committed file, recorded in the manifest), and the
+    // fact⋈dim equi-join including the bucket key runs WITHOUT any
+    // exchange: both scans report KeyGroupedPartitioning, Spark aligns
+    // the key groups (v2.bucketing), and the shuffle that would dominate
+    // a 100 TB join simply never exists (WarehouseSpjSpec pins the
+    // zero-ShuffleExchange plan; this row pins the VALUES against plain
+    // parquet at every SF).
+    QueryDef("join_warehouse_spj",
+      (s, dir) => {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        // the join keys are a SUPERSET of the cluster key (bucket +
+        // custkey): co-partitioning on the subset is exactly the bucketed
+        // layout's contract, so relax the all-keys requirement
+        s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        val orders = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            pmod(col("o_custkey"), lit(64L)).as("bucket"))
+        val cust = Tables.read(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            pmod(col("c_custkey"), lit(64L)).as("bucket"))
+        def fixture(df: org.apache.spark.sql.DataFrame, tag: String,
+            fpCols: Seq[String]): String = {
+          val fpRow = df.agg(count(lit(1)),
+            sum(hash(fpCols.map(col): _*))).head()
+          val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+            fpRow.getLong(1))}"
+          val path = s"/tmp/graft_wh_spj${tag}_${dir
+            .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+          if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+            Sink.overwrite(df.repartition(8, col("bucket")), path,
+              format = "graft-warehouse",
+              options = Map("clusterBy" -> "bucket"))
+          path
+        }
+        val op = fixture(orders, "o",
+          Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        val cp = fixture(cust, "c", Seq("c_custkey", "c_mktsegment"))
+        Sink.read(s, op, "graft-warehouse").as("o")
+          .join(Sink.read(s, cp, "graft-warehouse").as("c"),
+            col("o.bucket") === col("c.bucket") &&
+              col("o.o_custkey") === col("c.c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c.c_mktsegment, count(*) AS n_orders,
+             |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE), 2) AS total_price
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
   )
 
   private lazy val dateDimOracle: String =

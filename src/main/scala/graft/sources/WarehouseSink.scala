@@ -102,7 +102,8 @@ class WarehouseTable(path: String, schema0: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WarehouseWriteBuilder(path, info.schema(), info.queryId(),
       Option(info.options.get("writeDisposition"))
-        .getOrElse("WRITE_APPEND"))
+        .getOrElse("WRITE_APPEND"),
+      Option(info.options.get("clusterBy")))
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -110,7 +111,8 @@ class WarehouseTable(path: String, schema0: StructType,
 }
 
 class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
-    disposition0: String) extends WriteBuilder with SupportsTruncate {
+    disposition0: String, clusterBy: Option[String] = None)
+    extends WriteBuilder with SupportsTruncate {
   private var disposition = disposition0
 
   /** `mode("overwrite")` arrives here — Spark's truncate IS the
@@ -119,7 +121,7 @@ class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new WarehouseBatchWrite(path, schema, queryId, disposition)
+      new WarehouseBatchWrite(path, schema, queryId, disposition, clusterBy)
   }
 }
 
@@ -186,17 +188,33 @@ object ColStat {
 }
 
 case class StagedFile(path: String, rows: Long,
-    stats: Map[String, ColStat]) extends WriterCommitMessage
+    stats: Map[String, ColStat],
+    part: Option[String] = None) extends WriterCommitMessage
+
+/** A cluster-split task commits one message carrying ALL its per-value
+  * staged files. */
+case class StagedFiles(files: Seq[StagedFile]) extends WriterCommitMessage
 
 class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
-    disposition: String) extends BatchWrite {
+    disposition: String, clusterBy: Option[String] = None) extends BatchWrite {
   require(Set("WRITE_APPEND", "WRITE_TRUNCATE", "WRITE_EMPTY")(disposition),
     s"unknown writeDisposition $disposition")
+  clusterBy.foreach { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"clusterBy column $c not in ${schema.fieldNames.mkString(",")}"))
+    require(WarehousePart.SupportedTypes(f.dataType),
+      s"clusterBy $c: unsupported type ${f.dataType.simpleString} " +
+        "(string/long/int/date/timestamp only)")
+    require(!c.contains("|"), s"clusterBy $c: '|' collides with the " +
+      "manifest line separator")
+  }
   private val jobId = s"job_${queryId}_${java.util.UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new WarehouseWriterFactory(root, s"$root/_staging/$jobId", schema)
+    new WarehouseWriterFactory(root, s"$root/_staging/$jobId", schema,
+      clusterBy)
 
   /** THE LOAD JOB — driver-side, synchronous (`job.result()` semantics:
     * when this returns, the data is visible; when it throws, nothing
@@ -218,7 +236,20 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
           require(m.files.isEmpty,
             s"load job $jobId: WRITE_EMPTY but table holds data")
       }
-      val staged = messages.collect { case s: StagedFile => s }
+      // clusterBy consistency is part of the schema-drift contract: a
+      // partitioned table only accepts loads declaring the SAME layout
+      prev.foreach { m =>
+        require(m.clusterBy == clusterBy || m.files.isEmpty ||
+            disposition == "WRITE_TRUNCATE",
+          s"load job $jobId: clusterBy drift — table is " +
+            s"${m.clusterBy.getOrElse("unclustered")}, load is " +
+            s"${clusterBy.getOrElse("unclustered")}")
+      }
+      val staged = messages.flatMap {
+        case s: StagedFile => Seq(s)
+        case StagedFiles(fsx) => fsx
+        case _ => Nil
+      }
       val dataDir = new Path(root, s"data/$jobId")
       fs.mkdirs(dataDir)
       val moved = staged.map { s =>
@@ -226,7 +257,7 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
         val dst = new Path(dataDir, src.getName)
         require(fs.rename(src, dst),
           s"load job $jobId: cannot move staged ${s.path}")
-        (s"data/$jobId/${src.getName}", s.stats, s.rows)
+        (s"data/$jobId/${src.getName}", s.stats, s.rows, s.part)
       }
       val kept =
         if (disposition == "WRITE_TRUNCATE") Nil
@@ -237,11 +268,18 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
       val keptRows =
         if (disposition == "WRITE_TRUNCATE") Map.empty[String, Long]
         else prev.map(_.rows).getOrElse(Map.empty)
+      val keptParts =
+        if (disposition == "WRITE_TRUNCATE") Map.empty[String, String]
+        else prev.map(_.parts).getOrElse(Map.empty)
       val gen = prev.map(_.generation + 1).getOrElse(0L)
       WarehouseMeta.writeManifest(fs, root,
         Manifest(gen, schema, kept ++ moved.map(_._1).toList, jobId,
           disposition, keptStats ++ moved.map(m => m._1 -> m._2).toMap,
-          keptRows ++ moved.map(m => m._1 -> m._3).toMap))
+          keptRows ++ moved.map(m => m._1 -> m._3).toMap,
+          clusterBy,
+          keptParts ++ moved.collect {
+            case (f, _, _, Some(p)) => f -> p
+          }.toMap))
       fs.delete(new Path(root, s"_staging/$jobId"), true)
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
@@ -259,11 +297,44 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
 }
 
 class WarehouseWriterFactory(root: String, stagingDir: String,
-    schema: StructType) extends DataWriterFactory {
+    schema: StructType, clusterBy: Option[String] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] =
-    new WarehouseDataWriter(
+      taskId: Long): DataWriter[InternalRow] = clusterBy match {
+    case None => new WarehouseDataWriter(
       s"$stagingDir/part-$partitionId-$taskId.grow", root, schema)
+    case Some(c) => new WarehouseClusterWriter(
+      s"$stagingDir/part-$partitionId-$taskId", root, schema, c)
+  }
+}
+
+/** Cluster-splitting task writer (storage-partitioned layout): routes
+  * each row to a per-cluster-value [[WarehouseDataWriter]] (one staging
+  * file per distinct value seen by this task), so every committed file
+  * holds EXACTLY ONE cluster value — the invariant the scan's
+  * KeyGroupedPartitioning report rests on. Value count per task is the
+  * column's cardinality: this layout is for LOW-CARDINALITY cluster
+  * keys (the Hive-partition/bucket regime), which is also the only
+  * regime where storage-partitioned joins pay off.
+  */
+class WarehouseClusterWriter(fileBase: String, root: String,
+    schema: StructType, clusterBy: String) extends DataWriter[InternalRow] {
+  private val ci = schema.fieldNames.indexOf(clusterBy)
+  private val dt = schema(ci).dataType
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, WarehouseDataWriter]
+
+  override def write(record: InternalRow): Unit = {
+    val key = WarehousePart.encode(record, ci, dt)
+    writers.getOrElseUpdate(key, new WarehouseDataWriter(
+      s"$fileBase-c${writers.size}.grow", root, schema, Some(key)))
+      .write(record)
+  }
+  override def commit(): WriterCommitMessage =
+    StagedFiles(writers.values.toSeq.map(
+      _.commit().asInstanceOf[StagedFile]))
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 /** Task-side staged writer: streams the partition through the row codec
@@ -271,7 +342,8 @@ class WarehouseWriterFactory(root: String, stagingDir: String,
   * deletes it. Speculative twins collide on distinct taskIds, and only
   * the committed message's file is ever loaded.
   */
-class WarehouseDataWriter(file: String, root: String, schema: StructType)
+class WarehouseDataWriter(file: String, root: String, schema: StructType,
+    part: Option[String] = None)
     extends DataWriter[InternalRow] {
   private val fs = WarehouseMeta.fs(root)
   private val out = new DataOutputStream(
@@ -343,7 +415,7 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType)
           ColStat.truncLo(smins(j).getBytes),
           ColStat.truncHi(smaxs(j).getBytes)): ColStat)
     }
-    StagedFile(file, rows, (longStats ++ strStats).toMap)
+    StagedFile(file, rows, (longStats ++ strStats).toMap, part)
   }
   override def abort(): Unit = {
     out.close()
@@ -514,19 +586,63 @@ class WarehouseAggReaderFactory(row: InternalRow)
 }
 
 class WarehouseScan(root: String, manifest: Manifest, required: StructType,
-    filters: Array[Filter]) extends Scan with Batch {
+    filters: Array[Filter]) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  private def surviving: List[String] = manifest.files.filter { f =>
+    val stats = manifest.stats.getOrElse(f, Map.empty)
+    filters.forall(WarehouseZoneMap.mightMatch(_, stats))
+  }
+
+  /** The cluster layout is reportable iff EVERY committed file carries a
+    * part value (pre-SPJ files would break the one-value-per-file
+    * invariant) and the cluster column survives pruning (Spark resolves
+    * the identity transform against the scan OUTPUT). */
+  private def clustered: Option[(String, DataType)] =
+    manifest.clusterBy
+      .filter(c => manifest.files.forall(manifest.parts.contains) &&
+        required.fieldNames.contains(c))
+      .flatMap(c => manifest.schema.fields.find(_.name == c)
+        .map(f => (c, f.dataType)))
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val surviving = manifest.files.filter { f =>
-      val stats = manifest.stats.getOrElse(f, Map.empty)
-      filters.forall(WarehouseZoneMap.mightMatch(_, stats))
+
+  /** Storage-partitioned-join face: a table loaded with a `clusterBy`
+    * option reports KeyGroupedPartitioning over the identity transform of
+    * the cluster column, so two co-clustered warehouse tables equi-join
+    * WITHOUT a shuffle (`spark.sql.sources.v2.bucketing.enabled=true`) —
+    * at 100 TB, the exchange this kills is the whole cost of the join.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    clustered match {
+      case Some((c, _)) =>
+        val n = surviving.flatMap(manifest.parts.get).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c)), math.max(n, 1))
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
     }
-    WarehouseScanStats.lastPlannedFiles = surviving.size
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val sv = surviving
+    WarehouseScanStats.lastPlannedFiles = sv.size
     WarehouseScanStats.lastReadSchema = required.simpleString
     WarehouseScanStats.lastAggServed = false
-    surviving.map(f => WarehousePartition(s"$root/$f"): InputPartition)
-      .toArray
+    clustered match {
+      case Some((_, dt)) =>
+        sv.groupBy(manifest.parts).toArray.sortBy(_._1).map {
+          case (enc, files) =>
+            WarehouseGroupPartition(files.map(f => s"$root/$f"), enc, dt)
+              : InputPartition
+        }
+      case None =>
+        sv.map(f => WarehousePartition(s"$root/$f"): InputPartition).toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarehouseReaderFactory(root, manifest.schema, required)
@@ -641,27 +757,52 @@ object WarehouseZoneMap {
 
 case class WarehousePartition(file: String) extends InputPartition
 
+/** One key-group of a cluster-partitioned table: every file holds the
+  * same cluster value, surfaced to Spark's storage-partitioned-join
+  * machinery via [[HasPartitionKey]]. */
+case class WarehouseGroupPartition(files: Seq[String], encoded: String,
+    dt: DataType) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array(WarehousePart.keyValue(encoded, dt)))
+}
+
 class WarehouseReaderFactory(root: String, fullSchema: StructType,
     required: StructType) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[WarehousePartition].file
+    val files = partition match {
+      case WarehousePartition(f) => Seq(f)
+      case WarehouseGroupPartition(fs, _, _) => fs
+      case other => throw new IllegalStateException(
+        s"unexpected partition $other")
+    }
     // map each full-schema ordinal to its slot in the pruned row (-1 = skip)
     val slot: Array[Int] = fullSchema.fields.map(f =>
       required.fieldNames.indexOf(f.name))
     new PartitionReader[InternalRow] {
       private val fs = WarehouseMeta.fs(root)
-      private val in = new DataInputStream(
-        new java.io.BufferedInputStream(fs.open(new Path(file))))
-      require(in.readInt() == WarehouseCodec.Magic,
-        s"not a graft-warehouse data file: $file")
+      private val queue = scala.collection.mutable.Queue(files: _*)
+      private var in: DataInputStream = _
       private var row: InternalRow = _
+      private def openNext(): Boolean =
+        if (queue.isEmpty) false
+        else {
+          val file = queue.dequeue()
+          in = new DataInputStream(
+            new java.io.BufferedInputStream(fs.open(new Path(file))))
+          require(in.readInt() == WarehouseCodec.Magic,
+            s"not a graft-warehouse data file: $file")
+          true
+        }
       override def next(): Boolean = {
+        if (in == null && !openNext()) return false
         row = WarehouseCodec.readRowProjected(in, fullSchema, required, slot)
-        row != null
+        if (row != null) true
+        else { in.close(); in = null; next() }
       }
       override def get(): InternalRow = row
-      override def close(): Unit = in.close()
+      override def close(): Unit = if (in != null) in.close()
     }
   }
 }
@@ -671,7 +812,46 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
 case class Manifest(generation: Long, schema: StructType,
     files: List[String], jobId: String, disposition: String,
     stats: Map[String, Map[String, ColStat]] = Map.empty,
-    rows: Map[String, Long] = Map.empty)
+    rows: Map[String, Long] = Map.empty,
+    clusterBy: Option[String] = None,
+    parts: Map[String, String] = Map.empty)
+
+/** Cluster-value codec for manifest `fpart` lines and HasPartitionKey
+  * rows: `n` encodes NULL; `v<base64(utf8)>` encodes a present value in
+  * its canonical string form (raw string bytes for StringType, decimal
+  * text for integral types). Base64 keeps arbitrary string values
+  * line-safe in the keyed-line manifest.
+  */
+object WarehousePart {
+  private val enc = java.util.Base64.getEncoder
+  private val dec = java.util.Base64.getDecoder
+
+  val SupportedTypes: Set[DataType] = Set(StringType, LongType, IntegerType,
+    DateType, TimestampType, TimestampNTZType)
+
+  def encode(row: InternalRow, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) "n"
+    else {
+      val s = dt match {
+        case StringType => row.getUTF8String(i).toString
+        case IntegerType | DateType => row.getInt(i).toString
+        case _ => row.getLong(i).toString
+      }
+      "v" + enc.encodeToString(s.getBytes("UTF-8"))
+    }
+
+  /** The partition-key value in InternalRow representation. */
+  def keyValue(encoded: String, dt: DataType): Any =
+    if (encoded == "n") null
+    else {
+      val s = new String(dec.decode(encoded.substring(1)), "UTF-8")
+      dt match {
+        case StringType => UTF8String.fromString(s)
+        case IntegerType | DateType => s.toInt
+        case _ => s.toLong
+      }
+    }
+}
 
 /** Manifest layer: one `manifest-<gen>` file per committed load job under
   * `_manifest/`, written to a dot-temp name and atomically renamed; the
@@ -739,10 +919,19 @@ object WarehouseMeta {
       .map(_.substring(6).split('|'))
       .collect { case Array(f, n) => f -> n.toLong }
       .toMap
+    // storage-partitioning metadata (round-12 SPJ): the cluster column
+    // plus one encoded value per file
+    val clusterBy = lines.collectFirst {
+      case l if l.startsWith("clusterby=") => l.substring(10)
+    }
+    val parts = lines.filter(_.startsWith("fpart="))
+      .map(_.substring(6).split('|'))
+      .collect { case Array(f, v) => f -> v }
+      .toMap
     Some(Manifest(gen,
       DataType.fromJson(one("schema")).asInstanceOf[StructType],
       lines.filter(_.startsWith("file=")).map(_.substring(5)),
-      one("job"), one("disposition"), stats, rowCounts))
+      one("job"), one("disposition"), stats, rowCounts, clusterBy, parts))
   }
 
   def writeManifest(f: FileSystem, root: String, m: Manifest): Unit = {
@@ -764,10 +953,14 @@ object WarehouseMeta {
       }
       val rowLines = m.rows.toList.sortBy(_._1)
         .collect { case (f, n) if !f.contains("|") => s"frows=$f|$n" }
+      val partLines = m.parts.toList.sortBy(_._1)
+        .collect { case (f, v) if !f.contains("|") => s"fpart=$f|$v" }
+      val clusterLine = m.clusterBy.map(c => s"clusterby=$c").toList
       val body = (s"schema=${m.schema.json}" ::
         s"job=${m.jobId}" ::
         s"disposition=${m.disposition}" ::
-        (m.files.map(p => s"file=$p") ++ statLines ++ rowLines))
+        (clusterLine ++ m.files.map(p => s"file=$p") ++ statLines ++
+          rowLines ++ partLines))
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
