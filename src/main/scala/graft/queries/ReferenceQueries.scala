@@ -544,7 +544,10 @@ object ReferenceQueries {
             col("o_totalprice")))).head()
         val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
           fpRow.getLong(1))}"
-        val path = s"/tmp/graft_wh_ordagg_${dir
+        // v2 suffix: the fixture must carry the fnn/fsum manifest lines
+        // (an older fixture would gracefully refuse the SUM/COUNT(col)
+        // serve and fall back to a real scan — correct but unexercised)
+        val path = s"/tmp/graft_wh_ordagg2_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
           Sink.overwrite(
@@ -555,11 +558,15 @@ object ReferenceQueries {
             min(col("o_orderkey")).as("min_key"),
             max(col("o_orderkey")).as("max_key"),
             min(col("o_custkey")).as("min_cust"),
-            max(col("o_custkey")).as("max_cust"))
+            max(col("o_custkey")).as("max_cust"),
+            sum(col("o_orderkey")).as("sum_key"),
+            count(col("o_custkey")).as("n_cust"))
       },
       Some("""SELECT count(*) AS n_orders,
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-             |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+             |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  count(o_custkey) AS n_cust
              |FROM orders""".stripMargin)),
 
     // STORAGE-PARTITIONED JOIN (round-12 DSv2 SupportsReportPartitioning):

@@ -189,7 +189,9 @@ object ColStat {
 
 case class StagedFile(path: String, rows: Long,
     stats: Map[String, ColStat],
-    part: Option[String] = None) extends WriterCommitMessage
+    part: Option[String] = None,
+    nonNull: Map[String, Long] = Map.empty,
+    sums: Map[String, Long] = Map.empty) extends WriterCommitMessage
 
 /** A cluster-split task commits one message carrying ALL its per-value
   * staged files. */
@@ -257,29 +259,24 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
         val dst = new Path(dataDir, src.getName)
         require(fs.rename(src, dst),
           s"load job $jobId: cannot move staged ${s.path}")
-        (s"data/$jobId/${src.getName}", s.stats, s.rows, s.part)
+        (s"data/$jobId/${src.getName}", s)
       }
-      val kept =
-        if (disposition == "WRITE_TRUNCATE") Nil
-        else prev.map(_.files).getOrElse(Nil)
-      val keptStats =
-        if (disposition == "WRITE_TRUNCATE") Map.empty[String, Map[String, ColStat]]
-        else prev.map(_.stats).getOrElse(Map.empty)
-      val keptRows =
-        if (disposition == "WRITE_TRUNCATE") Map.empty[String, Long]
-        else prev.map(_.rows).getOrElse(Map.empty)
-      val keptParts =
-        if (disposition == "WRITE_TRUNCATE") Map.empty[String, String]
-        else prev.map(_.parts).getOrElse(Map.empty)
+      val truncate = disposition == "WRITE_TRUNCATE"
+      val kept = if (truncate) Nil else prev.map(_.files).getOrElse(Nil)
+      def keep[V](get: Manifest => Map[String, V]): Map[String, V] =
+        if (truncate) Map.empty else prev.map(get).getOrElse(Map.empty)
       val gen = prev.map(_.generation + 1).getOrElse(0L)
       WarehouseMeta.writeManifest(fs, root,
         Manifest(gen, schema, kept ++ moved.map(_._1).toList, jobId,
-          disposition, keptStats ++ moved.map(m => m._1 -> m._2).toMap,
-          keptRows ++ moved.map(m => m._1 -> m._3).toMap,
+          disposition,
+          keep(_.stats) ++ moved.map(m => m._1 -> m._2.stats).toMap,
+          keep(_.rows) ++ moved.map(m => m._1 -> m._2.rows).toMap,
           clusterBy,
-          keptParts ++ moved.collect {
-            case (f, _, _, Some(p)) => f -> p
-          }.toMap))
+          keep(_.parts) ++ moved.collect {
+            case (f, s) if s.part.isDefined => f -> s.part.get
+          }.toMap,
+          keep(_.nonNull) ++ moved.map(m => m._1 -> m._2.nonNull).toMap,
+          keep(_.sums) ++ moved.map(m => m._1 -> m._2.sums).toMap))
       fs.delete(new Path(root, s"_staging/$jobId"), true)
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
@@ -373,6 +370,16 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType,
   }
   private val smins = new Array[UTF8String](strIdx.length)
   private val smaxs = new Array[UTF8String](strIdx.length)
+  // per-column non-null counts (every column — serves COUNT(col)
+  // pushdown) and overflow-guarded sums of the summable integral columns
+  // (long/int — serves SUM(col) pushdown; overflow drops the stat, which
+  // downstream reads as "not provable, fall back to a real scan")
+  private val nonNull = new Array[Long](schema.length)
+  private val sumIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i
+  }
+  private val sums = new Array[Long](sumIdx.length)
+  private val sumOverflow = new Array[Boolean](sumIdx.length)
 
   override def write(record: InternalRow): Unit = {
     WarehouseCodec.writeRow(out, record, schema)
@@ -386,6 +393,24 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType,
         }
         if (v < mins(j)) mins(j) = v
         if (v > maxs(j)) maxs(j) = v
+      }
+      j += 1
+    }
+    j = 0
+    while (j < schema.length) {
+      if (!record.isNullAt(j)) nonNull(j) += 1
+      j += 1
+    }
+    j = 0
+    while (j < sumIdx.length) {
+      val i = sumIdx(j)
+      if (!sumOverflow(j) && !record.isNullAt(i)) {
+        val v = schema(i).dataType match {
+          case IntegerType => record.getInt(i).toLong
+          case _ => record.getLong(i)
+        }
+        try sums(j) = Math.addExact(sums(j), v)
+        catch { case _: ArithmeticException => sumOverflow(j) = true }
       }
       j += 1
     }
@@ -415,7 +440,13 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType,
           ColStat.truncLo(smins(j).getBytes),
           ColStat.truncHi(smaxs(j).getBytes)): ColStat)
     }
-    StagedFile(file, rows, (longStats ++ strStats).toMap, part)
+    val nnMap = schema.fields.indices
+      .map(i => schema(i).name -> nonNull(i)).toMap
+    val sumMap = sumIdx.indices.collect {
+      case j if !sumOverflow(j) => schema(sumIdx(j)).name -> sums(j)
+    }.toMap
+    StagedFile(file, rows, (longStats ++ strStats).toMap, part, nnMap,
+      sumMap)
   }
   override def abort(): Unit = {
     out.close()
@@ -473,12 +504,12 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** MIN/MAX/COUNT(*) answered from the manifest zone maps — the scan
-    * plans ZERO data files; at 100 TB this is the difference between a
-    * metadata lookup and a full-table read. Partial-pushdown contract
-    * (supportCompletePushDown stays false): the scan emits ONE row of
-    * per-source partials and Spark's final aggregate merges it, so a
-    * wrong refusal can never change results, only cost.
+  /** MIN/MAX/SUM/COUNT(col)/COUNT(*) answered from manifest metadata —
+    * the scan plans ZERO data files; at 100 TB this is the difference
+    * between a metadata lookup and a full-table read. Partial-pushdown
+    * contract (supportCompletePushDown stays false): the scan emits ONE
+    * row of per-source partials and Spark's final aggregate merges it,
+    * so a wrong refusal can never change results, only cost.
     *
     * Servable iff every requested aggregate is provably exact from
     * metadata:
@@ -491,22 +522,31 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
     *    nothing, exactly like the real aggregate). String stats are
     *    TRUNCATED bounds — never servable. '|'-named columns are
     *    excluded from manifest stat lines — refuse those too;
-    *  - COUNT(*): per-file row counts present for EVERY file (absent in
-    *    pre-round-12 manifests → refuse, fall back to a real scan).
+    *  - COUNT(*): per-file row counts present for EVERY file;
+    *  - COUNT(col): per-file non-null counts (fnn) present for EVERY
+    *    file; DISTINCT refuses;
+    *  - SUM(col): long/int column, fnn everywhere, and each file with
+    *    non-null rows carries its overflow-guarded fsum (a per-file or
+    *    cross-file overflow refuses — fall back to the real scan rather
+    *    than serve a wrapped value). All-null SUM is NULL, like the real
+    *    aggregate.
+    * Any metadata line absent (pre-upgrade manifests) → refuse, fall
+    * back to a real scan: correctness never rests on manifest vintage.
     */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
     val integral = Set[DataType](LongType, IntegerType, DateType,
       TimestampType, TimestampNTZType)
-    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression,
+        types: DataType => Boolean)
         : Option[StructField] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
         manifest.schema.fields.find(_.name == r.fieldNames()(0))
-          .filter(f => integral(f.dataType) && !f.name.contains("|"))
+          .filter(f => types(f.dataType) && !f.name.contains("|"))
       case _ => None
     }
     def bound(name: String, takeHi: Boolean): Option[Long] = {
@@ -524,6 +564,32 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
         case _ => x
       }
     }
+    // non-null count of `name` summed over every file — None unless every
+    // file carries the round-12 fnn line (pre-upgrade manifests refuse)
+    def nnTotal(name: String): Option[Long] = {
+      val per = manifest.files.map(f =>
+        manifest.nonNull.getOrElse(f, Map.empty).get(name))
+      if (per.exists(_.isEmpty)) None
+      else Some(per.flatten.sum)
+    }
+    // exact SUM(name): every file needs fnn; a file with non-null rows
+    // additionally needs its fsum (missing = per-file overflow); the
+    // cross-file total is overflow-guarded too
+    def sumTotal(name: String): Option[Option[Long]] =
+      nnTotal(name).flatMap { nn =>
+        if (nn == 0) Some(None) // SUM over no non-null rows is NULL
+        else {
+          val per = manifest.files.map { f =>
+            val n = manifest.nonNull.getOrElse(f, Map.empty)
+              .getOrElse(name, 0L)
+            if (n == 0) Some(0L)
+            else manifest.sums.getOrElse(f, Map.empty).get(name)
+          }
+          if (per.exists(_.isEmpty)) None
+          else try Some(Some(per.flatten.foldLeft(0L)(Math.addExact)))
+          catch { case _: ArithmeticException => None }
+        }
+      }
     val fields = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         if (manifest.files.forall(manifest.rows.contains)) {
@@ -531,12 +597,22 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
           Some((StructField("COUNT(*)", LongType, nullable = false),
             n: Any))
         } else None
-      case m: Min => colOf(m.column).map(f =>
+      case m: Min => colOf(m.column, integral).map(f =>
         (StructField(s"MIN(${f.name})", f.dataType),
           internal(f, bound(f.name, takeHi = false))))
-      case m: Max => colOf(m.column).map(f =>
+      case m: Max => colOf(m.column, integral).map(f =>
         (StructField(s"MAX(${f.name})", f.dataType),
           internal(f, bound(f.name, takeHi = true))))
+      case c: Count if !c.isDistinct =>
+        colOf(c.column, _ => true).flatMap(f =>
+          nnTotal(f.name).map(n =>
+            (StructField(s"COUNT(${f.name})", LongType, nullable = false),
+              n: Any)))
+      case s: Sum if !s.isDistinct =>
+        colOf(s.column, dt => dt == LongType || dt == IntegerType)
+          .flatMap(f => sumTotal(f.name).map(v =>
+            (StructField(s"SUM(${f.name})", LongType),
+              v.map(x => x: Any).orNull)))
       case _ => None
     }
     if (fields.exists(_.isEmpty)) return false
@@ -814,7 +890,9 @@ case class Manifest(generation: Long, schema: StructType,
     stats: Map[String, Map[String, ColStat]] = Map.empty,
     rows: Map[String, Long] = Map.empty,
     clusterBy: Option[String] = None,
-    parts: Map[String, String] = Map.empty)
+    parts: Map[String, String] = Map.empty,
+    nonNull: Map[String, Map[String, Long]] = Map.empty,
+    sums: Map[String, Map[String, Long]] = Map.empty)
 
 /** Cluster-value codec for manifest `fpart` lines and HasPartitionKey
   * rows: `n` encodes NULL; `v<base64(utf8)>` encodes a present value in
@@ -928,10 +1006,19 @@ object WarehouseMeta {
       .map(_.substring(6).split('|'))
       .collect { case Array(f, v) => f -> v }
       .toMap
+    // per-file per-column non-null counts + overflow-guarded integral
+    // sums (round-12 SUM/COUNT(col) pushdown; absent = unknown)
+    def perFileCol(prefix: String): Map[String, Map[String, Long]] =
+      lines.filter(_.startsWith(prefix))
+        .map(_.substring(prefix.length).split('|'))
+        .collect { case Array(f, c, n) => (f, c, n.toLong) }
+        .groupBy(_._1)
+        .map { case (f, rs) => f -> rs.map(r => r._2 -> r._3).toMap }
     Some(Manifest(gen,
       DataType.fromJson(one("schema")).asInstanceOf[StructType],
       lines.filter(_.startsWith("file=")).map(_.substring(5)),
-      one("job"), one("disposition"), stats, rowCounts, clusterBy, parts))
+      one("job"), one("disposition"), stats, rowCounts, clusterBy, parts,
+      perFileCol("fnn="), perFileCol("fsum=")))
   }
 
   def writeManifest(f: FileSystem, root: String, m: Manifest): Unit = {
@@ -956,11 +1043,17 @@ object WarehouseMeta {
       val partLines = m.parts.toList.sortBy(_._1)
         .collect { case (f, v) if !f.contains("|") => s"fpart=$f|$v" }
       val clusterLine = m.clusterBy.map(c => s"clusterby=$c").toList
+      def perFileCol(prefix: String,
+          mm: Map[String, Map[String, Long]]): List[String] = for {
+        (f, cols) <- mm.toList.sortBy(_._1) if !f.contains("|")
+        (c, n) <- cols.toList.sortBy(_._1) if !c.contains("|")
+      } yield s"$prefix$f|$c|$n"
       val body = (s"schema=${m.schema.json}" ::
         s"job=${m.jobId}" ::
         s"disposition=${m.disposition}" ::
         (clusterLine ++ m.files.map(p => s"file=$p") ++ statLines ++
-          rowLines ++ partLines))
+          rowLines ++ partLines ++ perFileCol("fnn=", m.nonNull) ++
+          perFileCol("fsum=", m.sums)))
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()

@@ -54,7 +54,7 @@ class WarehouseAggSpec extends SparkSpec {
     assert(row.getLong(0) === 4L && row.getLong(1) === 3L)
   }
 
-  test("group-by, string min, and count(col) refuse; values match a " +
+  test("group-by, string min, and sum(distinct) refuse; values match a " +
     "parquet-side recompute") {
     val path = fresh("refuse")
     val t = table(path)
@@ -62,9 +62,53 @@ class WarehouseAggSpec extends SparkSpec {
     assert(!WarehouseScanStats.lastAggServed && g.length === 4)
     val sm = t.agg(min("name")).collect().head.getString(0)
     assert(!WarehouseScanStats.lastAggServed && sm === "apple")
-    // count(col) needs null counts the manifest doesn't carry
-    val cc = t.agg(count(col("opt"))).collect().head.getLong(0)
-    assert(!WarehouseScanStats.lastAggServed && cc === 2L)
+    val sd = t.agg(sum_distinct(col("v"))).collect().head.getLong(0)
+    assert(!WarehouseScanStats.lastAggServed && sd === 55L)
+  }
+
+  test("count(col) and sum(col) serve from per-file non-null counts and " +
+    "overflow-guarded sums") {
+    val path = fresh("sums")
+    val t = table(path)
+    val row = t.agg(count(col("opt")).as("c"), sum("opt").as("so"),
+      sum("v").as("sv"), sum("k").as("sk")).collect().head
+    assert(WarehouseScanStats.lastAggServed,
+      "count(col)/sum must be answered from metadata")
+    assert(row.getLong(0) === 2L)      // nulls excluded
+    assert(row.getLong(1) === 107L)    // 100 + 7, nulls skipped
+    assert(row.getLong(2) === 55L)     // int column sums as long
+    assert(row.getLong(3) === 20L)
+  }
+
+  test("sum over an all-null column is NULL from metadata, like the real " +
+    "aggregate") {
+    import spark.implicits._
+    val path = fresh("sumnull")
+    val df = Seq((1L, None: Option[Long]), (2L, None)).toDF("k", "empty")
+    Sink.overwrite(df, path, format = "graft-warehouse")
+    val row = Sink.read(spark, path, "graft-warehouse")
+      .agg(sum("empty").as("s"), count(col("empty")).as("c"))
+      .collect().head
+    assert(WarehouseScanStats.lastAggServed)
+    assert(row.isNullAt(0) && row.getLong(1) === 0L)
+  }
+
+  test("a per-file sum overflow refuses the pushdown and still answers " +
+    "from data") {
+    import spark.implicits._
+    val path = fresh("overflow")
+    val df = Seq((1L, Long.MaxValue), (2L, Long.MaxValue), (3L, -5L))
+      .toDF("k", "big")
+    // one partition => one file accumulates MaxValue twice -> overflow
+    Sink.overwrite(df.coalesce(1), path, format = "graft-warehouse")
+    val got = Sink.read(spark, path, "graft-warehouse")
+      .agg(sum(col("big") / 4).as("s")).collect().head.getDouble(0)
+    assert(!WarehouseScanStats.lastAggServed)
+    // metadata sum for `big` itself must have been dropped, so a direct
+    // sum(big) falls back to a real scan as well
+    Sink.read(spark, path, "graft-warehouse").agg(sum("big")).collect()
+    assert(!WarehouseScanStats.lastAggServed)
+    assert(got === (Long.MaxValue.toDouble / 4) * 2 + (-5.0 / 4))
   }
 
   test("all-null integral column: min/max are null from metadata, like " +
