@@ -4,7 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
-import graft.core.Tables
+import graft.QueryDef.Sql
+import graft.core.{GraftFunctions, Tables}
 
 /** Round-12 fourth wave: statistical diagnostics a curation/analytics
   * pipeline runs before trusting its data — model-lift tables, survival
@@ -384,6 +385,116 @@ object StatQueries {
              |  CAST(sum(words) AS BIGINT) AS total_words,
              |  CAST(sum(words) * 100 // count(*) AS BIGINT) AS avg_words_c,
              |  CAST(max(words) AS BIGINT) AS max_words
-             |FROM w GROUP BY source ORDER BY source""".stripMargin))
+             |FROM w GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Differentially-private release of the per-language document census:
+    // Laplace(1/ε) noise via the inverse CDF over a DETERMINISTIC
+    // per-group uniform (the 63-bit md5 hash of the group key, scaled
+    // from its low 52 bits — both engines derive the identical double, so
+    // the "random" mechanism is oracle-gated like everything else; a
+    // production release would swap the seed for a secret). ε = 1,
+    // sensitivity 1 (one document changes one count by one). The noisy
+    // census is the only output — the true counts never leave the query.
+    QueryDef("curation_dp_counts",
+      (s, dir) => {
+        val eps = 1.0
+        val g = Tables.read(s, dir, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+        val u = pmod(GraftFunctions.hash64(
+            concat(lit("dp|"), col("lang"))), lit(4503599627370496L))
+          .cast("double") / lit(4503599627370496.0)
+        val v = u - lit(0.5)
+        val noise = (lit(-1.0) / eps) *
+          when(v >= 0, lit(1.0)).otherwise(lit(-1.0)) *
+          log(lit(1.0) - lit(2.0) * abs(v))
+        g.select(col("lang"),
+            round(col("n") + noise, 4).as("noisy_count"),
+            lit(eps).as("epsilon"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH g AS (SELECT lang, count(*) AS n FROM documents
+              |  GROUP BY 1),
+              |u AS (SELECT lang, n,
+              |    CAST(${Sql.hash64("'dp|' || lang")} % 4503599627370496
+              |      AS DOUBLE) / 4503599627370496.0 AS u01
+              |  FROM g)
+              |SELECT lang,
+              |  round(n + (-1.0 / 1.0) *
+              |    (CASE WHEN u01 - 0.5 >= 0 THEN 1.0 ELSE -1.0 END) *
+              |    ln(1.0 - 2.0 * abs(u01 - 0.5)), 4) AS noisy_count,
+              |  CAST(1.0 AS DOUBLE) AS epsilon
+              |FROM u ORDER BY lang""".stripMargin)),
+
+    // Zipf-law fit over the top-100 vocabulary: least-squares slope of
+    // ln(tf) on ln(rank) — the corpus-health diagnostic (natural prose
+    // sits near −1; generated/boilerplate corpora drift). The rank window
+    // is a 100-row post-TakeOrdered head; the regression sums are 12-dp
+    // rounded + decimal-summed so both engines agree at 6 dp.
+    QueryDef("text_zipf_fit",
+      (s, dir) => {
+        val top = graft.ops.TextOps.withTokens(
+            Tables.read(s, dir, "documents"))
+          .select(explode(col("t")).as("token"))
+          .filter(length(col("token")) >= 2)
+          .groupBy("token").agg(count(lit(1)).as("tf"))
+          .orderBy(desc("tf"), col("token"))
+          .limit(100)
+        val xy = top
+          .withColumn("r", row_number()
+            .over(Window.orderBy(desc("tf"), col("token"))).cast("long"))
+          .select(round(log(col("r").cast("double")), 12)
+              .cast("decimal(28,12)").as("x"),
+            round(log(col("tf").cast("double")), 12)
+              .cast("decimal(28,12)").as("y"),
+            round(log(col("r").cast("double")) *
+              log(col("tf").cast("double")), 12)
+              .cast("decimal(28,12)").as("xy"),
+            round(log(col("r").cast("double")) *
+              log(col("r").cast("double")), 12)
+              .cast("decimal(28,12)").as("xx"))
+        xy.agg(count(lit(1)).as("n_terms"),
+            sum("x").cast("double").as("sx"),
+            sum("y").cast("double").as("sy"),
+            sum("xy").cast("double").as("sxy"),
+            sum("xx").cast("double").as("sxx"))
+          .select(col("n_terms"),
+            round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("zipf_slope"),
+            round((col("sy") - (col("n_terms") * col("sxy") -
+              col("sx") * col("sy")) /
+              (col("n_terms") * col("sxx") - col("sx") * col("sx")) *
+              col("sx")) / col("n_terms"), 6).as("intercept"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split_regex(lower(trim(text)),
+             |    '\s+')) AS token
+             |  FROM documents),
+             |top AS (SELECT token, count(*) AS tf FROM toks
+             |  WHERE length(token) >= 2
+             |  GROUP BY token ORDER BY tf DESC, token LIMIT 100),
+             |rk AS (SELECT tf, CAST(row_number() OVER
+             |    (ORDER BY tf DESC, token) AS BIGINT) AS r FROM top),
+             |xy AS (SELECT
+             |    CAST(round(ln(CAST(r AS DOUBLE)), 12)
+             |      AS DECIMAL(28,12)) AS x,
+             |    CAST(round(ln(CAST(tf AS DOUBLE)), 12)
+             |      AS DECIMAL(28,12)) AS y,
+             |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(tf AS DOUBLE)),
+             |      12) AS DECIMAL(28,12)) AS xy,
+             |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)),
+             |      12) AS DECIMAL(28,12)) AS xx
+             |  FROM rk),
+             |a AS (SELECT count(*) AS n_terms,
+             |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             |    CAST(sum(xy) AS DOUBLE) AS sxy,
+             |    CAST(sum(xx) AS DOUBLE) AS sxx
+             |  FROM xy)
+             |SELECT n_terms,
+             |  round((n_terms * sxy - sx * sy) /
+             |    (n_terms * sxx - sx * sx), 6) AS zipf_slope,
+             |  round((sy - (n_terms * sxy - sx * sy) /
+             |    (n_terms * sxx - sx * sx) * sx) / n_terms, 6) AS intercept
+             |FROM a""".stripMargin))
   )
 }

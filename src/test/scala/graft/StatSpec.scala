@@ -130,6 +130,34 @@ class StatSpec extends SparkSpec {
       maxCnt * counts.length * 10000 / nRows)
   }
 
+  test("curation_dp_counts: noise is Laplace-bounded, deterministic, and " +
+    "never exposes the exact count") {
+    val a = run("curation_dp_counts").collect()
+    val b = run("curation_dp_counts").collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "the seeded mechanism is deterministic")
+    val truth = Tables.read(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- a) {
+      val noisy = r.getAs[Double]("noisy_count")
+      val t = truth(r.getString(0)).toDouble
+      // the 52-bit uniform bounds |noise| by ln(2^52)/eps ~= 36.05
+      assert(math.abs(noisy - t) <= 37.0, s"${r.getString(0)}: $noisy vs $t")
+      assert(noisy != t, "noise must actually perturb the count")
+    }
+  }
+
+  test("text_zipf_fit: top-100 vocab fits a negative power law") {
+    val r = run("text_zipf_fit").collect().head
+    // the tiny SF's vocabulary is smaller than the 100-term cap
+    assert(r.getAs[Long]("n_terms") >= 10L &&
+      r.getAs[Long]("n_terms") <= 100L)
+    assert(r.getAs[Double]("zipf_slope") < 0.0,
+      "frequency must fall with rank")
+    assert(r.getAs[Double]("intercept") > 0.0)
+  }
+
   test("text_sentence_stats: every sentence has a word; avg is the exact " +
     "centi-word ratio") {
     val rows = run("text_sentence_stats").collect()

@@ -42,6 +42,7 @@ class WindowLintSpec extends SparkSpec {
     "agg_skyline" -> "post-TakeOrdered head",
     "curation_js_divergence" -> "2-row top-source head",
     "text_bm25" -> "3-row query-term head (rank over top-df terms)",
+    "text_zipf_fit" -> "100-row post-TakeOrdered vocab head",
     // domain-bounded grids (cardinality fixed by the domain, not N)
     "agg_chi_square" -> "contingency grid (|event_type| x 7 weekdays)",
     "dedup_threshold_curve" -> "21-row cosine-bucket curve",
