@@ -465,6 +465,8 @@ object WarehouseScanStats {
   /** True when the LAST scan answered an aggregate from manifest
     * metadata alone (zero data files opened). */
   @volatile var lastAggServed: Boolean = false
+  /** Prunable runtime (DPP) filters delivered to the LAST scan. */
+  @volatile var lastRuntimeFilters: Int = 0
 }
 
 /** ScanBuilder with the two pushdowns a 100 TB warehouse table needs:
@@ -663,11 +665,42 @@ class WarehouseAggReaderFactory(row: InternalRow)
 
 class WarehouseScan(root: String, manifest: Manifest, required: StructType,
     filters: Array[Filter]) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) file pruning: Spark hands the build side's key
+    * set as an `In` filter AT EXECUTION TIME, and the same zone maps
+    * that prune statically drop whole files dynamically — the DSv2
+    * analog of dynamic partition pruning, and at 100 TB the difference
+    * between scanning the whole fact table and only the files the dim
+    * slice can touch. Transparent like the static path: pruning is
+    * file-granular, the join re-applies the exact predicate above.
+    */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns in the PRUNED output: Spark resolves these against the
+    // scan's output attributes, so a pruned-away column would fail
+    // analysis ("Unable to resolve v given [k]")
+    required.fields.collect {
+      case f if !f.name.contains("|") &&
+          (f.dataType == StringType || f.dataType == LongType ||
+            f.dataType == IntegerType || f.dataType == DateType ||
+            f.dataType == TimestampType || f.dataType == TimestampNTZType) =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(f.name)
+    }
+
+  override def filter(fs: Array[Filter]): Unit = {
+    runtimeFilters = fs.filter(WarehouseZoneMap.prunable)
+    WarehouseScanStats.lastRuntimeFilters = runtimeFilters.length
+  }
 
   private def surviving: List[String] = manifest.files.filter { f =>
     val stats = manifest.stats.getOrElse(f, Map.empty)
-    filters.forall(WarehouseZoneMap.mightMatch(_, stats))
+    (filters ++ runtimeFilters)
+      .forall(WarehouseZoneMap.mightMatch(_, stats))
   }
 
   /** The cluster layout is reportable iff EVERY committed file carries a
@@ -754,6 +787,13 @@ object WarehouseZoneMap {
     case LessThan(_, v) => comparable(v)
     case LessThanOrEqual(_, v) => comparable(v)
     case StringStartsWith(_, v) => slit(v).isDefined
+    // runtime-filter shape: the DPP subquery delivers the build side's
+    // key set as one In — a file survives iff ANY value lands in its zone
+    case In(_, vs) => vs != null && vs.nonEmpty && vs.forall(comparable)
+    // constraint-propagated disjunctions (a=5 OR a=750): prunable iff
+    // both arms are — the file survives if EITHER arm might match
+    case Or(a, b) => prunable(a) && prunable(b)
+    case And(a, b) => prunable(a) || prunable(b)
     case _ => false
   }
 
@@ -794,6 +834,13 @@ object WarehouseZoneMap {
       case s: ColStat.Strs => s
     }
     f match {
+      case In(c, vs) =>
+        vs.exists(v => mightMatch(EqualTo(c, v), stats))
+      case Or(a, b) => mightMatch(a, stats) || mightMatch(b, stats)
+      case And(a, b) =>
+        // a file must satisfy BOTH arms; an unprunable arm is `true`
+        (!prunable(a) || mightMatch(a, stats)) &&
+          (!prunable(b) || mightMatch(b, stats))
       case EqualTo(c, v) if slit(v).isDefined =>
         srng(c).forall(s => strMatch(f, s.lo, s.hi))
       case GreaterThan(c, v) if slit(v).isDefined =>
