@@ -623,7 +623,49 @@ object ReferenceQueries {
              |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
              |    AS DOUBLE), 2) AS total_price
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // RUNTIME file pruning through a real join (round-12
+    // SupportsRuntimeFiltering): the warehouse orders table is
+    // range-clustered on o_orderkey, the build side is a SELECTIVE dim
+    // (max-quantity line items) filtered on a NON-join column — so no
+    // static predicate can reach the fact side, and only the
+    // execution-time DPP key set lets the zone maps drop files. Pruning
+    // is file-granular and transparent; the oracle is the plain
+    // semi-join over the source parquet (WarehouseRuntimeFilterSpec pins
+    // the files-planned-shrinks behavior on a hand-built layout).
+    QueryDef("scan_warehouse_runtime_pruned",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordrt_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(
+            orders.repartitionByRange(8, col("o_orderkey")),
+            path, format = "graft-warehouse")
+        val dim = Tables.read(s, dir, "lineitem")
+          .filter(col("l_quantity") === 50.0)
+          .select(col("l_orderkey")).distinct()
+        Sink.read(s, path, "graft-warehouse")
+          .join(broadcast(dim),
+            col("o_orderkey") === col("l_orderkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+      },
+      Some("""SELECT count(*) AS n_orders, min(o_orderkey) AS min_key,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE), 2) AS total_price
+             |FROM orders
+             |WHERE o_orderkey IN (SELECT DISTINCT l_orderkey
+             |  FROM lineitem WHERE l_quantity = 50)""".stripMargin))
   )
 
   private lazy val dateDimOracle: String =

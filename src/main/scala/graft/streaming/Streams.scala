@@ -541,9 +541,11 @@ object Streams {
     * with the terminal boundary of `dim_loader.py:23-30`.
     */
   def warehouseStreamingLoad(spark: SparkSession, srcDir: String,
-      glob: String, tablePath: String): StreamingQuery = {
+      glob: String, tablePath: String,
+      clusterBy: Option[String] = None): StreamingQuery = {
     graft.core.GraftFunctions.ensureRegistered(spark)
     val schema = spark.read.parquet(srcDir).schema
+    val writeOpts = clusterBy.map("clusterBy" -> _).toMap
     spark.readStream
       .schema(schema)
       .option("pathGlobFilter", glob)
@@ -553,7 +555,7 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.io.Sink.append(batch, tablePath,
-          format = "graft-warehouse"): Unit
+          format = "graft-warehouse", options = writeOpts): Unit
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$tablePath/_checkpoint")

@@ -135,6 +135,37 @@ class WarehouseSpjSpec extends SparkSpec {
     }
   }
 
+  test("streaming load jobs preserve the cluster layout: every appended " +
+    "generation stays one-value-per-file") {
+    import spark.implicits._
+    val src = fresh("stream_src")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "seg")
+      .repartition(1).write.parquet(s"$src/f1")
+    Seq((3L, "x"), (4L, "z")).toDF("id", "seg")
+      .repartition(1).write.parquet(s"$src/f2")
+    val fs = WarehouseMeta.fs(src)
+    var i = 0
+    for (sub <- Seq("f1", "f2");
+         st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$src/$sub"))
+         if st.getPath.getName.endsWith(".parquet")) {
+      i += 1
+      fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(s"$src/part$i.parquet"))
+    }
+    val table = fresh("stream_table")
+    graft.streaming.Streams.warehouseStreamingLoad(
+      spark, src, "part*.parquet", table, clusterBy = Some("seg"))
+      .awaitTermination(60000)
+    val m = WarehouseMeta.readManifest(table).get
+    assert(m.clusterBy === Some("seg"))
+    assert(m.files.forall(m.parts.contains),
+      "every micro-batch file carries its cluster value")
+    assert(m.generation >= 1L, "one load job per source file")
+    val got = Sink.read(spark, table, "graft-warehouse")
+      .orderBy("id").as[(Long, String)].collect()
+    assert(got.toSeq === Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "z")))
+  }
+
   test("integral cluster keys group and join shuffle-free too") {
     import spark.implicits._
     val a = fresh("inta")
