@@ -172,12 +172,19 @@ object Graph {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
-    val gate = nodes.count() <= broadcastMaxNodes
-    val hint: DataFrame => DataFrame = if (gate) broadcast else identity
     var dist = nodes.filter(seeds)
       .select(col("node").as("seed"), col("node"), lit(0L).as("d"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
+      // Gate on the ACTUAL state size each round, not the node count: the
+      // (seed, node, d) frontier grows toward the union of the seeds'
+      // balls — up to |seeds|×|nodes| rows — so a node-count gate
+      // undercounts under a wide seed predicate (advice r12). `dist` is
+      // checkpointed, so the count is a cheap scan of materialized
+      // blocks, and the gate flips to shuffle joins the round the state
+      // outgrows broadcast.
+      val hint: DataFrame => DataFrame =
+        if (dist.count() <= broadcastMaxNodes) broadcast else identity
       val relax = e.join(hint(dist), col("node") === e("src"))
         .select(col("seed"), col("dst").as("node"), (col("d") + 1).as("d"))
       dist = dist.unionByName(relax)

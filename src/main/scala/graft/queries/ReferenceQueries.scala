@@ -580,7 +580,14 @@ object ReferenceQueries {
     // zero-ShuffleExchange plan; this row pins the VALUES against plain
     // parquet at every SF).
     QueryDef("join_warehouse_spj",
-      (s, dir) => {
+      (outer, dir) => {
+        // SPJ confs live in a CLONED session (shared context, copied
+        // SQLConf): the returned DataFrame plans under them at action
+        // time, and the caller's session never sees the relaxed
+        // co-partitioning settings — no cross-query contamination
+        // (advice r12; a set-then-restore inside this builder would
+        // instead UNSET them before the lazy plan ever ran).
+        val s = org.apache.spark.sql.GraftInternal.cloneSession(outer)
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         // the join keys are a SUPERSET of the cluster key (bucket +
         // custkey): co-partitioning on the subset is exactly the bucketed

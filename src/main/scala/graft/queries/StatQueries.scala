@@ -387,14 +387,21 @@ object StatQueries {
              |  CAST(max(words) AS BIGINT) AS max_words
              |FROM w GROUP BY source ORDER BY source""".stripMargin)),
 
-    // Differentially-private release of the per-language document census:
-    // Laplace(1/ε) noise via the inverse CDF over a DETERMINISTIC
+    // Laplace-MECHANISM-SHAPED census release — NOT an ε-DP guarantee.
+    // The noise is Laplace(1/ε) via the inverse CDF over a DETERMINISTIC
     // per-group uniform (the 63-bit md5 hash of the group key, scaled
     // from its low 52 bits — both engines derive the identical double, so
-    // the "random" mechanism is oracle-gated like everything else; a
-    // production release would swap the seed for a secret). ε = 1,
-    // sensitivity 1 (one document changes one count by one). The noisy
-    // census is the only output — the true counts never leave the query.
+    // the mechanism itself is oracle-gated like everything else). That
+    // determinism is exactly what voids the privacy property: the salt
+    // is a public literal (the noise is invertible by anyone today), and
+    // even with a secret seed, identical noise on every release means no
+    // fresh randomness, so the ε-composition guarantee over repeated
+    // releases is void. Treat this as a demo of the mechanism's PLUMBING
+    // (sensitivity-1 counts, inverse-CDF transform, noisy-census-only
+    // output — the true counts never leave the query); a real DP release
+    // draws fresh secret randomness per release and accounts ε across
+    // releases. ε = 1, sensitivity 1 (one document changes one count by
+    // one).
     QueryDef("curation_dp_counts",
       (s, dir) => {
         val eps = 1.0

@@ -314,6 +314,12 @@ class WarehouseWriterFactory(root: String, stagingDir: String,
   * keys (the Hive-partition/bucket regime), which is also the only
   * regime where storage-partitioned joins pay off.
   */
+object WarehouseClusterWriter {
+  /** Per-task open-writer cap: past this the key is not a clustering key
+    * and the job fails fast instead of leaking handles (advice r12). */
+  val MaxValuesPerTask = 1024
+}
+
 class WarehouseClusterWriter(fileBase: String, root: String,
     schema: StructType, clusterBy: String) extends DataWriter[InternalRow] {
   private val ci = schema.fieldNames.indexOf(clusterBy)
@@ -323,9 +329,20 @@ class WarehouseClusterWriter(fileBase: String, root: String,
 
   override def write(record: InternalRow): Unit = {
     val key = WarehousePart.encode(record, ci, dt)
-    writers.getOrElseUpdate(key, new WarehouseDataWriter(
-      s"$fileBase-c${writers.size}.grow", root, schema, Some(key)))
-      .write(record)
+    writers.getOrElseUpdate(key, {
+      // fail-fast cardinality guard: one buffered stream per distinct
+      // cluster value means a high-cardinality key (e.g. a unique id)
+      // would exhaust file handles/heap mid-job — refuse deterministically
+      // with the fix in the message instead
+      require(writers.size < WarehouseClusterWriter.MaxValuesPerTask,
+        s"clusterBy column '$clusterBy' exceeded " +
+          s"${WarehouseClusterWriter.MaxValuesPerTask} distinct values in " +
+          "one task — the storage-partitioned layout is for " +
+          "low-cardinality cluster keys; bucket the column (e.g. " +
+          "pmod(col, N)) and cluster on the bucket instead")
+      new WarehouseDataWriter(
+        s"$fileBase-c${writers.size}.grow", root, schema, Some(key))
+    }).write(record)
   }
   override def commit(): WriterCommitMessage =
     StagedFiles(writers.values.toSeq.map(
@@ -495,7 +512,7 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
       s"graft-warehouse table at $root has no committed manifest"))
   private var required: StructType = manifest.schema
   private var pushed: Array[Filter] = Array.empty
-  private var aggResult: Option[(StructType, InternalRow)] = None
+  private var aggResult: Option[(StructType, Seq[InternalRow])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -518,12 +535,19 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
     *  - no residual filters (zone pruning is file-granular — a filter
     *    re-applies ABOVE the scan, so stats can't see it). Spark only
     *    offers aggregates when no Filter node remains, but guard anyway;
-    *  - no GROUP BY (per-file stats don't subdivide);
-    *  - MIN/MAX: integral-typed column (writer records exact lo/hi per
-    *    file; a file with NO stat is all-null there — contributes
-    *    nothing, exactly like the real aggregate). String stats are
-    *    TRUNCATED bounds — never servable. '|'-named columns are
-    *    excluded from manifest stat lines — refuse those too;
+    *  - GROUP BY: servable ONLY when grouping on exactly the table's
+    *    cluster column and every file carries a part value (the
+    *    one-cluster-value-per-file layout makes per-file stats exact
+    *    per-GROUP partials — see the grouped branch below); any other
+    *    grouping refuses;
+    *  - MIN/MAX: integral-typed column AND a provable vintage — every
+    *    file must carry the column's fnn line (the round-12 marker), so
+    *    stat absence provably means all-null (fnn=0 contributes
+    *    nothing, exactly like the real aggregate) rather than a
+    *    pre-upgrade manifest; a file with fnn>0 but no exact Longs stat
+    *    refuses. String stats are TRUNCATED bounds — never servable.
+    *    '|'-named columns are excluded from manifest stat lines —
+    *    refuse those too;
     *  - COUNT(*): per-file row counts present for EVERY file;
     *  - COUNT(col): per-file non-null counts (fnn) present for EVERY
     *    file; DISTINCT refuses;
@@ -540,7 +564,7 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    if (pushed.nonEmpty) return false
     val integral = Set[DataType](LongType, IntegerType, DateType,
       TimestampType, TimestampNTZType)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression,
@@ -551,13 +575,33 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
           .filter(f => types(f.dataType) && !f.name.contains("|"))
       case _ => None
     }
-    def bound(name: String, takeHi: Boolean): Option[Long] = {
-      val bs = manifest.files.flatMap(f =>
-        manifest.stats.getOrElse(f, Map.empty).get(name).collect {
-          case ColStat.Longs(lo, hi) => if (takeHi) hi else lo
-        })
-      if (bs.isEmpty) None
-      else Some(if (takeHi) bs.max else bs.min)
+    def fnnOf(f: String, name: String): Option[Long] =
+      manifest.nonNull.getOrElse(f, Map.empty).get(name)
+    // MIN/MAX over `files` with a provable vintage: every file must carry
+    // the column's fnn line, so stat absence provably means all-null
+    // (fnn=0 skips the file) instead of a pre-upgrade manifest; a file
+    // with fnn>0 and no exact Longs stat refuses. Outer None = refuse,
+    // inner None = all-null -> NULL, like the real aggregate.
+    def bound(files: Seq[String], name: String,
+        takeHi: Boolean): Option[Option[Long]] = {
+      val per = files.map { f =>
+        fnnOf(f, name) match {
+          case None => None // vintage unprovable: refuse
+          case Some(0L) => Some(None) // all-null file: contributes nothing
+          case Some(_) =>
+            manifest.stats.getOrElse(f, Map.empty).get(name) match {
+              case Some(ColStat.Longs(lo, hi)) =>
+                Some(Some(if (takeHi) hi else lo))
+              case _ => None // non-null rows but no exact stat: refuse
+            }
+        }
+      }
+      if (per.exists(_.isEmpty)) None
+      else {
+        val bs = per.flatten.flatten
+        Some(if (bs.isEmpty) None
+        else Some(if (takeHi) bs.max else bs.min))
+      }
     }
     def internal(field: StructField, v: Option[Long]): Any = v match {
       case None => null
@@ -566,24 +610,22 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
         case _ => x
       }
     }
-    // non-null count of `name` summed over every file — None unless every
+    // non-null count of `name` summed over `files` — None unless every
     // file carries the round-12 fnn line (pre-upgrade manifests refuse)
-    def nnTotal(name: String): Option[Long] = {
-      val per = manifest.files.map(f =>
-        manifest.nonNull.getOrElse(f, Map.empty).get(name))
+    def nnTotal(files: Seq[String], name: String): Option[Long] = {
+      val per = files.map(fnnOf(_, name))
       if (per.exists(_.isEmpty)) None
       else Some(per.flatten.sum)
     }
     // exact SUM(name): every file needs fnn; a file with non-null rows
     // additionally needs its fsum (missing = per-file overflow); the
     // cross-file total is overflow-guarded too
-    def sumTotal(name: String): Option[Option[Long]] =
-      nnTotal(name).flatMap { nn =>
+    def sumTotal(files: Seq[String], name: String): Option[Option[Long]] =
+      nnTotal(files, name).flatMap { nn =>
         if (nn == 0) Some(None) // SUM over no non-null rows is NULL
         else {
-          val per = manifest.files.map { f =>
-            val n = manifest.nonNull.getOrElse(f, Map.empty)
-              .getOrElse(name, 0L)
+          val per = files.map { f =>
+            val n = fnnOf(f, name).getOrElse(0L)
             if (n == 0) Some(0L)
             else manifest.sums.getOrElse(f, Map.empty).get(name)
           }
@@ -592,49 +634,95 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
           catch { case _: ArithmeticException => None }
         }
       }
-    val fields = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        if (manifest.files.forall(manifest.rows.contains)) {
-          val n = manifest.files.map(manifest.rows).sum
-          Some((StructField("COUNT(*)", LongType, nullable = false),
-            n: Any))
-        } else None
-      case m: Min => colOf(m.column, integral).map(f =>
-        (StructField(s"MIN(${f.name})", f.dataType),
-          internal(f, bound(f.name, takeHi = false))))
-      case m: Max => colOf(m.column, integral).map(f =>
-        (StructField(s"MAX(${f.name})", f.dataType),
-          internal(f, bound(f.name, takeHi = true))))
-      case c: Count if !c.isDistinct =>
-        colOf(c.column, _ => true).flatMap(f =>
-          nnTotal(f.name).map(n =>
-            (StructField(s"COUNT(${f.name})", LongType, nullable = false),
-              n: Any)))
-      case s: Sum if !s.isDistinct =>
-        colOf(s.column, dt => dt == LongType || dt == IntegerType)
-          .flatMap(f => sumTotal(f.name).map(v =>
-            (StructField(s"SUM(${f.name})", LongType),
-              v.map(x => x: Any).orNull)))
-      case _ => None
+    // One exact partial row over a file subset — the global path calls it
+    // once with every file; the grouped path once per cluster value (the
+    // one-value-per-file layout makes the subset exactly one GROUP).
+    def rowFor(files: Seq[String])
+        : Option[(Seq[StructField], Seq[Any])] = {
+      val fields = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          if (files.forall(manifest.rows.contains)) {
+            val n = files.map(manifest.rows).sum
+            Some((StructField("COUNT(*)", LongType, nullable = false),
+              n: Any))
+          } else None
+        case m: Min => colOf(m.column, integral).flatMap(f =>
+          bound(files, f.name, takeHi = false).map(v =>
+            (StructField(s"MIN(${f.name})", f.dataType), internal(f, v))))
+        case m: Max => colOf(m.column, integral).flatMap(f =>
+          bound(files, f.name, takeHi = true).map(v =>
+            (StructField(s"MAX(${f.name})", f.dataType), internal(f, v))))
+        case c: Count if !c.isDistinct =>
+          colOf(c.column, _ => true).flatMap(f =>
+            nnTotal(files, f.name).map(n =>
+              (StructField(s"COUNT(${f.name})", LongType, nullable = false),
+                n: Any)))
+        case s: Sum if !s.isDistinct =>
+          colOf(s.column, dt => dt == LongType || dt == IntegerType)
+            .flatMap(f => sumTotal(files, f.name).map(v =>
+              (StructField(s"SUM(${f.name})", LongType),
+                v.map(x => x: Any).orNull)))
+        case _ => None
+      }
+      if (fields.exists(_.isEmpty)) None
+      else {
+        val r = fields.flatten
+        Some((r.map(_._1), r.map(_._2)))
+      }
     }
-    if (fields.exists(_.isEmpty)) return false
-    val resolved = fields.flatten
-    aggResult = Some((StructType(resolved.map(_._1)),
-      new GenericInternalRow(resolved.map(_._2).toArray)))
-    true
+    agg.groupByExpressions.toSeq match {
+      case Nil =>
+        rowFor(manifest.files) match {
+          case None => false
+          case Some((fs, vals)) =>
+            aggResult = Some((StructType(fs),
+              Seq(new GenericInternalRow(vals.toArray))))
+            true
+        }
+      // GROUP BY exactly the cluster column: the clusterBy layout writes
+      // ONE cluster value per committed file (recorded in manifest.parts),
+      // so per-file stats ARE exact per-group partials — serve one row per
+      // cluster value, merged by Spark's final aggregate like the global
+      // case. Any other grouping (or a pre-SPJ file without a part value)
+      // refuses and the real scan runs.
+      case Seq(r: NamedReference) if r.fieldNames.length == 1 &&
+          manifest.clusterBy.contains(r.fieldNames()(0)) &&
+          manifest.files.forall(manifest.parts.contains) =>
+        val gf = manifest.schema.fields.find(
+          _.name == r.fieldNames()(0)).getOrElse(return false)
+        val groups = manifest.files.groupBy(manifest.parts).toSeq.sortBy(_._1)
+        val rows = groups.map { case (pv, gfs) =>
+          rowFor(gfs).map(row =>
+            (row._1, WarehousePart.keyValue(pv, gf.dataType) +: row._2))
+        }
+        if (rows.exists(_.isEmpty)) false
+        else {
+          // empty table: zero groups is a valid serve — schema from a
+          // zero-file partial (refusals there refuse the whole push)
+          val aggFields = rows.headOption.map(_.get._1)
+            .orElse(rowFor(Nil).map(_._1)).getOrElse(return false)
+          aggResult = Some((StructType(gf +: aggFields),
+            rows.map(r => new GenericInternalRow(r.get._2.toArray))))
+          true
+        }
+      case _ => false
+    }
   }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, row)) => new WarehouseAggScan(schema, row)
+    case Some((schema, rows)) => new WarehouseAggScan(schema, rows)
     case None => new WarehouseScan(root, manifest, required, pushed)
   }
 }
 
-/** Metadata-only scan for a pushed aggregate: one partition, one row,
-  * zero file IO. Partial-pushdown shape — Spark's final aggregate
-  * (min-of-min / max-of-max / sum-of-count) runs above it.
+/** Metadata-only scan for a pushed aggregate: one partition, zero file
+  * IO — one row for the global case, one row per cluster value for the
+  * GROUP-BY-cluster-key case (still manifest scale: |rows| = |files| at
+  * worst). Partial-pushdown shape — Spark's final aggregate
+  * (min-of-min / max-of-max / sum-of-count, grouped if pushed) runs
+  * above it.
   */
-class WarehouseAggScan(schema: StructType, row: InternalRow)
+class WarehouseAggScan(schema: StructType, rows: Seq[InternalRow])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -647,18 +735,19 @@ class WarehouseAggScan(schema: StructType, row: InternalRow)
     Array(WarehousePartition("<manifest>"))
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseAggReaderFactory(row)
+    new WarehouseAggReaderFactory(rows)
 }
 
-class WarehouseAggReaderFactory(row: InternalRow)
+class WarehouseAggReaderFactory(rows: Seq[InternalRow])
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var emitted = false
+      private val it = rows.iterator
+      private var cur: InternalRow = _
       override def next(): Boolean =
-        if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow = row
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
 }

@@ -10,4 +10,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftInternal {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A full clone of the session — shared context, COPIED SQLConf /
+    * temp views / registered functions (unlike `newSession()`, which
+    * starts from the context defaults and silently drops every
+    * runtime-set conf, AQE flags included). Used to scope per-query conf
+    * overrides (e.g. the SPJ bucketing flags) without mutating the
+    * caller's session.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }
