@@ -3,77 +3,120 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftInternal, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Descending, GenericInternalRow, JoinedRow, NamedExpression, RowNumber, SortOrder, UnsafeProjection, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, DenseRank, Descending, GenericInternalRow, JoinedRow, NamedExpression, Rank, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-/** Native exact global row_number — the physical form of the repo's
+/** Which global ranking function the native operator computes. All three
+  * share the same physical shape (one range exchange + one shuffle-read
+  * summary pass); the tie-aware modes add only per-partition boundary-key
+  * summaries and a driver-side fixup over `numPartitions` entries.
+  */
+sealed trait RankMode
+object RankMode {
+  /** 1,2,3,… in sort order; boundary ties split arbitrarily (pass a
+    * total order for determinism), exactly like Spark's row_number. */
+  case object RowNumber extends RankMode
+  /** Competition rank: 1,1,3 — ties share the rank of their first row. */
+  case object Rank extends RankMode
+  /** Dense rank: 1,1,2 — ties share, no gaps. */
+  case object DenseRank extends RankMode
+}
+
+/** Native exact global ranking — the physical form of the repo's
   * distributed-rank idiom (`graft.core.DistRank`, built for `agg_gini`,
   * re-planned into `eval_auc`/`events_rfm`/`ann_rrf_fusion`), lifted into
   * a whole-operator Catalyst extension so the NAMED scale-killer shape
-  * (`row_number() OVER (ORDER BY …)` with no partition spec — Spark plans
-  * it as ONE task sorting the entire frame) has a first-class operator
-  * instead of a seven-step DataFrame recipe.
+  * (`row_number()/rank()/dense_rank() OVER (ORDER BY …)` with no
+  * partition spec — Spark plans it as ONE task sorting the entire frame)
+  * has a first-class operator instead of a seven-step DataFrame recipe.
   *
   * Physical plan: the child range-partitions on the sort order (the same
   * exchange a global sort pays — `OrderedDistribution`, EnsureRequirements
   * inserts it) and sorts within partitions; then
   *
-  *   1. a COUNT pass computes per-partition row counts. This is a second
-  *      job over the child RDD, but the exchange's map output is already
-  *      materialized, so stage reuse makes it a shuffle-read-only walk —
-  *      no recomputation, no row copying (`RDD.zipWithIndex`'s plan,
-  *      executed over UnsafeRows);
-  *   2. partition i's global offset = Σ counts(0..i-1) (a driver-side
-  *      scan over `numPartitions` longs — metadata, never data);
-  *   3. one streaming map pass appends offset + local position.
+  *   1. a SUMMARY pass computes per-partition row counts — and, for the
+  *      tie-aware modes, the distinct-key count, the first/last sort-key
+  *      rows, and the tail tie-run length. This is a second job over the
+  *      child RDD, but the exchange's map output is already materialized,
+  *      so stage reuse makes it a shuffle-read-only walk — no
+  *      recomputation; keys project through two alternating
+  *      UnsafeProjections so adjacent-row equality never copies a row;
+  *   2. driver-side offsets over `numPartitions` summaries (metadata,
+  *      never data):
+  *        - row_number: partition i's offset = Σ counts(0..i-1);
+  *        - rank: the same row offset, minus the tie-run carried in from
+  *          predecessors — rows equal to partition i's FIRST key that
+  *          live in partitions < i (walk back while predecessors' last
+  *          key equals it; a single-key partition keeps walking);
+  *        - dense_rank: running distinct-key total, minus one whenever a
+  *          partition's first key ties its predecessor's last (the tied
+  *          key must not count twice);
+  *   3. one streaming map pass appends the global rank from the offset +
+  *      local position (row_number), local first-row-of-tie position with
+  *      the head-run subtraction (rank), or local distinct index
+  *      (dense_rank).
   *
-  * Exactness: range partitions are disjoint and ordered, so offset +
-  * within-partition position is the exact global row_number for ANY
-  * sampled boundary choice. Ties across a boundary split arbitrarily —
-  * exactly like `DistRank`, callers must pass a TOTAL order (append a
-  * unique tiebreaker) for deterministic ranks. Unlike the DataFrame
-  * recipe this operator needs no `localCheckpoint` pid-pinning: offsets
-  * come from a job over the SAME RDD instance, not from a
-  * `spark_partition_id` column that two plan branches must agree on.
+  * Exactness: range partitions are disjoint and ordered, so the offset
+  * arithmetic above reproduces the single-partition window semantics for
+  * ANY sampled boundary choice — ties that span a partition boundary are
+  * exactly what the rank/dense_rank fixups repair, and row_number splits
+  * them arbitrarily like `DistRank` (callers pass a total order for
+  * deterministic output). Unlike the DataFrame recipe this operator needs
+  * no `localCheckpoint` pid-pinning: offsets come from a job over the
+  * SAME RDD instance, not from a `spark_partition_id` column that two
+  * plan branches must agree on.
   *
   * At 100 TB: one range exchange (∝ N/partitions per task) + one
-  * shuffle-read count pass, vs the window form's single task holding
-  * every row. The count pass is the price of exactness without a second
+  * shuffle-read summary pass, vs the window form's single task holding
+  * every row. The summary pass is the price of exactness without a second
   * shuffle; it reads shuffle files, it never re-runs the child's lineage.
   *
   * Two faces:
-  *   - explicit: [[GlobalRank.withRowNumber]] builds the plan directly
-  *     (the `window_exact_quantiles` query path);
+  *   - explicit: [[GlobalRank.withRowNumber]] / [[GlobalRank.withRank]] /
+  *     [[GlobalRank.withDenseRank]] build the plan directly (the
+  *     `window_exact_quantiles` query path);
   *   - transparent: [[GlobalRankRewrite]] (opt-in,
   *     `spark.graft.distRank.enabled=true`) rewrites a logical Window
-  *     whose expressions are ALL plain `row_number()` over an empty
-  *     partition spec into this node — result-identical (GlobalRankSpec
-  *     gates rule-on ≡ rule-off), type-identical (the rewritten attribute
-  *     keeps row_number's IntegerType and exprId), and inert by default
-  *     so existing deliberately-bounded global windows keep their plans.
+  *     whose expressions are ALL bare `row_number()`/`rank()`/
+  *     `dense_rank()` over an empty partition spec into this node —
+  *     result-identical (GlobalRankSpec gates rule-on ≡ rule-off,
+  *     including tie-heavy fixtures), type-identical (the rewritten
+  *     attribute keeps the window function's IntegerType and exprId),
+  *     and inert by default so existing deliberately-bounded global
+  *     windows keep their plans.
   */
-case class GlobalRowNumberPlan(child: LogicalPlan, order: Seq[SortOrder],
-    rankAttr: Attribute) extends LogicalPlan with UnaryNode {
+case class GlobalRankPlan(child: LogicalPlan, order: Seq[SortOrder],
+    rankAttr: Attribute, mode: RankMode = RankMode.RowNumber)
+    extends LogicalPlan with UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override protected def withNewChildInternal(
-      newChild: LogicalPlan): GlobalRowNumberPlan = copy(child = newChild)
+      newChild: LogicalPlan): GlobalRankPlan = copy(child = newChild)
 }
 
 class GlobalRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case p: GlobalRowNumberPlan =>
-      GlobalRowNumberExec(p.order, p.rankAttr, planLater(p.child)) :: Nil
+    case p: GlobalRankPlan =>
+      GlobalRankExec(p.order, p.rankAttr, p.mode, planLater(p.child)) :: Nil
     case _ => Nil
   }
 }
 
-case class GlobalRowNumberExec(order: Seq[SortOrder], rankAttr: Attribute,
-    child: SparkPlan) extends SparkPlan with UnaryExecNode {
+/** Per-partition summary from the shuffle-read pass: row count plus, for
+  * tie-aware modes, the distinct-key count, boundary keys (projected
+  * sort-key rows), and the tail tie-run length. UnsafeRow keys serialize
+  * with the job result — 2 rows per partition, metadata scale.
+  */
+private[plans] case class RankPartSummary(count: Long, distinct: Long,
+    tailRun: Long, firstKey: UnsafeRow, lastKey: UnsafeRow)
+
+case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
+    mode: RankMode, child: SparkPlan) extends SparkPlan with UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -83,57 +126,192 @@ case class GlobalRowNumberExec(order: Seq[SortOrder], rankAttr: Attribute,
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = order
 
+  /** Sort orders re-bound to the PROJECTED key row (one field per key,
+    * in order) — equality under this ordering is key equality with SQL
+    * null/NaN semantics, which binary UnsafeRow comparison is not.
+    */
+  private def boundKeyOrder: Seq[SortOrder] =
+    order.zipWithIndex.map { case (so, i) =>
+      so.copy(child = BoundReference(i, so.child.dataType, so.child.nullable))
+    }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val childRDD = child.execute()
-    // Pass 1: per-partition counts. Runs as its own job, but the child's
-    // exchange map output is already written, so this stage is a pure
-    // shuffle read (rows deserialized and dropped, never copied).
-    val counts = childRDD.sparkContext.runJob(childRDD,
+    val keyExprs = order.map(_.child)
+    val childOutput = child.output
+    val bound = boundKeyOrder
+    val needKeys = mode != RankMode.RowNumber
+    // Pass 1: per-partition summaries. Runs as its own job, but the
+    // child's exchange map output is already written, so this stage is a
+    // pure shuffle read (rows deserialized and dropped, never copied —
+    // the two alternating key projections keep `prev` valid without a
+    // per-row copy; only the 2 boundary keys are copied out).
+    val summaries = childRDD.sparkContext.runJob(childRDD,
       (it: Iterator[InternalRow]) => {
-        var c = 0L
-        while (it.hasNext) { it.next(); c += 1 }
-        c
+        if (!needKeys) {
+          var c = 0L
+          while (it.hasNext) { it.next(); c += 1 }
+          RankPartSummary(c, 0L, 0L, null, null)
+        } else {
+          val projA = UnsafeProjection.create(keyExprs, childOutput)
+          val projB = UnsafeProjection.create(keyExprs, childOutput)
+          val ord = GenerateOrdering.generate(bound)
+          var c = 0L; var distinct = 0L; var tailRun = 0L
+          var first: UnsafeRow = null
+          var prev: UnsafeRow = null
+          var useA = true
+          while (it.hasNext) {
+            val k = if (useA) projA(it.next()) else projB(it.next())
+            useA = !useA
+            c += 1
+            if (prev == null || ord.compare(k, prev) != 0) {
+              distinct += 1; tailRun = 1
+            } else tailRun += 1
+            if (first == null) first = k.copy()
+            prev = k
+          }
+          RankPartSummary(c, distinct, tailRun, first,
+            if (prev == null) null else prev.copy())
+        }
       })
-    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = summaries.length
+    val rowOffsets = summaries.map(_.count).scanLeft(0L)(_ + _)
+    // Driver-side boundary fixups (a scan over numPartitions summaries —
+    // metadata, never data). Equality via the same generated ordering.
+    val dOrd = GenerateOrdering.generate(bound)
+    def eq(a: UnsafeRow, b: UnsafeRow): Boolean =
+      a != null && b != null && dOrd.compare(a, b) == 0
+    // rank: rows in partitions < i whose key equals partition i's first
+    // key — they all sit in predecessors' TAIL runs (range-ordered), so
+    // walk back accumulating tail runs while the last key still ties; a
+    // single-key partition (distinct == 1) keeps the walk going.
+    val tieBehind: Array[Long] =
+      if (mode != RankMode.Rank) Array.fill(n)(0L)
+      else Array.tabulate(n) { i =>
+        val x = summaries(i).firstKey
+        var t = 0L
+        if (x != null) {
+          var j = i - 1
+          var walking = true
+          while (j >= 0 && walking) {
+            val s = summaries(j)
+            if (s.count == 0) j -= 1
+            else if (eq(s.lastKey, x)) {
+              t += s.tailRun
+              if (s.distinct == 1L) j -= 1 else walking = false
+            } else walking = false
+          }
+        }
+        t
+      }
+    // dense_rank: running global dense index; a partition whose first key
+    // ties its predecessor's last continues that key's dense rank instead
+    // of opening a new one.
+    val denseOffsets: Array[Long] = {
+      val out = new Array[Long](n)
+      var lastDense = 0L
+      var prevLast: UnsafeRow = null
+      var i = 0
+      while (i < n) {
+        val s = summaries(i)
+        if (s.count == 0) out(i) = lastDense
+        else {
+          out(i) = if (eq(prevLast, s.firstKey)) lastDense - 1 else lastDense
+          lastDense = out(i) + s.distinct
+          prevLast = s.lastKey
+        }
+        i += 1
+      }
+      out
+    }
     val out = output
     val isInt = rankAttr.dataType == IntegerType
-    // Pass 2: stream each partition once, appending offset + position.
+    val execMode = mode
+    // Pass 2: stream each partition once, appending the global rank.
     childRDD.mapPartitionsWithIndex({ (pid, iter) =>
       val proj = UnsafeProjection.create(out, out)
       val rankRow = new GenericInternalRow(1)
       val joined = new JoinedRow
-      var rk = offsets(pid)
-      iter.map { r =>
-        rk += 1
-        // IntegerType face (the row_number rewrite): same 2^31 row bound
-        // as Spark's own row_number — overflow behavior is at parity.
+      def emit(r: InternalRow, rk: Long): InternalRow = {
+        // IntegerType face (the window rewrite): same 2^31 row bound as
+        // Spark's own rank functions — overflow behavior is at parity.
         if (isInt) rankRow.update(0, rk.toInt) else rankRow.update(0, rk)
         proj(joined(r, rankRow))
+      }
+      execMode match {
+        case RankMode.RowNumber =>
+          var rk = rowOffsets(pid)
+          iter.map { r => rk += 1; emit(r, rk) }
+        case RankMode.Rank =>
+          val projA = UnsafeProjection.create(keyExprs, childOutput)
+          val projB = UnsafeProjection.create(keyExprs, childOutput)
+          val ord = GenerateOrdering.generate(bound)
+          val off = rowOffsets(pid)
+          val behind = tieBehind(pid)
+          var pos = 0L; var localRank = 0L
+          var prev: UnsafeRow = null
+          var inHeadRun = true
+          var useA = true
+          iter.map { r =>
+            val k = if (useA) projA(r) else projB(r)
+            useA = !useA
+            pos += 1
+            if (prev == null || ord.compare(k, prev) != 0) {
+              localRank = pos
+              if (prev != null) inHeadRun = false
+            }
+            prev = k
+            emit(r, off + localRank - (if (inHeadRun) behind else 0L))
+          }
+        case RankMode.DenseRank =>
+          val projA = UnsafeProjection.create(keyExprs, childOutput)
+          val projB = UnsafeProjection.create(keyExprs, childOutput)
+          val ord = GenerateOrdering.generate(bound)
+          val off = denseOffsets(pid)
+          var localDense = 0L
+          var prev: UnsafeRow = null
+          var useA = true
+          iter.map { r =>
+            val k = if (useA) projA(r) else projB(r)
+            useA = !useA
+            if (prev == null || ord.compare(k, prev) != 0) localDense += 1
+            prev = k
+            emit(r, off + localDense)
+          }
       }
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(
-      newChild: SparkPlan): GlobalRowNumberExec = copy(child = newChild)
+      newChild: SparkPlan): GlobalRankExec = copy(child = newChild)
 }
 
 /** Opt-in optimizer rule (`spark.graft.distRank.enabled=true`): rewrite
-  * `Window` nodes whose window expressions are ALL bare `row_number()`
-  * with an EMPTY partition spec into [[GlobalRowNumberPlan]]. Matches
-  * nothing else — ranks with tie semantics (`rank`, `dense_rank`),
-  * aggregate windows, and mixed expression lists keep their WindowExec,
-  * and partitioned windows are already parallel. Defensive-parse
-  * discipline (the RangeBinJoin lesson): any value other than "true" is
-  * OFF, never a throw inside the optimizer.
+  * `Window` nodes whose window expressions are ALL bare `row_number()`,
+  * `rank()`, or `dense_rank()` with an EMPTY partition spec into
+  * [[GlobalRankPlan]] nodes (one per expression, modes mixed freely).
+  * Matches nothing else — aggregate windows, ntile/lag/lead, and mixed
+  * expression lists keep their WindowExec, and partitioned windows are
+  * already parallel. Defensive-parse discipline (the RangeBinJoin
+  * lesson): any value other than "true" is OFF, never a throw inside the
+  * optimizer.
   */
 object GlobalRankRewrite extends Rule[LogicalPlan] {
   val Key = "spark.graft.distRank.enabled"
 
-  private def asRowNumberAlias(e: NamedExpression): Option[Alias] = e match {
-    case a @ Alias(WindowExpression(RowNumber(),
-        WindowSpecDefinition(Nil, _, _)), _) => Some(a)
-    case _ => None
-  }
+  private def modeOf(e: NamedExpression): Option[(Alias, RankMode)] =
+    e match {
+      case a @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(Nil, _, _)), _) =>
+        Some((a, RankMode.RowNumber))
+      case a @ Alias(WindowExpression(_: Rank,
+          WindowSpecDefinition(Nil, _, _)), _) =>
+        Some((a, RankMode.Rank))
+      case a @ Alias(WindowExpression(_: DenseRank,
+          WindowSpecDefinition(Nil, _, _)), _) =>
+        Some((a, RankMode.DenseRank))
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(Key, "false").trim.equalsIgnoreCase("true"))
@@ -141,15 +319,15 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     plan transform {
       case Window(exprs, Nil, order, child, _)
           if order.nonEmpty && exprs.nonEmpty &&
-            exprs.forall(asRowNumberAlias(_).isDefined) =>
-        // chain one node per row_number alias (they share the same
-        // orderSpec by Window's construction), preserving each alias's
-        // exprId and IntegerType so parent operators resolve unchanged
+            exprs.forall(modeOf(_).isDefined) =>
+        // chain one node per ranking alias (they share the same orderSpec
+        // by Window's construction), preserving each alias's exprId and
+        // IntegerType so parent operators resolve unchanged
         exprs.foldLeft(child) { (c, e) =>
-          val a = asRowNumberAlias(e).get
-          GlobalRowNumberPlan(c, order,
+          val (a, mode) = modeOf(e).get
+          GlobalRankPlan(c, order,
             AttributeReference(a.name, IntegerType,
-              nullable = false)(a.exprId, a.qualifier))
+              nullable = false)(a.exprId, a.qualifier), mode)
         }
     }
   }
@@ -167,12 +345,8 @@ object GlobalRank {
       spark.experimental.extraStrategies = es :+ new GlobalRankStrategy
   }
 
-  /** `df` plus LONG column `outCol` = exact global 1-based row_number
-    * under `keys` ((column, ascending) pairs — pass a total order). The
-    * native twin of `DistRank.withRowNumber`.
-    */
-  def withRowNumber(df: DataFrame, outCol: String,
-      keys: (String, Boolean)*): DataFrame = {
+  private def build(df: DataFrame, outCol: String, mode: RankMode,
+      keys: Seq[(String, Boolean)]): DataFrame = {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val plan = df.queryExecution.analyzed
@@ -182,7 +356,26 @@ object GlobalRank {
           s"column $n not in ${plan.output.map(_.name).mkString(",")}"))
       SortOrder(a, if (asc) Ascending else Descending)
     }
-    GraftInternal.ofRows(spark, GlobalRowNumberPlan(plan, order,
-      AttributeReference(outCol, LongType, nullable = false)()))
+    GraftInternal.ofRows(spark, GlobalRankPlan(plan, order,
+      AttributeReference(outCol, LongType, nullable = false)(), mode))
   }
+
+  /** `df` plus LONG column `outCol` = exact global 1-based row_number
+    * under `keys` ((column, ascending) pairs — pass a total order). The
+    * native twin of `DistRank.withRowNumber`.
+    */
+  def withRowNumber(df: DataFrame, outCol: String,
+      keys: (String, Boolean)*): DataFrame =
+    build(df, outCol, RankMode.RowNumber, keys)
+
+  /** Exact global competition rank (1,1,3) under `keys` — ties share the
+    * first row's rank; boundary ties are repaired exactly. */
+  def withRank(df: DataFrame, outCol: String,
+      keys: (String, Boolean)*): DataFrame =
+    build(df, outCol, RankMode.Rank, keys)
+
+  /** Exact global dense rank (1,1,2) under `keys`. */
+  def withDenseRank(df: DataFrame, outCol: String,
+      keys: (String, Boolean)*): DataFrame =
+    build(df, outCol, RankMode.DenseRank, keys)
 }

@@ -551,6 +551,39 @@ object AnalyticsQueries {
              |SELECT CAST(pct AS BIGINT) AS pct, user_id, mon
              |FROM t JOIN r ON rk = target ORDER BY pct""".stripMargin)),
 
+    // GLOBAL tie-aware leaderboard (round-13): every order's competition
+    // rank AND dense band index by $100 price band, via the native
+    // GlobalRank operator's rank/dense_rank modes — the tie-heavy global
+    // ranking that `rank() OVER (ORDER BY …)` would plan as ONE task
+    // holding the whole table. Bands are exact integers (decimal cents
+    // div 10000 — no float rounding to disagree on), so tie groups are
+    // identical cross-engine; boundary ties span range partitions by
+    // construction, exercising the operator's driver-side fixups on real
+    // data. Plan: one range exchange + one shuffle-read summary pass per
+    // mode; no WindowExec, no single-partition sort.
+    QueryDef("window_global_rank",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+              "AS BIGINT) div 10000").as("price_band"))
+        val r = graft.plans.GlobalRank.withRank(o, "rk",
+          ("price_band", false))
+        graft.plans.GlobalRank.withDenseRank(r, "band_idx",
+            ("price_band", false))
+          .select(col("o_orderkey"), col("price_band"), col("rk"),
+            col("band_idx"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH b AS (SELECT o_orderkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      // 10000 AS price_band
+             |  FROM orders)
+             |SELECT o_orderkey, price_band,
+             |  rank() OVER (ORDER BY price_band DESC) AS rk,
+             |  dense_rank() OVER (ORDER BY price_band DESC) AS band_idx
+             |FROM b ORDER BY o_orderkey""".stripMargin)),
+
     // Herfindahl-Hirschman concentration index per nation's supplier
     // market — the standard market-concentration census (antitrust
     // thresholds live at 1500/2500 points; here in basis-point² units,

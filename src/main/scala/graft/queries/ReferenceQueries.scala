@@ -569,6 +569,44 @@ object ReferenceQueries {
              |  count(o_custkey) AS n_cust
              |FROM orders""".stripMargin)),
 
+    // GROUPED answer-from-metadata (round-13, the completion of the
+    // round-12 aggregate pushdown): the cluster layout writes ONE cluster
+    // value per committed file, so per-file manifest stats are EXACT
+    // per-group partials — GROUP BY the cluster key + MIN/MAX/COUNT/SUM
+    // is served with zero data files planned (WarehouseAggSpec pins
+    // lastPlannedFiles=0 and the non-cluster-grouping refusal). At
+    // 100 TB this turns the classic per-partition census — the query
+    // every warehouse dashboard opens with — into a manifest lookup.
+    QueryDef("scan_warehouse_agg_grouped",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_custkey")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_orderpriority"), col("o_custkey")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordgrp_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(orders.repartition(8, col("o_orderpriority")),
+            path, format = "graft-warehouse",
+            options = Map("clusterBy" -> "o_orderpriority"))
+        Sink.read(s, path, "graft-warehouse")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            sum(col("o_orderkey")).as("sum_key"),
+            count(col("o_custkey")).as("n_cust"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  count(o_custkey) AS n_cust
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
     // STORAGE-PARTITIONED JOIN (round-12 DSv2 SupportsReportPartitioning):
     // orders and customer land in cluster-loaded warehouse tables sharing
     // a 64-bucket layout (`clusterBy` on pmod(custkey, 64) — one cluster

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.plans.{GlobalRank, GlobalRankRewrite, GlobalRowNumberExec}
+import graft.plans.{GlobalRank, GlobalRankRewrite, GlobalRankExec}
 
 /** The native exact global row_number operator: result-identical to the
   * single-partition window form on a total order, planned WITHOUT any
@@ -34,7 +34,7 @@ class GlobalRankSpec extends SparkSpec {
     try {
       val phys = GlobalRank.withRowNumber(events, "rk", ("event_id", true))
         .queryExecution.executedPlan
-      assert(phys.collectFirst { case e: GlobalRowNumberExec => e }.nonEmpty)
+      assert(phys.collectFirst { case e: GlobalRankExec => e }.nonEmpty)
       assert(phys.collectFirst { case w: WindowExec => w }.isEmpty)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     // degenerate frames: empty input and a 1-row input both rank cleanly
@@ -68,14 +68,14 @@ class GlobalRankSpec extends SparkSpec {
     def windowForm = events.withColumn("rk",
       row_number().over(Window.orderBy(col("value").desc, col("event_id"))))
     val off = windowForm.queryExecution.executedPlan
-    assert(off.collectFirst { case e: GlobalRowNumberExec => e }.isEmpty,
+    assert(off.collectFirst { case e: GlobalRankExec => e }.isEmpty,
       "rule must be inert without the conf")
     spark.conf.set(GlobalRankRewrite.Key, "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val qe = windowForm.queryExecution
       assert(qe.executedPlan.collectFirst {
-        case e: GlobalRowNumberExec => e }.nonEmpty,
+        case e: GlobalRankExec => e }.nonEmpty,
         qe.executedPlan.toString)
       assert(qe.executedPlan.collectFirst { case w: WindowExec => w }.isEmpty)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -91,27 +91,79 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
-  test("rewrite leaves partitioned, non-row_number, and mixed windows alone") {
+  test("rewrite leaves partitioned, aggregate, and mixed windows alone") {
     spark.conf.set(GlobalRankRewrite.Key, "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val partitioned = events.withColumn("rk", row_number().over(
         Window.partitionBy("user_id").orderBy("event_id")))
       assert(partitioned.queryExecution.executedPlan.collectFirst {
-        case e: GlobalRowNumberExec => e }.isEmpty)
-      val rank = events.withColumn("rk",
-        org.apache.spark.sql.functions.rank().over(
-          Window.orderBy(col("value"))))
-      assert(rank.queryExecution.executedPlan.collectFirst {
-        case e: GlobalRowNumberExec => e }.isEmpty,
-        "rank() has tie semantics the operator does not implement")
+        case e: GlobalRankExec => e }.isEmpty)
+      val agg = events.withColumn("s",
+        sum(col("value")).over(Window.orderBy(col("event_id"))))
+      assert(agg.queryExecution.executedPlan.collectFirst {
+        case e: GlobalRankExec => e }.isEmpty,
+        "aggregate windows keep their WindowExec")
       // malformed conf value: off, never a throw inside the optimizer
       spark.conf.set(GlobalRankRewrite.Key, "banana")
       val q = events.withColumn("rk", row_number().over(
         Window.orderBy(col("event_id"))))
       assert(q.queryExecution.executedPlan.collectFirst {
-        case e: GlobalRowNumberExec => e }.isEmpty)
+        case e: GlobalRankExec => e }.isEmpty)
       assert(q.count() > 0)
+    } finally {
+      spark.conf.unset(GlobalRankRewrite.Key)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("tie-aware modes: rank/dense_rank match the window form on " +
+    "tie-heavy keys, including across partition boundaries") {
+    // value rounded to 1 dp => massive tie groups; user_id (24 values at
+    // sf0.001 over ~10k events) => tie runs far wider than a partition,
+    // so boundary fixups are exercised for real
+    val tieFrame = events.select(col("event_id"),
+      round(col("value"), 1).as("v1"), col("user_id"))
+    for ((keys, tag) <- Seq(
+        (Seq(("v1", true)), "v1"),
+        (Seq(("user_id", true)), "user_id"),
+        (Seq(("user_id", true), ("v1", false)), "user_id,v1 desc"))) {
+      val spec = keys.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc
+      } match { case s => Window.orderBy(s: _*) }
+      val want = tieFrame
+        .withColumn("rk", rank().over(spec).cast("long"))
+        .withColumn("dk", dense_rank().over(spec).cast("long"))
+        .orderBy("event_id").collect().toSeq
+      val got = GlobalRank.withDenseRank(
+          GlobalRank.withRank(tieFrame, "rk", keys: _*), "dk", keys: _*)
+        .orderBy("event_id").collect().toSeq
+      assert(got === want, s"mode mismatch on keys $tag")
+    }
+  }
+
+  test("opt-in rewrite covers rank/dense_rank: rule-on ≡ rule-off over " +
+    "tie-heavy fixtures, and the plan is native") {
+    def windowForm = {
+      val spec = Window.orderBy(round(col("value"), 1).asc,
+        col("user_id").desc)
+      events.withColumn("rk", rank().over(spec))
+        .withColumn("dk", dense_rank().over(spec))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("value").desc, col("event_id"))))
+    }
+    spark.conf.unset(GlobalRankRewrite.Key)
+    val base = windowForm.orderBy("event_id").collect().toSeq
+    spark.conf.set(GlobalRankRewrite.Key, "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = windowForm.queryExecution
+      val execs = qe.executedPlan.collect { case e: GlobalRankExec => e }
+      assert(execs.size === 3, qe.executedPlan.toString)
+      assert(qe.executedPlan.collectFirst { case w: WindowExec => w }.isEmpty)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val on = windowForm.orderBy("event_id").collect().toSeq
+      assert(on === base)
     } finally {
       spark.conf.unset(GlobalRankRewrite.Key)
       spark.conf.set("spark.sql.adaptive.enabled", "true")

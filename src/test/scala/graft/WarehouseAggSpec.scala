@@ -125,6 +125,34 @@ class WarehouseAggSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.isNullAt(1) && row.getLong(2) === 2L)
   }
 
+  test("GROUP BY exactly the cluster key serves per-group partials from " +
+    "the manifest: zero files planned, grouped values exact") {
+    import spark.implicits._
+    val path = fresh("grouped")
+    val df = Seq(
+      ("a", 5L, Some(2L)), ("a", 1L, None), ("b", 7L, Some(3L)),
+      ("b", 9L, Some(4L)), ("c", -2L, None))
+      .toDF("g", "x", "opt")
+    Sink.overwrite(df.repartition(2, col("g")), path,
+      format = "graft-warehouse", options = Map("clusterBy" -> "g"))
+    val t = Sink.read(spark, path, "graft-warehouse")
+    def agged(src: org.apache.spark.sql.DataFrame) =
+      src.groupBy("g").agg(count(lit(1)).as("n"), min("x").as("mn"),
+          max("x").as("mx"), sum("x").as("sx"), count(col("opt")).as("no"))
+        .orderBy("g").collect().toSeq
+    val got = agged(t)
+    assert(WarehouseScanStats.lastAggServed,
+      "grouped aggregate on the cluster key must serve from metadata")
+    assert(WarehouseScanStats.lastPlannedFiles === 0)
+    assert(got === agged(df))
+    // grouping on a NON-cluster column refuses and answers from data
+    val g2 = t.groupBy("x").agg(count(lit(1))).collect()
+    assert(!WarehouseScanStats.lastAggServed && g2.length === 5)
+    // a second grouping column alongside the cluster key refuses too
+    val g3 = t.groupBy("g", "x").agg(count(lit(1))).collect()
+    assert(!WarehouseScanStats.lastAggServed && g3.length === 5)
+  }
+
   test("append accumulates row counts across generations; count serves " +
     "the union") {
     import spark.implicits._
