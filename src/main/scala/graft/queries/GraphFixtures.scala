@@ -101,6 +101,24 @@ object GraphFixtures {
           (col("o_custkey") * 2 + 1).as("dst"))
     }
 
+  /** The SYMMETRIZED DISTINCT adjacency over [[edges]] — the artifact the
+    * BFS/traversal family actually consumes. Round-13: the sf4 decade
+    * audit decomposed graph_closeness's shuffle as 85% the per-query
+    * doubled-edge `distinct` (216→516 MB for 2× raw edges — map-side
+    * dedup dilutes as the key space outgrows task splits, the documented
+    * saturation class), vs ~45-97 MB for the BFS state itself. A
+    * production graph stack persists the deduped adjacency once next to
+    * the raw edge list; with this artifact every traversal starts from a
+    * parquet scan and the per-query distinct disappears.
+    */
+  def edgesSymDistinct(s: SparkSession, dir: String): DataFrame =
+    artifact(s, s"edgesym_${fixtureKey(dir, s)}") {
+      val e = edges(s, dir)
+      e.select("src", "dst")
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    }
+
   /** Deterministic label-propagation labels over [[edges]] after `rounds`
     * synchronous self-vote min-tie-break rounds — fit once per
     * (corpus, rounds), shared by the community and modularity queries.

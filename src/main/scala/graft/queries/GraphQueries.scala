@@ -272,8 +272,8 @@ object GraphQueries {
     // 12 dp and decimal-sum so both engines agree to the final 6 dp.
     QueryDef("graph_closeness",
       (s, dir) => {
-        Graph.seededDistances(GraphFixtures.edges(s, dir),
-            col("node") < 5, rounds = 4)
+        Graph.seededDistances(GraphFixtures.edgesSymDistinct(s, dir),
+            col("node") < 5, rounds = 4, presymmetrized = true)
           .filter(col("d") > 0)
           .groupBy("seed")
           .agg(count(lit(1)).as("n_reached"),
