@@ -484,6 +484,14 @@ object WarehouseScanStats {
   @volatile var lastAggServed: Boolean = false
   /** Prunable runtime (DPP) filters delivered to the LAST scan. */
   @volatile var lastRuntimeFilters: Int = 0
+  /** Bounded rolling log of data-scan planned-file counts (newest last,
+    * last 64) — lets a spec assert per-TRIGGER pruning in a streaming
+    * loop, where `lastPlannedFiles` alone only shows the final plan. */
+  val plannedLog = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  private[sources] def logPlanned(n: Int): Unit = {
+    plannedLog.add(n)
+    while (plannedLog.size > 64) plannedLog.poll()
+  }
 }
 
 /** ScanBuilder with the two pushdowns a 100 TB warehouse table needs:
@@ -829,6 +837,7 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val sv = surviving
     WarehouseScanStats.lastPlannedFiles = sv.size
+    WarehouseScanStats.logPlanned(sv.size)
     WarehouseScanStats.lastReadSchema = required.simpleString
     WarehouseScanStats.lastAggServed = false
     clustered match {
@@ -1079,6 +1088,19 @@ object WarehouseMeta {
 
   private val ManifestRe = "manifest-([0-9]+)".r
 
+  /** Parsed-manifest cache keyed (root, generation): a manifest file is
+    * IMMUTABLE once atomically renamed into place (monotonic generations,
+    * never rewritten), so a parse is valid forever. Freshness still costs
+    * exactly one directory listing per read — the latest generation is
+    * always re-discovered — but a micro-batch loop hitting the same
+    * generation every trigger re-plans from memory instead of re-parsing
+    * stat lines (the round-13 streaming runtime-pruning face). Hit
+    * counter exposed for the spec.
+    */
+  private val parsedManifests =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Manifest]()
+  @volatile var manifestCacheHits: Long = 0L
+
   def readManifest(root: String,
       generation: Option[Long] = None): Option[Manifest] = {
     val f = fs(root)
@@ -1096,6 +1118,11 @@ object WarehouseMeta {
           s"generation $g does not exist at $root (have " +
             s"${gens.map(_._1).sorted.mkString(",")})"))
       case None => gens.maxBy(_._1)
+    }
+    val hit = parsedManifests.get((root, gen))
+    if (hit != null) {
+      manifestCacheHits += 1
+      return Some(hit)
     }
     val lines = {
       val in = f.open(path)
@@ -1150,11 +1177,13 @@ object WarehouseMeta {
         .collect { case Array(f, c, n) => (f, c, n.toLong) }
         .groupBy(_._1)
         .map { case (f, rs) => f -> rs.map(r => r._2 -> r._3).toMap }
-    Some(Manifest(gen,
+    val m = Manifest(gen,
       DataType.fromJson(one("schema")).asInstanceOf[StructType],
       lines.filter(_.startsWith("file=")).map(_.substring(5)),
       one("job"), one("disposition"), stats, rowCounts, clusterBy, parts,
-      perFileCol("fnn="), perFileCol("fsum=")))
+      perFileCol("fnn="), perFileCol("fsum="))
+    parsedManifests.put((root, gen), m)
+    Some(m)
   }
 
   def writeManifest(f: FileSystem, root: String, m: Manifest): Unit = {
