@@ -197,6 +197,72 @@ object Evaluate {
     * that, widen the products to decimal (noted because the gate can't
     * see it).
     */
+  /** Per-class precision/recall/F1 from the confusion census — the
+    * multiclass report card next to [[cohenKappa]]'s single agreement
+    * number. Everything after the one corpus pass is |labels|-bounded;
+    * exact BIGINT counts, one 6-dp division per ratio. F1 uses the
+    * p/r-free form 2·tp/(n_pred + n_act), whose denominator is positive
+    * for every label that appears at all; a label never predicted (or
+    * never true) reports NULL precision (recall) rather than a fake 0.
+    */
+  def f1PerClass(scored: DataFrame, predCol: String,
+      actualCol: String): DataFrame = {
+    val cells = confusionCells(scored, predCol, actualCol)
+      .localCheckpoint()
+    val rm = cells.groupBy(col("predicted").as("label"))
+      .agg(sum(col("n")).as("n_pred"))
+    val cm = cells.groupBy(col("actual").as("label"))
+      .agg(sum(col("n")).as("n_act"))
+    val tp = cells.filter(col("predicted") === col("actual"))
+      .select(col("predicted").as("label"), col("n").as("tp0"))
+    rm.join(cm, Seq("label"), "full")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_act"), lit(0L)).as("n_act"),
+        coalesce(col("tp0"), lit(0L)).as("tp"))
+      .select(col("label"), col("n_pred"), col("n_act"), col("tp"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred"), 6))
+          .as("precision"),
+        when(col("n_act") > 0,
+          round(col("tp").cast("double") / col("n_act"), 6))
+          .as("recall"),
+        round(lit(2.0) * col("tp") / (col("n_pred") + col("n_act")), 6)
+          .as("f1"))
+      .orderBy("label")
+  }
+
+  /** Binary Matthews correlation coefficient for the one-vs-rest task
+    * `<col> == positive` — the single balanced-quality number that stays
+    * honest under class skew (unlike accuracy). One combinable corpus
+    * pass to the four cells; MCC = (tp·tn − fp·fn) / √(tp+fp)√(tp+fn)
+    * √(tn+fp)√(tn+fn) with exact LONG cells, each factor √'d separately
+    * (every factor ≤ n, exact in a double, IEEE sqrt — cross-engine
+    * identical) and the all-standard MCC=0 convention when any marginal
+    * is empty.
+    */
+  def mccBinary(scored: DataFrame, predCol: String, actualCol: String,
+      positive: String): DataFrame = {
+    val b = scored.select(
+      (col(predCol) === positive).cast("long").as("p"),
+      (col(actualCol) === positive).cast("long").as("a"))
+    val cells = b.agg(
+      sum(col("p") * col("a")).as("tp"),
+      sum(col("p") * (lit(1L) - col("a"))).as("fp"),
+      sum((lit(1L) - col("p")) * col("a")).as("fn"),
+      sum((lit(1L) - col("p")) * (lit(1L) - col("a"))).as("tn"))
+    val denom = sqrt((col("tp") + col("fp")).cast("double")) *
+      sqrt((col("tp") + col("fn")).cast("double")) *
+      sqrt((col("tn") + col("fp")).cast("double")) *
+      sqrt((col("tn") + col("fn")).cast("double"))
+    cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(denom > 0.0,
+        round((col("tp") * col("tn") - col("fp") * col("fn"))
+          .cast("double") / denom, 6))
+        .otherwise(lit(0.0)).as("mcc"))
+  }
+
   def cohenKappa(scored: DataFrame, predCol: String,
       actualCol: String): DataFrame = {
     val cells = confusionCells(scored, predCol, actualCol)

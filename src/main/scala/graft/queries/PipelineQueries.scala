@@ -1432,7 +1432,66 @@ object PipelineQueries {
               |  round(CAST(pen AS DOUBLE) / (CAST(t AS DOUBLE) * t), 6) AS pe,
               |  round(CAST(t * agree - pen AS DOUBLE)
               |    / CAST(t * t - pen AS DOUBLE), 6) AS kappa
-              |FROM t CROSS JOIN pe""".stripMargin))
+              |FROM t CROSS JOIN pe""".stripMargin)),
+
+    // Per-class precision/recall/F1 over the langid confusion census —
+    // the multiclass report card beside kappa's single number. |langs|
+    // output rows; exact BIGINT counts, 6-dp ratios; a class never
+    // predicted reports NULL precision (never a fake 0).
+    QueryDef("eval_f1_per_class",
+      (s, dir) => graft.ops.Evaluate.f1PerClass(
+        TextAnalysis.langId(Tables.read(s, dir, "documents")),
+        "predicted", "lang"),
+      Some(s"""WITH cells AS (SELECT predicted, lang AS actual,
+              |    count(*) AS n FROM ($langPredSql) GROUP BY 1, 2),
+              |rm AS (SELECT predicted AS label, CAST(sum(n) AS BIGINT)
+              |    AS n_pred FROM cells GROUP BY 1),
+              |cm AS (SELECT actual AS label, CAST(sum(n) AS BIGINT)
+              |    AS n_act FROM cells GROUP BY 1),
+              |tp AS (SELECT predicted AS label, CAST(n AS BIGINT) AS tp0
+              |  FROM cells WHERE predicted = actual),
+              |j AS (SELECT label, coalesce(n_pred, 0) AS n_pred,
+              |    coalesce(n_act, 0) AS n_act, coalesce(tp0, 0) AS tp
+              |  FROM rm FULL JOIN cm USING (label)
+              |    LEFT JOIN tp USING (label))
+              |SELECT label, n_pred, n_act, tp,
+              |  CASE WHEN n_pred > 0
+              |    THEN round(CAST(tp AS DOUBLE) / n_pred, 6) END AS precision,
+              |  CASE WHEN n_act > 0
+              |    THEN round(CAST(tp AS DOUBLE) / n_act, 6) END AS recall,
+              |  round(2.0 * tp / (n_pred + n_act), 6) AS f1
+              |FROM j ORDER BY label""".stripMargin)),
+
+    // Binary Matthews correlation for the is-English one-vs-rest task —
+    // the skew-honest single quality number (accuracy flatters when one
+    // class dominates; MCC needs all four cells to be good). Exact LONG
+    // cells from one combinable pass; per-factor IEEE sqrt keeps the
+    // denominator bit-identical across engines.
+    QueryDef("eval_mcc",
+      (s, dir) => graft.ops.Evaluate.mccBinary(
+        TextAnalysis.langId(Tables.read(s, dir, "documents")),
+        "predicted", "lang", positive = "en"),
+      Some(s"""WITH b AS (SELECT
+              |    CAST(predicted = 'en' AS BIGINT) AS p,
+              |    CAST(lang = 'en' AS BIGINT) AS a
+              |  FROM ($langPredSql)),
+              |c AS (SELECT CAST(sum(p * a) AS BIGINT) AS tp,
+              |    CAST(sum(p * (1 - a)) AS BIGINT) AS fp,
+              |    CAST(sum((1 - p) * a) AS BIGINT) AS fn,
+              |    CAST(sum((1 - p) * (1 - a)) AS BIGINT) AS tn
+              |  FROM b)
+              |SELECT tp, fp, fn, tn,
+              |  CASE WHEN sqrt(CAST(tp + fp AS DOUBLE)) *
+              |      sqrt(CAST(tp + fn AS DOUBLE)) *
+              |      sqrt(CAST(tn + fp AS DOUBLE)) *
+              |      sqrt(CAST(tn + fn AS DOUBLE)) > 0
+              |    THEN round(CAST(tp * tn - fp * fn AS DOUBLE) /
+              |      (sqrt(CAST(tp + fp AS DOUBLE)) *
+              |       sqrt(CAST(tp + fn AS DOUBLE)) *
+              |       sqrt(CAST(tn + fp AS DOUBLE)) *
+              |       sqrt(CAST(tn + fn AS DOUBLE))), 6)
+              |    ELSE 0.0 END AS mcc
+              |FROM c""".stripMargin))
   )
 
   // ---- generated oracles --------------------------------------------------

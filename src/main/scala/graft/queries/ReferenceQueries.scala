@@ -607,6 +607,76 @@ object ReferenceQueries {
              |  count(o_custkey) AS n_cust
              |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
 
+    // METADATA-ONLY DELETE (round-13): retention expiry as a manifest
+    // edit. The fixture clusters orders on bucket = pmod(o_orderkey, 8)
+    // (one cluster value per committed file), deletes `bucket = 3` —
+    // every file provably full-match or no-match via its zone maps — and
+    // aggregates the survivors. The delete commits a new generation
+    // (dropped files stay for time travel); WarehouseDeleteSpec pins the
+    // partial-predicate refusal and the old generation's readability. At
+    // 100 TB, expiring a partition is this manifest edit, not a rewrite.
+    QueryDef("sink_warehouse_delete",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_orddel_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(orders.repartition(8, col("bucket")), path,
+            format = "graft-warehouse",
+            options = Map("clusterBy" -> "bucket"))
+        if (graft.sources.WarehouseMeta.readManifest(path)
+            .exists(_.disposition != "DELETE"))
+          graft.sources.WarehouseDelete.deleteWhere(path,
+            org.apache.spark.sql.sources.EqualTo("bucket", 3L))
+        Sink.read(s, path, "graft-warehouse")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+      },
+      Some("""SELECT count(*) AS n_orders,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE), 2) AS total_price
+             |FROM orders WHERE o_orderkey % 8 <> 3""".stripMargin)),
+
+    // LIMIT pushdown (round-13): per-file row counts turn LIMIT n into a
+    // FILE-PREFIX plan — only enough files to cover n rows are planned
+    // and each reader stops decoding at n (WarehouseStatsSpec pins the
+    // 1-file plan for LIMIT 5 over 100-row files and the filtered-limit
+    // refusal). LIMIT without ORDER is row-nondeterministic, so the
+    // declared gate checks the deterministic face: the exact row COUNT
+    // through the pushed limit. Shares scan_warehouse_agg's fixture.
+    QueryDef("scan_warehouse_limit",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordagg2_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(
+            orders.repartitionByRange(8, col("o_orderkey")),
+            path, format = "graft-warehouse")
+        Sink.read(s, path, "graft-warehouse")
+          .limit(777)
+          .agg(count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(least(777, (SELECT count(*) FROM orders))
+             |  AS BIGINT) AS n_rows""".stripMargin)),
+
     // STORAGE-PARTITIONED JOIN (round-12 DSv2 SupportsReportPartitioning):
     // orders and customer land in cluster-loaded warehouse tables sharing
     // a 64-bucket layout (`clusterBy` on pmod(custkey, 64) — one cluster

@@ -81,6 +81,189 @@ object StatQueries {
              |    AS BIGINT) AS lift_bp
              |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin)),
 
+    // Spearman rank correlation between quantity and price over lineitem
+    // — the monotone-association number, exact under MASSIVE ties
+    // (l_quantity has ~50 distinct values). Fractional average ranks ride
+    // as exact INTEGERS doubled: 2·avgrank = rank_asc + (n+1) − rank_desc,
+    // both tie-aware ranks from the NATIVE GlobalRank Rank mode
+    // (round-13) — four range exchanges + summary passes, no single-task
+    // window, no per-value join. Moments are exact DECIMAL(38,0) sums;
+    // ρ's one division runs on exact integers cast to double, 6-dp.
+    QueryDef("stat_spearman",
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem")
+          .select(col("l_quantity").cast("long").as("x"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+              "AS BIGINT)").as("y"))
+        val nDf = li.agg(count(lit(1)).as("n_t"))
+        val GR = graft.plans.GlobalRank
+        val ranked = GR.withRank(GR.withRank(GR.withRank(GR.withRank(
+          li, "rxa", ("x", true)), "rxd", ("x", false)),
+          "rya", ("y", true)), "ryd", ("y", false))
+        val d = ranked.crossJoin(broadcast(nDf))
+          .select(
+            (col("rxa") + col("n_t") + 1 - col("rxd"))
+              .cast("decimal(38,0)").as("ax"),
+            (col("rya") + col("n_t") + 1 - col("ryd"))
+              .cast("decimal(38,0)").as("ay"))
+        d.agg(count(lit(1)).as("n_rows"),
+            sum(col("ax")).as("sx"), sum(col("ay")).as("sy"),
+            sum(col("ax") * col("ax")).as("sxx"),
+            sum(col("ay") * col("ay")).as("syy"),
+            sum(col("ax") * col("ay")).as("sxy"))
+          .select(col("n_rows"),
+            round((col("n_rows") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt((col("n_rows") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+                sqrt((col("n_rows") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))), 6).as("spearman_rho"))
+      },
+      Some("""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS y
+             |  FROM lineitem),
+             |n AS (SELECT count(*) AS n_t FROM li),
+             |r AS (SELECT
+             |    CAST(rank() OVER (ORDER BY x) + n_t + 1 -
+             |      rank() OVER (ORDER BY x DESC) AS DECIMAL(38,0)) AS ax,
+             |    CAST(rank() OVER (ORDER BY y) + n_t + 1 -
+             |      rank() OVER (ORDER BY y DESC) AS DECIMAL(38,0)) AS ay
+             |  FROM li CROSS JOIN n),
+             |s AS (SELECT count(*) AS n_rows,
+             |    sum(ax) AS sx, sum(ay) AS sy, sum(ax * ax) AS sxx,
+             |    sum(ay * ay) AS syy, sum(ax * ay) AS sxy FROM r)
+             |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+             |  round(CAST(n_rows * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n_rows * syy - sy * sy AS DOUBLE))), 6)
+             |    AS spearman_rho
+             |FROM s""".stripMargin)),
+
+    // Mann-Whitney U (Wilcoxon rank-sum) between urgent and low-priority
+    // order totals over $100 price bands — the nonparametric
+    // two-sample location test, tie-corrected. Pooled fractional ranks
+    // ride doubled (exact integers, the stat_spearman device) through
+    // the native tie-aware GlobalRank; U statistics are exact integers
+    // (also doubled); the z-score's tie-corrected variance folds the
+    // exact Σ(t³−t) band census. The z expression is written identically
+    // in both engines (same operation order) so the one float pipeline
+    // agrees to the 6th dp.
+    QueryDef("stat_mann_whitney",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+            "AS BIGINT) div 10000").as("v"),
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+              .as("g"))
+        val nDf = o.agg(count(lit(1)).as("n_t"))
+        val GR = graft.plans.GlobalRank
+        val ranked = GR.withRank(GR.withRank(o, "ra", ("v", true)),
+          "rd", ("v", false))
+        val ties = o.groupBy("v").agg(count(lit(1)).as("t"))
+          .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t"))
+            .as("tie_term"))
+        val sums = ranked.crossJoin(broadcast(nDf))
+          .select(col("g"),
+            (col("ra") + col("n_t") + 1 - col("rd")).as("ax2"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("g")).as("n1"),
+            sum(when(col("g") === 1, col("ax2")).otherwise(lit(0L)))
+              .as("r1x2"))
+        sums.crossJoin(broadcast(ties))
+          .select(col("n1"), (col("n") - col("n1")).as("n2"),
+            (col("r1x2") - col("n1") * (col("n1") + 1)).as("u1x2"),
+            col("n"), col("tie_term"))
+          .select(col("n1"), col("n2"), col("u1x2").as("u1_doubled"),
+            (lit(2L) * col("n1") * col("n2") - col("u1x2"))
+              .as("u2_doubled"),
+            round((col("u1x2") - col("n1") * col("n2")).cast("double") /
+              (lit(2.0) * sqrt(col("n1").cast("double") * col("n2") /
+                lit(12.0) * ((col("n") + 1) -
+                  col("tie_term").cast("double") /
+                    (col("n").cast("double") * (col("n") - 1))))), 6)
+              .as("z_score"))
+      },
+      Some("""WITH o AS (SELECT
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      // 10000 AS v,
+             |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+             |      AS g
+             |  FROM orders
+             |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+             |n AS (SELECT count(*) AS n_t FROM o),
+             |r AS (SELECT g, rank() OVER (ORDER BY v) + n_t + 1 -
+             |    rank() OVER (ORDER BY v DESC) AS ax2
+             |  FROM o CROSS JOIN n),
+             |ties AS (SELECT sum(CAST(t AS DECIMAL(38,0)) * t * t - t)
+             |    AS tie_term
+             |  FROM (SELECT count(*) AS t FROM o GROUP BY v)),
+             |s AS (SELECT count(*) AS n, sum(g) AS n1,
+             |    sum(CASE WHEN g = 1 THEN ax2 ELSE 0 END) AS r1x2 FROM r),
+             |u AS (SELECT n1, n - n1 AS n2,
+             |    r1x2 - n1 * (n1 + 1) AS u1x2, n, tie_term
+             |  FROM s CROSS JOIN ties)
+             |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |  CAST(u1x2 AS BIGINT) AS u1_doubled,
+             |  CAST(2 * n1 * n2 - u1x2 AS BIGINT) AS u2_doubled,
+             |  round(CAST(u1x2 - n1 * n2 AS DOUBLE) /
+             |    (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 *
+             |      ((n + 1) - CAST(tie_term AS DOUBLE) /
+             |        (CAST(n AS DOUBLE) * (n - 1))))), 6) AS z_score
+             |FROM u""".stripMargin)),
+
+    // Two-sample Kolmogorov-Smirnov D between the same two priority
+    // groups' price-band distributions — the distribution-shape
+    // complement to Mann-Whitney's location test. The cumulative runs
+    // over the $100 price-BAND domain (bounded by the price range, not
+    // the row count — the eval_auc window class); D's numerator
+    // max|cum1·n2 − cum2·n1| stays an exact integer, one 6-dp division
+    // at the end.
+    QueryDef("stat_ks_bands",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+            "AS BIGINT) div 10000").as("v"),
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+              .as("g"))
+        val tot = o.agg(sum(col("g")).as("n1_t"),
+          sum(lit(1L) - col("g")).as("n2_t"))
+        val bands = o.groupBy("v")
+          .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+        val w = Window.orderBy("v") // $100 price-band domain (bounded)
+        bands
+          .withColumn("cum1", sum("c1").over(w))
+          .withColumn("cum2", sum("c2").over(w))
+          .crossJoin(broadcast(tot))
+          .agg(max(abs(col("cum1") * col("n2_t") -
+            col("cum2") * col("n1_t"))).as("d_num"),
+            max(col("n1_t")).as("n1"), max(col("n2_t")).as("n2"))
+          .select(col("n1"), col("n2"), col("d_num"),
+            round(col("d_num").cast("double") /
+              (col("n1").cast("double") * col("n2")), 6).as("ks_d"))
+      },
+      Some("""WITH o AS (SELECT
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      // 10000 AS v,
+             |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+             |      AS g
+             |  FROM orders
+             |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+             |tot AS (SELECT sum(g) AS n1_t, sum(1 - g) AS n2_t FROM o),
+             |b AS (SELECT v, sum(g) AS c1, sum(1 - g) AS c2
+             |  FROM o GROUP BY v),
+             |c AS (SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+             |    sum(c2) OVER (ORDER BY v) AS cum2 FROM b),
+             |d AS (SELECT max(abs(cum1 * n2_t - cum2 * n1_t)) AS d_num,
+             |    max(n1_t) AS n1, max(n2_t) AS n2 FROM c CROSS JOIN tot)
+             |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |  CAST(d_num AS BIGINT) AS d_num,
+             |  round(CAST(d_num AS DOUBLE) /
+             |    (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d
+             |FROM d""".stripMargin)),
+
     // Kaplan-Meier survival for time-to-first-high-value-purchase
     // (value ≥ 150 — ~5% of purchases, so roughly half the users convert
     // inside the corpus window and the rest are right-censored at their

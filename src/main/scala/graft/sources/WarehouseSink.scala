@@ -514,12 +514,14 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private val manifest = WarehouseMeta.readManifest(root, generation).getOrElse(
     throw new IllegalArgumentException(
       s"graft-warehouse table at $root has no committed manifest"))
   private var required: StructType = manifest.schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
   private var aggResult: Option[(StructType, Seq[InternalRow])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -530,6 +532,22 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
     filters // ALL residual: pruning is inexact (file-granular)
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** LIMIT pushdown (round-13): the per-file row counts already in the
+    * manifest turn `LIMIT n` into a FILE-PREFIX plan — only enough files
+    * to cover n rows are opened, and each reader stops decoding at n.
+    * Best-effort contract (isPartiallyPushed stays true): Spark keeps
+    * its own GlobalLimit above, so a conservative serve can never change
+    * results. Refused when filters are pushed (a residual predicate
+    * above the scan could drop rows a prefix plan counted on) or when
+    * any file lacks its frows line (pre-upgrade manifest). At 100 TB,
+    * `LIMIT 10` plans ONE file instead of the whole table.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    if (pushed.nonEmpty) return false
+    limit = Some(l)
+    true
+  }
 
   /** MIN/MAX/SUM/COUNT(col)/COUNT(*) answered from manifest metadata —
     * the scan plans ZERO data files; at 100 TB this is the difference
@@ -719,7 +737,7 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
 
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new WarehouseAggScan(schema, rows)
-    case None => new WarehouseScan(root, manifest, required, pushed)
+    case None => new WarehouseScan(root, manifest, required, pushed, limit)
   }
 }
 
@@ -761,9 +779,10 @@ class WarehouseAggReaderFactory(rows: Seq[InternalRow])
 }
 
 class WarehouseScan(root: String, manifest: Manifest, required: StructType,
-    filters: Array[Filter]) extends Scan with Batch
+    filters: Array[Filter], limit: Option[Int] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** Runtime (DPP-style) file pruning: Spark hands the build side's key
     * set as an `In` filter AT EXECUTION TIME, and the same zone maps
@@ -814,6 +833,34 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Pruning-aware CBO statistics (round-13 `SupportsReportStatistics`):
+    * numRows = the exact frows sum over SURVIVING files (absent on any
+    * file → unknown, never a guess), sizeInBytes = the surviving files'
+    * actual lengths. Static zone pruning therefore shrinks the stats the
+    * optimizer sees — a filtered warehouse dim that fits the broadcast
+    * threshold gets broadcast WITHOUT a hint, which at 100 TB is the
+    * difference between a map-side join and a full fact shuffle
+    * (WarehouseStatsSpec pins the hint-free broadcast decision).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val sv = surviving
+    val rows: java.util.OptionalLong =
+      if (sv.forall(manifest.rows.contains))
+        java.util.OptionalLong.of(sv.map(manifest.rows).sum)
+      else java.util.OptionalLong.empty()
+    val f = WarehouseMeta.fs(root)
+    val bytes = sv.map { file =>
+      try f.getFileStatus(new Path(root, file)).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
+
   /** Storage-partitioned-join face: a table loaded with a `clusterBy`
     * option reports KeyGroupedPartitioning over the identity transform of
     * the cluster column, so two co-clustered warehouse tables equi-join
@@ -834,25 +881,48 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
           .UnknownPartitioning(0)
     }
 
+  /** A pushed LIMIT is servable as a file-prefix plan iff nothing below
+    * Spark's GlobalLimit can drop rows (no static/runtime filters), the
+    * scan is not cluster-grouped (the KeyGroupedPartitioning report must
+    * stay consistent with the partition list), and every surviving file
+    * carries its exact row count. */
+  private def limitPrefix(sv: List[String]): Option[List[String]] =
+    limit match {
+      case Some(n) if filters.isEmpty && runtimeFilters.isEmpty &&
+          clustered.isEmpty && sv.forall(manifest.rows.contains) =>
+        var acc = 0L
+        Some(sv.takeWhile { f =>
+          val take = acc < n
+          acc += manifest.rows(f)
+          take
+        })
+      case _ => None
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val sv = surviving
-    WarehouseScanStats.lastPlannedFiles = sv.size
-    WarehouseScanStats.logPlanned(sv.size)
+    val planned = limitPrefix(sv).getOrElse(sv)
+    WarehouseScanStats.lastPlannedFiles = planned.size
+    WarehouseScanStats.logPlanned(planned.size)
     WarehouseScanStats.lastReadSchema = required.simpleString
     WarehouseScanStats.lastAggServed = false
     clustered match {
       case Some((_, dt)) =>
-        sv.groupBy(manifest.parts).toArray.sortBy(_._1).map {
+        planned.groupBy(manifest.parts).toArray.sortBy(_._1).map {
           case (enc, files) =>
             WarehouseGroupPartition(files.map(f => s"$root/$f"), enc, dt)
               : InputPartition
         }
       case None =>
-        sv.map(f => WarehousePartition(s"$root/$f"): InputPartition).toArray
+        planned.map(f =>
+          WarehousePartition(s"$root/$f"): InputPartition).toArray
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(root, manifest.schema, required)
+    new WarehouseReaderFactory(root, manifest.schema, required,
+      // per-partition early stop: with no filters below the limit, each
+      // partition can contribute at most `limit` rows to the global top
+      if (filters.isEmpty && runtimeFilters.isEmpty) limit else None)
 }
 
 /** Conservative min/max file pruning: a file survives unless its stats
@@ -924,6 +994,40 @@ object WarehouseZoneMap {
     }
   }
 
+  /** TRUE only when the stats PROVE every row in the file matches `f` —
+    * the metadata-delete proof obligation (the dual of [[mightMatch]]).
+    * Long zones only (string bounds are truncated — never exact), and
+    * the column must be provably null-free in the file (frows == fnn —
+    * a null row fails every comparison). Anything unprovable is false;
+    * Or is sufficient-not-complete (one provable arm proves the row).
+    */
+  def mustMatch(f: Filter, stats: Map[String, ColStat],
+      frows: Option[Long], fnn: Map[String, Long]): Boolean = {
+    def rng(col: String): Option[(Long, Long)] = stats.get(col) collect {
+      case ColStat.Longs(lo, hi) => (lo, hi)
+    }
+    def noNulls(c: String): Boolean =
+      frows.exists(n => fnn.get(c).contains(n))
+    def prove(c: String, v: Any)(p: (Long, Long, Long) => Boolean): Boolean =
+      lit(v).exists(x => noNulls(c) &&
+        rng(c).exists { case (lo, hi) => p(lo, hi, x) })
+    f match {
+      case And(a, b) => mustMatch(a, stats, frows, fnn) &&
+        mustMatch(b, stats, frows, fnn)
+      case Or(a, b) => mustMatch(a, stats, frows, fnn) ||
+        mustMatch(b, stats, frows, fnn)
+      case EqualTo(c, v) => prove(c, v)((lo, hi, x) => lo == x && hi == x)
+      case In(c, vs) if vs != null && vs.nonEmpty =>
+        // a single-valued file fully matches if its one value is in the set
+        vs.exists(v => mustMatch(EqualTo(c, v), stats, frows, fnn))
+      case GreaterThan(c, v) => prove(c, v)((lo, _, x) => lo > x)
+      case GreaterThanOrEqual(c, v) => prove(c, v)((lo, _, x) => lo >= x)
+      case LessThan(c, v) => prove(c, v)((_, hi, x) => hi < x)
+      case LessThanOrEqual(c, v) => prove(c, v)((_, hi, x) => hi <= x)
+      case _ => false
+    }
+  }
+
   def mightMatch(f: Filter, stats: Map[String, ColStat]): Boolean = {
     def rng(col: String): Option[(Long, Long)] = stats.get(col) collect {
       case ColStat.Longs(lo, hi) => (lo, hi)
@@ -989,7 +1093,8 @@ case class WarehouseGroupPartition(files: Seq[String], encoded: String,
 }
 
 class WarehouseReaderFactory(root: String, fullSchema: StructType,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, rowCap: Option[Int] = None)
+    extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition match {
@@ -1001,11 +1106,13 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
     // map each full-schema ordinal to its slot in the pruned row (-1 = skip)
     val slot: Array[Int] = fullSchema.fields.map(f =>
       required.fieldNames.indexOf(f.name))
+    val cap: Long = rowCap.map(_.toLong).getOrElse(Long.MaxValue)
     new PartitionReader[InternalRow] {
       private val fs = WarehouseMeta.fs(root)
       private val queue = scala.collection.mutable.Queue(files: _*)
       private var in: DataInputStream = _
       private var row: InternalRow = _
+      private var emitted = 0L
       private def openNext(): Boolean =
         if (queue.isEmpty) false
         else {
@@ -1017,9 +1124,12 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
           true
         }
       override def next(): Boolean = {
+        // pushed-LIMIT early stop: a partition never decodes past the
+        // limit — Spark's GlobalLimit above takes the exact n
+        if (emitted >= cap) return false
         if (in == null && !openNext()) return false
         row = WarehouseCodec.readRowProjected(in, fullSchema, required, slot)
-        if (row != null) true
+        if (row != null) { emitted += 1; true }
         else { in.close(); in = null; next() }
       }
       override def get(): InternalRow = row
@@ -1074,6 +1184,62 @@ object WarehousePart {
         case _ => s.toLong
       }
     }
+}
+
+/** Metadata-only DELETE (round-13): drop every file the zone maps PROVE
+  * fully matches the predicate, keep every file they prove cannot match,
+  * and REFUSE any file that is partial — the delete then needs a
+  * copy-on-write rewrite, and serving it as metadata would be wrong. The
+  * deletion is a new manifest generation (same atomic commit as a load
+  * job, disposition `DELETE`); the dropped files stay on disk, so time
+  * travel to earlier generations still sees them. This is the
+  * partition-drop / retention-expiry shape every warehouse runs nightly:
+  * at 100 TB, expiring a day of data is a manifest edit, never a rewrite.
+  */
+object WarehouseDelete {
+
+  /** Delete all rows matching `pred`; returns the exact deleted row
+    * count. Throws (leaving the table untouched — the manifest is only
+    * written after every file classifies) when any file is partial under
+    * the predicate or lacks the stats to prove a side.
+    */
+  def deleteWhere(root: String, pred: Filter): Long = {
+    val fs = WarehouseMeta.fs(root)
+    val m = WarehouseMeta.readManifest(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-warehouse table at $root has no committed manifest"))
+    val (dropped, kept) = m.files.partition { f =>
+      val st = m.stats.getOrElse(f, Map.empty)
+      if (WarehouseZoneMap.mustMatch(pred, st, m.rows.get(f),
+          m.nonNull.getOrElse(f, Map.empty))) true
+      else if (!WarehouseZoneMap.mightMatch(pred, st)) false
+      else throw new IllegalArgumentException(
+        s"delete predicate $pred is not file-provable at $f " +
+          "(zone maps prove neither full-match nor no-match) — a " +
+          "metadata delete would drop or keep live rows; use a " +
+          "copy-on-write rewrite for partial deletes")
+    }
+    if (dropped.exists(f => !m.rows.contains(f)))
+      throw new IllegalArgumentException(
+        "dropped files lack exact row counts (pre-upgrade manifest) — " +
+          "refusing: the deleted-count contract would be a guess")
+    val jobId = s"delete-${java.util.UUID.randomUUID()}"
+    WarehouseMeta.logJobState(fs, root, jobId, "PENDING delete")
+    try {
+      WarehouseMeta.writeManifest(fs, root, m.copy(
+        generation = m.generation + 1, files = kept, jobId = jobId,
+        disposition = "DELETE",
+        stats = m.stats -- dropped, rows = m.rows -- dropped,
+        parts = m.parts -- dropped, nonNull = m.nonNull -- dropped,
+        sums = m.sums -- dropped))
+      WarehouseMeta.logJobState(fs, root, jobId, "DONE")
+    } catch {
+      case e: Throwable =>
+        WarehouseMeta.logJobState(fs, root, jobId, s"ERROR ${e.getMessage}")
+        throw e
+    }
+    dropped.map(m.rows).sum
+  }
 }
 
 /** Manifest layer: one `manifest-<gen>` file per committed load job under

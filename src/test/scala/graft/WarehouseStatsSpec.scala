@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.io.Sink
+import graft.sources.{WarehouseMeta, WarehouseScan, WarehouseScanStats}
+
+/** Round-13 DSv2 warehouse capabilities: CBO statistics from the manifest
+  * (SupportsReportStatistics — pruning-aware numRows/sizeInBytes, so the
+  * optimizer broadcasts a small/filtered warehouse dim WITHOUT a hint)
+  * and LIMIT pushdown (file-prefix planning from per-file row counts +
+  * per-reader early stop).
+  */
+class WarehouseStatsSpec extends SparkSpec {
+
+  private def fresh(tag: String): String =
+    s"/tmp/graft_wh_stats_${tag}_${System.nanoTime()}"
+
+  test("manifest statistics reach the optimizer: a small warehouse dim " +
+    "broadcast-joins with NO hint") {
+    val dimPath = fresh("dim")
+    val dim = spark.range(50).select(col("id").as("k"),
+      (col("id") % 7).as("grp"))
+    Sink.overwrite(dim.repartition(2), dimPath, format = "graft-warehouse")
+    // fact side big enough that Spark must pick the dim as build side
+    val fact = spark.range(2000000).select(col("id").as("k"),
+      (col("id") * 2).as("v"))
+    val joined = fact.join(Sink.read(spark, dimPath, "graft-warehouse"), "k")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = joined.queryExecution.executedPlan
+      val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty,
+        s"expected a hint-free broadcast join from manifest stats:\n$plan")
+      assert(bhj.exists(_.toString.contains("graft-warehouse")),
+        "the warehouse dim must be the broadcast side")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(joined.count() === 50L)
+  }
+
+  test("statistics are pruning-aware: a zone filter shrinks numRows " +
+    "exactly to the surviving files' counts") {
+    val path = fresh("pruned")
+    // 8 range files over k = 0..799, 100 rows each
+    val t = spark.range(800).select(col("id").as("k"))
+    Sink.overwrite(t.repartitionByRange(8, col("k")), path,
+      format = "graft-warehouse")
+    val m = WarehouseMeta.readManifest(path).get
+    val full = new WarehouseScan(path, m, m.schema, Array.empty)
+    assert(full.estimateStatistics().numRows().getAsLong === 800L)
+    assert(full.estimateStatistics().sizeInBytes().getAsLong > 0L)
+    val filtered = new WarehouseScan(path, m, m.schema,
+      Array(org.apache.spark.sql.sources.LessThan("k", 100L)))
+    val n = filtered.estimateStatistics().numRows().getAsLong
+    assert(n < 800L && n >= 100L,
+      s"filter must shrink stats to the surviving zone files (got $n)")
+  }
+
+  test("LIMIT plans a file prefix and stops decoding early; a filtered " +
+    "limit refuses the prefix but stays correct") {
+    val path = fresh("limit")
+    val t = spark.range(800).select(col("id").as("k"),
+      (col("id") * 3).as("v"))
+    Sink.overwrite(t.repartitionByRange(8, col("k")), path,
+      format = "graft-warehouse")
+    val wh = Sink.read(spark, path, "graft-warehouse")
+    assert(wh.limit(5).collect().length === 5)
+    assert(WarehouseScanStats.lastPlannedFiles === 1,
+      s"LIMIT 5 over 100-row files must plan ONE file, " +
+        s"planned ${WarehouseScanStats.lastPlannedFiles}")
+    assert(wh.limit(250).collect().length === 250)
+    assert(WarehouseScanStats.lastPlannedFiles === 3,
+      "LIMIT 250 over 100-row files must plan a 3-file prefix")
+    // filtered limit: the residual predicate above the scan could drop
+    // rows, so the prefix serve refuses — results stay exact
+    val got = wh.filter(col("k") >= 500L).limit(5).collect()
+    assert(got.length === 5 && got.forall(_.getLong(0) >= 500L))
+  }
+}

@@ -50,7 +50,9 @@ class WindowLintSpec extends SparkSpec {
     "events_survival" -> "calendar-day duration domain (life table rows)",
     "events_attribution" -> "per-touch-type rollup (|event_type| rows)",
     "events_concurrency" -> "per-bucket aggregate (|buckets| rows)",
-    "profile_drift" -> "10-bin PSI grid"
+    "profile_drift" -> "10-bin PSI grid",
+    "stat_ks_bands" ->
+      "$100 price-band domain grid (bounded by price range, not rows)"
   )
 
   private def globalWindows(plan: SparkPlan): Seq[WindowExec] =
