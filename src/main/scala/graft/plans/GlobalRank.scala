@@ -25,6 +25,16 @@ object RankMode {
   case object Rank extends RankMode
   /** Dense rank: 1,1,2 — ties share, no gaps. */
   case object DenseRank extends RankMode
+  /** DOUBLED fractional average rank: 2·avg_rank = 2·first_rank +
+    * (tie_group_size − 1), an exact integer — the rank statistics
+    * (Spearman/Mann-Whitney/Kruskal-Wallis) primitive, in ONE pass where
+    * the rank_asc + rank_desc composition needs two. The map pass
+    * buffers one tie group at a time (bounded by the partition slice —
+    * strictly tighter than WindowExec's whole-partition buffer); group
+    * sizes spanning partition boundaries are repaired from the same
+    * driver-side summaries as [[Rank]] (rows behind the head run, plus
+    * the symmetric rows ahead of the tail run). */
+  case object AvgRankX2 extends RankMode
 }
 
 /** Native exact global ranking — the physical form of the repo's
@@ -103,8 +113,83 @@ class GlobalRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: GlobalRankPlan =>
       GlobalRankExec(p.order, p.rankAttr, p.mode, planLater(p.child)) :: Nil
+    case p: GlobalPrefixSumPlan =>
+      GlobalPrefixSumExec(p.order, p.sumExpr, p.outAttr,
+        planLater(p.child)) :: Nil
     case _ => Nil
   }
+}
+
+/** Native exact global RUNNING SUM — the prefix-scan sibling of
+  * [[GlobalRankPlan]]: `sum(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`
+  * without the single-task window. Same physical shape: one range
+  * exchange + a shuffle-read summary pass (per-partition sums instead of
+  * counts), driver-side offsets over `numPartitions` longs, one
+  * streaming map pass. ROWS-frame semantics (each row gets its own
+  * running value — pass a total order for determinism); LongType values
+  * only (the repo's exact-integer discipline: pre-scale decimals to
+  * cents), nulls contribute zero like SUM. Explicit API only
+  * ([[GlobalRank.withRunningSum]]) — no transparent rewrite, because
+  * Spark's default `sum().over(orderBy)` is a RANGE frame (ties share a
+  * value) and a silent ROWS swap would be wrong under ties.
+  */
+case class GlobalPrefixSumPlan(child: LogicalPlan, order: Seq[SortOrder],
+    sumExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+    outAttr: Attribute) extends LogicalPlan with UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GlobalPrefixSumPlan = copy(child = newChild)
+}
+
+case class GlobalPrefixSumExec(order: Seq[SortOrder],
+    sumExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+    outAttr: Attribute, child: SparkPlan)
+    extends SparkPlan with UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = order
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childRDD = child.execute()
+    val childOutput = child.output
+    val expr = sumExpr
+    // Pass 1: per-partition value sums (shuffle-read-only, stage reuse)
+    val sums = childRDD.sparkContext.runJob(childRDD,
+      (it: Iterator[InternalRow]) => {
+        val proj = UnsafeProjection.create(Seq(expr), childOutput)
+        var s = 0L
+        while (it.hasNext) {
+          val k = proj(it.next())
+          if (!k.isNullAt(0)) s += k.getLong(0)
+        }
+        s
+      })
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val out = output
+    // Pass 2: stream each partition once, appending offset + running sum
+    childRDD.mapPartitionsWithIndex({ (pid, iter) =>
+      val proj = UnsafeProjection.create(out, out)
+      val valProj = UnsafeProjection.create(Seq(expr), childOutput)
+      val sumRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      var run = offsets(pid)
+      iter.map { r =>
+        val k = valProj(r)
+        if (!k.isNullAt(0)) run += k.getLong(0)
+        sumRow.update(0, run)
+        proj(joined(r, sumRow))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): GlobalPrefixSumExec = copy(child = newChild)
 }
 
 /** Per-partition summary from the shuffle-read pass: row count plus, for
@@ -113,7 +198,7 @@ class GlobalRankStrategy extends SparkStrategy {
   * with the job result — 2 rows per partition, metadata scale.
   */
 private[plans] case class RankPartSummary(count: Long, distinct: Long,
-    tailRun: Long, firstKey: UnsafeRow, lastKey: UnsafeRow)
+    tailRun: Long, headRun: Long, firstKey: UnsafeRow, lastKey: UnsafeRow)
 
 case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
     mode: RankMode, child: SparkPlan) extends SparkPlan with UnaryExecNode {
@@ -151,12 +236,13 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
         if (!needKeys) {
           var c = 0L
           while (it.hasNext) { it.next(); c += 1 }
-          RankPartSummary(c, 0L, 0L, null, null)
+          RankPartSummary(c, 0L, 0L, 0L, null, null)
         } else {
           val projA = UnsafeProjection.create(keyExprs, childOutput)
           val projB = UnsafeProjection.create(keyExprs, childOutput)
           val ord = GenerateOrdering.generate(bound)
           var c = 0L; var distinct = 0L; var tailRun = 0L
+          var headRun = 0L
           var first: UnsafeRow = null
           var prev: UnsafeRow = null
           var useA = true
@@ -167,10 +253,11 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
             if (prev == null || ord.compare(k, prev) != 0) {
               distinct += 1; tailRun = 1
             } else tailRun += 1
+            if (distinct == 1L) headRun += 1
             if (first == null) first = k.copy()
             prev = k
           }
-          RankPartSummary(c, distinct, tailRun, first,
+          RankPartSummary(c, distinct, tailRun, headRun, first,
             if (prev == null) null else prev.copy())
         }
       })
@@ -186,7 +273,8 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
     // walk back accumulating tail runs while the last key still ties; a
     // single-key partition (distinct == 1) keeps the walk going.
     val tieBehind: Array[Long] =
-      if (mode != RankMode.Rank) Array.fill(n)(0L)
+      if (mode != RankMode.Rank && mode != RankMode.AvgRankX2)
+        Array.fill(n)(0L)
       else Array.tabulate(n) { i =>
         val x = summaries(i).firstKey
         var t = 0L
@@ -199,6 +287,28 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
             else if (eq(s.lastKey, x)) {
               t += s.tailRun
               if (s.distinct == 1L) j -= 1 else walking = false
+            } else walking = false
+          }
+        }
+        t
+      }
+    // avg-rank: rows AHEAD of each partition's tail run (the forward
+    // mirror of tieBehind — the tail group's size must count its
+    // continuation into later partitions' head runs)
+    val tieAhead: Array[Long] =
+      if (mode != RankMode.AvgRankX2) Array.fill(n)(0L)
+      else Array.tabulate(n) { i =>
+        val x = summaries(i).lastKey
+        var t = 0L
+        if (x != null) {
+          var j = i + 1
+          var walking = true
+          while (j < n && walking) {
+            val s = summaries(j)
+            if (s.count == 0) j += 1
+            else if (eq(s.firstKey, x)) {
+              t += s.headRun
+              if (s.distinct == 1L) j += 1 else walking = false
             } else walking = false
           }
         }
@@ -277,6 +387,62 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
             if (prev == null || ord.compare(k, prev) != 0) localDense += 1
             prev = k
             emit(r, off + localDense)
+          }
+        case RankMode.AvgRankX2 =>
+          // one tie group buffered at a time (copies — the group must
+          // outlive the reader's reused row buffer). Memory is bounded
+          // by this partition's slice of the widest group — strictly
+          // tighter than WindowExec, which buffers the whole partition.
+          val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+          val ord = GenerateOrdering.generate(bound)
+          val off = rowOffsets(pid)
+          val behind = tieBehind(pid)
+          val ahead = tieAhead(pid)
+          new Iterator[InternalRow] {
+            private var pendRow: InternalRow = _
+            private var pendKey: UnsafeRow = _
+            private var consumed = 0L
+            private def advance(): Unit =
+              if (iter.hasNext) {
+                pendRow = iter.next().copy()
+                pendKey = keyProj(pendRow).copy()
+                consumed += 1
+              } else { pendRow = null; pendKey = null }
+            advance()
+            private val group =
+              new scala.collection.mutable.ArrayBuffer[InternalRow]()
+            private var gEmit = 0
+            private var gVal = 0L
+            private var headGroup = true
+            private def loadGroup(): Unit = {
+              group.clear(); gEmit = 0
+              val gKey = pendKey
+              val gFirstLocal = consumed
+              group += pendRow
+              var more = true
+              while (more) {
+                advance()
+                if (pendRow != null && ord.compare(pendKey, gKey) == 0)
+                  group += pendRow
+                else more = false
+              }
+              val isHead = headGroup
+              headGroup = false
+              val isTail = pendRow == null
+              val gSize = group.size.toLong +
+                (if (isHead) behind else 0L) + (if (isTail) ahead else 0L)
+              val firstRank =
+                off + gFirstLocal - (if (isHead) behind else 0L)
+              gVal = 2L * firstRank + gSize - 1L
+            }
+            override def hasNext: Boolean =
+              gEmit < group.size || pendRow != null
+            override def next(): InternalRow = {
+              if (gEmit >= group.size) loadGroup()
+              val r = group(gEmit)
+              gEmit += 1
+              emit(r, gVal)
+            }
           }
       }
     }, preservesPartitioning = true)
@@ -378,4 +544,38 @@ object GlobalRank {
   def withDenseRank(df: DataFrame, outCol: String,
       keys: (String, Boolean)*): DataFrame =
     build(df, outCol, RankMode.DenseRank, keys)
+
+  /** Exact DOUBLED fractional average rank (2·avg_rank, an exact LONG:
+    * 2·first_rank + tie_size − 1) under `keys` — the Spearman /
+    * Mann-Whitney / Kruskal-Wallis primitive, one pass where the
+    * rank_asc/rank_desc composition needs two. */
+  def withAvgRankX2(df: DataFrame, outCol: String,
+      keys: (String, Boolean)*): DataFrame =
+    build(df, outCol, RankMode.AvgRankX2, keys)
+
+  /** `df` plus LONG column `outCol` = exact global running sum of LONG
+    * column `valueCol` under `keys` (ROWS-frame: every row gets its own
+    * cumulative value — pass a total order for determinism; nulls add
+    * zero). The prefix-scan member of the native family: one range
+    * exchange + a shuffle-read sum pass, never a single-task window.
+    */
+  def withRunningSum(df: DataFrame, outCol: String, valueCol: String,
+      keys: (String, Boolean)*): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val plan = df.queryExecution.analyzed
+    def attr(n: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${plan.output.map(_.name).mkString(",")}"))
+    val v = attr(valueCol)
+    require(v.dataType == LongType,
+      s"withRunningSum needs a LONG value column (got ${v.dataType} " +
+        "for $valueCol — pre-scale decimals to exact integer units)")
+    val order = keys.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    GraftInternal.ofRows(spark, GlobalPrefixSumPlan(plan, order, v,
+      AttributeReference(outCol, LongType, nullable = false)()))
+  }
 }

@@ -584,6 +584,80 @@ object AnalyticsQueries {
              |  dense_rank() OVER (ORDER BY price_band DESC) AS band_idx
              |FROM b ORDER BY o_orderkey""".stripMargin)),
 
+    // GLOBAL running revenue (round-13): every order's cumulative exact
+    // cents in date order, through the NATIVE prefix-sum operator
+    // (GlobalPrefixSumExec — the scan sibling of GlobalRank: one range
+    // exchange + a shuffle-read sum pass, no single-task window). This
+    // is the cumulative-anything shape (Lorenz curves, CDFs, budget
+    // burndown) that `sum() OVER (ORDER BY …)` would serialize onto one
+    // task. ROWS-frame on a total order, so ties are impossible and both
+    // engines agree bit-for-bit on exact integers.
+    QueryDef("window_running_total",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+              "AS BIGINT)").as("cents"))
+        graft.plans.GlobalRank.withRunningSum(o, "run_cents", "cents",
+            ("o_orderdate", true), ("o_orderkey", true))
+          .select(col("o_orderkey"), col("cents"), col("run_cents"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |    AS cents,
+             |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT))
+             |    OVER (ORDER BY o_orderdate, o_orderkey
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS run_cents
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // EXACT weighted quantiles (round-13): the revenue-weighted p25/50/75
+    // of line-item quantity — "at what quantity does a quarter of the
+    // money sit?" — via the native prefix sum: running weight in exact
+    // cents on a total order, the answer at each pct is the least
+    // quantity whose cumulative weight covers pct% of the total
+    // (cum·100 ≥ W·pct, all exact integers; monotone, so a min-agg finds
+    // the crossing row without a second pass). percentile_approx can't
+    // do weights; a single-task window couldn't do 100 TB.
+    QueryDef("agg_weighted_quantiles",
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("long").as("q"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+              "AS BIGINT)").as("w"))
+        val run = graft.plans.GlobalRank.withRunningSum(li, "cum_w", "w",
+          ("q", true), ("l_orderkey", true), ("l_linenumber", true))
+        val tot = li.agg(sum(col("w")).as("w_tot"))
+        run.crossJoin(broadcast(tot))
+          .select(col("q"), col("cum_w"), col("w_tot"),
+            explode(array(lit(25L), lit(50L), lit(75L))).as("pct"))
+          .filter(col("cum_w") * 100 >= col("w_tot") * col("pct"))
+          .groupBy("pct")
+          .agg(min(col("q")).as("weighted_q"), max(col("w_tot")).as("w_tot"))
+          .orderBy("pct")
+      },
+      Some("""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS w,
+             |    l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |r AS (SELECT q, w,
+             |    sum(w) OVER (ORDER BY q, l_orderkey, l_linenumber
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum_w
+             |  FROM li),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM li),
+             |p AS (SELECT unnest([25, 50, 75]) AS pct)
+             |SELECT CAST(pct AS BIGINT) AS pct,
+             |  CAST(min(q) AS BIGINT) AS weighted_q,
+             |  CAST(max(w_tot) AS BIGINT) AS w_tot
+             |FROM r CROSS JOIN t CROSS JOIN p
+             |WHERE cum_w * 100 >= w_tot * pct
+             |GROUP BY pct ORDER BY pct""".stripMargin)),
+
     // Herfindahl-Hirschman concentration index per nation's supplier
     // market — the standard market-concentration census (antitrust
     // thresholds live at 1500/2500 points; here in basis-point² units,

@@ -1081,6 +1081,62 @@ object ProfilingQueries {
           "\nORDER BY l_orderkey, l_linenumber, measure")))
   ,
 
+    // Robust (MAD) outlier census over order totals — the
+    // median-absolute-deviation twin of the Tukey fences below, immune
+    // to the outliers it hunts (the IQR itself moves when the tail is
+    // heavy; the MAD doesn't). TWO exact global medians through the
+    // native rank operator (values, then absolute residuals — both in
+    // exact cents), and the 3σ-equivalent threshold 3·1.4826·MAD rides
+    // as the INTEGER comparison d·10000 > mad·44478, so the flag line is
+    // bit-identical cross-engine with zero float math anywhere.
+    QueryDef("profile_outliers_mad",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+              "AS BIGINT)").as("c"))
+        val n = o.agg(count(lit(1)).as("n_tot"))
+        val medRk = greatest(lit(1L), expr("(n_tot + 1) div 2"))
+        val r = graft.plans.GlobalRank.withRowNumber(o, "rk",
+          ("c", true), ("o_orderkey", true))
+        val med = r.crossJoin(broadcast(n)).filter(col("rk") === medRk)
+          .select(col("c").as("med"))
+        val dev = o.crossJoin(broadcast(med))
+          .select(col("o_orderkey"), col("c"),
+            abs(col("c") - col("med")).as("d"), col("med"))
+        val r2 = graft.plans.GlobalRank.withRowNumber(dev, "rk2",
+          ("d", true), ("o_orderkey", true))
+        val mad = r2.crossJoin(broadcast(n)).filter(col("rk2") === medRk)
+          .select(col("d").as("mad"))
+        dev.crossJoin(broadcast(mad)).crossJoin(broadcast(n))
+          .agg(max(col("n_tot")).as("n_rows"),
+            max(col("med")).as("median_cents"),
+            max(col("mad")).as("mad_cents"),
+            sum(when(col("d") * 10000L > col("mad") * 44478L, 1L)
+              .otherwise(0L)).as("n_outliers"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS c
+             |  FROM orders),
+             |n AS (SELECT count(*) AS n_tot FROM o),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c, o_orderkey)
+             |    AS rk FROM o),
+             |m AS (SELECT c AS med FROM r CROSS JOIN n
+             |  WHERE rk = greatest(1, (n_tot + 1) // 2)),
+             |dev AS (SELECT o.o_orderkey, c, abs(c - med) AS d, med
+             |  FROM o CROSS JOIN m),
+             |r2 AS (SELECT d, row_number() OVER (ORDER BY d, o_orderkey)
+             |    AS rk2 FROM dev),
+             |mad AS (SELECT d AS mad FROM r2 CROSS JOIN n
+             |  WHERE rk2 = greatest(1, (n_tot + 1) // 2))
+             |SELECT CAST(max(n_tot) AS BIGINT) AS n_rows,
+             |  CAST(max(med) AS BIGINT) AS median_cents,
+             |  CAST(max(mad) AS BIGINT) AS mad_cents,
+             |  CAST(sum(CASE WHEN d * 10000 > mad * 44478 THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n_outliers
+             |FROM dev CROSS JOIN mad CROSS JOIN n""".stripMargin)),
+
     // Tukey-fence outlier census over order totals: EXACT Q1/Q3 via the
     // native distributed row_number (the window_exact_quantiles rank
     // definition — value at rank max(1, n·q div 100), so quartiles are

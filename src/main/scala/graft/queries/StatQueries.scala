@@ -84,28 +84,23 @@ object StatQueries {
     // Spearman rank correlation between quantity and price over lineitem
     // — the monotone-association number, exact under MASSIVE ties
     // (l_quantity has ~50 distinct values). Fractional average ranks ride
-    // as exact INTEGERS doubled: 2·avgrank = rank_asc + (n+1) − rank_desc,
-    // both tie-aware ranks from the NATIVE GlobalRank Rank mode
-    // (round-13) — four range exchanges + summary passes, no single-task
-    // window, no per-value join. Moments are exact DECIMAL(38,0) sums;
-    // ρ's one division runs on exact integers cast to double, 6-dp.
+    // as exact INTEGERS doubled through the NATIVE GlobalRank AvgRankX2
+    // mode (2·avgrank = 2·first_rank + tie_size − 1, one pass per
+    // column) — two range exchanges total, no single-task window, no
+    // per-value join. Moments are exact DECIMAL(38,0) sums; ρ's one
+    // division runs on exact integers cast to double, 6-dp. The oracle
+    // derives the same integer via rank_asc + (n+1) − rank_desc.
     QueryDef("stat_spearman",
       (s, dir) => {
         val li = Tables.read(s, dir, "lineitem")
           .select(col("l_quantity").cast("long").as("x"),
             expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
               "AS BIGINT)").as("y"))
-        val nDf = li.agg(count(lit(1)).as("n_t"))
         val GR = graft.plans.GlobalRank
-        val ranked = GR.withRank(GR.withRank(GR.withRank(GR.withRank(
-          li, "rxa", ("x", true)), "rxd", ("x", false)),
-          "rya", ("y", true)), "ryd", ("y", false))
-        val d = ranked.crossJoin(broadcast(nDf))
-          .select(
-            (col("rxa") + col("n_t") + 1 - col("rxd"))
-              .cast("decimal(38,0)").as("ax"),
-            (col("rya") + col("n_t") + 1 - col("ryd"))
-              .cast("decimal(38,0)").as("ay"))
+        val ranked = GR.withAvgRankX2(
+          GR.withAvgRankX2(li, "ax0", ("x", true)), "ay0", ("y", true))
+        val d = ranked.select(col("ax0").cast("decimal(38,0)").as("ax"),
+          col("ay0").cast("decimal(38,0)").as("ay"))
         d.agg(count(lit(1)).as("n_rows"),
             sum(col("ax")).as("sx"), sum(col("ay")).as("sy"),
             sum(col("ax") * col("ax")).as("sxx"),
@@ -143,8 +138,8 @@ object StatQueries {
     // Mann-Whitney U (Wilcoxon rank-sum) between urgent and low-priority
     // order totals over $100 price bands — the nonparametric
     // two-sample location test, tie-corrected. Pooled fractional ranks
-    // ride doubled (exact integers, the stat_spearman device) through
-    // the native tie-aware GlobalRank; U statistics are exact integers
+    // ride doubled (exact integers) through the native GlobalRank
+    // AvgRankX2 mode in ONE pass; U statistics are exact integers
     // (also doubled); the z-score's tie-corrected variance folds the
     // exact Σ(t³−t) band census. The z expression is written identically
     // in both engines (same operation order) so the one float pipeline
@@ -157,16 +152,13 @@ object StatQueries {
             "AS BIGINT) div 10000").as("v"),
             when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
               .as("g"))
-        val nDf = o.agg(count(lit(1)).as("n_t"))
-        val GR = graft.plans.GlobalRank
-        val ranked = GR.withRank(GR.withRank(o, "ra", ("v", true)),
-          "rd", ("v", false))
+        val ranked = graft.plans.GlobalRank.withAvgRankX2(o, "ax2",
+          ("v", true))
         val ties = o.groupBy("v").agg(count(lit(1)).as("t"))
           .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t"))
             .as("tie_term"))
-        val sums = ranked.crossJoin(broadcast(nDf))
-          .select(col("g"),
-            (col("ra") + col("n_t") + 1 - col("rd")).as("ax2"))
+        val sums = ranked
+          .select(col("g"), col("ax2"))
           .agg(count(lit(1)).as("n"),
             sum(col("g")).as("n1"),
             sum(when(col("g") === 1, col("ax2")).otherwise(lit(0L)))
@@ -263,6 +255,73 @@ object StatQueries {
              |  round(CAST(d_num AS DOUBLE) /
              |    (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d
              |FROM d""".stripMargin)),
+
+    // Kruskal-Wallis H across ALL FIVE order priorities (the k-group
+    // generalization of stat_mann_whitney): do the groups share a price
+    // distribution? Pooled doubled average ranks through the native
+    // tie-aware GlobalRank; per-group rank sums are exact integers; the
+    // 5 per-group double terms each round to 6 dp and DECIMAL-sum
+    // (order-independent — the float recurrence discipline) before the
+    // one final H pipeline, mirrored operation-for-operation in the
+    // oracle. Tie-corrected (the band census's exact Σ(t³−t)).
+    QueryDef("stat_kruskal_wallis",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+            "AS BIGINT) div 10000").as("v"),
+            col("o_orderpriority").as("g"))
+        val ranked = graft.plans.GlobalRank.withAvgRankX2(o, "ax2",
+          ("v", true))
+        val ties = o.groupBy("v").agg(count(lit(1)).as("t"))
+          .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t"))
+            .as("tie_term"))
+        val byG = ranked
+          .select(col("g"), col("ax2"))
+          .groupBy("g")
+          .agg(count(lit(1)).as("n_g"), sum(col("ax2")).as("r2_g"))
+        val s0 = byG
+          .select(col("n_g"), col("r2_g"),
+            round(col("r2_g").cast("double") * col("r2_g") /
+              (lit(4.0) * col("n_g")), 6).cast("decimal(38,6)").as("term"))
+          .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+            sum(col("term")).as("terms"))
+        s0.crossJoin(broadcast(ties))
+          .select(col("n"), col("k"),
+            round(lit(12.0) / (col("n").cast("double") * (col("n") + 1)) *
+              col("terms").cast("double") - lit(3.0) * (col("n") + 1), 6)
+              .as("h"),
+            round((lit(12.0) / (col("n").cast("double") * (col("n") + 1)) *
+              col("terms").cast("double") - lit(3.0) * (col("n") + 1)) /
+              (lit(1.0) - col("tie_term").cast("double") /
+                (col("n").cast("double") * col("n") * col("n") - col("n"))),
+              6).as("h_tie_adj"))
+      },
+      Some("""WITH o AS (SELECT
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      // 10000 AS v,
+             |    o_orderpriority AS g
+             |  FROM orders),
+             |n AS (SELECT count(*) AS n_t FROM o),
+             |r AS (SELECT g, rank() OVER (ORDER BY v) + n_t + 1 -
+             |    rank() OVER (ORDER BY v DESC) AS ax2
+             |  FROM o CROSS JOIN n),
+             |ties AS (SELECT sum(CAST(t AS DECIMAL(38,0)) * t * t - t)
+             |    AS tie_term
+             |  FROM (SELECT count(*) AS t FROM o GROUP BY v)),
+             |bg AS (SELECT g, count(*) AS n_g, sum(ax2) AS r2_g
+             |  FROM r GROUP BY g),
+             |s AS (SELECT sum(n_g) AS n, count(*) AS k,
+             |    sum(CAST(round(CAST(r2_g AS DOUBLE) * r2_g /
+             |      (4.0 * n_g), 6) AS DECIMAL(38,6))) AS terms
+             |  FROM bg)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             |  round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) *
+             |    CAST(terms AS DOUBLE) - 3.0 * (n + 1), 6) AS h,
+             |  round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) *
+             |    CAST(terms AS DOUBLE) - 3.0 * (n + 1)) /
+             |    (1.0 - CAST(tie_term AS DOUBLE) /
+             |      (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_tie_adj
+             |FROM s CROSS JOIN ties""".stripMargin)),
 
     // Kaplan-Meier survival for time-to-first-high-value-purchase
     // (value ≥ 150 — ~5% of purchases, so roughly half the users convert

@@ -142,6 +142,51 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("avg-rank-x2 equals the two-rank identity on tie-heavy keys, " +
+    "including groups spanning partition boundaries") {
+    val tieFrame = events.select(col("event_id"),
+      round(col("value"), 1).as("v1"), col("user_id"))
+    val n = tieFrame.count()
+    for ((keys, tag) <- Seq(
+        (Seq(("user_id", true)), "user_id (24 huge groups)"),
+        (Seq(("v1", false)), "v1 desc"),
+        (Seq(("event_id", true)), "unique key (degenerate ties)"))) {
+      val spec = Window.orderBy(keys.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }: _*)
+      // identity: 2·avgrank = rank_asc + (n+1) − rank_desc
+      val specD = Window.orderBy(keys.map { case (c, asc) =>
+        if (asc) col(c).desc else col(c).asc }: _*)
+      val want = tieFrame
+        .withColumn("ax", (rank().over(spec).cast("long") + lit(n) + 1L -
+          rank().over(specD).cast("long")))
+        .orderBy("event_id").select("event_id", "ax").collect().toSeq
+      val got = GlobalRank.withAvgRankX2(tieFrame, "ax", keys: _*)
+        .orderBy("event_id").select("event_id", "ax").collect().toSeq
+      assert(got === want, s"avg-rank mismatch on $tag")
+    }
+  }
+
+  test("running sum equals the ROWS-frame window form on a total order") {
+    val o = events.select(col("event_id"),
+      expr("CAST(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)) * 1000000 " +
+        "AS BIGINT)").as("micros"))
+    val w = Window.orderBy(col("micros").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = o.withColumn("run", sum("micros").over(w))
+      .orderBy("event_id").collect().toSeq
+    val got = GlobalRank.withRunningSum(o, "run", "micros",
+        ("micros", false), ("event_id", true))
+      .orderBy("event_id").collect().toSeq
+    assert(got === want)
+    // and the plan is native: no WindowExec anywhere
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = GlobalRank.withRunningSum(o, "run", "micros",
+        ("event_id", true)).queryExecution.executedPlan
+      assert(phys.collectFirst { case w: WindowExec => w }.isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("opt-in rewrite covers rank/dense_rank: rule-on ≡ rule-off over " +
     "tie-heavy fixtures, and the plan is native") {
     def windowForm = {
