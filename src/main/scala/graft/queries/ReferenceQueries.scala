@@ -677,6 +677,41 @@ object ReferenceQueries {
       Some("""SELECT CAST(least(777, (SELECT count(*) FROM orders))
              |  AS BIGINT) AS n_rows""".stripMargin)),
 
+    // TOP-N pushdown (round-13, SupportsPushDownTopN): ORDER BY the
+    // range-cluster column + LIMIT plans only the files that can hold
+    // the top n — zone disjointness proves every unplanned row orders
+    // after every planned one, and Spark's TakeOrdered above picks the
+    // exact n (WarehouseStatsSpec pins the 1-file plan and the
+    // overlap/null fallbacks). The unique sort key makes the result
+    // fully deterministic, so this row value-gates the optimization —
+    // "latest 100 orders" at 100 TB reads one zone file. Shares
+    // scan_warehouse_agg's range-clustered fixture.
+    QueryDef("scan_warehouse_topn",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordagg2_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(
+            orders.repartitionByRange(8, col("o_orderkey")),
+            path, format = "graft-warehouse")
+        Sink.read(s, path, "graft-warehouse")
+          .orderBy(col("o_orderkey").desc)
+          .limit(100)
+          .select("o_orderkey", "o_custkey")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM (
+             |  SELECT o_orderkey, o_custkey FROM orders
+             |  ORDER BY o_orderkey DESC LIMIT 100)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // STORAGE-PARTITIONED JOIN (round-12 DSv2 SupportsReportPartitioning):
     // orders and customer land in cluster-loaded warehouse tables sharing
     // a 64-bucket layout (`clusterBy` on pmod(custkey, 64) — one cluster

@@ -310,7 +310,8 @@ object StatQueries {
              |  FROM (SELECT count(*) AS t FROM o GROUP BY v)),
              |bg AS (SELECT g, count(*) AS n_g, sum(ax2) AS r2_g
              |  FROM r GROUP BY g),
-             |s AS (SELECT sum(n_g) AS n, count(*) AS k,
+             |s AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS k,
              |    sum(CAST(round(CAST(r2_g AS DOUBLE) * r2_g /
              |      (4.0 * n_g), 6) AS DECIMAL(38,6))) AS terms
              |  FROM bg)

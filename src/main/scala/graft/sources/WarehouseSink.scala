@@ -515,13 +515,15 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private val manifest = WarehouseMeta.readManifest(root, generation).getOrElse(
     throw new IllegalArgumentException(
       s"graft-warehouse table at $root has no committed manifest"))
   private var required: StructType = manifest.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var topN: Option[(String, Boolean, Int)] = None
   private var aggResult: Option[(StructType, Seq[InternalRow])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -546,6 +548,54 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
   override def pushLimit(l: Int): Boolean = {
     if (pushed.nonEmpty) return false
     limit = Some(l)
+    true
+  }
+
+  // both SupportsPushDownLimit and SupportsPushDownTopN declare this
+  // default; Scala requires an explicit override to disambiguate. True =
+  // best-effort: Spark keeps its GlobalLimit/TakeOrdered above.
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TOP-N pushdown (round-13, `SupportsPushDownTopN`): `ORDER BY col
+    * LIMIT n` over a RANGE-CLUSTERED layout plans only the files that
+    * can hold the top n. Files sort by their zone bound in the query's
+    * direction; a greedy prefix covers ≥ n rows, then every file whose
+    * range overlaps the prefix's covering bound joins it — past that
+    * bound, zone disjointness PROVES every remaining row orders after
+    * every planned row, so the planned set provably contains the true
+    * top n. Null-bearing files (fnn < frows) always join the plan (null
+    * ordering puts them at one end; including them is conservative
+    * either way). Best-effort contract: Spark's TakeOrdered above sorts
+    * the planned rows and takes the exact n — a refusal (multi-key sort,
+    * non-integral column, missing stats/frows/fnn, pushed filters) just
+    * means a full scan, never a wrong answer. At 100 TB, "latest 100
+    * events" over a time-clustered table reads one zone file.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (pushed.nonEmpty || orders.length != 1) return false
+    val so = orders(0)
+    val colName = so.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
+      case _ => return false
+    }
+    val integral = Set[DataType](LongType, IntegerType, DateType,
+      TimestampType, TimestampNTZType)
+    val ok = manifest.schema.fields.exists(f =>
+      f.name == colName && integral(f.dataType) && !f.name.contains("|"))
+    if (!ok) return false
+    // provable only with exact per-file metadata everywhere
+    val provable = manifest.files.forall { f =>
+      manifest.rows.contains(f) &&
+        manifest.nonNull.getOrElse(f, Map.empty).contains(colName) &&
+        (manifest.nonNull(f)(colName) == 0L ||
+          manifest.stats.getOrElse(f, Map.empty).get(colName)
+            .exists(_.isInstanceOf[ColStat.Longs]))
+    }
+    if (!provable) return false
+    topN = Some((colName, so.direction() == SortDirection.ASCENDING, l))
     true
   }
 
@@ -737,7 +787,8 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
 
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new WarehouseAggScan(schema, rows)
-    case None => new WarehouseScan(root, manifest, required, pushed, limit)
+    case None =>
+      new WarehouseScan(root, manifest, required, pushed, limit, topN)
   }
 }
 
@@ -779,7 +830,8 @@ class WarehouseAggReaderFactory(rows: Seq[InternalRow])
 }
 
 class WarehouseScan(root: String, manifest: Manifest, required: StructType,
-    filters: Array[Filter], limit: Option[Int] = None) extends Scan with Batch
+    filters: Array[Filter], limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -899,9 +951,57 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
       case _ => None
     }
 
+  /** Top-N file plan (see the builder's pushTopN for the proof shape):
+    * null-bearing files always join; non-null files sort by their zone
+    * bound in the query direction; a greedy prefix covers ≥ n NON-NULL
+    * rows, then every remaining file overlapping the prefix's covering
+    * bound joins — past it, disjointness proves every row orders after
+    * every planned row. The builder only sets topN when stats/frows/fnn
+    * exist for every file, so the lookups below are total.
+    */
+  private def topNPlan(sv: List[String]): Option[List[String]] =
+    topN match {
+      case Some((c, asc, n)) if filters.isEmpty && runtimeFilters.isEmpty &&
+          clustered.isEmpty =>
+        val nullFiles = sv.filter(f =>
+          manifest.nonNull(f)(c) < manifest.rows(f))
+        val withStats = sv.flatMap { f =>
+          if (manifest.nonNull(f)(c) == 0L) None
+          else manifest.stats(f)(c) match {
+            case ColStat.Longs(lo, hi) => Some((f, lo, hi))
+            case _ => None
+          }
+        }
+        val ordered =
+          if (asc) withStats.sortBy(t => (t._2, t._3))
+          else withStats.sortBy(t => (-t._3, -t._2))
+        var acc = 0L
+        var bound = Option.empty[Long]
+        val prefix = ordered.takeWhile { case (f, lo, hi) =>
+          val take = acc < n
+          if (take) {
+            acc += manifest.nonNull(f)(c)
+            val edge = if (asc) hi else lo
+            bound = Some(bound.fold(edge)(b =>
+              if (asc) math.max(b, edge) else math.min(b, edge)))
+          }
+          take
+        }
+        if (acc < n) None // fewer than n non-null rows: full scan
+        else {
+          val taken = prefix.map(_._1).toSet
+          val extra = ordered.collect {
+            case (f, lo, hi) if !taken(f) && bound.exists(b =>
+              if (asc) lo <= b else hi >= b) => f
+          }
+          Some((nullFiles ++ prefix.map(_._1) ++ extra).distinct)
+        }
+      case _ => None
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val sv = surviving
-    val planned = limitPrefix(sv).getOrElse(sv)
+    val planned = topNPlan(sv).orElse(limitPrefix(sv)).getOrElse(sv)
     WarehouseScanStats.lastPlannedFiles = planned.size
     WarehouseScanStats.logPlanned(planned.size)
     WarehouseScanStats.lastReadSchema = required.simpleString
@@ -921,8 +1021,12 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new WarehouseReaderFactory(root, manifest.schema, required,
       // per-partition early stop: with no filters below the limit, each
-      // partition can contribute at most `limit` rows to the global top
-      if (filters.isEmpty && runtimeFilters.isEmpty) limit else None)
+      // partition can contribute at most `limit` rows to the global top.
+      // NOT for top-N: rows within a file are unsorted, planned files
+      // must be read fully (Spark's TakeOrdered above picks the n)
+      if (filters.isEmpty && runtimeFilters.isEmpty && topN.isEmpty)
+        limit
+      else None)
 }
 
 /** Conservative min/max file pruning: a file survives unless its stats

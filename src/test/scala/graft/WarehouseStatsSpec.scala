@@ -57,6 +57,46 @@ class WarehouseStatsSpec extends SparkSpec {
       s"filter must shrink stats to the surviving zone files (got $n)")
   }
 
+  test("ORDER BY + LIMIT plans a range-ordered file prefix (top-N " +
+    "pushdown): disjoint zones prove the plan; overlap and nulls stay " +
+    "correct") {
+    import spark.implicits._
+    val path = fresh("topn")
+    val t = spark.range(800).select(col("id").as("k"),
+      (col("id") * 7).as("v"))
+    Sink.overwrite(t.repartitionByRange(8, col("k")), path,
+      format = "graft-warehouse")
+    val wh = Sink.read(spark, path, "graft-warehouse")
+    val asc = wh.orderBy(col("k")).limit(5).collect().map(_.getLong(0))
+    assert(asc.toSeq === (0L until 5L).toSeq)
+    assert(WarehouseScanStats.lastPlannedFiles === 1,
+      s"asc top-5 over disjoint 100-row zones must plan ONE file, " +
+        s"planned ${WarehouseScanStats.lastPlannedFiles}")
+    val desc = wh.orderBy(col("k").desc).limit(5).collect()
+      .map(_.getLong(0))
+    assert(desc.toSeq === (799L to 795L by -1L).toSeq)
+    assert(WarehouseScanStats.lastPlannedFiles === 1)
+    // overlapping zones: every file spans the domain, the overlap
+    // extension pulls them all — full plan, same answer
+    val path2 = fresh("topn_overlap")
+    Sink.overwrite(t.repartition(4), path2, format = "graft-warehouse")
+    val o = Sink.read(spark, path2, "graft-warehouse")
+      .orderBy(col("k")).limit(3).collect().map(_.getLong(0))
+    assert(o.toSeq === Seq(0L, 1L, 2L))
+    assert(WarehouseScanStats.lastPlannedFiles === 4)
+    // null-bearing files always join the plan; NULLS FIRST answers hold
+    val path3 = fresh("topn_nulls")
+    val withNulls = spark.range(200).select(
+      when(col("id") < 3, lit(null).cast("long")).otherwise(col("id"))
+        .as("k"))
+    Sink.overwrite(withNulls.repartitionByRange(4, col("k")), path3,
+      format = "graft-warehouse")
+    val got = Sink.read(spark, path3, "graft-warehouse")
+      .orderBy(col("k")).limit(5).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(got.toSeq === Seq(-1L, -1L, -1L, 3L, 4L))
+  }
+
   test("LIMIT plans a file prefix and stops decoding early; a filtered " +
     "limit refuses the prefix but stays correct") {
     val path = fresh("limit")
