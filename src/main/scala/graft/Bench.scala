@@ -71,9 +71,13 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // same formula as the reported spread_pct (pass-total range over the
+    // sum of per-query medians) so the retry trigger and the artifact
+    // number can never disagree about whether a window was noisy
     def spreadOf(ps: Seq[Map[String, Double]]): Double = {
       val ts = ps.map(_.values.sum)
-      val tot = ts.sum / ts.size
+      val tot = queries.keys.toSeq
+        .map(n => median(ps.map(_(n)))).sum
       if (ts.size < 2 || tot == 0) 0.0 else (ts.max - ts.min) / tot * 100
     }
     // Self-healing measurement (round-12 verdict: the official artifact
