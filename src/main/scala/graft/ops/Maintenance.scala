@@ -86,4 +86,32 @@ object Maintenance {
     CompactStats(inFiles.length.toLong, inBytes,
       parquetFiles(out).length.toLong, rows)
   }
+
+  /** OPTIMIZE for the `graft-warehouse` table (round-13): rewrite the
+    * CURRENT generation's rows into `targetFiles` write tasks as ONE
+    * atomic load job (WRITE_TRUNCATE on a fresh generation). Unlike the
+    * directory compactor above there is NO visibility window at all:
+    * readers plan against the old immutable files until the manifest
+    * swap, and every earlier generation stays time-travel readable
+    * ("retired from visibility, not rewritten"). Cluster layouts
+    * survive — the cluster writer re-splits one file per value inside
+    * each task, so a clustered table compacts to ≤ targetFiles×|values|
+    * files with the storage-partitioned-join invariant intact. Fresh
+    * per-file stats (zone maps, row counts, non-null counts, sums)
+    * stream with the rewrite, so every metadata serve keeps working on
+    * the compacted generation. Returns (filesBefore, filesAfter).
+    */
+  def compactWarehouse(spark: SparkSession, root: String,
+      targetFiles: Int = 1): (Int, Int) = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val before = graft.sources.WarehouseMeta.readManifest(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-warehouse table at $root has no committed manifest"))
+    val df = graft.io.Sink.read(spark, root, "graft-warehouse")
+    graft.io.Sink.overwrite(df.repartition(targetFiles), root,
+      format = "graft-warehouse",
+      options = before.clusterBy.map("clusterBy" -> _).toMap)
+    val after = graft.sources.WarehouseMeta.readManifest(root).get
+    (before.files.size, after.files.size)
+  }
 }

@@ -35,6 +35,11 @@ object RankMode {
     * driver-side summaries as [[Rank]] (rows behind the head run, plus
     * the symmetric rows ahead of the tail run). */
   case object AvgRankX2 extends RankMode
+  /** Spark-exact ntile(k): the first n%k buckets take ⌈n/k⌉ rows, the
+    * rest ⌊n/k⌋ — pure position arithmetic over the count summaries (the
+    * RowNumber machinery plus the total), so it needs no keys, no tie
+    * repair, and no separate count subplan. */
+  case class NTile(buckets: Int) extends RankMode
 }
 
 /** Native exact global ranking — the physical form of the repo's
@@ -225,7 +230,10 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
     val keyExprs = order.map(_.child)
     val childOutput = child.output
     val bound = boundKeyOrder
-    val needKeys = mode != RankMode.RowNumber
+    val needKeys = mode match {
+      case RankMode.RowNumber | RankMode.NTile(_) => false
+      case _ => true
+    }
     // Pass 1: per-partition summaries. Runs as its own job, but the
     // child's exchange map output is already written, so this stage is a
     // pure shuffle read (rows deserialized and dropped, never copied —
@@ -352,6 +360,22 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
         case RankMode.RowNumber =>
           var rk = rowOffsets(pid)
           iter.map { r => rk += 1; emit(r, rk) }
+        case RankMode.NTile(k) =>
+          // Spark-exact ntile from position + total (the summaries' last
+          // offset): first n%k buckets take q+1 rows, the rest q
+          val total = rowOffsets(rowOffsets.length - 1)
+          val q = total / k
+          val rem = total % k
+          val cut = rem * (q + 1)
+          var rk = rowOffsets(pid)
+          iter.map { r =>
+            rk += 1
+            val b =
+              if (rk <= cut) (rk - 1) / (q + 1) + 1
+              else if (q == 0) rk // n < k: each row its own bucket
+              else rem + (rk - 1 - cut) / q + 1
+            emit(r, b)
+          }
         case RankMode.Rank =>
           val projA = UnsafeProjection.create(keyExprs, childOutput)
           val projB = UnsafeProjection.create(keyExprs, childOutput)
@@ -454,13 +478,13 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
 
 /** Opt-in optimizer rule (`spark.graft.distRank.enabled=true`): rewrite
   * `Window` nodes whose window expressions are ALL bare `row_number()`,
-  * `rank()`, or `dense_rank()` with an EMPTY partition spec into
-  * [[GlobalRankPlan]] nodes (one per expression, modes mixed freely).
-  * Matches nothing else — aggregate windows, ntile/lag/lead, and mixed
-  * expression lists keep their WindowExec, and partitioned windows are
-  * already parallel. Defensive-parse discipline (the RangeBinJoin
-  * lesson): any value other than "true" is OFF, never a throw inside the
-  * optimizer.
+  * `rank()`, `dense_rank()`, or `ntile(<positive literal>)` with an
+  * EMPTY partition spec into [[GlobalRankPlan]] nodes (one per
+  * expression, modes mixed freely). Matches nothing else — aggregate
+  * windows, lag/lead, and mixed expression lists keep their WindowExec,
+  * and partitioned windows are already parallel. Defensive-parse
+  * discipline (the RangeBinJoin lesson): any value other than "true" is
+  * OFF, never a throw inside the optimizer.
   */
 object GlobalRankRewrite extends Rule[LogicalPlan] {
   val Key = "spark.graft.distRank.enabled"
@@ -476,6 +500,12 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       case a @ Alias(WindowExpression(_: DenseRank,
           WindowSpecDefinition(Nil, _, _)), _) =>
         Some((a, RankMode.DenseRank))
+      case a @ Alias(WindowExpression(
+          org.apache.spark.sql.catalyst.expressions.NTile(
+            org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
+              IntegerType)),
+          WindowSpecDefinition(Nil, _, _)), _) if k > 0 =>
+        Some((a, RankMode.NTile(k)))
       case _ => None
     }
 
@@ -544,6 +574,16 @@ object GlobalRank {
   def withDenseRank(df: DataFrame, outCol: String,
       keys: (String, Boolean)*): DataFrame =
     build(df, outCol, RankMode.DenseRank, keys)
+
+  /** Spark-exact global ntile(k) under `keys` (pass a total order for
+    * deterministic bucket membership) — position arithmetic over the
+    * count summaries, no separate count subplan, no single-task window.
+    */
+  def withNTile(df: DataFrame, outCol: String, k: Int,
+      keys: (String, Boolean)*): DataFrame = {
+    require(k > 0, s"ntile bucket count must be positive (got $k)")
+    build(df, outCol, RankMode.NTile(k), keys)
+  }
 
   /** Exact DOUBLED fractional average rank (2·avg_rank, an exact LONG:
     * 2·first_rank + tie_size − 1) under `keys` — the Spearman /

@@ -1360,16 +1360,14 @@ object PipelineQueries {
     // pipeline: drop/downweight the bottom deciles.
     QueryDef("text_perplexity_bucket",
       (s, dir) => {
-        import org.apache.spark.sql.functions.expr
         val lm = TextAnalysis.bigramLmScore(Tables.read(s, dir, "documents"))
           .select("doc_id", "n_bigrams", "avg_p_ppm")
-        val ranked = graft.plans.GlobalRank.withRowNumber(lm, "rnk",
-          ("avg_p_ppm", true), ("doc_id", true))
-        val n = lm.agg(count(lit(1)).as("n_tot"))
-        ranked.crossJoin(broadcast(n))
-          .select(graft.core.DistRank.ntileFromRank("rnk", "n_tot", 10)
-            .cast("long").as("decile"),
-            col("n_bigrams"), col("avg_p_ppm"))
+        // round-13 re-plan: the native NTile mode computes the decile
+        // from position + the summary pass's total — the rank + count
+        // subplan + ntileFromRank composition collapses into ONE operator
+        graft.plans.GlobalRank.withNTile(lm, "decile", 10,
+            ("avg_p_ppm", true), ("doc_id", true))
+          .select(col("decile"), col("n_bigrams"), col("avg_p_ppm"))
           .groupBy("decile")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_bigrams")).as("n_bigrams"),

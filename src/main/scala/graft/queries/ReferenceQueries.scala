@@ -712,6 +712,45 @@ object ReferenceQueries {
              |  ORDER BY o_orderkey DESC LIMIT 100)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Warehouse OPTIMIZE (round-13): a 16-file fragmented load compacts
+    // to 2 files in ONE atomic generation (Maintenance.compactWarehouse —
+    // readers plan against the old immutable files until the manifest
+    // swap; earlier generations stay time-travel readable). The gate
+    // proves rows/values survive the rewrite bit-exactly; MaintenanceSpec
+    // pins the file counts, the fresh metadata serves, and the cluster
+    // layout's survival. At 100 TB, the micro-batch small-file problem
+    // is THE steady-state scan-cost driver — this is its fix, with the
+    // load-job atomicity the directory compactor can't give.
+    QueryDef("sink_warehouse_compact",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordcmp_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(orders.repartition(16, col("o_orderkey")), path,
+            format = "graft-warehouse")
+        if (graft.sources.WarehouseMeta.readManifest(path)
+            .exists(_.files.size > 2))
+          graft.ops.Maintenance.compactWarehouse(s, path, targetFiles = 2)
+        Sink.read(s, path, "graft-warehouse")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+      },
+      Some("""SELECT count(*) AS n_orders,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE), 2) AS total_price
+             |FROM orders""".stripMargin)),
+
     // STORAGE-PARTITIONED JOIN (round-12 DSv2 SupportsReportPartitioning):
     // orders and customer land in cluster-loaded warehouse tables sharing
     // a 64-bucket layout (`clusterBy` on pmod(custkey, 64) — one cluster

@@ -166,6 +166,46 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("ntile mode matches Spark's window ntile, including the uneven " +
+    "remainder and n<k edges, and the rewrite covers bare ntile") {
+    val o = events.select("event_id", "value")
+    for (k <- Seq(7, 10, 32)) { // 10007-ish rows: remainder buckets real
+      val want = o.withColumn("b", ntile(k).over(
+          Window.orderBy(col("value").desc, col("event_id"))).cast("long"))
+        .orderBy("event_id").select("event_id", "b").collect().toSeq
+      val got = GlobalRank.withNTile(o, "b", k,
+          ("value", false), ("event_id", true))
+        .orderBy("event_id").select("event_id", "b").collect().toSeq
+      assert(got === want, s"ntile($k) mismatch")
+    }
+    // n < k: every row its own bucket
+    val tiny = o.limit(3)
+    assert(GlobalRank.withNTile(tiny, "b", 10, ("event_id", true))
+      .select("b").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    // opt-in rewrite covers bare ntile windows
+    spark.conf.set(GlobalRankRewrite.Key, "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = o.withColumn("b",
+        ntile(5).over(Window.orderBy(col("event_id"))))
+      assert(q.queryExecution.executedPlan.collectFirst {
+        case e: GlobalRankExec => e }.nonEmpty)
+      assert(q.queryExecution.executedPlan.collectFirst {
+        case w: WindowExec => w }.isEmpty)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val on = q.orderBy("event_id").collect().toSeq
+      spark.conf.unset(GlobalRankRewrite.Key)
+      val base = o.withColumn("b",
+          ntile(5).over(Window.orderBy(col("event_id"))))
+        .orderBy("event_id").collect().toSeq
+      assert(on === base)
+    } finally {
+      spark.conf.unset(GlobalRankRewrite.Key)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("running sum equals the ROWS-frame window form on a total order") {
     val o = events.select(col("event_id"),
       expr("CAST(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)) * 1000000 " +

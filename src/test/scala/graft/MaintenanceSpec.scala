@@ -20,6 +20,46 @@ class MaintenanceSpec extends SparkSpec {
     d.getPath
   }
 
+  test("compactWarehouse: a fragmented table compacts to an atomic new " +
+    "generation — rows identical, metadata serves intact, time travel " +
+    "keeps the old layout, cluster layouts survive") {
+    import org.apache.spark.sql.functions._
+    import graft.io.Sink
+    import graft.sources.{WarehouseMeta, WarehouseScanStats}
+    val path = cleanDir("wh_compact")
+    val t = spark.range(400).select(col("id").as("k"),
+      (col("id") % 5).as("v"))
+    Sink.overwrite(t.repartition(16, col("k")), path,
+      format = "graft-warehouse")
+    val gen0 = WarehouseMeta.readManifest(path).get.generation
+    val (before, after) =
+      Maintenance.compactWarehouse(spark, path, targetFiles = 2)
+    assert(before === 16 && after === 2)
+    val rd = Sink.read(spark, path, "graft-warehouse")
+    val row = rd.agg(count(lit(1)), sum("k"), sum("v")).head()
+    assert(row.getLong(0) === 400L && row.getLong(1) === 79800L)
+    assert(WarehouseScanStats.lastPlannedFiles <= 2)
+    // the compacted generation serves aggregates from fresh metadata
+    rd.agg(min("k"), max("k"), count(lit(1))).collect()
+    assert(WarehouseScanStats.lastAggServed)
+    // time travel: the pre-compaction generation still plans 16 files
+    // (the filter blocks the COUNT(*) metadata serve, forcing a real scan)
+    assert(Sink.read(spark, path, "graft-warehouse",
+      Map("generation" -> gen0.toString))
+      .filter(col("k") >= 0L).count() === 400L)
+    assert(WarehouseScanStats.lastPlannedFiles === 16)
+    // clustered table: layout invariant survives compaction
+    val cp = cleanDir("wh_compact_cl")
+    Sink.overwrite(t.repartition(8, col("v")), cp,
+      format = "graft-warehouse", options = Map("clusterBy" -> "v"))
+    Maintenance.compactWarehouse(spark, cp, targetFiles = 1)
+    val m = WarehouseMeta.readManifest(cp).get
+    assert(m.clusterBy === Some("v"))
+    assert(m.files.forall(m.parts.contains))
+    assert(m.files.size === 5) // 1 task x 5 cluster values
+    assert(Sink.read(spark, cp, "graft-warehouse").count() === 400L)
+  }
+
   test("compact: 64 fragments become few files with identical data") {
     val frag = cleanDir("frag")
     val out = cleanDir("out")
