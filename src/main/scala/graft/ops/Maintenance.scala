@@ -100,6 +100,13 @@ object Maintenance {
     * per-file stats (zone maps, row counts, non-null counts, sums)
     * stream with the rewrite, so every metadata serve keeps working on
     * the compacted generation. Returns (filesBefore, filesAfter).
+    *
+    * Concurrency: compaction is read-then-truncate, NOT compare-and-swap
+    * — a load job committing between this read and this commit would be
+    * retired with the old generation (its rows still time-travel
+    * readable, but absent from the compacted head). Run OPTIMIZE in the
+    * maintenance window, like every load-job warehouse does; a CAS'd
+    * generation commit is the production extension point.
     */
   def compactWarehouse(spark: SparkSession, root: String,
       targetFiles: Int = 1): (Int, Int) = {
