@@ -13,13 +13,25 @@ import org.apache.spark.sql.SparkSession
   * "totals" for dispersion.
   *
   * Self-healing (round-12 verdict #1): if pass-to-pass spread exceeds
-  * SPARK_GRAFT_BENCH_SPREAD_RETRY_PCT (default 20%), the worst pass is
+  * SPARK_GRAFT_BENCH_SPREAD_RETRY_PCT (default 20%), the pass farthest
+  * from the median pass total (symmetric criterion — advice r13) is
   * presumed host-contaminated and re-measured — up to
   * SPARK_GRAFT_BENCH_MAX_EXTRA_PASSES (default 2) extra passes, keeping
-  * the best `iters`. Dropped pass totals are reported under
-  * "dropped_totals" and the 20 heaviest queries get their per-kept-pass
-  * times under "per_pass", so a noisy window is attributable from the
-  * artifact alone.
+  * the `iters` passes closest to consensus. Dropped pass totals are
+  * reported under "dropped_totals" and the 20 heaviest queries get their
+  * per-kept-pass times under "per_pass", so a noisy window is
+  * attributable from the artifact alone.
+  *
+  * Exhaustion escape hatch (round-13 verdict #3): if retries exhaust
+  * with spread still above threshold, the headline "value" escalates to
+  * per-query medians over ALL measured passes (kept + dropped) —
+  * "healing":"exhausted_all_passes" marks it. Both estimators are always
+  * reported (value_kept_passes / value_all_passes), the artifact carries
+  * in-line canary normalization (canary_ratio = canary median over its
+  * recorded clean-host rate; normalized_per_query = raw rate / ratio),
+  * and the sidecar holds full per-pass per-query matrices
+  * (passes_kept / passes_dropped) so tools/bench_headline.py can
+  * recompute any estimator without builder narrative.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -83,11 +95,14 @@ object Bench {
     // Self-healing measurement (round-12 verdict: the official artifact
     // ran in a 206%-spread host window and the raw total landed AT the
     // 2× gate): when pass-to-pass spread exceeds the threshold, the
-    // worst (max-total) pass is presumed host-contaminated — re-run it
-    // (bounded: max 2 extra passes) and keep the best `iters` passes.
-    // Every pass that ran, kept or dropped, is reported, so noise is
-    // attributable from the artifact alone rather than by canary
-    // inference.
+    // outlier pass is presumed host-contaminated — re-run (bounded: max
+    // 2 extra passes) and keep the `iters` passes closest to consensus.
+    // The drop criterion is SYMMETRIC (advice r13: always dropping the
+    // max pass biases the healed total downward): the dropped pass is
+    // the one FARTHEST from the median pass total, whichever side it
+    // sits on. Every pass that ran, kept or dropped, is reported, so
+    // noise is attributable from the artifact alone rather than by
+    // canary inference.
     val spreadRetryPct = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_SPREAD_RETRY_PCT", "20").toDouble
     val maxExtra = sys.env.getOrElse(
@@ -99,16 +114,30 @@ object Bench {
       extra += 1
       val fresh = onePass()
       val all = kept :+ fresh
-      val worst = all.maxBy(_.values.sum)
+      val medTotal = median(all.map(_.values.sum))
+      val worst = all.maxBy(p => math.abs(p.values.sum - medTotal))
       dropped :+= worst
       kept = {
         val i = all.indexOf(worst)
         all.patch(i, Nil, 1)
       }
     }
-    val passes = kept
     val names = queries.keys.toSeq
-    val med = names.map(n => n -> median(passes.map(_(n)))).toMap
+    // Exhaustion escape hatch (round-13 verdict #3): bounded retries
+    // cannot outrun a CONTINUOUSLY degraded host — when healing exhausts
+    // with the kept window still above threshold, per-query medians over
+    // ALL measured passes (kept + dropped) are the more robust estimator
+    // (more samples beat sample selection under sustained noise), so the
+    // headline escalates to them. Both estimators are always reported
+    // (value_kept_passes / value_all_passes), so the healing effect is
+    // quantifiable from the artifact alone (advice r13).
+    val exhausted =
+      spreadOf(kept) > spreadRetryPct && extra >= maxExtra
+    val passes = kept
+    val allPasses = kept ++ dropped
+    val medKept = names.map(n => n -> median(passes.map(_(n)))).toMap
+    val medAll = names.map(n => n -> median(allPasses.map(_(n)))).toMap
+    val med = if (exhausted) medAll else medKept
     // per-query times rounded to ms: round-over-round comparison never
     // needs sub-ms precision and the full line shrinks ~40%
     def ms3(v: Double): String = f"$v%.3f"
@@ -132,7 +161,36 @@ object Bench {
     val perPass = top20.map(n => s"\"$n\":" +
         passes.map(p => ms3(p(n))).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    val fullLine = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"totals":$totals,"spread_pct":$spreadPct%.1f,"extra_passes":$extra,"dropped_totals":$droppedTotals,"per_pass":$perPass}"""
+    // Both estimators, always (advice r13: the healing effect must be
+    // quantifiable): sum of per-query medians over the kept window and
+    // over every pass that ran. "value" is medAll when healing exhausted
+    // above threshold (verdict r13 #3), medKept otherwise.
+    val valueKept = medKept.values.sum
+    val valueAll = medAll.values.sum
+    // In-artifact canary normalization (verdict r13 #3): the canary's
+    // recorded clean-host steady state turns a degraded-window total
+    // into a host-corrected per-query rate without builder narrative.
+    // Defaults document the sf0.1 record (BASELINE.md: tpch_q1 0.248 s).
+    val canary = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY", "tpch_q1")
+    val canaryRecord = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_CANARY_RECORD_SEC", "0.248").toDouble
+    val canaryFields = med.get(canary).filter(_ > 0).map { c =>
+      val ratio = c / canaryRecord
+      val norm = if (ratio > 0) total / names.size / ratio
+                 else total / names.size
+      f""","canary":"$canary","canary_sec":${ms3(c)},"canary_record_sec":$canaryRecord,"canary_ratio":$ratio%.2f,"raw_per_query":${ms3(total / names.size)},"normalized_per_query":${ms3(norm)}"""
+    }.getOrElse("")
+    val healedField =
+      if (exhausted) ""","healing":"exhausted_all_passes""""
+      else if (extra > 0) ""","healing":"kept_window""""
+      else ""
+    // full per-pass per-query matrices (sidecar-only via fullLine): what
+    // tools/bench_headline.py recomputes the headline from — every
+    // measured pass, kept and dropped, for every query
+    def passesJson(ps: Seq[Map[String, Double]]): String =
+      ps.map(p => names.map(n => s"\"$n\":" + ms3(p(n)))
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
+    val fullLine = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"totals":$totals,"spread_pct":$spreadPct%.1f,"extra_passes":$extra,"dropped_totals":$droppedTotals,"value_kept_passes":${ms3(valueKept)},"value_all_passes":${ms3(valueAll)}$healedField$canaryFields,"per_pass":$perPass,"passes_kept":${passesJson(passes)},"passes_dropped":${passesJson(dropped)}}"""
     // The contract line first (full stdout captures get everything) …
     println(fullLine)
     // … then two artifact-capture fixes for the driver's 2000-char
@@ -158,7 +216,7 @@ object Bench {
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     val budget = 1700
     val heavy = names.sortBy(-med(_))
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":${names.size},"totals":$totals,"spread_pct":$spreadPct%.1f,"extra_passes":$extra,"dropped_totals":$droppedTotals,"full":"$sidecar","top":{"""
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":${names.size},"totals":$totals,"spread_pct":$spreadPct%.1f,"extra_passes":$extra,"dropped_totals":$droppedTotals,"value_kept_passes":${ms3(valueKept)},"value_all_passes":${ms3(valueAll)}$healedField$canaryFields,"full":"$sidecar","top":{"""
     val sb = new StringBuilder(head)
     var first = true
     for (n <- heavy) {

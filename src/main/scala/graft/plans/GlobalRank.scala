@@ -3,13 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftInternal, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, DenseRank, Descending, GenericInternalRow, JoinedRow, NamedExpression, Rank, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, CumeDist, DenseRank, Descending, Expression, GenericInternalRow, JoinedRow, Lag, Lead, Literal, NamedExpression, PercentRank, Rank, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** Which global ranking function the native operator computes. All three
   * share the same physical shape (one range exchange + one shuffle-read
@@ -40,6 +40,15 @@ object RankMode {
     * RowNumber machinery plus the total), so it needs no keys, no tie
     * repair, and no separate count subplan. */
   case class NTile(buckets: Int) extends RankMode
+  /** Spark-exact percent_rank(): (rank − 1) / (N − 1) as DOUBLE (0.0 when
+    * N == 1) — pure arithmetic over the [[Rank]] machinery plus the total
+    * from the count summaries (round-13 verdict #4). */
+  case object PercentRank extends RankMode
+  /** Spark-exact cume_dist(): (rows with key ≤ current) / N as DOUBLE —
+    * the tie group's LAST global position over the total, i.e. the
+    * [[AvgRankX2]] group walk (first rank + repaired group size − 1)
+    * divided by N. */
+  case object CumeDist extends RankMode
 }
 
 /** Native exact global ranking — the physical form of the repo's
@@ -121,8 +130,156 @@ class GlobalRankStrategy extends SparkStrategy {
     case p: GlobalPrefixSumPlan =>
       GlobalPrefixSumExec(p.order, p.sumExpr, p.outAttr,
         planLater(p.child)) :: Nil
+    case p: GlobalShiftPlan =>
+      GlobalShiftExec(p.order, p.shiftExpr, p.offset, p.isLag, p.outAttr,
+        planLater(p.child)) :: Nil
     case _ => Nil
   }
+}
+
+/** Native exact global LAG/LEAD — the OFFSET member of the family:
+  * `lag(e, k) / lead(e, k) OVER (ORDER BY …)` with no partition spec
+  * (Spark: one task holding every row). Same physical shape as the rank
+  * modes: one range exchange + a shuffle-read summary pass that collects
+  * each partition's k EDGE values (last k for lag, first k for lead — k
+  * single-column rows per partition, metadata scale), driver-side
+  * boundary stitching over numPartitions summaries, then one streaming
+  * map pass holding a k-deep ring buffer (memory O(k), independent of
+  * partition size). ROWS-positional semantics with NULL default and
+  * ignoreNulls=false, exactly Spark's `lag(e, k)`/`lead(e, k)` — rows
+  * past the frame edge get NULL.
+  */
+case class GlobalShiftPlan(child: LogicalPlan, order: Seq[SortOrder],
+    shiftExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+    offset: Int, isLag: Boolean, outAttr: Attribute)
+    extends LogicalPlan with UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GlobalShiftPlan = copy(child = newChild)
+}
+
+case class GlobalShiftExec(order: Seq[SortOrder],
+    shiftExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+    offset: Int, isLag: Boolean, outAttr: Attribute, child: SparkPlan)
+    extends SparkPlan with UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = order
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childRDD = child.execute()
+    val childOutput = child.output
+    val expr = shiftExpr
+    val k = offset
+    val lag = isLag
+    // Pass 1 (shuffle-read): each partition's k edge values — the LAST k
+    // for lag (what the successor's head rows need), the FIRST k for
+    // lead. Bounded copies: a k-deep ring, never the partition.
+    val edges: Array[Array[UnsafeRow]] =
+      childRDD.sparkContext.runJob(childRDD,
+        (it: Iterator[InternalRow]) => {
+          val proj = UnsafeProjection.create(Seq(expr), childOutput)
+          if (lag) {
+            val ring = new java.util.ArrayDeque[UnsafeRow](k)
+            while (it.hasNext) {
+              if (ring.size == k) ring.removeFirst()
+              ring.addLast(proj(it.next()).copy())
+            }
+            ring.toArray(new Array[UnsafeRow](ring.size)) // row order
+          } else {
+            val buf = new scala.collection.mutable.ArrayBuffer[UnsafeRow](k)
+            while (it.hasNext && buf.size < k) buf += proj(it.next()).copy()
+            buf.toArray
+          }
+        })
+    val n = edges.length
+    // Driver-side stitch: for partition pid, the ≤ k values immediately
+    // BEFORE its first row (lag) / AFTER its last row (lead), in row
+    // order — a walk over adjacent summaries, metadata never data.
+    val carry: Array[Array[UnsafeRow]] = Array.tabulate(n) { pid =>
+      val acc = new scala.collection.mutable.ArrayDeque[UnsafeRow]()
+      if (lag) {
+        var j = pid - 1
+        while (j >= 0 && acc.size < k) {
+          val e = edges(j)
+          var i = e.length - 1
+          while (i >= 0 && acc.size < k) { acc.prepend(e(i)); i -= 1 }
+          j -= 1
+        }
+      } else {
+        var j = pid + 1
+        while (j < n && acc.size < k) {
+          val e = edges(j)
+          var i = 0
+          while (i < e.length && acc.size < k) { acc.append(e(i)); i += 1 }
+          j += 1
+        }
+      }
+      acc.toArray
+    }
+    val out = output
+    val dt = outAttr.dataType
+    // Pass 2: stream each partition once with a k-deep buffer.
+    childRDD.mapPartitionsWithIndex({ (pid, iter) =>
+      val proj = UnsafeProjection.create(out, out)
+      val valProj = UnsafeProjection.create(Seq(expr), childOutput)
+      val shiftRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      def emit(r: InternalRow, v: UnsafeRow): InternalRow = {
+        if (v == null || v.isNullAt(0)) shiftRow.update(0, null)
+        else shiftRow.update(0, v.get(0, dt))
+        proj(joined(r, shiftRow))
+      }
+      if (lag) {
+        // ring holds the previous ≤ k values (oldest first), seeded with
+        // the carry-in; full ring head IS the value k rows back
+        val ring = new java.util.ArrayDeque[UnsafeRow](k)
+        carry(pid).foreach(ring.addLast)
+        iter.map { r =>
+          val v = if (ring.size == k) ring.removeFirst() else null
+          val outRow = emit(r, v)
+          ring.addLast(valProj(r).copy())
+          if (ring.size > k) ring.removeFirst()
+          outRow
+        }
+      } else {
+        // pending holds ≤ k delayed ROWS; a row emits when the row k
+        // positions later arrives (its value), or from the carry-in /
+        // NULL once the partition drains
+        val pending = new java.util.ArrayDeque[InternalRow](k)
+        new Iterator[InternalRow] {
+          private val tail = carry(pid)
+          override def hasNext: Boolean = iter.hasNext || !pending.isEmpty
+          override def next(): InternalRow = {
+            while (iter.hasNext && pending.size < k)
+              pending.addLast(iter.next().copy())
+            if (iter.hasNext) {
+              val cur = iter.next()
+              val outRow = emit(pending.removeFirst(), valProj(cur))
+              pending.addLast(cur.copy())
+              outRow
+            } else {
+              // drain: the emitted row has pending.size-1 partition rows
+              // left behind it, so its k-ahead value sits k-1-that deep
+              // in the carry-in (short partitions skip carry positions)
+              val p = pending.removeFirst()
+              val idx = k - pending.size - 1
+              emit(p, if (idx < tail.length) tail(idx) else null)
+            }
+          }
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): GlobalShiftExec = copy(child = newChild)
 }
 
 /** Native exact global RUNNING SUM — the prefix-scan sibling of
@@ -280,9 +437,13 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
     // key — they all sit in predecessors' TAIL runs (range-ordered), so
     // walk back accumulating tail runs while the last key still ties; a
     // single-key partition (distinct == 1) keeps the walk going.
+    val needBehind = mode match {
+      case RankMode.Rank | RankMode.AvgRankX2 | RankMode.PercentRank |
+           RankMode.CumeDist => true
+      case _ => false
+    }
     val tieBehind: Array[Long] =
-      if (mode != RankMode.Rank && mode != RankMode.AvgRankX2)
-        Array.fill(n)(0L)
+      if (!needBehind) Array.fill(n)(0L)
       else Array.tabulate(n) { i =>
         val x = summaries(i).firstKey
         var t = 0L
@@ -304,7 +465,8 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
     // mirror of tieBehind — the tail group's size must count its
     // continuation into later partitions' head runs)
     val tieAhead: Array[Long] =
-      if (mode != RankMode.AvgRankX2) Array.fill(n)(0L)
+      if (mode != RankMode.AvgRankX2 && mode != RankMode.CumeDist)
+        Array.fill(n)(0L)
       else Array.tabulate(n) { i =>
         val x = summaries(i).lastKey
         var t = 0L
@@ -356,6 +518,12 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
         if (isInt) rankRow.update(0, rk.toInt) else rankRow.update(0, rk)
         proj(joined(r, rankRow))
       }
+      // DOUBLE face for the distribution modes (percent_rank/cume_dist —
+      // Spark's own output type for both)
+      def emitD(r: InternalRow, v: Double): InternalRow = {
+        rankRow.update(0, v)
+        proj(joined(r, rankRow))
+      }
       execMode match {
         case RankMode.RowNumber =>
           var rk = rowOffsets(pid)
@@ -376,12 +544,17 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
               else rem + (rk - 1 - cut) / q + 1
             emit(r, b)
           }
-        case RankMode.Rank =>
+        case RankMode.Rank | RankMode.PercentRank =>
           val projA = UnsafeProjection.create(keyExprs, childOutput)
           val projB = UnsafeProjection.create(keyExprs, childOutput)
           val ord = GenerateOrdering.generate(bound)
           val off = rowOffsets(pid)
           val behind = tieBehind(pid)
+          // percent_rank = (rank − 1)/(N − 1), 0.0 when N == 1 — pure
+          // arithmetic on the same competition rank, over the total the
+          // count summaries already hold
+          val total = rowOffsets(rowOffsets.length - 1)
+          val asPercent = execMode == RankMode.PercentRank
           var pos = 0L; var localRank = 0L
           var prev: UnsafeRow = null
           var inHeadRun = true
@@ -395,7 +568,11 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
               if (prev != null) inHeadRun = false
             }
             prev = k
-            emit(r, off + localRank - (if (inHeadRun) behind else 0L))
+            val rk = off + localRank - (if (inHeadRun) behind else 0L)
+            if (asPercent)
+              emitD(r, if (total <= 1L) 0.0
+                       else (rk - 1).toDouble / (total - 1))
+            else emit(r, rk)
           }
         case RankMode.DenseRank =>
           val projA = UnsafeProjection.create(keyExprs, childOutput)
@@ -412,16 +589,21 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
             prev = k
             emit(r, off + localDense)
           }
-        case RankMode.AvgRankX2 =>
+        case RankMode.AvgRankX2 | RankMode.CumeDist =>
           // one tie group buffered at a time (copies — the group must
           // outlive the reader's reused row buffer). Memory is bounded
           // by this partition's slice of the widest group — strictly
           // tighter than WindowExec, which buffers the whole partition.
+          // CumeDist shares the group walk: its per-group value is the
+          // group's LAST global position (first rank + repaired size − 1)
+          // over the total, emitted as DOUBLE.
           val keyProj = UnsafeProjection.create(keyExprs, childOutput)
           val ord = GenerateOrdering.generate(bound)
           val off = rowOffsets(pid)
           val behind = tieBehind(pid)
           val ahead = tieAhead(pid)
+          val total = rowOffsets(rowOffsets.length - 1)
+          val asCume = execMode == RankMode.CumeDist
           new Iterator[InternalRow] {
             private var pendRow: InternalRow = _
             private var pendKey: UnsafeRow = _
@@ -457,7 +639,8 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
                 (if (isHead) behind else 0L) + (if (isTail) ahead else 0L)
               val firstRank =
                 off + gFirstLocal - (if (isHead) behind else 0L)
-              gVal = 2L * firstRank + gSize - 1L
+              gVal = if (asCume) firstRank + gSize - 1L
+                     else 2L * firstRank + gSize - 1L
             }
             override def hasNext: Boolean =
               gEmit < group.size || pendRow != null
@@ -465,7 +648,8 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
               if (gEmit >= group.size) loadGroup()
               val r = group(gEmit)
               gEmit += 1
-              emit(r, gVal)
+              if (asCume) emitD(r, gVal.toDouble / total)
+              else emit(r, gVal)
             }
           }
       }
@@ -478,9 +662,11 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
 
 /** Opt-in optimizer rule (`spark.graft.distRank.enabled=true`): rewrite
   * `Window` nodes whose window expressions are ALL bare `row_number()`,
-  * `rank()`, `dense_rank()`, or `ntile(<positive literal>)` with an
-  * EMPTY partition spec into [[GlobalRankPlan]] nodes (one per
-  * expression, modes mixed freely). Matches nothing else — aggregate
+  * `rank()`, `dense_rank()`, `ntile(<positive literal>)`,
+  * `percent_rank()`, or `cume_dist()` with an EMPTY partition spec into
+  * [[GlobalRankPlan]] nodes (one per expression, modes mixed freely) —
+  * with these two the rule covers EVERY bare global ranking/distribution
+  * window function Spark defines. Matches nothing else — aggregate
   * windows, lag/lead, and mixed expression lists keep their WindowExec,
   * and partitioned windows are already parallel. Defensive-parse
   * discipline (the RangeBinJoin lesson): any value other than "true" is
@@ -506,8 +692,39 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
               IntegerType)),
           WindowSpecDefinition(Nil, _, _)), _) if k > 0 =>
         Some((a, RankMode.NTile(k)))
+      case a @ Alias(WindowExpression(_: PercentRank,
+          WindowSpecDefinition(Nil, _, _)), _) =>
+        Some((a, RankMode.PercentRank))
+      case a @ Alias(WindowExpression(_: CumeDist,
+          WindowSpecDefinition(Nil, _, _)), _) =>
+        Some((a, RankMode.CumeDist))
       case _ => None
     }
+
+  /** The window function's own output type, preserved by the rewrite:
+    * IntegerType for the counting modes (Spark's rank functions),
+    * DoubleType for the distribution fractions. */
+  private def dtOf(mode: RankMode): DataType = mode match {
+    case RankMode.PercentRank | RankMode.CumeDist => DoubleType
+    case _ => IntegerType
+  }
+
+  /** Bare global `lag(e, k)` / `lead(e, k)` with the NULL default and
+    * ignoreNulls=false — the offset class, rewritten to
+    * [[GlobalShiftPlan]]. Non-literal offsets, non-null defaults, and
+    * ignoreNulls keep their WindowExec. */
+  private def shiftOf(e: NamedExpression)
+      : Option[(Alias, Expression, Int, Boolean)] = e match {
+    case a @ Alias(WindowExpression(Lag(in,
+        Literal(off: Int, IntegerType), Literal(null, _), false),
+        WindowSpecDefinition(Nil, _, _)), _) if off > 0 =>
+      Some((a, in, off, true))
+    case a @ Alias(WindowExpression(Lead(in,
+        Literal(off: Int, IntegerType), Literal(null, _), false),
+        WindowSpecDefinition(Nil, _, _)), _) if off > 0 =>
+      Some((a, in, off, false))
+    case _ => None
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(Key, "false").trim.equalsIgnoreCase("true"))
@@ -515,15 +732,23 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     plan transform {
       case Window(exprs, Nil, order, child, _)
           if order.nonEmpty && exprs.nonEmpty &&
-            exprs.forall(modeOf(_).isDefined) =>
-        // chain one node per ranking alias (they share the same orderSpec
-        // by Window's construction), preserving each alias's exprId and
-        // IntegerType so parent operators resolve unchanged
+            exprs.forall(e =>
+              modeOf(e).isDefined || shiftOf(e).isDefined) =>
+        // chain one node per ranking/offset alias (they share the same
+        // orderSpec by Window's construction), preserving each alias's
+        // exprId and output type so parent operators resolve unchanged
         exprs.foldLeft(child) { (c, e) =>
-          val (a, mode) = modeOf(e).get
-          GlobalRankPlan(c, order,
-            AttributeReference(a.name, IntegerType,
-              nullable = false)(a.exprId, a.qualifier), mode)
+          modeOf(e) match {
+            case Some((a, mode)) =>
+              GlobalRankPlan(c, order,
+                AttributeReference(a.name, dtOf(mode),
+                  nullable = false)(a.exprId, a.qualifier), mode)
+            case None =>
+              val (a, in, off, isLag) = shiftOf(e).get
+              GlobalShiftPlan(c, order, in, off, isLag,
+                AttributeReference(a.name, in.dataType,
+                  nullable = true)(a.exprId, a.qualifier))
+          }
         }
     }
   }
@@ -542,7 +767,7 @@ object GlobalRank {
   }
 
   private def build(df: DataFrame, outCol: String, mode: RankMode,
-      keys: Seq[(String, Boolean)]): DataFrame = {
+      keys: Seq[(String, Boolean)], dt: DataType = LongType): DataFrame = {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val plan = df.queryExecution.analyzed
@@ -553,7 +778,7 @@ object GlobalRank {
       SortOrder(a, if (asc) Ascending else Descending)
     }
     GraftInternal.ofRows(spark, GlobalRankPlan(plan, order,
-      AttributeReference(outCol, LongType, nullable = false)(), mode))
+      AttributeReference(outCol, dt, nullable = false)(), mode))
   }
 
   /** `df` plus LONG column `outCol` = exact global 1-based row_number
@@ -585,6 +810,20 @@ object GlobalRank {
     build(df, outCol, RankMode.NTile(k), keys)
   }
 
+  /** `df` plus DOUBLE column `outCol` = Spark-exact global percent_rank
+    * ((rank − 1)/(N − 1); 0.0 when N == 1) under `keys` — the [[withRank]]
+    * machinery plus the total, never a single-task window. */
+  def withPercentRank(df: DataFrame, outCol: String,
+      keys: (String, Boolean)*): DataFrame =
+    build(df, outCol, RankMode.PercentRank, keys, DoubleType)
+
+  /** `df` plus DOUBLE column `outCol` = Spark-exact global cume_dist
+    * ((rows with key ≤ current)/N) under `keys` — the tie-group walk of
+    * [[withAvgRankX2]] emitting last-position/total. */
+  def withCumeDist(df: DataFrame, outCol: String,
+      keys: (String, Boolean)*): DataFrame =
+    build(df, outCol, RankMode.CumeDist, keys, DoubleType)
+
   /** Exact DOUBLED fractional average rank (2·avg_rank, an exact LONG:
     * 2·first_rank + tie_size − 1) under `keys` — the Spearman /
     * Mann-Whitney / Kruskal-Wallis primitive, one pass where the
@@ -592,6 +831,38 @@ object GlobalRank {
   def withAvgRankX2(df: DataFrame, outCol: String,
       keys: (String, Boolean)*): DataFrame =
     build(df, outCol, RankMode.AvgRankX2, keys)
+
+  /** `df` plus nullable column `outCol` (the value column's type) =
+    * Spark-exact global `lag(valueCol, offset)` under `keys` (pass a
+    * total order — positional semantics; NULL past the frame edge). One
+    * range exchange + a k-edge-value summary pass; memory O(offset). */
+  def withLag(df: DataFrame, outCol: String, valueCol: String,
+      offset: Int, keys: (String, Boolean)*): DataFrame =
+    buildShift(df, outCol, valueCol, offset, isLag = true, keys)
+
+  /** Spark-exact global `lead(valueCol, offset)` — see [[withLag]]. */
+  def withLead(df: DataFrame, outCol: String, valueCol: String,
+      offset: Int, keys: (String, Boolean)*): DataFrame =
+    buildShift(df, outCol, valueCol, offset, isLag = false, keys)
+
+  private def buildShift(df: DataFrame, outCol: String, valueCol: String,
+      offset: Int, isLag: Boolean,
+      keys: Seq[(String, Boolean)]): DataFrame = {
+    require(offset > 0, s"shift offset must be positive (got $offset)")
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val plan = df.queryExecution.analyzed
+    def attr(n: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${plan.output.map(_.name).mkString(",")}"))
+    val v = attr(valueCol)
+    val order = keys.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    GraftInternal.ofRows(spark, GlobalShiftPlan(plan, order, v, offset,
+      isLag, AttributeReference(outCol, v.dataType, nullable = true)()))
+  }
 
   /** `df` plus LONG column `outCol` = exact global running sum of LONG
     * column `valueCol` under `keys` (ROWS-frame: every row gets its own

@@ -39,6 +39,69 @@ object FunctionQueries {
              |             ORDER BY o_totalprice, o_orderkey)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // GLOBAL distribution functions (round-14): percent_rank + cume_dist
+    // over the WHOLE table with no partition spec — the shape Spark plans
+    // as ONE task sorting every row — through the native GlobalRank
+    // operator's PercentRank/CumeDist modes (one range exchange + a
+    // shuffle-read summary pass each; driver sees numPartitions
+    // summaries, never data). Bands are exact integers so tie groups are
+    // identical cross-engine, and tie groups span range partitions by
+    // construction, exercising the boundary repairs; ties SHARE their
+    // fraction, so every key's value is deterministic. Completes the
+    // native family across every bare global ranking/distribution window
+    // function Spark defines (round-13 verdict #4).
+    QueryDef("window_distribution_global",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+              "AS BIGINT) div 10000").as("price_band"))
+        val pr = graft.plans.GlobalRank.withPercentRank(o, "pr0",
+          ("price_band", true))
+        graft.plans.GlobalRank.withCumeDist(pr, "cd0",
+            ("price_band", true))
+          .select(col("o_orderkey"), col("price_band"),
+            round(col("pr0"), 6).as("pr"), round(col("cd0"), 6).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH b AS (SELECT o_orderkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      // 10000 AS price_band
+             |  FROM orders)
+             |SELECT o_orderkey, price_band,
+             |  round(percent_rank() OVER (ORDER BY price_band), 6) AS pr,
+             |  round(cume_dist() OVER (ORDER BY price_band), 6) AS cd
+             |FROM b ORDER BY o_orderkey""".stripMargin)),
+
+    // GLOBAL offset functions (round-14): lag/lead over the WHOLE event
+    // stream in time order with no partition spec — the global
+    // sessionize/delta shape Spark plans as ONE task — through the
+    // native GlobalShift operator (one range exchange + a k-edge-value
+    // summary pass; the map pass holds a k-deep ring buffer, memory
+    // O(k) not O(partition)). Offset 3 forces multi-value boundary
+    // stitching across range partitions. Exact LONG ids, total order,
+    // NULL past the stream edges — deterministic cross-engine.
+    QueryDef("window_global_shift",
+      (s, dir) => {
+        val e = Tables.read(s, dir, "events")
+          .select(col("event_id"), col("ts"))
+        val l1 = graft.plans.GlobalRank.withLag(e, "prev_event",
+          "event_id", 1, ("ts", true), ("event_id", true))
+        val l2 = graft.plans.GlobalRank.withLead(l1, "next_event",
+          "event_id", 1, ("ts", true), ("event_id", true))
+        graft.plans.GlobalRank.withLag(l2, "prev3_event",
+            "event_id", 3, ("ts", true), ("event_id", true))
+          .select("event_id", "prev_event", "next_event", "prev3_event")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  lag(event_id, 1) OVER w AS prev_event,
+             |  lead(event_id, 1) OVER w AS next_event,
+             |  lag(event_id, 3) OVER w AS prev3_event
+             |FROM events
+             |WINDOW w AS (ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
     // lead/lag/first/last over the event-time axis per user
     QueryDef("window_lead_lag",
       (s, dir) => {

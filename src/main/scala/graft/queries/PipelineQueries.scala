@@ -811,10 +811,14 @@ object PipelineQueries {
         // Fixture key = (dir, row count, content hash): a regenerated
         // embeddings table at the same path with the same count must NOT
         // serve stale centroids, so the fingerprint folds in an
-        // order-independent hash of the ids (sum of per-row murmur3) —
-        // the same content-stamp discipline as scan_time_travel's
-        // split-year key. One tiny agg job, amortized across probe runs.
-        val fpRow = emb.agg(count(lit(1)), sum(hash(col("vec_id")))).head()
+        // order-independent hash of the ids AND the embedding values
+        // (sum of per-row murmur3 over both columns — advice r13: an
+        // id-only stamp would silently reuse a stale fit when vectors
+        // change under unchanged ids) — the same content-stamp discipline
+        // as the warehouse fixtures hashing their value columns. One tiny
+        // agg job, amortized across probe runs.
+        val fpRow = emb.agg(count(lit(1)),
+          sum(hash(col("vec_id"), col("embedding")))).head()
         val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
           fpRow.getLong(1))}"
         val q = new java.io.File(
@@ -1026,7 +1030,10 @@ object PipelineQueries {
     QueryDef("ann_recall",
       (s, dir) => {
         val emb = Tables.read(s, dir, "embeddings")
-        val fpRow = emb.agg(count(lit(1)), sum(hash(col("vec_id")))).head()
+        // content stamp folds the embedding VALUES, not just the ids
+        // (advice r13) — regenerated vectors under unchanged ids refit
+        val fpRow = emb.agg(count(lit(1)),
+          sum(hash(col("vec_id"), col("embedding")))).head()
         val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
           fpRow.getLong(1))}"
         val root = new java.io.File(

@@ -80,7 +80,9 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new WarehouseTable(properties.get("path"), schema,
-      Option(properties.get("generation")).map(_.toLong))
+      Option(properties.get("generation")).map(_.toLong),
+      Option(properties.get("files"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
 }
 
 /** One warehouse table rooted at `path`. `generation` (read option) pins
@@ -91,7 +93,8 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
   * top of the LATEST generation regardless of the option.
   */
 class WarehouseTable(path: String, schema0: StructType,
-    generation: Option[Long] = None)
+    generation: Option[Long] = None,
+    filesSubset: Option[Seq[String]] = None)
     extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"graft-warehouse:$path"
   override def schema(): StructType = schema0
@@ -107,7 +110,7 @@ class WarehouseTable(path: String, schema0: StructType,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarehouseScanBuilder(path, generation)
+    new WarehouseScanBuilder(path, generation, filesSubset)
 }
 
 class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
@@ -510,16 +513,36 @@ object WarehouseScanStats {
   *    transparency discipline), so pruning can never change results,
   *    only skip IO.
   */
-class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
+class WarehouseScanBuilder(root: String, generation: Option[Long] = None,
+    filesSubset: Option[Seq[String]] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
-  private val manifest = WarehouseMeta.readManifest(root, generation).getOrElse(
-    throw new IllegalArgumentException(
-      s"graft-warehouse table at $root has no committed manifest"))
+  private val manifest = {
+    val m0 = WarehouseMeta.readManifest(root, generation).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-warehouse table at $root has no committed manifest"))
+    // `files` read option (round-14): pin the scan to an explicit subset
+    // of this generation's committed files — the maintenance primitive
+    // (bin-packing OPTIMIZE, copy-on-write DELETE/MERGE read exactly the
+    // files they rewrite, never the whole table). The subset view is a
+    // files-restricted manifest, so every downstream serve (zone pruning,
+    // pushed aggregates, stats, SPJ) stays subset-consistent for free.
+    filesSubset match {
+      case None => m0
+      case Some(sub) =>
+        val have = m0.files.toSet
+        val missing = sub.filterNot(have)
+        require(missing.isEmpty,
+          s"files option names ${missing.size} file(s) not in generation " +
+            s"${m0.generation} at $root: ${missing.take(3).mkString(",")}")
+        val keep = sub.toSet
+        m0.copy(files = m0.files.filter(keep))
+    }
+  }
   private var required: StructType = manifest.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
@@ -566,7 +589,7 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
     * top n. Null-bearing files (fnn < frows) always join the plan (null
     * ordering puts them at one end; including them is conservative
     * either way). Best-effort contract: Spark's TakeOrdered above sorts
-    * the planned rows and takes the exact n — a refusal (multi-key sort,
+    * the planned rows and takes the exact n — a refusal (non-integral first key,
     * non-integral column, missing stats/frows/fnn, pushed filters) just
     * means a full scan, never a wrong answer. At 100 TB, "latest 100
     * events" over a time-clustered table reads one zone file.
@@ -575,7 +598,15 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None)
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
-    if (pushed.nonEmpty || orders.length != 1) return false
+    // COMPOSITE sorts plan on the FIRST key alone (round-14): secondary
+    // keys only reorder rows WITHIN first-key ties, and the file plan
+    // already includes every row tying the covering bound (the
+    // bound-overlap rule in topNPlan) — a row outside the plan has its
+    // first key strictly past the bound, so ≥ n planned rows order
+    // strictly before it under ANY tie-break. Spark's TakeOrdered above
+    // applies the full composite order to the planned rows
+    // (isPartiallyPushed = true).
+    if (pushed.nonEmpty || orders.length < 1) return false
     val so = orders(0)
     val colName = so.expression() match {
       case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
@@ -1346,6 +1377,269 @@ object WarehouseDelete {
   }
 }
 
+/** Copy-on-write row-level operations (round-14): the "use a
+  * copy-on-write rewrite for partial deletes" guidance the metadata
+  * DELETE's refusal message gives, implemented. Shared discipline:
+  * classify every committed file against the operation's key/predicate
+  * via the SAME zone maps the scan prunes with — files provably
+  * untouched carry into the new generation BY REFERENCE (zero IO),
+  * files provably all-deleted drop as metadata, and ONLY the provably-
+  * partial remainder rewrites (read through the scan's `files` option,
+  * committed atomically by [[WarehouseRewrite.commitRewrite]]). At
+  * 100 TB, deleting one customer's rows rewrites the handful of files
+  * whose zones straddle the predicate, not the table.
+  */
+object WarehouseCow {
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+
+  /** The pushable-Filter subset as a Column, for re-applying the delete
+    * predicate row-exactly inside the rewrite. Unsupported shapes throw
+    * (the caller sees the refusal BEFORE anything mutates). */
+  private[graft] def filterToColumn(f: Filter): Column = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(c) => !filterToColumn(c)
+      case other => throw new IllegalArgumentException(
+        s"unsupported copy-on-write predicate $other")
+    }
+  }
+
+  private def readSubset(spark: SparkSession, root: String,
+      files: Seq[String]): DataFrame = {
+    require(files.forall(!_.contains(",")),
+      "file name contains ',' — cannot pass through the files option")
+    spark.read.format("graft-warehouse")
+      .option("path", root).option("files", files.mkString(",")).load()
+  }
+
+  /** DELETE all rows matching `pred`, rewriting only partial-match files
+    * (SQL semantics: a NULL predicate keeps the row). Full-match files
+    * drop as metadata and no-match files carry by reference, exactly
+    * like [[WarehouseDelete.deleteWhere]] — this is its completion, not
+    * its replacement: a predicate that classifies every file cleanly
+    * still commits zero data IO here. Returns the exact deleted count.
+    */
+  def deleteWhereCow(spark: SparkSession, root: String,
+      pred: Filter): Long = {
+    val predCol = filterToColumn(pred) // refuse unsupported shapes first
+    val m = WarehouseMeta.readManifest(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-warehouse table at $root has no committed manifest"))
+    val grouped = m.files.groupBy { f =>
+      val st = m.stats.getOrElse(f, Map.empty)
+      if (WarehouseZoneMap.mustMatch(pred, st, m.rows.get(f),
+          m.nonNull.getOrElse(f, Map.empty))) "drop"
+      else if (!WarehouseZoneMap.mightMatch(pred, st)) "carry"
+      else "rewrite"
+    }
+    val drop = grouped.getOrElse("drop", Nil)
+    val carry = grouped.getOrElse("carry", Nil)
+    val rewrite = grouped.getOrElse("rewrite", Nil)
+    require((drop ++ rewrite).forall(m.rows.contains),
+      "affected files lack exact row counts (pre-upgrade manifest) — " +
+        "refusing: the deleted-count contract would be a guess")
+    if (rewrite.isEmpty)
+      return WarehouseDelete.deleteWhere(root, pred) // pure metadata edit
+    val survivors = readSubset(spark, root, rewrite)
+      .filter(not(coalesce(predCol, lit(false))))
+    val after = WarehouseRewrite.commitRewrite(spark, root, m, carry,
+      survivors, "DELETE_COW")
+    val rewrittenOut = (after.files.toSet -- carry.toSet)
+      .toSeq.map(after.rows).sum
+    drop.map(m.rows).sum + rewrite.map(m.rows).sum - rewrittenOut
+  }
+}
+
+/** MERGE at the warehouse boundary (round-14): [[graft.ops.Merge]]'s
+  * changelog semantics (op ∈ I/U/D, highest-seq event per key wins, a
+  * winning D removes the key) applied copy-on-write — only files whose
+  * key zone maps might hold an affected key rewrite; the rest carry by
+  * reference. The affected-key test is exact when the changeset's
+  * distinct keys fit a driver-side sorted array (the overwhelmingly
+  * common case — a daily changeset against a years-deep table) and falls
+  * back to the changeset's [min,max] interval above `maxKeysCollect`
+  * (conservative: a too-wide interval only rewrites more, never misses a
+  * file). Files without zone stats for the key rewrite unconditionally —
+  * classification can cost IO, never correctness.
+  */
+object WarehouseMerge {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.{broadcast, col}
+
+  final case class MergeStats(carried: Int, rewritten: Int,
+      filesAfter: Int)
+
+  /** Apply CDC changelog `log` (payload columns + `key` + `seqCol` +
+    * `opCol`) to the warehouse table at `root`. The key column must be
+    * LONG/INT-typed (zone classification); payload columns must match
+    * the table schema minus nothing — i.e. `log` minus seq/op columns
+    * must be exactly the table's columns.
+    */
+  def applyChangelogCow(spark: SparkSession, root: String, log: DataFrame,
+      key: String, seqCol: String, opCol: String,
+      maxKeysCollect: Int = 1 << 20): MergeStats = {
+    val m = WarehouseMeta.readManifest(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-warehouse table at $root has no committed manifest"))
+    val tableCols = m.schema.fieldNames.toSeq
+    val logCols = log.columns.filterNot(c => c == seqCol || c == opCol)
+    require(tableCols.sorted.sameElements(logCols.sorted.toSeq),
+      s"changelog payload (${logCols.sorted.mkString(",")}) must match " +
+        s"table columns (${tableCols.sorted.mkString(",")})")
+    // final per-key outcome: winners (rows to upsert) and every affected
+    // key (winners + winning deletes) — one map-side-combined agg each
+    val winners = graft.ops.Merge.applyChangelog(log, Seq(key), seqCol,
+      opCol)
+    val affectedKeys = log.select(col(key)).distinct()
+    // exact classification when the changeset key set is driver-bounded;
+    // interval fallback past the cap (conservative either way)
+    val nKeys = affectedKeys.count()
+    val keysSorted: Option[Array[Long]] =
+      if (nKeys <= maxKeysCollect)
+        Some(affectedKeys.collect().map(_.get(0) match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case x => throw new IllegalArgumentException(
+            s"merge key must be integral, got $x")
+        }).sorted)
+      else None
+    val (kLo, kHi) = keysSorted match {
+      case Some(a) if a.nonEmpty => (a.head, a.last)
+      case _ =>
+        val r = log.agg(org.apache.spark.sql.functions.min(col(key)),
+          org.apache.spark.sql.functions.max(col(key))).head()
+        (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())
+    }
+    def zoneHit(lo: Long, hi: Long): Boolean = keysSorted match {
+      case Some(a) =>
+        // any changeset key inside [lo, hi]: lowest key ≥ lo must be ≤ hi
+        val i = java.util.Arrays.binarySearch(a, lo)
+        val at = if (i >= 0) i else -i - 1
+        at < a.length && a(at) <= hi
+      case None => lo <= kHi && hi >= kLo
+    }
+    // NULL-keyed rows are invisible to zone maps but also UNAFFECTED by
+    // the merge (a changeset key never equals NULL; the anti-join is
+    // null-rejecting), so they never force a rewrite by themselves.
+    val (carry, rewrite) = m.files.partition { f =>
+      m.stats.getOrElse(f, Map.empty).get(key) match {
+        case Some(ColStat.Longs(lo, hi)) => !zoneHit(lo, hi)
+        case _ =>
+          // no exact zone: carry only a provably all-null-key or empty
+          // file (fnn=0 / rows=0); anything unprovable rewrites
+          m.nonNull.getOrElse(f, Map.empty).get(key).contains(0L) ||
+            m.rows.get(f).contains(0L)
+      }
+    }
+    val replacement = (
+      if (rewrite.isEmpty) winners
+      else {
+        require(rewrite.forall(!_.contains(",")),
+          "file name contains ',' — cannot pass through the files option")
+        spark.read.format("graft-warehouse")
+          .option("path", root).option("files", rewrite.mkString(","))
+          .load()
+          .join(broadcast(affectedKeys), Seq(key), "left_anti")
+          .unionByName(winners)
+      }).select(tableCols.map(col): _*)
+    val after = WarehouseRewrite.commitRewrite(spark, root, m, carry,
+      replacement, "MERGE")
+    MergeStats(carry.size, rewrite.size, after.files.size)
+  }
+}
+
+/** Partial-rewrite commit (round-14): the shared primitive under
+  * bin-packing OPTIMIZE, copy-on-write DELETE, and MERGE — commit a new
+  * generation that carries `carry` files BY REFERENCE (zero copy, zero
+  * IO: the same path strings and per-file metadata move into the new
+  * manifest) and replaces everything else with the rows of `replacement`.
+  * The replacement writes through a SCRATCH warehouse table first, so
+  * per-file zone maps / row counts / sums / cluster splits stream with
+  * the task writers exactly like a load job; its committed files are then
+  * renamed under the real table's `data/<jobId>/` (O(files) metadata ops)
+  * and the swap is one atomic manifest rename. Readers see the old
+  * generation until that instant; any failure before it leaves the table
+  * untouched (scratch + orphaned data dir only, like an aborted load).
+  * Earlier generations stay time-travel readable — rewritten files are
+  * retired from visibility, never deleted.
+  */
+object WarehouseRewrite {
+
+  private[graft] def rmTree(fs: FileSystem, p: Path): Unit =
+    if (fs.exists(p)) fs.delete(p, true)
+
+  /** Returns the new manifest. `carry` must be a subset of `m.files`;
+    * `replacement`'s columns must match the table schema (names + types,
+    * in order). Zero-row replacement files are dropped, not committed.
+    */
+  def commitRewrite(spark: org.apache.spark.sql.SparkSession, root: String,
+      m: Manifest, carry: List[String],
+      replacement: org.apache.spark.sql.DataFrame,
+      disposition: String): Manifest = {
+    val fs = WarehouseMeta.fs(root)
+    val bad = carry.filterNot(m.files.toSet)
+    require(bad.isEmpty, s"carry names files not in generation " +
+      s"${m.generation}: ${bad.take(3).mkString(",")}")
+    val tmpRoot = s"$root/_rewrite_tmp_${java.util.UUID.randomUUID()}"
+    try {
+      graft.io.Sink.overwrite(replacement, tmpRoot,
+        format = "graft-warehouse",
+        options = m.clusterBy.map("clusterBy" -> _).toMap)
+      val tm = WarehouseMeta.readManifest(tmpRoot).getOrElse(
+        throw new IllegalStateException(
+          s"scratch rewrite table at $tmpRoot has no manifest"))
+      require(tm.schema.simpleString == m.schema.simpleString,
+        s"rewrite schema drift — table has ${m.schema.simpleString}, " +
+          s"replacement wrote ${tm.schema.simpleString}")
+      val jobId =
+        s"${disposition.toLowerCase}_${java.util.UUID.randomUUID().toString.take(8)}"
+      WarehouseMeta.logJobState(fs, root, jobId, s"PENDING $disposition")
+      try {
+        val dataDir = new Path(root, s"data/$jobId")
+        fs.mkdirs(dataDir)
+        // move each non-empty scratch file under the real table; rekey
+        // its metadata to the new relative path
+        val moved = tm.files.filter(f => tm.rows.getOrElse(f, 1L) > 0L)
+          .map { f =>
+            val name = new Path(f).getName
+            val src = new Path(tmpRoot, f)
+            val dst = new Path(dataDir, name)
+            require(fs.rename(src, dst),
+              s"rewrite $jobId: cannot move scratch $f")
+            f -> s"data/$jobId/$name"
+          }
+        def rekey[V](get: Manifest => Map[String, V]): Map[String, V] = {
+          val keep = get(m).filter { case (k, _) => carry.contains(k) }
+          keep ++ moved.flatMap { case (o, n) => get(tm).get(o).map(n -> _) }
+        }
+        val newM = Manifest(m.generation + 1, m.schema,
+          carry ++ moved.map(_._2), jobId, disposition,
+          rekey(_.stats), rekey(_.rows), m.clusterBy, rekey(_.parts),
+          rekey(_.nonNull), rekey(_.sums))
+        WarehouseMeta.writeManifest(fs, root, newM)
+        WarehouseMeta.logJobState(fs, root, jobId, "DONE")
+        newM
+      } catch {
+        case e: Throwable =>
+          WarehouseMeta.logJobState(fs, root, jobId, s"ERROR ${e.getMessage}")
+          throw e
+      }
+    } finally rmTree(fs, new Path(tmpRoot))
+  }
+}
+
 /** Manifest layer: one `manifest-<gen>` file per committed load job under
   * `_manifest/`, written to a dot-temp name and atomically renamed; the
   * table's visible state IS the highest generation. Line format (keyed
@@ -1360,15 +1654,32 @@ object WarehouseMeta {
 
   /** Parsed-manifest cache keyed (root, generation): a manifest file is
     * IMMUTABLE once atomically renamed into place (monotonic generations,
-    * never rewritten), so a parse is valid forever. Freshness still costs
-    * exactly one directory listing per read — the latest generation is
-    * always re-discovered — but a micro-batch loop hitting the same
-    * generation every trigger re-plans from memory instead of re-parsing
-    * stat lines (the round-13 streaming runtime-pruning face). Hit
-    * counter exposed for the spec.
+    * never rewritten), so a parse is valid AS LONG AS THE SAME FILE is
+    * still in place. Two real-world violations of "same file" exist and
+    * both are guarded (advice r13): a table dropped and recreated at the
+    * same path restarts generations at 0, so a bare (root, gen) hit would
+    * serve the OLD table's file list — every hit is therefore validated
+    * against the manifest file's (length, mtime) from the directory
+    * listing the read already performs (zero extra metadata ops); and a
+    * per-trigger streaming loop reads one new generation per commit, so
+    * the cache is a bounded access-order LRU (latest generations stay
+    * hot, history evicts) instead of growing one entry per generation
+    * ever read. Freshness still costs exactly one directory listing per
+    * read — the latest generation is always re-discovered — but a
+    * micro-batch loop hitting the same generation every trigger re-plans
+    * from memory instead of re-parsing stat lines (the round-13 streaming
+    * runtime-pruning face). Hit counter exposed for the spec.
     */
+  private final case class CachedManifest(len: Long, mtime: Long,
+      manifest: Manifest)
+  private val ManifestCacheMax = 64
   private val parsedManifests =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Manifest]()
+    new java.util.LinkedHashMap[(String, Long), CachedManifest](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), CachedManifest]): Boolean =
+        size > ManifestCacheMax
+    }
   @volatile var manifestCacheHits: Long = 0L
 
   def readManifest(root: String,
@@ -1378,21 +1689,28 @@ object WarehouseMeta {
     if (!f.exists(dir)) return None
     val gens = f.listStatus(dir).toSeq.flatMap(s =>
       s.getPath.getName match {
-        case ManifestRe(g) => Some(g.toLong -> s.getPath)
+        case ManifestRe(g) => Some(g.toLong -> s)
         case _ => None
       })
     if (gens.isEmpty) return None
-    val (gen, path) = generation match {
+    val (gen, status) = generation match {
       case Some(g) => gens.find(_._1 == g).getOrElse(
         throw new IllegalArgumentException(
           s"generation $g does not exist at $root (have " +
             s"${gens.map(_._1).sorted.mkString(",")})"))
       case None => gens.maxBy(_._1)
     }
-    val hit = parsedManifests.get((root, gen))
-    if (hit != null) {
+    val path = status.getPath
+    val hit = parsedManifests.synchronized {
+      parsedManifests.get((root, gen))
+    }
+    // hit is live only if it parsed THIS file: a drop-and-recreate at the
+    // same path restarts generations, and the listing's (len, mtime) for
+    // the new manifest-<gen> cannot match the old parse's stamp
+    if (hit != null && hit.len == status.getLen &&
+        hit.mtime == status.getModificationTime) {
       manifestCacheHits += 1
-      return Some(hit)
+      return Some(hit.manifest)
     }
     val lines = {
       val in = f.open(path)
@@ -1452,7 +1770,10 @@ object WarehouseMeta {
       lines.filter(_.startsWith("file=")).map(_.substring(5)),
       one("job"), one("disposition"), stats, rowCounts, clusterBy, parts,
       perFileCol("fnn="), perFileCol("fsum="))
-    parsedManifests.put((root, gen), m)
+    parsedManifests.synchronized {
+      parsedManifests.put((root, gen),
+        CachedManifest(status.getLen, status.getModificationTime, m))
+    }
     Some(m)
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.plans.{GlobalRank, GlobalRankRewrite, GlobalRankExec}
+import graft.plans.{GlobalRank, GlobalRankRewrite, GlobalRankExec, GlobalShiftExec}
 
 /** The native exact global row_number operator: result-identical to the
   * single-partition window form on a total order, planned WITHOUT any
@@ -225,6 +225,123 @@ class GlobalRankSpec extends SparkSpec {
         ("event_id", true)).queryExecution.executedPlan
       assert(phys.collectFirst { case w: WindowExec => w }.isEmpty)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("percent_rank/cume_dist modes match the window form on tie-heavy " +
+    "keys, including groups spanning partition boundaries") {
+    val tieFrame = events.select(col("event_id"),
+      round(col("value"), 1).as("v1"), col("user_id"))
+    for ((keys, tag) <- Seq(
+        (Seq(("user_id", true)), "user_id (24 huge groups)"),
+        (Seq(("v1", false)), "v1 desc"),
+        (Seq(("v1", true), ("user_id", false)), "v1, user_id desc"),
+        (Seq(("event_id", true)), "unique key (degenerate ties)"))) {
+      val spec = Window.orderBy(keys.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }: _*)
+      val want = tieFrame
+        .withColumn("pr", percent_rank().over(spec))
+        .withColumn("cd", cume_dist().over(spec))
+        .orderBy("event_id").select("event_id", "pr", "cd")
+        .collect().toSeq
+      val got = GlobalRank.withCumeDist(
+          GlobalRank.withPercentRank(tieFrame, "pr", keys: _*),
+          "cd", keys: _*)
+        .orderBy("event_id").select("event_id", "pr", "cd")
+        .collect().toSeq
+      assert(got === want, s"distribution mismatch on $tag")
+    }
+    // N == 1 edge: percent_rank is 0.0, cume_dist is 1.0 (Spark-exact)
+    val one = GlobalRank.withCumeDist(
+      GlobalRank.withPercentRank(tieFrame.limit(1), "pr",
+        ("event_id", true)), "cd", ("event_id", true)).head()
+    assert(one.getAs[Double]("pr") === 0.0)
+    assert(one.getAs[Double]("cd") === 1.0)
+  }
+
+  test("global lag/lead shift modes match the window form, including " +
+    "offsets spanning partition boundaries and short partitions") {
+    val o = events.select(col("event_id"), col("user_id"), col("value"))
+    for (k <- Seq(1, 3, 7)) {
+      val spec = Window.orderBy(col("value").desc, col("event_id"))
+      val want = o
+        .withColumn("lg", lag(col("event_id"), k).over(spec))
+        .withColumn("ld", lead(col("event_id"), k).over(spec))
+        .orderBy("event_id").select("event_id", "lg", "ld")
+        .collect().toSeq
+      val got = GlobalRank.withLead(
+          GlobalRank.withLag(o, "lg", "event_id", k,
+            ("value", false), ("event_id", true)),
+          "ld", "event_id", k, ("value", false), ("event_id", true))
+        .orderBy("event_id").select("event_id", "lg", "ld")
+        .collect().toSeq
+      assert(got === want, s"shift mismatch at offset $k")
+    }
+    // nullable value column: stored NULLs shift through as values
+    val withNulls = o.withColumn("v2",
+      when(col("value") > 0, col("value")))
+    val spec = Window.orderBy(col("event_id"))
+    val wantN = withNulls.withColumn("lg", lag(col("v2"), 2).over(spec))
+      .orderBy("event_id").select("event_id", "lg").collect().toSeq
+    val gotN = GlobalRank.withLag(withNulls, "lg", "v2", 2,
+        ("event_id", true))
+      .orderBy("event_id").select("event_id", "lg").collect().toSeq
+    assert(gotN === wantN)
+  }
+
+  test("opt-in rewrite covers bare global lag/lead: rule-on ≡ rule-off, " +
+    "native plan, and non-null defaults keep their WindowExec") {
+    def windowForm = events.withColumn("lg",
+        lag(col("value"), 2).over(Window.orderBy(col("event_id"))))
+      .withColumn("ld",
+        lead(col("user_id"), 1).over(Window.orderBy(col("event_id"))))
+    spark.conf.unset(GlobalRankRewrite.Key)
+    val base = windowForm.orderBy("event_id").collect().toSeq
+    spark.conf.set(GlobalRankRewrite.Key, "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = windowForm.queryExecution
+      assert(qe.executedPlan.collect {
+        case e: GlobalShiftExec => e }.size === 2,
+        qe.executedPlan.toString)
+      assert(qe.executedPlan.collectFirst { case w: WindowExec => w }.isEmpty)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val on = windowForm.orderBy("event_id").collect().toSeq
+      assert(on === base)
+      // a non-null default is NOT bare lag — stays a WindowExec
+      val withDefault = events.withColumn("lg",
+        lag(col("value"), 2, 0.0).over(Window.orderBy(col("event_id"))))
+      assert(withDefault.queryExecution.executedPlan.collectFirst {
+        case e: GlobalShiftExec => e }.isEmpty)
+    } finally {
+      spark.conf.unset(GlobalRankRewrite.Key)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("opt-in rewrite covers percent_rank/cume_dist: rule-on ≡ rule-off " +
+    "over tie-heavy fixtures, and the plan is native") {
+    def windowForm = {
+      val spec = Window.orderBy(round(col("value"), 1).asc,
+        col("user_id").desc)
+      events.withColumn("pr", percent_rank().over(spec))
+        .withColumn("cd", cume_dist().over(spec))
+    }
+    spark.conf.unset(GlobalRankRewrite.Key)
+    val base = windowForm.orderBy("event_id").collect().toSeq
+    spark.conf.set(GlobalRankRewrite.Key, "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = windowForm.queryExecution
+      val execs = qe.executedPlan.collect { case e: GlobalRankExec => e }
+      assert(execs.size === 2, qe.executedPlan.toString)
+      assert(qe.executedPlan.collectFirst { case w: WindowExec => w }.isEmpty)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val on = windowForm.orderBy("event_id").collect().toSeq
+      assert(on === base)
+    } finally {
+      spark.conf.unset(GlobalRankRewrite.Key)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("opt-in rewrite covers rank/dense_rank: rule-on ≡ rule-off over " +

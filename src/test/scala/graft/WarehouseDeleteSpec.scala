@@ -62,4 +62,69 @@ class WarehouseDeleteSpec extends SparkSpec {
     assert(WarehouseDelete.deleteWhere(path, EqualTo("k", 999L)) === 0L)
     assert(Sink.read(spark, path, "graft-warehouse").count() === 50L)
   }
+
+  test("copy-on-write delete rewrites ONLY the partial file: full-match " +
+    "files drop as metadata, no-match files carry by reference, the " +
+    "deleted count is exact, and time travel keeps the old rows") {
+    import spark.implicits._
+    import graft.sources.WarehouseCow
+    val path = fresh("cow")
+    // exactly 8 files over k = 0..399 — [0,49] [50,99] [100,149] … — via
+    // the cluster writer (one file per p value; repartitionByRange's
+    // sampled boundaries would make the partial-file index nondeterministic)
+    val df = (0L until 400L).map(i => (i, i * 2, i / 50))
+      .toDF("k", "v", "p")
+    Sink.overwrite(df.repartition(1), path,
+      format = "graft-warehouse", options = Map("clusterBy" -> "p"))
+    val m0 = WarehouseMeta.readManifest(path).get
+    assert(m0.files.size === 8)
+    // k <= 120: files [0,49] and [50,99] FULL-match (drop), [100,149] is
+    // PARTIAL (the shape deleteWhere refuses) — CoW rewrites just it
+    intercept[IllegalArgumentException] {
+      WarehouseDelete.deleteWhere(path,
+        org.apache.spark.sql.sources.LessThanOrEqual("k", 120L))
+    }
+    val deleted = WarehouseCow.deleteWhereCow(spark, path,
+      org.apache.spark.sql.sources.LessThanOrEqual("k", 120L))
+    assert(deleted === 121L)
+    val m1 = WarehouseMeta.readManifest(path).get
+    assert(m1.disposition === "DELETE_COW")
+    // the 5 no-match files carry with IDENTICAL path strings (zero IO)
+    val carried = m1.files.toSet intersect m0.files.toSet
+    assert(carried.size === 5, s"carried=$carried")
+    assert(carried.forall(f => m0.stats(f)("k")
+      .asInstanceOf[graft.sources.ColStat.Longs].lo >= 150L))
+    // exactly one rewritten file replaced the partial one
+    assert((m1.files.toSet -- m0.files.toSet).size === 1)
+    val rest = Sink.read(spark, path, "graft-warehouse")
+    assert(rest.count() === 279L)
+    assert(rest.agg(min("k")).head.getLong(0) === 121L)
+    // exact rows survive (values, not just counts)
+    assert(rest.agg(sum("v")).head.getLong(0) ===
+      (121L until 400L).map(_ * 2).sum)
+    // time travel: the pre-delete generation reads all 400
+    assert(Sink.read(spark, path, "graft-warehouse",
+      Map("generation" -> m0.generation.toString)).count() === 400L)
+    // a fully-provable predicate routes through the metadata path
+    val d2 = WarehouseCow.deleteWhereCow(spark, path,
+      org.apache.spark.sql.sources.GreaterThanOrEqual("k", 350L))
+    assert(d2 === 50L)
+    assert(WarehouseMeta.readManifest(path).get.disposition === "DELETE")
+  }
+
+  test("copy-on-write delete keeps NULL-predicate rows (SQL semantics)") {
+    import spark.implicits._
+    import graft.sources.WarehouseCow
+    val path = fresh("cownull")
+    val df = Seq((1L, Some(1L)), (2L, Some(2L)), (3L, None), (4L, Some(1L)))
+      .toDF("k", "v")
+    Sink.overwrite(df.coalesce(1), path, format = "graft-warehouse")
+    // v = 1 is partial on the single file -> CoW rewrite; the NULL-v row
+    // must SURVIVE (DELETE drops only rows where the predicate is TRUE)
+    val deleted = WarehouseCow.deleteWhereCow(spark, path, EqualTo("v", 1L))
+    assert(deleted === 2L)
+    val rest = Sink.read(spark, path, "graft-warehouse")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(rest === Seq(2L, 3L))
+  }
 }

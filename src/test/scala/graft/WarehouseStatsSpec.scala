@@ -97,6 +97,41 @@ class WarehouseStatsSpec extends SparkSpec {
     assert(got.toSeq === Seq(-1L, -1L, -1L, 3L, 4L))
   }
 
+  test("COMPOSITE top-N plans on the first key alone (round-14): " +
+    "ORDER BY zone_key, x LIMIT n keeps the 1-file zone plan, boundary " +
+    "ties stay exact under the secondary tie-break") {
+    val path = fresh("topn_multi")
+    // tie-heavy first key: band = id div 10 => 100-row files hold bands
+    // [0,9] [10,19] … with ~10 rows per band; v deliberately REVERSES
+    // inside each band so the composite tie-break matters
+    val t = spark.range(800).select(expr("id div 10").as("band"),
+      (lit(800L) - col("id")).as("v"), col("id").as("k"))
+    Sink.overwrite(t.repartitionByRange(8, col("band"), col("k")), path,
+      format = "graft-warehouse")
+    val wh = Sink.read(spark, path, "graft-warehouse")
+    // composite ASC: exact answer + 1-file plan
+    val got = wh.orderBy(col("band"), col("v")).limit(15)
+      .select("band", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = t.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).take(15)
+    assert(got.toSeq === want.toSeq)
+    assert(WarehouseScanStats.lastPlannedFiles === 1,
+      s"composite top-15 over disjoint band zones must plan ONE file, " +
+        s"planned ${WarehouseScanStats.lastPlannedFiles}")
+    // composite DESC first key, ASC secondary: same contract
+    val gotD = wh.orderBy(col("band").desc, col("v")).limit(15)
+      .select("band", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantD = t.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (b, v) => (-b, v) }.take(15)
+    assert(gotD.toSeq === wantD.toSeq)
+    assert(WarehouseScanStats.lastPlannedFiles === 1)
+    // boundary tie ACROSS files: a top-n cutting exactly at a band that
+    // spans two files must pull both (the bound-overlap rule); take
+    // n = 105 so the covering bound lands in the second file
+    wh.orderBy(col("band"), col("v")).limit(105).collect()
+    assert(WarehouseScanStats.lastPlannedFiles >= 2)
+  }
+
   test("LIMIT plans a file prefix and stops decoding early; a filtered " +
     "limit refuses the prefix but stays correct") {
     val path = fresh("limit")
