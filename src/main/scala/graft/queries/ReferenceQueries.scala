@@ -829,7 +829,10 @@ object ReferenceQueries {
     // key) at the warehouse boundary. A deterministic changelog derived
     // from orders itself — updates (+1000.00 on keys ≡0 mod 97), deletes
     // (keys ≡0 mod 131; D-beats-earlier-U on the overlap), inserts (new
-    // keys +100M for keys ≡0 mod 201) — applies copy-on-write: zone-hit
+    // keys offset past max(o_orderkey), so they are provably
+    // collision-free at EVERY scale — a fixed +100M offset collided with
+    // sf1's 900M key space, where MERGE upserted while the oracle's
+    // UNION ALL double-counted) — applies copy-on-write: zone-hit
     // band files rewrite (survivor anti-join ∪ changelog winners), the
     // rest carry by reference (WarehouseMergeSpec pins carriage, the
     // interval fallback, and D-then-I resurrection). At 100 TB, a daily
@@ -861,7 +864,7 @@ object ReferenceQueries {
           val del = banded(orders.filter(col("o_orderkey") % 131 === 0))
             .withColumn("op", lit("D")).withColumn("seq", lit(2L))
           val ins = banded(orders.filter(col("o_orderkey") % 201 === 0)
-            .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+            .withColumn("o_orderkey", col("o_orderkey") + maxK + 1L)
             .withColumn("o_totalprice", lit(1.0)))
             .withColumn("op", lit("I")).withColumn("seq", lit(1L))
           graft.sources.WarehouseMerge.applyChangelogCow(s, path,
@@ -882,7 +885,8 @@ object ReferenceQueries {
              |         ELSE o_totalprice END AS p
              |  FROM orders WHERE o_orderkey % 131 <> 0
              |  UNION ALL
-             |  SELECT o_orderkey + 100000000, 1.0
+             |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1
+             |                       FROM orders), 1.0
              |  FROM orders WHERE o_orderkey % 201 = 0)
              |SELECT count(*) AS n_rows,
              |  min(k) AS min_key, max(k) AS max_key,
