@@ -894,6 +894,187 @@ object ReferenceQueries {
              |    AS total_price
              |FROM fin""".stripMargin)),
 
+    // STREAMING CDC MERGE (round-14): the warehouse MERGE driven by the
+    // stream engine — three changelog waves (updates seq=1, deletes
+    // seq=2, inserts seq=3) land as parquet files, and
+    // Streams.warehouseMergeStream applies each micro-batch as ONE
+    // atomic copy-on-write MERGE generation (AvailableNow + checkpoint:
+    // a crashed run resumes, a replay applies nothing twice —
+    // WarehouseMergeStreamSpec pins per-wave generations, carriage, and
+    // replay). Seqs are GLOBALLY monotone across waves, so the final
+    // state is identical whether the source batches waves singly or
+    // together — which is what makes the oracle deterministic. At
+    // 100 TB this is the production CDC loop: a binlog shipper drops
+    // files, each trigger rewrites only the files its keys zone-hit.
+    QueryDef("stream_warehouse_merge",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordcdc_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        def banded(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("band", expr(s"o_orderkey div $w"))
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(banded(orders).repartition(1), path,
+            format = "graft-warehouse",
+            options = Map("clusterBy" -> "band"))
+        val logDir = s"$path/_cdc_log"
+        if (!graft.sources.WarehouseMeta.fs(path)
+            .exists(new org.apache.hadoop.fs.Path(logDir))) {
+          def wv(df: org.apache.spark.sql.DataFrame, op: String, seq: Long,
+              mode: String): Unit =
+            df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+              .coalesce(1).write.mode(mode).parquet(logDir)
+          wv(banded(orders.filter(col("o_orderkey") % 89 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 2000.0)),
+            "U", 1L, "overwrite")
+          wv(banded(orders.filter(col("o_orderkey") % 127 === 0)),
+            "D", 2L, "append")
+          wv(banded(orders.filter(col("o_orderkey") % 211 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + maxK + 1L)
+            .withColumn("o_totalprice", lit(2.0))),
+            "I", 3L, "append")
+        }
+        // always drive the stream: with no unseen changelog files this is
+        // a zero-trigger no-op (replay-safe), and after a partial crash
+        // it completes the remaining waves from the checkpoint
+        graft.streaming.Streams.warehouseMergeStream(s, logDir, path,
+          key = "o_orderkey", seqCol = "seq", opCol = "op",
+          checkpoint = s"$path/_cdc_checkpoint").awaitTermination()
+        Sink.read(s, path, "graft-warehouse")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+      },
+      Some("""WITH fin AS (
+             |  SELECT o_orderkey AS k,
+             |    CASE WHEN o_orderkey % 89 = 0
+             |         THEN o_totalprice + 2000.0
+             |         ELSE o_totalprice END AS p
+             |  FROM orders WHERE o_orderkey % 127 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1
+             |                       FROM orders), 2.0
+             |  FROM orders WHERE o_orderkey % 211 = 0)
+             |SELECT count(*) AS n_rows,
+             |  min(k) AS min_key, max(k) AS max_key,
+             |  round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |    AS total_price
+             |FROM fin""".stripMargin)),
+
+    // COPY-ON-WRITE UPDATE (round-14): completes the warehouse row-level
+    // CRUD surface (metadata DELETE → CoW DELETE → CDC MERGE → UPDATE).
+    // Same 8-band clustered orders fixture as the CoW delete: updating
+    // `o_totalprice += 500 WHERE o_orderkey <= max/4` zone-hits only the
+    // low bands — the other files carry BY REFERENCE (WarehouseUpdateSpec
+    // pins path-identical carriage, the exact updated count, SQL NULL
+    // semantics, cluster-column re-split, and refuse-before-mutate). At
+    // 100 TB, a predicate-scoped UPDATE rewrites the files whose zones
+    // can match, never the table.
+    QueryDef("sink_warehouse_update_cow",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordupd_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(
+            orders.withColumn("band", expr(s"o_orderkey div $w"))
+              .repartition(1),
+            path, format = "graft-warehouse",
+            options = Map("clusterBy" -> "band"))
+        if (graft.sources.WarehouseMeta.readManifest(path)
+            .exists(_.disposition != "UPDATE_COW"))
+          graft.sources.WarehouseCow.updateWhereCow(s, path,
+            org.apache.spark.sql.sources.LessThanOrEqual(
+              "o_orderkey", maxK / 4),
+            Map("o_totalprice" -> "o_totalprice + 500.0"))
+        Sink.read(s, path, "graft-warehouse")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+      },
+      Some("""SELECT count(*) AS n_orders,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  round(CAST(sum(CAST(
+             |    CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 4
+             |                             FROM orders)
+             |         THEN o_totalprice + 500.0
+             |         ELSE o_totalprice END
+             |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+             |FROM orders""".stripMargin)),
+
+    // SCHEMA EVOLUTION (round-14): ALTER TABLE ADD COLUMN as a ZERO-IO
+    // metadata commit (reference analog: BigQuery's additive schema
+    // updates on load jobs, `etl/core/dim_loader.py:23-30`). The fixture
+    // loads the low half of orders at 2 columns, ALTERs a `flag` column
+    // in, and appends the high half at 3 columns — pre-evolution files
+    // decode `flag` as NULL via their manifest arity, post-evolution
+    // files carry real values, and the aggregate proves both vintages
+    // read exactly (count(flag) counts only the appended rows; sum(flag)
+    // ignores the null-filled vintage). WarehouseEvolveSpec pins zero-IO
+    // carriage, repeated evolution, conservative metadata-serve
+    // degradation, CoW backfill across vintages, and refusal directions.
+    // At 100 TB, adding a column costs one manifest write, never a
+    // rewrite.
+    QueryDef("sink_warehouse_evolve",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordevo_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val half = maxK / 2
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty) {
+          Sink.overwrite(orders.filter(col("o_orderkey") <= half)
+            .repartition(2), path, format = "graft-warehouse")
+          graft.sources.WarehouseEvolve.addColumn(path, "flag",
+            org.apache.spark.sql.types.LongType)
+          Sink.append(orders.filter(col("o_orderkey") > half)
+            .withColumn("flag", col("o_orderkey") % 7), path,
+            format = "graft-warehouse")
+        }
+        Sink.read(s, path, "graft-warehouse")
+          .agg(count(lit(1)).as("n_orders"),
+            count(col("flag")).as("n_flagged"),
+            sum(col("flag")).as("sum_flag"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+      },
+      Some("""SELECT count(*) AS n_orders,
+             |  count(CASE WHEN o_orderkey > (SELECT max(o_orderkey) // 2
+             |                                FROM orders)
+             |             THEN 1 END) AS n_flagged,
+             |  CAST(sum(CASE WHEN o_orderkey > (SELECT max(o_orderkey) // 2
+             |                                   FROM orders)
+             |                THEN o_orderkey % 7 END) AS BIGINT) AS sum_flag,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE), 2) AS total_price
+             |FROM orders""".stripMargin)),
+
     // STORAGE-PARTITIONED JOIN (round-12 DSv2 SupportsReportPartitioning):
     // orders and customer land in cluster-loaded warehouse tables sharing
     // a 64-bucket layout (`clusterBy` on pmod(custkey, 64) — one cluster

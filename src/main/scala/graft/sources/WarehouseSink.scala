@@ -269,8 +269,19 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
       def keep[V](get: Manifest => Map[String, V]): Map[String, V] =
         if (truncate) Map.empty else prev.map(get).getOrElse(Map.empty)
       val gen = prev.map(_.generation + 1).getOrElse(0L)
+      // the committed TABLE schema keeps the table's declared nullability
+      // (field-wise OR with the load's): an append of non-null data must
+      // never flip an evolved/nullable column to non-nullable — committed
+      // files may hold NULLs there, and a non-nullable declaration lets
+      // Spark constant-fold IsNotNull and read garbage instead of null
+      val tableSchema = prev match {
+        case Some(m) if !truncate =>
+          StructType(m.schema.fields.zip(schema.fields).map {
+            case (a, b) => a.copy(nullable = a.nullable || b.nullable) })
+        case _ => schema
+      }
       WarehouseMeta.writeManifest(fs, root,
-        Manifest(gen, schema, kept ++ moved.map(_._1).toList, jobId,
+        Manifest(gen, tableSchema, kept ++ moved.map(_._1).toList, jobId,
           disposition,
           keep(_.stats) ++ moved.map(m => m._1 -> m._2.stats).toMap,
           keep(_.rows) ++ moved.map(m => m._1 -> m._2.rows).toMap,
@@ -279,7 +290,8 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
             case (f, s) if s.part.isDefined => f -> s.part.get
           }.toMap,
           keep(_.nonNull) ++ moved.map(m => m._1 -> m._2.nonNull).toMap,
-          keep(_.sums) ++ moved.map(m => m._1 -> m._2.sums).toMap))
+          keep(_.sums) ++ moved.map(m => m._1 -> m._2.sums).toMap,
+          keep(_.arity))) // new files encode the full current schema
       fs.delete(new Path(root, s"_staging/$jobId"), true)
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
@@ -1057,7 +1069,9 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
       // must be read fully (Spark's TakeOrdered above picks the n)
       if (filters.isEmpty && runtimeFilters.isEmpty && topN.isEmpty)
         limit
-      else None)
+      else None,
+      // partitions carry full paths; the manifest keys relative ones
+      manifest.arity.map { case (f, n) => s"$root/$f" -> n })
 }
 
 /** Conservative min/max file pruning: a file survives unless its stats
@@ -1228,7 +1242,8 @@ case class WarehouseGroupPartition(files: Seq[String], encoded: String,
 }
 
 class WarehouseReaderFactory(root: String, fullSchema: StructType,
-    required: StructType, rowCap: Option[Int] = None)
+    required: StructType, rowCap: Option[Int] = None,
+    arity: Map[String, Int] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1248,10 +1263,14 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
       private var in: DataInputStream = _
       private var row: InternalRow = _
       private var emitted = 0L
+      // schema-evolution field count of the CURRENT file (columns past
+      // it were added after the file was written and decode as NULL)
+      private var curArity = fullSchema.length
       private def openNext(): Boolean =
         if (queue.isEmpty) false
         else {
           val file = queue.dequeue()
+          curArity = arity.getOrElse(file, fullSchema.length)
           in = new DataInputStream(
             new java.io.BufferedInputStream(fs.open(new Path(file))))
           require(in.readInt() == WarehouseCodec.Magic,
@@ -1263,7 +1282,8 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
         // limit — Spark's GlobalLimit above takes the exact n
         if (emitted >= cap) return false
         if (in == null && !openNext()) return false
-        row = WarehouseCodec.readRowProjected(in, fullSchema, required, slot)
+        row = WarehouseCodec.readRowProjected(in, fullSchema, required,
+          slot, curArity)
         if (row != null) { emitted += 1; true }
         else { in.close(); in = null; next() }
       }
@@ -1282,7 +1302,16 @@ case class Manifest(generation: Long, schema: StructType,
     clusterBy: Option[String] = None,
     parts: Map[String, String] = Map.empty,
     nonNull: Map[String, Map[String, Long]] = Map.empty,
-    sums: Map[String, Map[String, Long]] = Map.empty)
+    sums: Map[String, Map[String, Long]] = Map.empty,
+    arity: Map[String, Int] = Map.empty) {
+  /** Schema-evolution field count for `f`: how many leading fields of
+    * the TABLE schema the file actually encodes. Columns appended by
+    * [[WarehouseEvolve.addColumn]] after the file was written decode as
+    * NULL. Absent entry = the file was written at the current schema
+    * (addColumn materializes an entry for every pre-evolution file, so
+    * the default stays correct across repeated evolutions). */
+  def fileArity(f: String): Int = arity.getOrElse(f, schema.length)
+}
 
 /** Cluster-value codec for manifest `fpart` lines and HasPartitionKey
   * rows: `n` encodes NULL; `v<base64(utf8)>` encodes a present value in
@@ -1366,7 +1395,7 @@ object WarehouseDelete {
         disposition = "DELETE",
         stats = m.stats -- dropped, rows = m.rows -- dropped,
         parts = m.parts -- dropped, nonNull = m.nonNull -- dropped,
-        sums = m.sums -- dropped))
+        sums = m.sums -- dropped, arity = m.arity -- dropped))
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
       case e: Throwable =>
@@ -1374,6 +1403,69 @@ object WarehouseDelete {
         throw e
     }
     dropped.map(m.rows).sum
+  }
+}
+
+/** Schema evolution (round-14): `ALTER TABLE ADD COLUMN` as a ZERO-IO
+  * metadata commit. The new manifest generation appends a nullable field
+  * to the table schema and records each existing file's `farity` — the
+  * field count it was written with — so the codec decodes exactly the
+  * fields a file encodes and null-fills the rest (reference analog: the
+  * BigQuery boundary's additive schema updates on load jobs,
+  * `etl/core/dim_loader.py:23-30` — BigQuery allows ALLOW_FIELD_ADDITION
+  * without rewriting storage). Every metadata serve degrades
+  * conservatively for the new column: no stats/fnn entries exist on
+  * pre-evolution files, so zone pruning keeps them, aggregate/TOP-N
+  * serves refuse to answer from the manifest, and DELETE's
+  * file-provability check refuses — full scans, never wrong answers.
+  * Appends after the ALTER must present the NEW schema (the load-time
+  * drift check now protects the evolved shape); old generations stay
+  * time-travel readable under their own schema. At 100 TB, adding a
+  * column costs one manifest write, not a table rewrite.
+  */
+object WarehouseEvolve {
+
+  /** Types the staged-row codec can encode — an unsupported ALTER must
+    * fail at ALTER time, not at the first append. */
+  private val Supported: Set[DataType] = Set(BooleanType, ByteType,
+    ShortType, IntegerType, DateType, LongType, TimestampType,
+    TimestampNTZType, FloatType, DoubleType, StringType, BinaryType)
+
+  /** Append nullable column `name` of `dataType` to the table schema.
+    * Existing rows read as NULL; returns the new generation. */
+  def addColumn(root: String, name: String, dataType: DataType): Long = {
+    val fs = WarehouseMeta.fs(root)
+    val m = WarehouseMeta.readManifest(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-warehouse table at $root has no committed manifest"))
+    require(!m.schema.fieldNames.contains(name),
+      s"column '$name' already exists " +
+        s"(table schema ${m.schema.simpleString})")
+    require(Supported.contains(dataType),
+      s"graft-warehouse cannot encode ${dataType.simpleString} " +
+        s"(column '$name') — supported: " +
+        Supported.map(_.simpleString).toList.sorted.mkString(", "))
+    require(!name.contains("|"),
+      s"column name '$name' contains the manifest line separator '|'")
+    // materialize the CURRENT arity for every file lacking an entry:
+    // after the schema grows, "absent = schema.length" would lie about
+    // pre-evolution files, and a SECOND evolution must still know the
+    // arity of files written between the two
+    val materialized = m.files.map(f => f -> m.fileArity(f)).toMap
+    val jobId = s"evolve-${java.util.UUID.randomUUID()}"
+    WarehouseMeta.logJobState(fs, root, jobId, s"PENDING add $name")
+    try {
+      val newM = m.copy(generation = m.generation + 1,
+        schema = m.schema.add(StructField(name, dataType, nullable = true)),
+        jobId = jobId, disposition = "ADD_COLUMN", arity = materialized)
+      WarehouseMeta.writeManifest(fs, root, newM)
+      WarehouseMeta.logJobState(fs, root, jobId, "DONE")
+      newM.generation
+    } catch {
+      case e: Throwable =>
+        WarehouseMeta.logJobState(fs, root, jobId, s"ERROR ${e.getMessage}")
+        throw e
+    }
   }
 }
 
@@ -1422,6 +1514,48 @@ object WarehouseCow {
       "file name contains ',' — cannot pass through the files option")
     spark.read.format("graft-warehouse")
       .option("path", root).option("files", files.mkString(",")).load()
+  }
+
+  /** UPDATE ... SET ... WHERE pred, copy-on-write: rows where `pred` is
+    * TRUE get every `set` expression applied (SQL semantics — NULL/false
+    * predicate rows are untouched); files the zone maps prove can't
+    * match carry BY REFERENCE, and only might-match files rewrite. Set
+    * expressions are SQL strings over the table's columns, cast back to
+    * the column's declared type (schema stability is part of the commit
+    * contract). Updating the cluster column is allowed — the rewrite
+    * re-splits per NEW value, so the one-value-per-file invariant
+    * survives. Returns the exact updated-row count (one counting
+    * aggregate over ONLY the rewritten subset).
+    */
+  def updateWhereCow(spark: SparkSession, root: String, pred: Filter,
+      set: Map[String, String]): Long = {
+    val predCol = filterToColumn(pred) // refuse unsupported shapes first
+    val m = WarehouseMeta.readManifest(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-warehouse table at $root has no committed manifest"))
+    val cols = m.schema.fieldNames.toSet
+    val badCols = set.keys.filterNot(cols)
+    require(badCols.isEmpty,
+      s"SET names unknown column(s): ${badCols.mkString(",")}")
+    val (rewrite, carry) = m.files.partition { f =>
+      WarehouseZoneMap.mightMatch(pred, m.stats.getOrElse(f, Map.empty))
+    }
+    if (rewrite.isEmpty) return 0L // provably nothing to update
+    val subset = readSubset(spark, root, rewrite)
+    val cond = coalesce(predCol, lit(false))
+    val updated = subset.filter(cond).count()
+    val replacement = subset.select(m.schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(e) =>
+          org.apache.spark.sql.functions.when(cond,
+            org.apache.spark.sql.functions.expr(e).cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    WarehouseRewrite.commitRewrite(spark, root, m, carry, replacement,
+      "UPDATE_COW")
+    updated
   }
 
   /** DELETE all rows matching `pred`, rewriting only partial-match files
@@ -1627,7 +1761,10 @@ object WarehouseRewrite {
         val newM = Manifest(m.generation + 1, m.schema,
           carry ++ moved.map(_._2), jobId, disposition,
           rekey(_.stats), rekey(_.rows), m.clusterBy, rekey(_.parts),
-          rekey(_.nonNull), rekey(_.sums))
+          rekey(_.nonNull), rekey(_.sums),
+          // carried files keep their evolution arity; rewritten files
+          // were just written at the full current schema (no entry)
+          rekey(_.arity))
         WarehouseMeta.writeManifest(fs, root, newM)
         WarehouseMeta.logJobState(fs, root, jobId, "DONE")
         newM
@@ -1765,11 +1902,17 @@ object WarehouseMeta {
         .collect { case Array(f, c, n) => (f, c, n.toLong) }
         .groupBy(_._1)
         .map { case (f, rs) => f -> rs.map(r => r._2 -> r._3).toMap }
+    // schema-evolution field counts (round-14 ADD COLUMN); absent = the
+    // file encodes the full current schema
+    val arity = lines.filter(_.startsWith("farity="))
+      .map(_.substring(7).split('|'))
+      .collect { case Array(f, n) => f -> n.toInt }
+      .toMap
     val m = Manifest(gen,
       DataType.fromJson(one("schema")).asInstanceOf[StructType],
       lines.filter(_.startsWith("file=")).map(_.substring(5)),
       one("job"), one("disposition"), stats, rowCounts, clusterBy, parts,
-      perFileCol("fnn="), perFileCol("fsum="))
+      perFileCol("fnn="), perFileCol("fsum="), arity)
     parsedManifests.synchronized {
       parsedManifests.put((root, gen),
         CachedManifest(status.getLen, status.getModificationTime, m))
@@ -1798,6 +1941,8 @@ object WarehouseMeta {
         .collect { case (f, n) if !f.contains("|") => s"frows=$f|$n" }
       val partLines = m.parts.toList.sortBy(_._1)
         .collect { case (f, v) if !f.contains("|") => s"fpart=$f|$v" }
+      val arityLines = m.arity.toList.sortBy(_._1)
+        .collect { case (f, n) if !f.contains("|") => s"farity=$f|$n" }
       val clusterLine = m.clusterBy.map(c => s"clusterby=$c").toList
       def perFileCol(prefix: String,
           mm: Map[String, Map[String, Long]]): List[String] = for {
@@ -1808,7 +1953,8 @@ object WarehouseMeta {
         s"job=${m.jobId}" ::
         s"disposition=${m.disposition}" ::
         (clusterLine ++ m.files.map(p => s"file=$p") ++ statLines ++
-          rowLines ++ partLines ++ perFileCol("fnn=", m.nonNull) ++
+          rowLines ++ partLines ++ arityLines ++
+          perFileCol("fnn=", m.nonNull) ++
           perFileCol("fsum=", m.sums)))
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
@@ -1897,7 +2043,7 @@ object WarehouseCodec {
     * flush, so EOF can only fall on a row boundary). */
   def readRow(in: DataInputStream, schema: StructType): InternalRow = {
     val slot = Array.tabulate(schema.length)(identity)
-    readRowProjected(in, schema, schema, slot)
+    readRowProjected(in, schema, schema, slot, schema.length)
   }
 
   /** Projected read: decode only the fields whose full-schema ordinal maps
@@ -1905,14 +2051,19 @@ object WarehouseCodec {
     * BYTE-SKIPPED — fixed widths skip in O(1), var-width fields skip by
     * their length prefix, so a 2-of-40-column projection never allocates
     * the other 38 (the column-pruning contract of the DSv2 scan).
+    *
+    * `arity` is the file's schema-evolution field count: the file encodes
+    * only the first `arity` fields of `fullSchema`; columns appended by a
+    * later ADD COLUMN decode as NULL (a fresh GenericInternalRow's slots
+    * already hold null, so the null-fill is just the loop bound).
     */
   def readRowProjected(in: DataInputStream, fullSchema: StructType,
-      required: StructType, slot: Array[Int]): InternalRow = {
+      required: StructType, slot: Array[Int], arity: Int): InternalRow = {
     val marker = in.read()
     if (marker == -1) return null
     val row = new GenericInternalRow(required.length)
     var i = 0
-    while (i < fullSchema.length) {
+    while (i < arity) {
       val s = slot(i)
       if (in.readByte() == 0) {
         if (s >= 0) row.setNullAt(s)

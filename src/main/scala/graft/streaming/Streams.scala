@@ -562,6 +562,44 @@ object Streams {
       .start()
   }
 
+  /** Streaming face of the warehouse MERGE (round-14): a file-source CDC
+    * changelog applied per-trigger through
+    * [[graft.sources.WarehouseMerge.applyChangelogCow]] — every
+    * micro-batch is ONE atomic copy-on-write MERGE generation (zone-hit
+    * files rewrite, the rest carry by reference), so a reader always sees
+    * a complete changeset, never a torn one, and a failed batch leaves the
+    * table at the last committed generation while the checkpoint replays
+    * it. Ordering contract: WITHIN a batch the operator's highest-seq-wins
+    * semantics hold for any interleaving; ACROSS batches the file source's
+    * arrival order applies batches in sequence, so a key must not travel
+    * backwards in `seqCol` across changelog files — exactly the
+    * per-partition-ordered contract a CDC feed (binlog shipper, Debezium
+    * topic) provides. `foreachBatch` is the right surface: the CoW merge
+    * is a batch planner job, and the stream engine supplies offsets,
+    * replay, and exactly-once batch boundaries.
+    */
+  def warehouseMergeStream(spark: SparkSession, logDir: String,
+      tablePath: String, key: String, seqCol: String, opCol: String,
+      checkpoint: String): StreamingQuery = {
+    graft.core.GraftFunctions.ensureRegistered(spark)
+    val schema = spark.read.parquet(logDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1) // one changelog file per batch
+      .format("parquet")
+      .load(logDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.WarehouseMerge.applyChangelogCow(
+            batch.sparkSession, tablePath, batch.toDF(),
+            key = key, seqCol = seqCol, opCol = opCol): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Streaming face of the warehouse RUNTIME-pruned read (round-13; the
     * r12 verdict's stretch item): each micro-batch ENRICHES against a
     * `graft-warehouse` table, and the batch's bounded key set becomes a
