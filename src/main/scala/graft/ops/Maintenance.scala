@@ -198,4 +198,72 @@ object Maintenance {
     OptimizeStats(m.files.size, after.files.size,
       after.files.size - compliant.size, compliant.size)
   }
+
+  /** Result of one VACUUM: generations kept/dropped, data files (and
+    * bytes) physically deleted. */
+  final case class VacuumStats(keptGenerations: Int, droppedGenerations: Int,
+      deletedFiles: Int, deletedBytes: Long)
+
+  /** VACUUM — retention for the immutable-generation history (the Delta
+    * VACUUM / Iceberg expire_snapshots shape reduced to its core): keep
+    * the newest `keepGenerations` manifests, drop every older one, and
+    * physically delete every data file no KEPT generation references.
+    * Every commit in this format is copy-on-write (loads append files,
+    * DELETE/UPDATE/MERGE/OPTIMIZE carry-or-replace them), so without
+    * retention the table's disk footprint is its entire history — at
+    * 100 TB, time travel has to be bounded or storage grows without
+    * bound. Deletion order is crash-safe in the useful direction:
+    * dropped MANIFESTS go first (a crash then leaves orphaned data files
+    * a re-run sweeps; files-first would leave live manifests pointing at
+    * deleted data), and the sweep is disk-vs-referenced so it also
+    * collects orphans from earlier crashes. Time travel to a vacuumed
+    * generation refuses with the standard "generation does not exist"
+    * listing error. Same maintenance-window concurrency contract as
+    * OPTIMIZE: don't vacuum under a concurrent writer.
+    */
+  def vacuumWarehouse(root: String,
+      keepGenerations: Int = 2): VacuumStats = {
+    require(keepGenerations >= 1, "keepGenerations must be >= 1")
+    val fs = graft.sources.WarehouseMeta.fs(root)
+    val gens = graft.sources.WarehouseMeta.generations(root)
+    require(gens.nonEmpty,
+      s"graft-warehouse table at $root has no committed manifest")
+    val (drop, keep) =
+      gens.splitAt(math.max(gens.size - keepGenerations, 0))
+    val referenced = keep.flatMap(g =>
+      graft.sources.WarehouseMeta.readManifest(root, Some(g)).get.files)
+      .toSet
+    val jobId = s"vacuum-${java.util.UUID.randomUUID()}"
+    graft.sources.WarehouseMeta.logJobState(fs, root, jobId,
+      s"PENDING keep=$keepGenerations")
+    try {
+      drop.foreach { g =>
+        fs.delete(new org.apache.hadoop.fs.Path(root,
+          s"_manifest/manifest-$g"), false): Unit
+      }
+      var deleted = 0
+      var bytes = 0L
+      val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+      if (fs.exists(dataDir)) {
+        for (job <- fs.listStatus(dataDir) if job.isDirectory) {
+          for (st <- fs.listStatus(job.getPath) if st.isFile) {
+            val rel = s"data/${job.getPath.getName}/${st.getPath.getName}"
+            if (!referenced(rel)) {
+              bytes += st.getLen
+              if (fs.delete(st.getPath, false)) deleted += 1
+            }
+          }
+          if (fs.listStatus(job.getPath).isEmpty)
+            fs.delete(job.getPath, false): Unit
+        }
+      }
+      graft.sources.WarehouseMeta.logJobState(fs, root, jobId, "DONE")
+      VacuumStats(keep.size, drop.size, deleted, bytes)
+    } catch {
+      case e: Throwable =>
+        graft.sources.WarehouseMeta.logJobState(fs, root, jobId,
+          s"ERROR ${e.getMessage}")
+        throw e
+    }
+  }
 }

@@ -775,6 +775,61 @@ object ReferenceQueries {
              |  CAST(3 AS BIGINT) AS n_files
              |FROM orders""".stripMargin)),
 
+    // VACUUM (round-14): retention for the copy-on-write history — the
+    // Delta VACUUM / Iceberg expire_snapshots shape. The fixture loads
+    // orders (4 files), appends a micro-batch slice, full-compacts to 2
+    // files (3 generations on disk, 7 data files), then vacuums to
+    // keepGenerations=1: the 5 history-only files physically delete, the
+    // live table is bit-exact, and the evidence columns prove disk ==
+    // manifest (n_disk_files = n_live_files = 2). WarehouseVacuumSpec
+    // pins the dropped-generation refusal, the orphan sweep, and the
+    // no-op direction. At 100 TB, retention is what bounds storage: every
+    // CoW commit strands whole files, and VACUUM is their only collector.
+    QueryDef("sink_warehouse_vacuum",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordvac_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty) {
+          Sink.overwrite(orders.repartition(4), path,
+            format = "graft-warehouse")
+          Sink.append(orders.filter(col("o_orderkey") % 1009 === 0)
+            .coalesce(1), path, format = "graft-warehouse")
+          graft.ops.Maintenance.compactWarehouse(s, path, targetFiles = 2)
+        }
+        if (graft.sources.WarehouseMeta.generations(path).size > 1)
+          graft.ops.Maintenance.vacuumWarehouse(path, keepGenerations = 1)
+        val m = graft.sources.WarehouseMeta.readManifest(path).get
+        val fsys = graft.sources.WarehouseMeta.fs(path)
+        val nDisk = fsys.listStatus(
+          new org.apache.hadoop.fs.Path(path, "data")).toSeq
+          .filter(_.isDirectory)
+          .map(d => fsys.listStatus(d.getPath).count(_.isFile)).sum
+        Sink.read(s, path, "graft-warehouse")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+          .withColumn("n_live_files", lit(m.files.size.toLong))
+          .withColumn("n_disk_files", lit(nDisk.toLong))
+      },
+      Some("""WITH fin AS (
+             |  SELECT o_totalprice AS p FROM orders
+             |  UNION ALL
+             |  SELECT o_totalprice FROM orders
+             |  WHERE o_orderkey % 1009 = 0)
+             |SELECT count(*) AS n_rows,
+             |  round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |    AS total_price,
+             |  CAST(2 AS BIGINT) AS n_live_files,
+             |  CAST(2 AS BIGINT) AS n_disk_files
+             |FROM fin""".stripMargin)),
+
     // COPY-ON-WRITE DELETE (round-14): the operation the metadata
     // DELETE's refusal message prescribes, implemented. The fixture
     // clusters orders into 8 key-band files (one band per file — exact
@@ -1022,19 +1077,21 @@ object ReferenceQueries {
              |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
              |FROM orders""".stripMargin)),
 
-    // SCHEMA EVOLUTION (round-14): ALTER TABLE ADD COLUMN as a ZERO-IO
+    // SCHEMA EVOLUTION (round-14): the full ALTER TABLE surface — ADD
+    // COLUMN, ADD COLUMN DEFAULT, RENAME COLUMN — each a ZERO-IO
     // metadata commit (reference analog: BigQuery's additive schema
-    // updates on load jobs, `etl/core/dim_loader.py:23-30`). The fixture
-    // loads the low half of orders at 2 columns, ALTERs a `flag` column
-    // in, and appends the high half at 3 columns — pre-evolution files
-    // decode `flag` as NULL via their manifest arity, post-evolution
-    // files carry real values, and the aggregate proves both vintages
-    // read exactly (count(flag) counts only the appended rows; sum(flag)
-    // ignores the null-filled vintage). WarehouseEvolveSpec pins zero-IO
-    // carriage, repeated evolution, conservative metadata-serve
-    // degradation, CoW backfill across vintages, and refusal directions.
-    // At 100 TB, adding a column costs one manifest write, never a
-    // rewrite.
+    // updates on load jobs, `etl/core/dim_loader.py:23-30`). Three
+    // vintages of orders: thirds loaded at 2, 3, and 4 columns with an
+    // ALTER between each — vintage 1 reads `tag` as NULL via its
+    // manifest arity, vintages 1-2 read `src` as the DEFAULT 'hist'
+    // (with TRUTHFUL backfilled fnn/zone lines, so the evolved columns
+    // stay metadata-servable), vintage 3 carries live values, and the
+    // final RENAME (flag -> tag) rekeys every per-file stat without
+    // touching a data file. The aggregate proves all three vintages
+    // decode exactly. WarehouseEvolveSpec pins zero-IO carriage,
+    // repeated evolution, serve survival, default backfill, CoW across
+    // vintages, rename rekeys, and refusal directions. At 100 TB, every
+    // ALTER costs one manifest write, never a rewrite.
     QueryDef("sink_warehouse_evolve",
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
@@ -1044,33 +1101,54 @@ object ReferenceQueries {
             col("o_totalprice")))).head()
         val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
           fpRow.getLong(1))}"
-        val path = s"/tmp/graft_wh_ordevo_${dir
+        val path = s"/tmp/graft_wh_ordevo2_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
-        val half = maxK / 2
+        val (h1, h2) = (maxK / 3, 2 * (maxK / 3))
         if (graft.sources.WarehouseMeta.readManifest(path).isEmpty) {
-          Sink.overwrite(orders.filter(col("o_orderkey") <= half)
+          // vintage 1: two columns
+          Sink.overwrite(orders.filter(col("o_orderkey") <= h1)
             .repartition(2), path, format = "graft-warehouse")
+          // +flag (no default): vintage 1 reads NULL
           graft.sources.WarehouseEvolve.addColumn(path, "flag",
             org.apache.spark.sql.types.LongType)
-          Sink.append(orders.filter(col("o_orderkey") > half)
+          // vintage 2: three columns
+          Sink.append(orders.filter(col("o_orderkey") > h1 &&
+            col("o_orderkey") <= h2)
             .withColumn("flag", col("o_orderkey") % 7), path,
             format = "graft-warehouse")
+          // +src DEFAULT 'hist': vintages 1-2 read the default with
+          // zero IO (and truthful backfilled fnn lines)
+          graft.sources.WarehouseEvolve.addColumn(path, "src",
+            org.apache.spark.sql.types.StringType, Some("'hist'"))
+          // vintage 3: full four columns, live src
+          Sink.append(orders.filter(col("o_orderkey") > h2)
+            .withColumn("flag", col("o_orderkey") % 7)
+            .withColumn("src", lit("live")), path,
+            format = "graft-warehouse")
+          // RENAME flag -> tag: pure metadata rekey across all vintages
+          graft.sources.WarehouseEvolve.renameColumn(path, "flag", "tag")
         }
         Sink.read(s, path, "graft-warehouse")
           .agg(count(lit(1)).as("n_orders"),
-            count(col("flag")).as("n_flagged"),
-            sum(col("flag")).as("sum_flag"),
+            count(col("tag")).as("n_tagged"),
+            sum(col("tag")).as("sum_tag"),
+            count(when(col("src") === "hist", 1)).as("n_hist"),
+            count(when(col("src") === "live", 1)).as("n_live"),
             round(sum(col("o_totalprice").cast("decimal(18,2)"))
               .cast("double"), 2).as("total_price"))
       },
-      Some("""SELECT count(*) AS n_orders,
-             |  count(CASE WHEN o_orderkey > (SELECT max(o_orderkey) // 2
-             |                                FROM orders)
-             |             THEN 1 END) AS n_flagged,
-             |  CAST(sum(CASE WHEN o_orderkey > (SELECT max(o_orderkey) // 2
-             |                                   FROM orders)
-             |                THEN o_orderkey % 7 END) AS BIGINT) AS sum_flag,
+      Some("""WITH b AS (SELECT max(o_orderkey) // 3 AS h1,
+             |             2 * (max(o_orderkey) // 3) AS h2 FROM orders)
+             |SELECT count(*) AS n_orders,
+             |  count(CASE WHEN o_orderkey > (SELECT h1 FROM b)
+             |             THEN 1 END) AS n_tagged,
+             |  CAST(sum(CASE WHEN o_orderkey > (SELECT h1 FROM b)
+             |                THEN o_orderkey % 7 END) AS BIGINT) AS sum_tag,
+             |  count(CASE WHEN o_orderkey <= (SELECT h2 FROM b)
+             |             THEN 1 END) AS n_hist,
+             |  count(CASE WHEN o_orderkey > (SELECT h2 FROM b)
+             |             THEN 1 END) AS n_live,
              |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              |    AS DOUBLE), 2) AS total_price
              |FROM orders""".stripMargin)),

@@ -291,7 +291,9 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
           }.toMap,
           keep(_.nonNull) ++ moved.map(m => m._1 -> m._2.nonNull).toMap,
           keep(_.sums) ++ moved.map(m => m._1 -> m._2.sums).toMap,
-          keep(_.arity))) // new files encode the full current schema
+          keep(_.arity), // new files encode the full current schema
+          if (truncate) Map.empty
+          else prev.map(_.defaults).getOrElse(Map.empty)))
       fs.delete(new Path(root, s"_staging/$jobId"), true)
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
@@ -1071,7 +1073,12 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
         limit
       else None,
       // partitions carry full paths; the manifest keys relative ones
-      manifest.arity.map { case (f, n) => s"$root/$f" -> n })
+      manifest.arity.map { case (f, n) => s"$root/$f" -> n },
+      // DEFAULT tail values resolved ONCE per scan on the driver (the
+      // catalyst values — Long/Int/Double/UTF8String/… — all serialize)
+      manifest.schema.fields.map(f =>
+        manifest.defaults.get(f.name)
+          .map(WarehouseEvolve.resolveDefault(_, f.dataType)).orNull))
 }
 
 /** Conservative min/max file pruning: a file survives unless its stats
@@ -1243,7 +1250,8 @@ case class WarehouseGroupPartition(files: Seq[String], encoded: String,
 
 class WarehouseReaderFactory(root: String, fullSchema: StructType,
     required: StructType, rowCap: Option[Int] = None,
-    arity: Map[String, Int] = Map.empty)
+    arity: Map[String, Int] = Map.empty,
+    tail: Array[Any] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1256,6 +1264,9 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
     // map each full-schema ordinal to its slot in the pruned row (-1 = skip)
     val slot: Array[Int] = fullSchema.fields.map(f =>
       required.fieldNames.indexOf(f.name))
+    val fullTail: Array[Any] =
+      if (tail.length == fullSchema.length) tail
+      else new Array[Any](fullSchema.length)
     val cap: Long = rowCap.map(_.toLong).getOrElse(Long.MaxValue)
     new PartitionReader[InternalRow] {
       private val fs = WarehouseMeta.fs(root)
@@ -1283,7 +1294,7 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
         if (emitted >= cap) return false
         if (in == null && !openNext()) return false
         row = WarehouseCodec.readRowProjected(in, fullSchema, required,
-          slot, curArity)
+          slot, curArity, fullTail)
         if (row != null) { emitted += 1; true }
         else { in.close(); in = null; next() }
       }
@@ -1303,7 +1314,8 @@ case class Manifest(generation: Long, schema: StructType,
     parts: Map[String, String] = Map.empty,
     nonNull: Map[String, Map[String, Long]] = Map.empty,
     sums: Map[String, Map[String, Long]] = Map.empty,
-    arity: Map[String, Int] = Map.empty) {
+    arity: Map[String, Int] = Map.empty,
+    defaults: Map[String, String] = Map.empty) {
   /** Schema-evolution field count for `f`: how many leading fields of
     * the TABLE schema the file actually encodes. Columns appended by
     * [[WarehouseEvolve.addColumn]] after the file was written decode as
@@ -1431,9 +1443,33 @@ object WarehouseEvolve {
     ShortType, IntegerType, DateType, LongType, TimestampType,
     TimestampNTZType, FloatType, DoubleType, StringType, BinaryType)
 
-  /** Append nullable column `name` of `dataType` to the table schema.
-    * Existing rows read as NULL; returns the new generation. */
-  def addColumn(root: String, name: String, dataType: DataType): Long = {
+  /** Resolve a DEFAULT literal to its CATALYST value for `dt`: parsed
+    * with Spark's own expression parser, must be foldable (a literal or
+    * constant expression), cast to the declared type. Used once at ALTER
+    * time (validation + metadata backfill) and once per scan build (the
+    * reader's tail-fill values). */
+  private[graft] def resolveDefault(text: String, dt: DataType): Any = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+    val parsed: Expression =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(text)
+    require(parsed.foldable,
+      s"DEFAULT must be a constant expression, got: $text")
+    Cast(parsed, dt, Some("UTC")).eval(null)
+  }
+
+  /** Append nullable column `name` of `dataType` to the table schema —
+    * a ZERO-IO metadata commit. Existing rows read as `default` (NULL
+    * when none). The backfill is METADATA-EXACT, not just conservative:
+    * pre-evolution files get truthful per-column lines — `fnn=0` with no
+    * default (every old row is NULL there), or `fnn=rows`,
+    * zone `lo=hi=default`, and an overflow-guarded `fsum=default*rows`
+    * for a constant integral default — so MIN/MAX/COUNT/SUM over the
+    * evolved column and zone pruning against it keep serving from the
+    * manifest across the evolution. Returns the new generation.
+    */
+  def addColumn(root: String, name: String, dataType: DataType,
+      default: Option[String] = None): Long = {
     val fs = WarehouseMeta.fs(root)
     val m = WarehouseMeta.readManifest(root).getOrElse(
       throw new IllegalArgumentException(
@@ -1447,17 +1483,98 @@ object WarehouseEvolve {
         Supported.map(_.simpleString).toList.sorted.mkString(", "))
     require(!name.contains("|"),
       s"column name '$name' contains the manifest line separator '|'")
+    // validate the default BEFORE anything mutates; an explicit NULL
+    // default is the no-default case
+    val dv = default.map(resolveDefault(_, dataType))
+    val live = dv.filter(_ != null).isDefined
     // materialize the CURRENT arity for every file lacking an entry:
     // after the schema grows, "absent = schema.length" would lie about
     // pre-evolution files, and a SECOND evolution must still know the
     // arity of files written between the two
     val materialized = m.files.map(f => f -> m.fileArity(f)).toMap
+    // truthful metadata backfill (see Scaladoc): every line below states
+    // a fact about the null-filled / default-filled vintage
+    val longDv: Option[Long] = dv.collect {
+      case v: java.lang.Long => v.longValue()
+      case v: java.lang.Integer => v.intValue().toLong
+    }
+    val integralStat = Set[DataType](LongType, IntegerType, DateType,
+      TimestampType, TimestampNTZType).contains(dataType)
+    val newNonNull = m.files.foldLeft(m.nonNull) { (acc, f) =>
+      val n: Option[Long] =
+        if (!live) Some(0L) // all-NULL vintage: exact regardless of rows
+        else m.rows.get(f) // constant vintage: fnn = rows (when known)
+      n.fold(acc)(v => acc.updated(f,
+        acc.getOrElse(f, Map.empty).updated(name, v)))
+    }
+    val newStats =
+      if (!live || !integralStat || longDv.isEmpty) m.stats
+      else m.files.foldLeft(m.stats) { (acc, f) =>
+        acc.updated(f, acc.getOrElse(f, Map.empty).updated(name,
+          ColStat.Longs(longDv.get, longDv.get)))
+      }
+    val newSums =
+      if (!live || longDv.isEmpty ||
+          !(dataType == LongType || dataType == IntegerType)) m.sums
+      else m.files.foldLeft(m.sums) { (acc, f) =>
+        m.rows.get(f).flatMap { n =>
+          try Some(Math.multiplyExact(longDv.get, n))
+          catch { case _: ArithmeticException => None }
+        }.fold(acc)(s => acc.updated(f,
+          acc.getOrElse(f, Map.empty).updated(name, s)))
+      }
     val jobId = s"evolve-${java.util.UUID.randomUUID()}"
     WarehouseMeta.logJobState(fs, root, jobId, s"PENDING add $name")
     try {
       val newM = m.copy(generation = m.generation + 1,
         schema = m.schema.add(StructField(name, dataType, nullable = true)),
-        jobId = jobId, disposition = "ADD_COLUMN", arity = materialized)
+        jobId = jobId, disposition = "ADD_COLUMN", arity = materialized,
+        nonNull = newNonNull, stats = newStats, sums = newSums,
+        defaults =
+          if (live) m.defaults.updated(name, default.get) else m.defaults)
+      WarehouseMeta.writeManifest(fs, root, newM)
+      WarehouseMeta.logJobState(fs, root, jobId, "DONE")
+      newM.generation
+    } catch {
+      case e: Throwable =>
+        WarehouseMeta.logJobState(fs, root, jobId, s"ERROR ${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** Rename column `from` to `to` — a pure metadata rekey (the codec is
+    * positional, so data files never change): schema field, per-file
+    * zone/fnn/fsum lines, the cluster declaration, and any DEFAULT move
+    * to the new name; `farity` is positional and untouched. Old
+    * generations stay readable under the old name (time travel reads the
+    * generation's own schema). Returns the new generation.
+    */
+  def renameColumn(root: String, from: String, to: String): Long = {
+    val fs = WarehouseMeta.fs(root)
+    val m = WarehouseMeta.readManifest(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-warehouse table at $root has no committed manifest"))
+    require(m.schema.fieldNames.contains(from),
+      s"no column '$from' (table schema ${m.schema.simpleString})")
+    require(!m.schema.fieldNames.contains(to),
+      s"column '$to' already exists")
+    require(!to.contains("|"),
+      s"column name '$to' contains the manifest line separator '|'")
+    def rekeyCols[V](mm: Map[String, Map[String, V]]) =
+      mm.map { case (f, cols) =>
+        f -> cols.map { case (c, v) => (if (c == from) to else c) -> v } }
+    val jobId = s"evolve-${java.util.UUID.randomUUID()}"
+    WarehouseMeta.logJobState(fs, root, jobId, s"PENDING rename $from $to")
+    try {
+      val newM = m.copy(generation = m.generation + 1,
+        schema = StructType(m.schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)),
+        jobId = jobId, disposition = "RENAME_COLUMN",
+        stats = rekeyCols(m.stats), nonNull = rekeyCols(m.nonNull),
+        sums = rekeyCols(m.sums),
+        clusterBy = m.clusterBy.map(c => if (c == from) to else c),
+        defaults = m.defaults.map { case (c, d) =>
+          (if (c == from) to else c) -> d })
       WarehouseMeta.writeManifest(fs, root, newM)
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
       newM.generation
@@ -1764,7 +1881,7 @@ object WarehouseRewrite {
           rekey(_.nonNull), rekey(_.sums),
           // carried files keep their evolution arity; rewritten files
           // were just written at the full current schema (no entry)
-          rekey(_.arity))
+          rekey(_.arity), m.defaults)
         WarehouseMeta.writeManifest(fs, root, newM)
         WarehouseMeta.logJobState(fs, root, jobId, "DONE")
         newM
@@ -1788,6 +1905,17 @@ object WarehouseMeta {
     new Path(root).getFileSystem(new org.apache.hadoop.conf.Configuration())
 
   private val ManifestRe = "manifest-([0-9]+)".r
+
+  /** Every committed generation at `root`, ascending. */
+  def generations(root: String): Seq[Long] = {
+    val f = fs(root)
+    val dir = new Path(root, "_manifest")
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
+      case ManifestRe(g) => Some(g.toLong)
+      case _ => None
+    }).sorted
+  }
 
   /** Parsed-manifest cache keyed (root, generation): a manifest file is
     * IMMUTABLE once atomically renamed into place (monotonic generations,
@@ -1908,11 +2036,18 @@ object WarehouseMeta {
       .map(_.substring(7).split('|'))
       .collect { case Array(f, n) => f -> n.toInt }
       .toMap
+    // column DEFAULT literals (round-14 ADD COLUMN DEFAULT): applied at
+    // read to files whose arity predates the column
+    val defaults = lines.filter(_.startsWith("coldef="))
+      .map(_.substring(7).split('|'))
+      .collect { case Array(c, d) =>
+        c -> new String(b64.decode(d), "UTF-8") }
+      .toMap
     val m = Manifest(gen,
       DataType.fromJson(one("schema")).asInstanceOf[StructType],
       lines.filter(_.startsWith("file=")).map(_.substring(5)),
       one("job"), one("disposition"), stats, rowCounts, clusterBy, parts,
-      perFileCol("fnn="), perFileCol("fsum="), arity)
+      perFileCol("fnn="), perFileCol("fsum="), arity, defaults)
     parsedManifests.synchronized {
       parsedManifests.put((root, gen),
         CachedManifest(status.getLen, status.getModificationTime, m))
@@ -1943,6 +2078,9 @@ object WarehouseMeta {
         .collect { case (f, v) if !f.contains("|") => s"fpart=$f|$v" }
       val arityLines = m.arity.toList.sortBy(_._1)
         .collect { case (f, n) if !f.contains("|") => s"farity=$f|$n" }
+      val defaultLines = m.defaults.toList.sortBy(_._1)
+        .collect { case (c, d) if !c.contains("|") =>
+          s"coldef=$c|${b64.encodeToString(d.getBytes("UTF-8"))}" }
       val clusterLine = m.clusterBy.map(c => s"clusterby=$c").toList
       def perFileCol(prefix: String,
           mm: Map[String, Map[String, Long]]): List[String] = for {
@@ -1953,7 +2091,7 @@ object WarehouseMeta {
         s"job=${m.jobId}" ::
         s"disposition=${m.disposition}" ::
         (clusterLine ++ m.files.map(p => s"file=$p") ++ statLines ++
-          rowLines ++ partLines ++ arityLines ++
+          rowLines ++ partLines ++ arityLines ++ defaultLines ++
           perFileCol("fnn=", m.nonNull) ++
           perFileCol("fsum=", m.sums)))
         .mkString("", "\n", "\n")
@@ -2043,7 +2181,8 @@ object WarehouseCodec {
     * flush, so EOF can only fall on a row boundary). */
   def readRow(in: DataInputStream, schema: StructType): InternalRow = {
     val slot = Array.tabulate(schema.length)(identity)
-    readRowProjected(in, schema, schema, slot, schema.length)
+    readRowProjected(in, schema, schema, slot, schema.length,
+      new Array[Any](schema.length))
   }
 
   /** Projected read: decode only the fields whose full-schema ordinal maps
@@ -2054,15 +2193,24 @@ object WarehouseCodec {
     *
     * `arity` is the file's schema-evolution field count: the file encodes
     * only the first `arity` fields of `fullSchema`; columns appended by a
-    * later ADD COLUMN decode as NULL (a fresh GenericInternalRow's slots
-    * already hold null, so the null-fill is just the loop bound).
+    * later ADD COLUMN decode as their `tail` value — the column's DEFAULT
+    * in catalyst representation, or null when none (a fresh
+    * GenericInternalRow's slots already hold null, so the null-fill is
+    * just the loop bound; only live defaults cost a write).
     */
   def readRowProjected(in: DataInputStream, fullSchema: StructType,
-      required: StructType, slot: Array[Int], arity: Int): InternalRow = {
+      required: StructType, slot: Array[Int], arity: Int,
+      tail: Array[Any]): InternalRow = {
     val marker = in.read()
     if (marker == -1) return null
     val row = new GenericInternalRow(required.length)
-    var i = 0
+    var i = arity
+    while (i < fullSchema.length) {
+      val s = slot(i)
+      if (s >= 0 && tail(i) != null) row.update(s, tail(i))
+      i += 1
+    }
+    i = 0
     while (i < arity) {
       val s = slot(i)
       if (in.readByte() == 0) {
