@@ -833,13 +833,18 @@ object ReferenceQueries {
     // COPY-ON-WRITE DELETE (round-14): the operation the metadata
     // DELETE's refusal message prescribes, implemented. The fixture
     // clusters orders into 8 key-band files (one band per file — exact
-    // zone boundaries); deleting `o_orderkey <= max/4` straddles one
-    // band, so the metadata path refuses — WarehouseCow classifies:
-    // full-match bands DROP as metadata, no-match bands CARRY by
-    // reference (path-identical — WarehouseDeleteSpec pins it), and ONLY
-    // the straddled band rewrites, committed as one atomic generation.
-    // At 100 TB, deleting a key range rewrites the files whose zones
-    // straddle the cut, never the table.
+    // zone boundaries); the cut is the MIDPOINT OF BAND 1's ACTUAL KEYS
+    // ((min+max)/2 of the band — an earlier max/4 cut could land on a
+    // provable boundary under sparse orderkeys, silently degrading to
+    // the metadata path at some scales), so the band-1 file is PARTIAL
+    // at EVERY scale and the metadata path refuses — WarehouseCow
+    // classifies: the full-match band-0 file DROPS as metadata, no-match
+    // bands CARRY by reference (path-identical — WarehouseDeleteSpec
+    // pins it), and ONLY the straddled band rewrites, committed as one
+    // atomic generation. Manifest evidence at sf0.001-sf1: carried=6,
+    // dropped=1, rewritten=1 of 8 at every scale. At 100 TB, deleting a
+    // key range rewrites the files whose zones straddle the cut, never
+    // the table.
     QueryDef("sink_warehouse_delete_cow",
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
@@ -849,7 +854,7 @@ object ReferenceQueries {
             col("o_totalprice")))).head()
         val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
           fpRow.getLong(1))}"
-        val path = s"/tmp/graft_wh_ordcow_${dir
+        val path = s"/tmp/graft_wh_ordcow2_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
         val w = maxK / 8 + 1
@@ -859,11 +864,14 @@ object ReferenceQueries {
               .repartition(1),
             path, format = "graft-warehouse",
             options = Map("clusterBy" -> "band"))
+        val b1 = orders.filter(expr(s"o_orderkey div $w") === 1)
+          .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+        val cut = (b1.getLong(0) + b1.getLong(1)) / 2
         if (graft.sources.WarehouseMeta.readManifest(path)
             .exists(!_.disposition.startsWith("DELETE")))
           graft.sources.WarehouseCow.deleteWhereCow(s, path,
             org.apache.spark.sql.sources.LessThanOrEqual(
-              "o_orderkey", maxK / 4))
+              "o_orderkey", cut))
         Sink.read(s, path, "graft-warehouse")
           .agg(count(lit(1)).as("n_orders"),
             min(col("o_orderkey")).as("min_key"),
@@ -871,27 +879,31 @@ object ReferenceQueries {
             round(sum(col("o_totalprice").cast("decimal(18,2)"))
               .cast("double"), 2).as("total_price"))
       },
-      Some("""SELECT count(*) AS n_orders,
+      Some("""WITH p AS (SELECT max(o_orderkey) // 8 + 1 AS w FROM orders),
+             |c AS (SELECT (min(o_orderkey) + max(o_orderkey)) // 2 AS cut
+             |      FROM orders WHERE o_orderkey // (SELECT w FROM p) = 1)
+             |SELECT count(*) AS n_orders,
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
              |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              |    AS DOUBLE), 2) AS total_price
              |FROM orders
-             |WHERE o_orderkey > (SELECT max(o_orderkey) // 4
-             |                    FROM orders)""".stripMargin)),
+             |WHERE o_orderkey > (SELECT cut FROM c)""".stripMargin)),
 
     // COPY-ON-WRITE MERGE (round-14): ops/Merge.applyChangelog's CDC
     // semantics (op ∈ I/U/D, highest-seq wins, winning D removes the
     // key) at the warehouse boundary. A deterministic changelog derived
-    // from orders itself — updates (+1000.00 on keys ≡0 mod 97), deletes
-    // (keys ≡0 mod 131; D-beats-earlier-U on the overlap), inserts (new
-    // keys offset past max(o_orderkey), so they are provably
-    // collision-free at EVERY scale — a fixed +100M offset collided with
-    // sf1's 900M key space, where MERGE upserted while the oracle's
-    // UNION ALL double-counted) — applies copy-on-write: zone-hit
-    // band files rewrite (survivor anti-join ∪ changelog winners), the
-    // rest carry by reference (WarehouseMergeSpec pins carriage, the
-    // interval fallback, and D-then-I resurrection). At 100 TB, a daily
-    // CDC batch rewrites the files its keys touch, never the table.
+    // from orders itself, SCOPED TO BANDS 0-2 (a daily CDC batch touches
+    // a key range, not the whole table — an earlier unscoped changelog
+    // hit every band and the fixture degenerated to a full rewrite):
+    // updates (+1000.00 on keys ≡0 mod 97 in bands 0-2), deletes (keys
+    // ≡0 mod 131 in bands 0-2; D-beats-earlier-U on the overlap),
+    // inserts (new keys offset past max(o_orderkey) — provably
+    // collision-free at EVERY scale). WarehouseCow classifies: bands 0-2
+    // rewrite (survivor anti-join ∪ changelog winners), bands 3-7 CARRY
+    // by reference — manifest evidence: carried=5 of 8 at every scale
+    // (WarehouseMergeSpec pins carriage, the interval fallback, and
+    // D-then-I resurrection). At 100 TB, a daily CDC batch rewrites the
+    // files its keys touch, never the table.
     QueryDef("sink_warehouse_merge",
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
@@ -901,7 +913,7 @@ object ReferenceQueries {
             col("o_totalprice")))).head()
         val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
           fpRow.getLong(1))}"
-        val path = s"/tmp/graft_wh_ordmrg_${dir
+        val path = s"/tmp/graft_wh_ordmrg2_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
         val w = maxK / 8 + 1
@@ -913,10 +925,12 @@ object ReferenceQueries {
             options = Map("clusterBy" -> "band"))
         if (graft.sources.WarehouseMeta.readManifest(path)
             .exists(_.disposition != "MERGE")) {
-          val upd = banded(orders.filter(col("o_orderkey") % 97 === 0)
+          val upd = banded(orders.filter(col("o_orderkey") % 97 === 0 &&
+            expr(s"o_orderkey div $w") <= 2)
             .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
             .withColumn("op", lit("U")).withColumn("seq", lit(1L))
-          val del = banded(orders.filter(col("o_orderkey") % 131 === 0))
+          val del = banded(orders.filter(col("o_orderkey") % 131 === 0 &&
+            expr(s"o_orderkey div $w") <= 2))
             .withColumn("op", lit("D")).withColumn("seq", lit(2L))
           val ins = banded(orders.filter(col("o_orderkey") % 201 === 0)
             .withColumn("o_orderkey", col("o_orderkey") + maxK + 1L)
@@ -933,12 +947,16 @@ object ReferenceQueries {
             round(sum(col("o_totalprice").cast("decimal(18,2)"))
               .cast("double"), 2).as("total_price"))
       },
-      Some("""WITH fin AS (
+      Some("""WITH p AS (SELECT max(o_orderkey) // 8 + 1 AS w FROM orders),
+             |fin AS (
              |  SELECT o_orderkey AS k,
              |    CASE WHEN o_orderkey % 97 = 0
+             |          AND o_orderkey // (SELECT w FROM p) <= 2
              |         THEN o_totalprice + 1000.0
              |         ELSE o_totalprice END AS p
-             |  FROM orders WHERE o_orderkey % 131 <> 0
+             |  FROM orders
+             |  WHERE NOT (o_orderkey % 131 = 0
+             |             AND o_orderkey // (SELECT w FROM p) <= 2)
              |  UNION ALL
              |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1
              |                       FROM orders), 1.0
