@@ -1044,6 +1044,64 @@ object ReferenceQueries {
              |    AS total_price
              |FROM fin""".stripMargin)),
 
+    // STREAMING SOURCE over the warehouse table format (round-14): the
+    // readStream face tails the generation log — each trigger plans ONLY
+    // the files the next commit added (offset = generation number), so a
+    // 100 TB table streams its delta per trigger with one manifest diff
+    // of driver work and zero directory listing. The fixture loads three
+    // APPEND generations; `maxGenerationsPerTrigger=1` forces one
+    // micro-batch per commit and `Trigger.AvailableNow` drains and
+    // terminates. The aggregate must equal the batch answer over the
+    // whole table — the incremental read missed nothing, duplicated
+    // nothing (WarehouseStreamSourceSpec pins per-batch increments,
+    // checkpoint replay, delete/evolve refusal directions, and that
+    // OPTIMIZE commits emit nothing).
+    QueryDef("stream_warehouse_source",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordstream_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        val banded = orders.withColumn("band", expr(s"o_orderkey div $w"))
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty) {
+          Sink.overwrite(banded.filter(col("band") <= 2).repartition(2),
+            path, format = "graft-warehouse")
+          Sink.append(banded.filter(col("band").between(3, 5))
+            .repartition(2), path, format = "graft-warehouse")
+          Sink.append(banded.filter(col("band") >= 6).repartition(2),
+            path, format = "graft-warehouse")
+        }
+        val qn = s"wh_stream_src_${java.util.UUID.randomUUID()
+          .toString.replace("-", "")}"
+        val q = s.readStream.format("graft-warehouse")
+          .option("maxGenerationsPerTrigger", "1")
+          .load(path)
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qn).orderBy("band")
+      },
+      Some("""SELECT o_orderkey
+             |    // ((SELECT max(o_orderkey) FROM orders) // 8 + 1)
+             |    AS band,
+             |  count(*) AS n_rows,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE), 2) AS total_price
+             |FROM orders GROUP BY band ORDER BY band""".stripMargin)),
+
     // COPY-ON-WRITE UPDATE (round-14): completes the warehouse row-level
     // CRUD surface (metadata DELETE → CoW DELETE → CDC MERGE → UPDATE).
     // Same 8-band clustered orders fixture as the CoW delete: updating

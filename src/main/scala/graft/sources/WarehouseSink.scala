@@ -82,7 +82,11 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
     new WarehouseTable(properties.get("path"), schema,
       Option(properties.get("generation")).map(_.toLong),
       Option(properties.get("files"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+      // streaming-source read options (round-14 incremental reads)
+      Seq("startingGeneration", "ignoreDeletes", "ignoreChanges",
+        "maxGenerationsPerTrigger")
+        .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap)
 }
 
 /** One warehouse table rooted at `path`. `generation` (read option) pins
@@ -94,13 +98,14 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
   */
 class WarehouseTable(path: String, schema0: StructType,
     generation: Option[Long] = None,
-    filesSubset: Option[Seq[String]] = None)
+    filesSubset: Option[Seq[String]] = None,
+    streamOpts: Map[String, String] = Map.empty)
     extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"graft-warehouse:$path"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WarehouseWriteBuilder(path, info.schema(), info.queryId(),
@@ -110,7 +115,7 @@ class WarehouseTable(path: String, schema0: StructType,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarehouseScanBuilder(path, generation, filesSubset)
+    new WarehouseScanBuilder(path, generation, filesSubset, streamOpts)
 }
 
 class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
@@ -528,7 +533,8 @@ object WarehouseScanStats {
   *    only skip IO.
   */
 class WarehouseScanBuilder(root: String, generation: Option[Long] = None,
-    filesSubset: Option[Seq[String]] = None)
+    filesSubset: Option[Seq[String]] = None,
+    streamOpts: Map[String, String] = Map.empty)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -833,7 +839,8 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None,
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new WarehouseAggScan(schema, rows)
     case None =>
-      new WarehouseScan(root, manifest, required, pushed, limit, topN)
+      new WarehouseScan(root, manifest, required, pushed, limit, topN,
+        streamOpts)
   }
 }
 
@@ -876,7 +883,8 @@ class WarehouseAggReaderFactory(rows: Seq[InternalRow])
 
 class WarehouseScan(root: String, manifest: Manifest, required: StructType,
     filters: Array[Filter], limit: Option[Int] = None,
-    topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
+    topN: Option[(String, Boolean, Int)] = None,
+    streamOpts: Map[String, String] = Map.empty) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -929,6 +937,23 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming face (round-14): tail the generation log, planning only
+    * files each new commit added — see [[WarehouseMicroBatchStream]].
+    * Column pruning and pushed filters thread through; LIMIT/TOP-N/agg
+    * pushes don't arrive on streaming plans.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream =
+    new WarehouseMicroBatchStream(root, manifest.schema, required, filters,
+      manifest.schema.fields.map(f =>
+        manifest.defaults.get(f.name)
+          .map(WarehouseEvolve.resolveDefault(_, f.dataType)).orNull),
+      streamOpts.getOrElse("startingGeneration", "0"),
+      streamOpts.get("ignoreDeletes").exists(_.toBoolean),
+      streamOpts.get("ignoreChanges").exists(_.toBoolean),
+      streamOpts.get("maxGenerationsPerTrigger").map(_.toInt))
 
   /** Pruning-aware CBO statistics (round-13 `SupportsReportStatistics`):
     * numRows = the exact frows sum over SURVIVING files (absent on any
