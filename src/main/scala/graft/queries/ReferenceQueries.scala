@@ -1102,6 +1102,86 @@ object ReferenceQueries {
              |    AS DOUBLE), 2) AS total_price
              |FROM orders GROUP BY band ORDER BY band""".stripMargin)),
 
+    // CHANGE DATA FEED (round-14): what changed between two committed
+    // generations, derived METADATA-FIRST from manifest diffs — append
+    // commits serve inserts from exactly their added files, metadata
+    // deletes serve the dropped files (time travel keeps them readable),
+    // and CoW updates pay one EXCEPT-ALL diff over ONLY the rewritten
+    // files. The fixture drives the full CRUD tour (load, append, CoW
+    // UPDATE, metadata DELETE) and folds the typed feed to counts + sums
+    // the oracle derives independently from the orders expressions. At
+    // 100 TB, the feed of a day of commits reads the day's delta files,
+    // never the table (WarehouseCdcSpec pins exact change rows, MERGE
+    // key-classification, positional ALTER alignment, and that OPTIMIZE
+    // emits nothing).
+    QueryDef("scan_warehouse_changes",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordcdf_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        val banded = orders.withColumn("band", expr(s"o_orderkey div $w"))
+        val done = graft.sources.WarehouseMeta.readManifest(path)
+          .exists(m => m.generation == 3L && m.disposition == "DELETE")
+        if (!done) {
+          // wipe any partial build: the feed needs the exact 4-gen tour
+          val fs = graft.sources.WarehouseMeta.fs(path)
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          Sink.overwrite(banded.filter(col("band") <= 3).repartition(1),
+            path, format = "graft-warehouse",
+            options = Map("clusterBy" -> "band"))
+          Sink.append(banded.filter(col("band") >= 4).repartition(1),
+            path, format = "graft-warehouse",
+            options = Map("clusterBy" -> "band"))
+          graft.sources.WarehouseCow.updateWhereCow(s, path,
+            org.apache.spark.sql.sources.LessThanOrEqual("band", 1L),
+            Map("o_totalprice" -> "o_totalprice + 500.0d"))
+          graft.sources.WarehouseDelete.deleteWhere(path,
+            org.apache.spark.sql.sources.EqualTo("band", 0L))
+        }
+        graft.sources.WarehouseCdc.tableChanges(s, path, 0L, 3L)
+          .groupBy(col("_change_type").as("change_type"),
+            col("_commit_generation").as("gen"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+          .orderBy("gen", "change_type")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey
+             |      // ((SELECT max(o_orderkey) FROM orders) // 8 + 1)
+             |      AS band,
+             |    o_totalprice AS p
+             |  FROM orders)
+             |SELECT * FROM (
+             |  SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS gen,
+             |    count(*) AS n_rows,
+             |    round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |      AS total_price
+             |  FROM base WHERE band >= 4
+             |  UNION ALL
+             |  SELECT 'update_preimage', CAST(2 AS BIGINT), count(*),
+             |    round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |  FROM base WHERE band <= 1
+             |  UNION ALL
+             |  SELECT 'update_postimage', CAST(2 AS BIGINT), count(*),
+             |    round(CAST(sum(CAST(p + 500.0 AS DECIMAL(18,2)))
+             |      AS DOUBLE), 2)
+             |  FROM base WHERE band <= 1
+             |  UNION ALL
+             |  SELECT 'delete', CAST(3 AS BIGINT), count(*),
+             |    round(CAST(sum(CAST(p + 500.0 AS DECIMAL(18,2)))
+             |      AS DOUBLE), 2)
+             |  FROM base WHERE band = 0
+             |) ORDER BY gen, change_type""".stripMargin)),
+
     // COPY-ON-WRITE UPDATE (round-14): completes the warehouse row-level
     // CRUD surface (metadata DELETE → CoW DELETE → CDC MERGE → UPDATE).
     // Same 8-band clustered orders fixture as the CoW delete: updating
