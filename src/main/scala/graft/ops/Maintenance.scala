@@ -132,7 +132,11 @@ object Maintenance {
     }
     graft.io.Sink.overwrite(repart, root,
       format = "graft-warehouse",
-      options = before.clusterBy.map("clusterBy" -> _).toMap)
+      options = before.clusterBy.map("clusterBy" -> _).toMap ++
+        before.bloomConf.map { case (cols, bits) =>
+          Map("bloomFilters" -> cols.mkString(","),
+            "bloomBits" -> bits.toString)
+        }.getOrElse(Map.empty))
     val after = graft.sources.WarehouseMeta.readManifest(root).get
     (before.files.size, after.files.size)
   }
@@ -248,7 +252,13 @@ object Maintenance {
         for (job <- fs.listStatus(dataDir) if job.isDirectory) {
           for (st <- fs.listStatus(job.getPath) if st.isFile) {
             val rel = s"data/${job.getPath.getName}/${st.getPath.getName}"
-            if (!referenced(rel)) {
+            // a `.bloom` sidecar lives and dies with its data file — it
+            // is referenced iff the file it indexes is
+            val live =
+              if (rel.endsWith(".bloom"))
+                referenced(rel.stripSuffix(".bloom"))
+              else referenced(rel)
+            if (!live) {
               bytes += st.getLen
               if (fs.delete(st.getPath, false)) deleted += 1
             }

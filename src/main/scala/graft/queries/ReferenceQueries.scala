@@ -1182,6 +1182,54 @@ object ReferenceQueries {
              |  FROM base WHERE band = 0
              |) ORDER BY gen, change_type""".stripMargin)),
 
+    // BLOOM-FILTER FILE SKIPPING (round-14): point lookups on a
+    // high-cardinality, non-clustered column are the case zone maps
+    // cannot prune — a hash-scattered load leaves every file's
+    // [min,max] spanning the whole key domain. The fixture loads orders
+    // hash-scattered across 8 files with a per-file bloom sidecar on
+    // o_orderkey (the parquet row-group bloom / Iceberg puffin shape);
+    // the probe IN-lookup then plans only the files that might hold the
+    // sought keys — including proving a missing key touches ZERO files
+    // (WarehouseBloomSpec pins planned-file counts, runtime DPP probes,
+    // table-sticky inheritance through append/CoW/OPTIMIZE, and VACUUM
+    // sidecar hygiene).
+    QueryDef("scan_warehouse_bloom_pruned",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordbloom_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(orders.repartition(8), path,
+            format = "graft-warehouse",
+            options = Map("bloomFilters" -> "o_orderkey",
+              "bloomBits" -> (1 << 21).toString))
+        val Array(kMin, kMax) = orders
+          .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head() match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+        val kMid = orders.filter(col("o_orderkey") <= kMax / 2)
+          .agg(max(col("o_orderkey"))).head().getLong(0)
+        Sink.read(s, path, "graft-warehouse")
+          .filter(col("o_orderkey")
+            .isin(kMin, kMid, kMax, kMax + 12345L)) // last one: proven-absent
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH ks AS (
+             |  SELECT min(o_orderkey) AS k FROM orders
+             |  UNION ALL SELECT max(o_orderkey) FROM orders
+             |  UNION ALL SELECT max(o_orderkey) FROM orders
+             |    WHERE o_orderkey <= (SELECT max(o_orderkey) // 2
+             |                         FROM orders))
+             |SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey IN (SELECT k FROM ks)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // COPY-ON-WRITE UPDATE (round-14): completes the warehouse row-level
     // CRUD surface (metadata DELETE → CoW DELETE → CDC MERGE → UPDATE).
     // Same 8-band clustered orders fixture as the CoW delete: updating

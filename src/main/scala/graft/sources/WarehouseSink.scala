@@ -111,7 +111,12 @@ class WarehouseTable(path: String, schema0: StructType,
     new WarehouseWriteBuilder(path, info.schema(), info.queryId(),
       Option(info.options.get("writeDisposition"))
         .getOrElse("WRITE_APPEND"),
-      Option(info.options.get("clusterBy")))
+      Option(info.options.get("clusterBy")),
+      Option(info.options.get("bloomFilters")).map { cols =>
+        (cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          Option(info.options.get("bloomBits")).map(_.toInt)
+            .getOrElse(WarehouseBloom.DefaultBits))
+      })
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -119,7 +124,8 @@ class WarehouseTable(path: String, schema0: StructType,
 }
 
 class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
-    disposition0: String, clusterBy: Option[String] = None)
+    disposition0: String, clusterBy: Option[String] = None,
+    bloomOpt: Option[(Seq[String], Int)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var disposition = disposition0
 
@@ -129,7 +135,8 @@ class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new WarehouseBatchWrite(path, schema, queryId, disposition, clusterBy)
+      new WarehouseBatchWrite(path, schema, queryId, disposition, clusterBy,
+        bloomOpt)
   }
 }
 
@@ -199,16 +206,42 @@ case class StagedFile(path: String, rows: Long,
     stats: Map[String, ColStat],
     part: Option[String] = None,
     nonNull: Map[String, Long] = Map.empty,
-    sums: Map[String, Long] = Map.empty) extends WriterCommitMessage
+    sums: Map[String, Long] = Map.empty,
+    bloom: Seq[String] = Nil) extends WriterCommitMessage
 
 /** A cluster-split task commits one message carrying ALL its per-value
   * staged files. */
 case class StagedFiles(files: Seq[StagedFile]) extends WriterCommitMessage
 
 class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
-    disposition: String, clusterBy: Option[String] = None) extends BatchWrite {
+    disposition: String, clusterBy: Option[String] = None,
+    bloomOpt: Option[(Seq[String], Int)] = None) extends BatchWrite {
   require(Set("WRITE_APPEND", "WRITE_TRUNCATE", "WRITE_EMPTY")(disposition),
     s"unknown writeDisposition $disposition")
+  // the bloom index config is TABLE-STICKY like clusterBy: an explicit
+  // option sets/overrides it, an appending load inherits the manifest's
+  // so maintenance and follow-on loads keep the index alive
+  private lazy val bloomConf: Option[(Seq[String], Int)] = {
+    val conf = bloomOpt.orElse(
+      if (disposition == "WRITE_TRUNCATE") None
+      else WarehouseMeta.readManifest(root).flatMap(_.bloomConf))
+    conf.foreach { case (cols, bits) =>
+      require(bits >= 64 && (bits & (bits - 1)) == 0,
+        s"bloomBits $bits must be a power of two >= 64")
+      cols.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"bloomFilters column $c not in " +
+              schema.fieldNames.mkString(",")))
+        require(WarehouseBloom.supported(f.dataType),
+          s"bloomFilters $c: unsupported type ${f.dataType.simpleString} " +
+            "(long/int/string only)")
+        require(!c.contains("|") && !c.contains(","),
+          s"bloomFilters $c: '|' and ',' collide with manifest encoding")
+      }
+    }
+    conf
+  }
   clusterBy.foreach { c =>
     val f = schema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(
@@ -224,7 +257,7 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new WarehouseWriterFactory(root, s"$root/_staging/$jobId", schema,
-      clusterBy)
+      clusterBy, bloomConf)
 
   /** THE LOAD JOB — driver-side, synchronous (`job.result()` semantics:
     * when this returns, the data is visible; when it throws, nothing
@@ -267,6 +300,12 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
         val dst = new Path(dataDir, src.getName)
         require(fs.rename(src, dst),
           s"load job $jobId: cannot move staged ${s.path}")
+        // the bloom sidecar rides along with its data file
+        if (s.bloom.nonEmpty)
+          require(fs.rename(
+            new Path(WarehouseBloom.sidecarPath(s.path)),
+            new Path(dataDir, s"${src.getName}.bloom")),
+            s"load job $jobId: cannot move bloom sidecar of ${s.path}")
         (s"data/$jobId/${src.getName}", s)
       }
       val truncate = disposition == "WRITE_TRUNCATE"
@@ -298,7 +337,11 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
           keep(_.sums) ++ moved.map(m => m._1 -> m._2.sums).toMap,
           keep(_.arity), // new files encode the full current schema
           if (truncate) Map.empty
-          else prev.map(_.defaults).getOrElse(Map.empty)))
+          else prev.map(_.defaults).getOrElse(Map.empty),
+          keep(_.blooms) ++ moved.collect {
+            case (f, s) if s.bloom.nonEmpty => f -> s.bloom
+          }.toMap,
+          bloomConf))
       fs.delete(new Path(root, s"_staging/$jobId"), true)
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
@@ -316,14 +359,16 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
 }
 
 class WarehouseWriterFactory(root: String, stagingDir: String,
-    schema: StructType, clusterBy: Option[String] = None)
+    schema: StructType, clusterBy: Option[String] = None,
+    bloomConf: Option[(Seq[String], Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = clusterBy match {
     case None => new WarehouseDataWriter(
-      s"$stagingDir/part-$partitionId-$taskId.grow", root, schema)
+      s"$stagingDir/part-$partitionId-$taskId.grow", root, schema,
+      bloomConf = bloomConf)
     case Some(c) => new WarehouseClusterWriter(
-      s"$stagingDir/part-$partitionId-$taskId", root, schema, c)
+      s"$stagingDir/part-$partitionId-$taskId", root, schema, c, bloomConf)
   }
 }
 
@@ -343,9 +388,20 @@ object WarehouseClusterWriter {
 }
 
 class WarehouseClusterWriter(fileBase: String, root: String,
-    schema: StructType, clusterBy: String) extends DataWriter[InternalRow] {
+    schema: StructType, clusterBy: String,
+    bloomConf: Option[(Seq[String], Int)] = None)
+    extends DataWriter[InternalRow] {
   private val ci = schema.fieldNames.indexOf(clusterBy)
   private val dt = schema(ci).dataType
+  // a cluster task holds one open writer PER VALUE (up to the 1024 cap);
+  // at the unclustered default bloom size that would be 128 MiB of
+  // bitsets per task per column — cap each per-value file's bloom at
+  // 2^16 bits (8 KiB). Per-value files are value-sliced and commensurately
+  // small, so the smaller bloom holds its false-positive rate; an
+  // undersized bloom only prunes less, never wrong.
+  private val perValueBloom = bloomConf.map { case (cols, bits) =>
+    (cols, math.min(bits, 1 << 16))
+  }
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[String, WarehouseDataWriter]
 
@@ -363,7 +419,8 @@ class WarehouseClusterWriter(fileBase: String, root: String,
           "low-cardinality cluster keys; bucket the column (e.g. " +
           "pmod(col, N)) and cluster on the bucket instead")
       new WarehouseDataWriter(
-        s"$fileBase-c${writers.size}.grow", root, schema, Some(key))
+        s"$fileBase-c${writers.size}.grow", root, schema, Some(key),
+        perValueBloom)
     }).write(record)
   }
   override def commit(): WriterCommitMessage =
@@ -379,7 +436,8 @@ class WarehouseClusterWriter(fileBase: String, root: String,
   * the committed message's file is ever loaded.
   */
 class WarehouseDataWriter(file: String, root: String, schema: StructType,
-    part: Option[String] = None)
+    part: Option[String] = None,
+    bloomConf: Option[(Seq[String], Int)] = None)
     extends DataWriter[InternalRow] {
   private val fs = WarehouseMeta.fs(root)
   private val out = new DataOutputStream(
@@ -419,6 +477,16 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType,
   }
   private val sums = new Array[Long](sumIdx.length)
   private val sumOverflow = new Array[Boolean](sumIdx.length)
+  // per-file bloom bitsets for the table's indexed point-lookup columns
+  // (streamed alongside the write like the zone stats; bits land in the
+  // `<file>.bloom` sidecar at commit)
+  private val bloomIdx: Array[Int] = bloomConf.fold(Array.empty[Int]) {
+    case (cols, _) => cols.toArray.map(schema.fieldNames.indexOf(_))
+  }
+  private val bloomWords: Array[Array[Long]] =
+    bloomConf.fold(Array.empty[Array[Long]]) { case (cols, bits) =>
+      Array.fill(cols.length)(new Array[Long](bits >>> 6))
+    }
 
   override def write(record: InternalRow): Unit = {
     WarehouseCodec.writeRow(out, record, schema)
@@ -465,6 +533,20 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType,
       }
       j += 1
     }
+    j = 0
+    while (j < bloomIdx.length) {
+      val i = bloomIdx(j)
+      if (!record.isNullAt(i)) {
+        val h = schema(i).dataType match {
+          case IntegerType => WarehouseBloom.mix64(record.getInt(i).toLong)
+          case LongType => WarehouseBloom.mix64(record.getLong(i))
+          case _ => WarehouseBloom.hashBytes(
+            record.getUTF8String(i).getBytes)
+        }
+        WarehouseBloom.add(bloomWords(j), h)
+      }
+      j += 1
+    }
     rows += 1
   }
   override def commit(): WriterCommitMessage = {
@@ -484,8 +566,12 @@ class WarehouseDataWriter(file: String, root: String, schema: StructType,
     val sumMap = sumIdx.indices.collect {
       case j if !sumOverflow(j) => schema(sumIdx(j)).name -> sums(j)
     }.toMap
+    val bloomCols = bloomConf.map(_._1).getOrElse(Nil)
+    if (bloomCols.nonEmpty)
+      WarehouseBloom.writeSidecar(fs, WarehouseBloom.sidecarPath(file),
+        bloomCols.zip(bloomWords.toSeq))
     StagedFile(file, rows, (longStats ++ strStats).toMap, part, nnMap,
-      sumMap)
+      sumMap, bloomCols)
   }
   override def abort(): Unit = {
     out.close()
@@ -918,10 +1004,18 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
     WarehouseScanStats.lastRuntimeFilters = runtimeFilters.length
   }
 
-  private def surviving: List[String] = manifest.files.filter { f =>
-    val stats = manifest.stats.getOrElse(f, Map.empty)
-    (filters ++ runtimeFilters)
-      .forall(WarehouseZoneMap.mightMatch(_, stats))
+  private def surviving: List[String] = {
+    val all = (filters ++ runtimeFilters).toIndexedSeq
+    manifest.files.filter { f =>
+      val stats = manifest.stats.getOrElse(f, Map.empty)
+      all.forall(WarehouseZoneMap.mightMatch(_, stats)) &&
+        // bloom sidecars close the point-lookup gap zone ranges leave:
+        // `=` / `IN` probes (static AND runtime DPP key sets) can prove
+        // a file holds none of the sought values even when its [min,max]
+        // spans them (WarehouseBloomSpec pins both directions)
+        WarehouseBloom.mightMatchFile(root, f,
+          manifest.blooms.getOrElse(f, Nil), manifest.schema, all)
+    }
   }
 
   /** The cluster layout is reportable iff EVERY committed file carries a
@@ -1340,7 +1434,11 @@ case class Manifest(generation: Long, schema: StructType,
     nonNull: Map[String, Map[String, Long]] = Map.empty,
     sums: Map[String, Map[String, Long]] = Map.empty,
     arity: Map[String, Int] = Map.empty,
-    defaults: Map[String, String] = Map.empty) {
+    defaults: Map[String, String] = Map.empty,
+    // per-file bloom coverage (file -> indexed columns; bits live in the
+    // `<file>.bloom` sidecar) + the table-sticky index config
+    blooms: Map[String, Seq[String]] = Map.empty,
+    bloomConf: Option[(Seq[String], Int)] = None) {
   /** Schema-evolution field count for `f`: how many leading fields of
     * the TABLE schema the file actually encodes. Columns appended by
     * [[WarehouseEvolve.addColumn]] after the file was written decode as
@@ -1432,7 +1530,8 @@ object WarehouseDelete {
         disposition = "DELETE",
         stats = m.stats -- dropped, rows = m.rows -- dropped,
         parts = m.parts -- dropped, nonNull = m.nonNull -- dropped,
-        sums = m.sums -- dropped, arity = m.arity -- dropped))
+        sums = m.sums -- dropped, arity = m.arity -- dropped,
+        blooms = m.blooms -- dropped))
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
       case e: Throwable =>
@@ -1599,7 +1698,17 @@ object WarehouseEvolve {
         sums = rekeyCols(m.sums),
         clusterBy = m.clusterBy.map(c => if (c == from) to else c),
         defaults = m.defaults.map { case (c, d) =>
-          (if (c == from) to else c) -> d })
+          (if (c == from) to else c) -> d },
+        // the committed bloom SIDECARS key bitsets by the OLD name
+        // (immutable files) — rather than serve an index that can never
+        // hit again, drop the renamed column's coverage; other columns
+        // keep theirs, and the next rewrite rebuilds under the new name
+        // if re-declared
+        blooms = m.blooms.map { case (f, cs) =>
+          f -> cs.filterNot(_ == from) }.filter(_._2.nonEmpty),
+        bloomConf = m.bloomConf
+          .map { case (cs, b) => (cs.filterNot(_ == from), b) }
+          .filter(_._1.nonEmpty))
       WarehouseMeta.writeManifest(fs, root, newM)
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
       newM.generation
@@ -1872,7 +1981,13 @@ object WarehouseRewrite {
     try {
       graft.io.Sink.overwrite(replacement, tmpRoot,
         format = "graft-warehouse",
-        options = m.clusterBy.map("clusterBy" -> _).toMap)
+        options = m.clusterBy.map("clusterBy" -> _).toMap ++
+          // rewrites keep the table's bloom index alive: scratch files
+          // build fresh sidecars under the inherited config
+          m.bloomConf.map { case (cols, bits) =>
+            Map("bloomFilters" -> cols.mkString(","),
+              "bloomBits" -> bits.toString)
+          }.getOrElse(Map.empty))
       val tm = WarehouseMeta.readManifest(tmpRoot).getOrElse(
         throw new IllegalStateException(
           s"scratch rewrite table at $tmpRoot has no manifest"))
@@ -1894,6 +2009,10 @@ object WarehouseRewrite {
             val dst = new Path(dataDir, name)
             require(fs.rename(src, dst),
               s"rewrite $jobId: cannot move scratch $f")
+            if (tm.blooms.get(f).exists(_.nonEmpty))
+              require(fs.rename(new Path(tmpRoot, s"$f.bloom"),
+                new Path(dataDir, s"$name.bloom")),
+                s"rewrite $jobId: cannot move bloom sidecar of $f")
             f -> s"data/$jobId/$name"
           }
         def rekey[V](get: Manifest => Map[String, V]): Map[String, V] = {
@@ -1906,7 +2025,7 @@ object WarehouseRewrite {
           rekey(_.nonNull), rekey(_.sums),
           // carried files keep their evolution arity; rewritten files
           // were just written at the full current schema (no entry)
-          rekey(_.arity), m.defaults)
+          rekey(_.arity), m.defaults, rekey(_.blooms), m.bloomConf)
         WarehouseMeta.writeManifest(fs, root, newM)
         WarehouseMeta.logJobState(fs, root, jobId, "DONE")
         newM
@@ -2068,11 +2187,22 @@ object WarehouseMeta {
       .collect { case Array(c, d) =>
         c -> new String(b64.decode(d), "UTF-8") }
       .toMap
+    // bloom sidecar coverage + table-sticky index config (round-14)
+    val blooms = lines.filter(_.startsWith("fbloom="))
+      .map(_.substring(7).split('|'))
+      .collect { case Array(f, c) => f -> c }
+      .groupBy(_._1).map { case (f, cs) => f -> cs.map(_._2).toSeq }
+    val bloomConf = lines.collectFirst {
+      case l if l.startsWith("bloomconf=") =>
+        val Array(cols, bits) = l.substring(10).split('|')
+        (cols.split(',').toSeq, bits.toInt)
+    }
     val m = Manifest(gen,
       DataType.fromJson(one("schema")).asInstanceOf[StructType],
       lines.filter(_.startsWith("file=")).map(_.substring(5)),
       one("job"), one("disposition"), stats, rowCounts, clusterBy, parts,
-      perFileCol("fnn="), perFileCol("fsum="), arity, defaults)
+      perFileCol("fnn="), perFileCol("fsum="), arity, defaults,
+      blooms, bloomConf)
     parsedManifests.synchronized {
       parsedManifests.put((root, gen),
         CachedManifest(status.getLen, status.getModificationTime, m))
@@ -2107,6 +2237,12 @@ object WarehouseMeta {
         .collect { case (c, d) if !c.contains("|") =>
           s"coldef=$c|${b64.encodeToString(d.getBytes("UTF-8"))}" }
       val clusterLine = m.clusterBy.map(c => s"clusterby=$c").toList
+      val bloomLines = (for {
+        (f, cs) <- m.blooms.toList.sortBy(_._1) if !f.contains("|")
+        c <- cs.sorted if !c.contains("|")
+      } yield s"fbloom=$f|$c") ++
+        m.bloomConf.map { case (cs, bits) =>
+          s"bloomconf=${cs.mkString(",")}|$bits" }.toList
       def perFileCol(prefix: String,
           mm: Map[String, Map[String, Long]]): List[String] = for {
         (f, cols) <- mm.toList.sortBy(_._1) if !f.contains("|")
@@ -2117,7 +2253,7 @@ object WarehouseMeta {
         s"disposition=${m.disposition}" ::
         (clusterLine ++ m.files.map(p => s"file=$p") ++ statLines ++
           rowLines ++ partLines ++ arityLines ++ defaultLines ++
-          perFileCol("fnn=", m.nonNull) ++
+          bloomLines ++ perFileCol("fnn=", m.nonNull) ++
           perFileCol("fsum=", m.sums)))
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
