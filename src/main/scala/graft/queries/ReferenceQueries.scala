@@ -1230,6 +1230,84 @@ object ReferenceQueries {
              |WHERE o_orderkey IN (SELECT k FROM ks)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // STREAMING CHANGE FEED (round-14): `readChangeFeed=true` turns the
+    // warehouse stream into typed change rows — appends arrive as
+    // `insert`, a metadata DELETE's dropped rows arrive as `delete`
+    // (read via time travel, NOT a refusal), and row-preserving
+    // maintenance emits nothing, all file-granular (per-trigger work ∝
+    // the commit's delta). The fixture appends two halves then
+    // metadata-deletes the low band; the feed folds to per-type
+    // counts/sums the oracle recomputes from orders
+    // (WarehouseStreamCdcSpec pins exact typed rows, the CoW refusal
+    // toward the batch API, and meta-column pruning).
+    QueryDef("stream_warehouse_changes",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordscdf_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        val banded = orders.withColumn("band", expr(s"o_orderkey div $w"))
+        val done = graft.sources.WarehouseMeta.readManifest(path)
+          .exists(m => m.generation == 2L && m.disposition == "DELETE")
+        if (!done) {
+          val fs = graft.sources.WarehouseMeta.fs(path)
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          Sink.overwrite(banded.filter(col("band") <= 3).repartition(1),
+            path, format = "graft-warehouse",
+            options = Map("clusterBy" -> "band"))
+          Sink.append(banded.filter(col("band") >= 4).repartition(1),
+            path, format = "graft-warehouse",
+            options = Map("clusterBy" -> "band"))
+          graft.sources.WarehouseDelete.deleteWhere(path,
+            org.apache.spark.sql.sources.EqualTo("band", 0L))
+        }
+        val qn = s"wh_stream_cdf_${java.util.UUID.randomUUID()
+          .toString.replace("-", "")}"
+        val q = s.readStream.format("graft-warehouse")
+          .option("readChangeFeed", "true")
+          .option("maxGenerationsPerTrigger", "1")
+          .load(path)
+          .groupBy(col("_change_type").as("change_type"),
+            col("_commit_generation").as("gen"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qn).orderBy("gen", "change_type")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey
+             |      // ((SELECT max(o_orderkey) FROM orders) // 8 + 1)
+             |      AS band,
+             |    o_totalprice AS p
+             |  FROM orders)
+             |SELECT * FROM (
+             |  SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS gen,
+             |    count(*) AS n_rows,
+             |    round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |      AS total_price
+             |  FROM base WHERE band <= 3
+             |  UNION ALL
+             |  SELECT 'insert', CAST(1 AS BIGINT), count(*),
+             |    round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |  FROM base WHERE band >= 4
+             |  UNION ALL
+             |  SELECT 'delete', CAST(2 AS BIGINT), count(*),
+             |    round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |  FROM base WHERE band = 0
+             |) ORDER BY gen, change_type""".stripMargin)),
+
     // COPY-ON-WRITE UPDATE (round-14): completes the warehouse row-level
     // CRUD surface (metadata DELETE → CoW DELETE → CDC MERGE → UPDATE).
     // Same 8-band clustered orders fixture as the CoW delete: updating

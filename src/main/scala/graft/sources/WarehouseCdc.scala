@@ -46,6 +46,14 @@ object WarehouseCdc {
   val ChangeTypeCol = "_change_type"
   val GenerationCol = "_commit_generation"
 
+  /** The CDC meta columns a `readChangeFeed` scan appends after the data
+    * columns. */
+  val MetaFields: Array[org.apache.spark.sql.types.StructField] = Array(
+    org.apache.spark.sql.types.StructField(ChangeTypeCol,
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField(GenerationCol,
+      org.apache.spark.sql.types.LongType, nullable = false))
+
   private val RowPreserving = Set("OPTIMIZE", "ADD_COLUMN", "RENAME_COLUMN")
 
   private def manifestAt(root: String, g: Long): Manifest =

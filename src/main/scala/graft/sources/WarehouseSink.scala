@@ -71,7 +71,12 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WarehouseMeta.readManifest(root(options),
         Option(options.get("generation")).map(_.toLong)) match {
-      case Some(m) => m.schema
+      case Some(m) =>
+        // change-feed reads surface the two CDC meta columns after the
+        // data columns (the Delta readChangeFeed shape)
+        if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+          StructType(m.schema.fields ++ WarehouseCdc.MetaFields)
+        else m.schema
       case None => throw new IllegalArgumentException(
         s"graft-warehouse table at ${root(options)} has no committed " +
           "manifest; write to it first or supply a schema")
@@ -85,7 +90,7 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
       // streaming-source read options (round-14 incremental reads)
       Seq("startingGeneration", "ignoreDeletes", "ignoreChanges",
-        "maxGenerationsPerTrigger")
+        "maxGenerationsPerTrigger", "readChangeFeed")
         .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap)
 }
 
@@ -649,7 +654,15 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None,
         m0.copy(files = m0.files.filter(keep))
     }
   }
-  private var required: StructType = manifest.schema
+  // change-feed mode (streaming readChangeFeed=true): the scan's base
+  // schema appends the two CDC meta columns; metadata serves (agg /
+  // LIMIT / TOP-N) refuse — their manifest proofs describe data rows,
+  // not change rows
+  private val cdcMode =
+    streamOpts.get("readChangeFeed").exists(_.toBoolean)
+  private var required: StructType =
+    if (cdcMode) StructType(manifest.schema.fields ++ WarehouseCdc.MetaFields)
+    else manifest.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var topN: Option[(String, Boolean, Int)] = None
@@ -675,7 +688,7 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None,
     * `LIMIT 10` plans ONE file instead of the whole table.
     */
   override def pushLimit(l: Int): Boolean = {
-    if (pushed.nonEmpty) return false
+    if (pushed.nonEmpty || cdcMode) return false
     limit = Some(l)
     true
   }
@@ -712,7 +725,7 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None,
     // strictly before it under ANY tie-break. Spark's TakeOrdered above
     // applies the full composite order to the planned rows
     // (isPartiallyPushed = true).
-    if (pushed.nonEmpty || orders.length < 1) return false
+    if (pushed.nonEmpty || cdcMode || orders.length < 1) return false
     val so = orders(0)
     val colName = so.expression() match {
       case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
@@ -777,7 +790,7 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None,
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
-    if (pushed.nonEmpty) return false
+    if (pushed.nonEmpty || cdcMode) return false
     val integral = Set[DataType](LongType, IntegerType, DateType,
       TimestampType, TimestampNTZType)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression,
@@ -1047,7 +1060,8 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
       streamOpts.getOrElse("startingGeneration", "0"),
       streamOpts.get("ignoreDeletes").exists(_.toBoolean),
       streamOpts.get("ignoreChanges").exists(_.toBoolean),
-      streamOpts.get("maxGenerationsPerTrigger").map(_.toInt))
+      streamOpts.get("maxGenerationsPerTrigger").map(_.toInt),
+      streamOpts.get("readChangeFeed").exists(_.toBoolean))
 
   /** Pruning-aware CBO statistics (round-13 `SupportsReportStatistics`):
     * numRows = the exact frows sum over SURVIVING files (absent on any
@@ -1164,6 +1178,10 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    require(!streamOpts.get("readChangeFeed").exists(_.toBoolean),
+      "readChangeFeed is a streaming read option; for a batch change " +
+        "feed use WarehouseCdc.tableChanges (it also classifies " +
+        "copy-on-write commits)")
     val sv = surviving
     val planned = topNPlan(sv).orElse(limitPrefix(sv)).getOrElse(sv)
     WarehouseScanStats.lastPlannedFiles = planned.size

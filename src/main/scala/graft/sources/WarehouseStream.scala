@@ -60,7 +60,8 @@ case class WarehouseGenOffset(gen: Long) extends Offset {
 class WarehouseMicroBatchStream(root: String, streamSchema: StructType,
     required: StructType, filters: Array[Filter], defaults: Array[Any],
     startingGeneration: String, ignoreDeletes: Boolean,
-    ignoreChanges: Boolean, maxGensPerTrigger: Option[Int])
+    ignoreChanges: Boolean, maxGensPerTrigger: Option[Int],
+    cdcMode: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def currentGen: Long =
@@ -110,68 +111,101 @@ class WarehouseMicroBatchStream(root: String, streamSchema: StructType,
   // for the batch it planned): schema-evolution arities for planned files
   @volatile private var plannedArity: Map[String, Int] = Map.empty
 
+  /** Refuse a generation whose schema is not a leading prefix of the
+    * stream's (pre-evolution history replays; post-evolution commits
+    * need a restart). */
+  private def checkCompat(g: Long, m: Manifest): Unit = {
+    val gf = m.schema.fields
+    val sf = streamSchema.fields
+    if (gf.length > sf.length)
+      throw new IllegalStateException(
+        s"generation $g of $root evolved the schema past this " +
+          s"stream's (${gf.length} vs ${sf.length} columns) — " +
+          "restart the stream to adopt the evolved schema")
+    val drift = gf.indices.find(i =>
+      gf(i).name != sf(i).name || gf(i).dataType != sf(i).dataType)
+    drift.foreach(i => throw new IllegalStateException(
+      s"generation $g of $root is not schema-compatible with this " +
+        s"stream at column $i: table ${sf(i).name}:" +
+        s"${sf(i).dataType.simpleString} vs generation ${gf(i).name}:" +
+        s"${gf(i).dataType.simpleString}"))
+  }
+
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WarehouseGenOffset].gen
     val e = end.asInstanceOf[WarehouseGenOffset].gen
     if (e <= s) { plannedArity = Map.empty; return Array.empty }
-    var prevFiles: Set[String] =
-      if (s < 0) Set.empty else manifestAt(s).files.toSet
+    var prev: Option[Manifest] = if (s < 0) None else Some(manifestAt(s))
     val arity = Map.newBuilder[String, Int]
     val planned = List.newBuilder[InputPartition]
     var plannedCount = 0
+    // one partition per (file, change type): zone-map skipping applies
+    // to streamed files exactly as batch
+    def plan(files: Seq[String], m: Manifest, tpe: String,
+        g: Long): Unit = {
+      checkCompat(g, m)
+      files.filter(f => filters.forall(
+          WarehouseZoneMap.mightMatch(_, m.stats.getOrElse(f, Map.empty))))
+        .foreach { f =>
+          val a = m.fileArity(f)
+          if (a < streamSchema.length) arity += (s"$root/$f" -> a)
+          planned += (if (cdcMode)
+            WarehouseChangePartition(s"$root/$f", tpe, g)
+          else WarehousePartition(s"$root/$f"))
+          plannedCount += 1
+        }
+    }
     var g = s + 1
     while (g <= e) {
       val m = manifestAt(g)
+      val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty)
       val added = m.files.filterNot(prevFiles)
-      val removed = prevFiles.diff(m.files.toSet)
+      val removed = prevFiles.diff(m.files.toSet).toList
       val rowPreserving = m.disposition == "OPTIMIZE" ||
         m.disposition == "ADD_COLUMN" || m.disposition == "RENAME_COLUMN"
-      val emit: Boolean =
-        if (rowPreserving) false // moved/relabeled rows already delivered
-        else if (removed.isEmpty) added.nonEmpty
-        else if (added.isEmpty) {
-          if (!ignoreDeletes && !ignoreChanges)
-            throw new IllegalStateException(
-              s"generation $g of $root (${m.disposition}) removed " +
-                s"${removed.size} data file(s); an append-only stream " +
-                "cannot retract delivered rows — set ignoreDeletes=true " +
-                "to skip delete commits")
-          false
-        } else {
-          if (!ignoreChanges) throw new IllegalStateException(
-            s"generation $g of $root (${m.disposition}) rewrote data " +
-              s"files (${removed.size} removed, ${added.size} added); " +
-              "set ignoreChanges=true to re-emit rewritten files " +
-              "(at-least-once for surviving rows)")
-          true
-        }
-      if (emit) {
-        val gf = m.schema.fields
-        val sf = streamSchema.fields
-        if (gf.length > sf.length)
+      if (rowPreserving) {
+        () // moved/relabeled rows already delivered — nothing to emit
+      } else if (cdcMode) {
+        // CHANGE-FEED mode: deletes are data, not a refusal — emit
+        // removed files (readable via time travel) tagged delete and
+        // added files tagged insert. CoW rewrites interleave carried and
+        // changed rows INSIDE files; their row-level diff is a shuffle
+        // (EXCEPT ALL), not a file-granular stream — refuse toward the
+        // batch API that classifies them exactly.
+        if (removed.nonEmpty && added.nonEmpty &&
+            m.disposition != "WRITE_TRUNCATE")
           throw new IllegalStateException(
-            s"generation $g of $root evolved the schema past this " +
-              s"stream's (${gf.length} vs ${sf.length} columns) — " +
-              "restart the stream to adopt the evolved schema")
-        val drift = gf.indices.find(i =>
-          gf(i).name != sf(i).name || gf(i).dataType != sf(i).dataType)
-        drift.foreach(i => throw new IllegalStateException(
-          s"generation $g of $root is not schema-compatible with this " +
-            s"stream at column $i: table ${sf(i).name}:" +
-            s"${sf(i).dataType.simpleString} vs generation ${gf(i).name}:" +
-            s"${gf(i).dataType.simpleString}"))
-        // zone-map skipping applies to streamed files exactly as batch
-        added.filter(f => filters.forall(
-            WarehouseZoneMap.mightMatch(_, m.stats.getOrElse(f, Map.empty))))
-          .foreach { f =>
-            val a = m.fileArity(f)
-            if (a < streamSchema.length) arity += (s"$root/$f" -> a)
-            planned += WarehousePartition(s"$root/$f")
-            plannedCount += 1
+            s"generation $g of $root (${m.disposition}) is a " +
+              "copy-on-write rewrite; the streaming change feed is " +
+              "file-granular — read this window with " +
+              "WarehouseCdc.tableChanges (it classifies rewrite " +
+              "commits row-exactly)")
+        prev.foreach(pm => plan(removed, pm, "delete", g))
+        plan(added, m, "insert", g)
+      } else {
+        val emit: Boolean =
+          if (removed.isEmpty) added.nonEmpty
+          else if (added.isEmpty) {
+            if (!ignoreDeletes && !ignoreChanges)
+              throw new IllegalStateException(
+                s"generation $g of $root (${m.disposition}) removed " +
+                  s"${removed.size} data file(s); an append-only stream " +
+                  "cannot retract delivered rows — set ignoreDeletes=true " +
+                  "to skip delete commits (or readChangeFeed=true to " +
+                  "receive them as typed change rows)")
+            false
+          } else {
+            if (!ignoreChanges) throw new IllegalStateException(
+              s"generation $g of $root (${m.disposition}) rewrote data " +
+                s"files (${removed.size} removed, ${added.size} added); " +
+                "set ignoreChanges=true to re-emit rewritten files " +
+                "(at-least-once for surviving rows)")
+            true
           }
+        if (emit) plan(added, m, "insert", g)
       }
-      prevFiles = m.files.toSet
+      prev = Some(m)
       g += 1
     }
     plannedArity = arity.result()
@@ -181,9 +215,65 @@ class WarehouseMicroBatchStream(root: String, streamSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(root, streamSchema, required, None,
-      plannedArity, defaults)
+    if (cdcMode)
+      new WarehouseChangeReaderFactory(root, streamSchema, required,
+        plannedArity, defaults)
+    else
+      new WarehouseReaderFactory(root, streamSchema, required, None,
+        plannedArity, defaults)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** One change-feed file: every row it yields shares one change type and
+  * one committing generation (file-granular CDC — the reason CoW
+  * rewrites refuse toward the batch diff API). */
+case class WarehouseChangePartition(file: String, changeType: String,
+    gen: Long) extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Wraps the batch reader, appending the partition's constant
+  * `_change_type` / `_commit_generation` meta values to each row via a
+  * zero-copy JoinedRow. `required` keeps the scan's base order, so any
+  * kept meta columns sit AFTER the kept data columns. */
+class WarehouseChangeReaderFactory(root: String, dataSchema: StructType,
+    required: StructType, arity: Map[String, Int], defaults: Array[Any])
+    extends PartitionReaderFactory {
+  private val dataRequired = StructType(required.fields.filterNot(f =>
+    f.name == WarehouseCdc.ChangeTypeCol ||
+      f.name == WarehouseCdc.GenerationCol))
+  private val metaFields = required.fields.drop(dataRequired.length)
+  require(metaFields.forall(f =>
+    f.name == WarehouseCdc.ChangeTypeCol ||
+      f.name == WarehouseCdc.GenerationCol),
+    s"CDC meta columns must trail the pruned schema, got " +
+      required.fieldNames.mkString(","))
+  private val inner =
+    new WarehouseReaderFactory(root, dataSchema, dataRequired, None,
+      arity, defaults)
+
+  override def createReader(partition: org.apache.spark.sql.connector
+      .read.InputPartition): org.apache.spark.sql.connector.read
+      .PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    partition match {
+      case WarehouseChangePartition(file, tpe, gen) =>
+        val dataReader = inner.createReader(WarehousePartition(file))
+        val metaRow = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(metaFields.map[Any] { f =>
+            if (f.name == WarehouseCdc.ChangeTypeCol)
+              org.apache.spark.unsafe.types.UTF8String.fromString(tpe)
+            else java.lang.Long.valueOf(gen)
+          })
+        val joined =
+          new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        new org.apache.spark.sql.connector.read
+          .PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          override def next(): Boolean = dataReader.next()
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            joined(dataReader.get(), metaRow)
+          override def close(): Unit = dataReader.close()
+        }
+      case other => throw new IllegalStateException(
+        s"unexpected change partition $other")
+    }
 }
