@@ -1049,13 +1049,12 @@ object ReferenceQueries {
     // the files the next commit added (offset = generation number), so a
     // 100 TB table streams its delta per trigger with one manifest diff
     // of driver work and zero directory listing. The fixture loads three
-    // APPEND generations; `maxGenerationsPerTrigger=1` forces one
-    // micro-batch per commit and `Trigger.AvailableNow` drains and
-    // terminates. The aggregate must equal the batch answer over the
-    // whole table — the incremental read missed nothing, duplicated
-    // nothing (WarehouseStreamSourceSpec pins per-batch increments,
-    // checkpoint replay, delete/evolve refusal directions, and that
-    // OPTIMIZE commits emit nothing).
+    // APPEND generations; `Trigger.AvailableNow` drains and terminates.
+    // The aggregate must equal the batch answer over the whole table —
+    // the incremental read missed nothing, duplicated nothing
+    // (WarehouseStreamSourceSpec pins per-commit batch increments under
+    // maxGenerationsPerTrigger, checkpoint replay, delete/evolve
+    // refusal directions, and that OPTIMIZE commits emit nothing).
     QueryDef("stream_warehouse_source",
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
@@ -1081,7 +1080,6 @@ object ReferenceQueries {
         val qn = s"wh_stream_src_${java.util.UUID.randomUUID()
           .toString.replace("-", "")}"
         val q = s.readStream.format("graft-warehouse")
-          .option("maxGenerationsPerTrigger", "1")
           .load(path)
           .groupBy("band")
           .agg(count(lit(1)).as("n_rows"),
@@ -1272,7 +1270,6 @@ object ReferenceQueries {
           .toString.replace("-", "")}"
         val q = s.readStream.format("graft-warehouse")
           .option("readChangeFeed", "true")
-          .option("maxGenerationsPerTrigger", "1")
           .load(path)
           .groupBy(col("_change_type").as("change_type"),
             col("_commit_generation").as("gen"))
