@@ -1305,6 +1305,78 @@ object ReferenceQueries {
              |  FROM base WHERE band = 0
              |) ORDER BY gen, change_type""".stripMargin)),
 
+    // SQL CATALOG (round-14): the warehouse format as a Spark
+    // TableCatalog — CREATE TABLE ... PARTITIONED BY, INSERT INTO (an
+    // atomic load-job generation, cluster-splitting with zero options),
+    // DELETE FROM (metadata tier), and VERSION AS OF time travel, all
+    // from plain SQL against a path-backed catalog with no service
+    // state. The query runs the tour and folds the final table + a
+    // pre-delete time-travel read to per-band aggregates the oracle
+    // recomputes from orders (GraftCatalogSpec pins DDL round trips,
+    // layout/bloom property plumbing, zero-IO ALTERs, the DELETE
+    // metadata→CoW tiers, and RENAME/DROP).
+    QueryDef("catalog_sql_warehouse",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordcat_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val cat = s"gcat_$fp"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", path)
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        val tbl = s"$cat.db.orders"
+        val done = graft.sources.WarehouseMeta
+          .readManifest(s"$path/db/orders")
+          .exists(m => m.generation == 2L && m.disposition == "DELETE")
+        if (!done) {
+          val fs = graft.sources.WarehouseMeta.fs(path)
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, " +
+            "o_totalprice DOUBLE, band BIGINT) PARTITIONED BY (band)")
+          val vw = s"ord_cat_$fp"
+          orders.createOrReplaceTempView(vw)
+          s.sql(s"INSERT INTO $tbl SELECT /*+ REPARTITION(2) */ " +
+            s"o_orderkey, o_totalprice, o_orderkey DIV $w FROM $vw")
+          s.sql(s"DELETE FROM $tbl WHERE band = 0")
+        }
+        s.sql(
+          s"""SELECT band,
+             |  count(*) AS n_rows,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE), 2) AS total_price
+             |FROM $tbl GROUP BY band
+             |UNION ALL
+             |SELECT -1L AS band, count(*) AS n_rows,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE), 2) AS total_price
+             |FROM $tbl VERSION AS OF 1
+             |ORDER BY band""".stripMargin)
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey
+             |      // ((SELECT max(o_orderkey) FROM orders) // 8 + 1)
+             |      AS band,
+             |    o_totalprice AS p
+             |  FROM orders)
+             |SELECT * FROM (
+             |  SELECT band, count(*) AS n_rows,
+             |    round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |      AS total_price
+             |  FROM base WHERE band >= 1 GROUP BY band
+             |  UNION ALL
+             |  SELECT CAST(-1 AS BIGINT), count(*),
+             |    round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |  FROM base
+             |) ORDER BY band""".stripMargin)),
+
     // COPY-ON-WRITE UPDATE (round-14): completes the warehouse row-level
     // CRUD surface (metadata DELETE → CoW DELETE → CDC MERGE → UPDATE).
     // Same 8-band clustered orders fixture as the CoW delete: updating

@@ -105,12 +105,37 @@ class WarehouseTable(path: String, schema0: StructType,
     generation: Option[Long] = None,
     filesSubset: Option[Seq[String]] = None,
     streamOpts: Map[String, String] = Map.empty)
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-warehouse:$path"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+
+  /** SQL `DELETE FROM` face: the filters AND together into one
+    * predicate; the metadata delete serves it when every file is
+    * zone-provable, otherwise the copy-on-write path rewrites only the
+    * partial files (same two-tier discipline as the programmatic API).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    scala.util.Try {
+      filters.foreach(WarehouseCow.filterToColumn) // expressible shapes
+    }.isSuccess
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(filters.nonEmpty,
+      "DELETE without a WHERE clause should arrive as TRUNCATE")
+    val pred = filters.reduce[Filter](org.apache.spark.sql.sources.And(_, _))
+    try WarehouseDelete.deleteWhere(path, pred): Unit
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("not file-provable") =>
+        WarehouseCow.deleteWhereCow(
+          org.apache.spark.sql.SparkSession.active, path, pred): Unit
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WarehouseWriteBuilder(path, info.schema(), info.queryId(),
@@ -219,10 +244,16 @@ case class StagedFile(path: String, rows: Long,
 case class StagedFiles(files: Seq[StagedFile]) extends WriterCommitMessage
 
 class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
-    disposition: String, clusterBy: Option[String] = None,
+    disposition: String, clusterBy0: Option[String] = None,
     bloomOpt: Option[(Seq[String], Int)] = None) extends BatchWrite {
   require(Set("WRITE_APPEND", "WRITE_TRUNCATE", "WRITE_EMPTY")(disposition),
     s"unknown writeDisposition $disposition")
+  // appends inherit the table's cluster layout when no option names one
+  // (a SQL `INSERT INTO` a PARTITIONED BY table carries no options); a
+  // TRUNCATE write re-layouts to whatever the load declares
+  private val clusterBy: Option[String] = clusterBy0.orElse(
+    if (disposition == "WRITE_TRUNCATE") None
+    else WarehouseMeta.readManifest(root).flatMap(_.clusterBy))
   // the bloom index config is TABLE-STICKY like clusterBy: an explicit
   // option sets/overrides it, an appending load inherits the manifest's
   // so maintenance and follow-on loads keep the index alive
