@@ -1100,6 +1100,103 @@ object ReferenceQueries {
              |    AS DOUBLE), 2) AS total_price
              |FROM orders GROUP BY band ORDER BY band""".stripMargin)),
 
+    // SQL ROW-LEVEL DML (round-14): MERGE INTO and UPDATE as
+    // group-based copy-on-write via Spark's SupportsRowLevelOperations —
+    // the operation's scan plans candidate files with the same zone/bloom
+    // pruning as any read, Spark feeds every row of those files through
+    // the merge clauses / SET exprs (rows arrive marker-prefixed per the
+    // ReplaceData protocol), and the commit atomically REPLACES exactly
+    // the scanned files; everything else carries by reference. The tour:
+    // MERGE (matched UPDATE, matched DELETE, not-matched INSERT with
+    // disjoint key classes) then a band-scoped UPDATE; the oracle
+    // recomputes the final state from orders expressions
+    // (WarehouseSqlDmlSpec pins carried-by-path file scoping, the no-op
+    // no-match UPDATE, CDC classification of the commit, and cluster
+    // layout survival).
+    QueryDef("catalog_sql_merge",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordmrg_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val cat = s"gmrg_$fp"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", path)
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        val tbl = s"$cat.db.orders"
+        val done = graft.sources.WarehouseMeta
+          .readManifest(s"$path/db/orders")
+          .exists(_.disposition == "UPDATE_COW")
+        if (!done) {
+          val fs = graft.sources.WarehouseMeta.fs(path)
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, " +
+            "o_totalprice DOUBLE, band BIGINT) PARTITIONED BY (band)")
+          val vw = s"ord_mrg_$fp"
+          orders.createOrReplaceTempView(vw)
+          s.sql(s"INSERT INTO $tbl SELECT /*+ REPARTITION(2) */ " +
+            s"o_orderkey, o_totalprice, o_orderkey DIV $w FROM $vw")
+          s.sql(
+            s"""MERGE INTO $tbl t
+               |USING (
+               |  SELECT o_orderkey AS k, o_totalprice + 2000.0 AS p,
+               |    o_orderkey DIV $w AS band, 'U' AS op
+               |  FROM $vw WHERE o_orderkey % 89 = 0
+               |    AND o_orderkey % 127 <> 0
+               |  UNION ALL
+               |  SELECT o_orderkey, 0.0, o_orderkey DIV $w, 'D'
+               |  FROM $vw WHERE o_orderkey % 127 = 0
+               |  UNION ALL
+               |  SELECT o_orderkey + $maxK + 1L, 2.0,
+               |    o_orderkey DIV $w, 'I'
+               |  FROM $vw WHERE o_orderkey % 211 = 0
+               |) s
+               |ON t.o_orderkey = s.k
+               |WHEN MATCHED AND s.op = 'D' THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+               |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice,
+               |  band) VALUES (s.k, s.p, s.band)""".stripMargin)
+          s.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice + 1000.0 " +
+            "WHERE band = 0")
+        }
+        s.sql(
+          s"""SELECT band, count(*) AS n_rows,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE), 2) AS total_price
+             |FROM $tbl GROUP BY band ORDER BY band""".stripMargin)
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p,
+             |    o_orderkey
+             |      // ((SELECT max(o_orderkey) FROM orders) // 8 + 1)
+             |      AS band
+             |  FROM orders),
+             |merged AS (
+             |  SELECT k,
+             |    CASE WHEN k % 89 = 0 THEN p + 2000.0 ELSE p END AS p,
+             |    band
+             |  FROM base WHERE k % 127 <> 0
+             |  UNION ALL
+             |  SELECT k + (SELECT max(o_orderkey) + 1 FROM orders),
+             |    2.0, band
+             |  FROM base WHERE k % 211 = 0),
+             |fin AS (
+             |  SELECT k,
+             |    CASE WHEN band = 0 THEN p + 1000.0 ELSE p END AS p,
+             |    band
+             |  FROM merged)
+             |SELECT band, count(*) AS n_rows,
+             |  round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |    AS total_price
+             |FROM fin GROUP BY band ORDER BY band""".stripMargin)),
+
     // CHANGE DATA FEED (round-14): what changed between two committed
     // generations, derived METADATA-FIRST from manifest diffs — append
     // commits serve inserts from exactly their added files, metadata
@@ -1376,6 +1473,62 @@ object ReferenceQueries {
              |    round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
              |  FROM base
              |) ORDER BY band""".stripMargin)),
+
+    // STREAMING SINK (round-14): `writeStream.format("graft-warehouse")`
+    // — one epoch = one atomic load-job generation, exactly-once across
+    // checkpoint restarts (deterministic `stream_<queryId>_epoch<N>`
+    // jobIds make a replayed commit a detected no-op). The fixture
+    // streams a 3-commit warehouse SOURCE table into a warehouse SINK
+    // table (the format feeding itself end-to-end), then batch-reads the
+    // sink — the aggregate must equal the batch answer over orders:
+    // nothing lost, nothing doubled through the stream
+    // (WarehouseStreamSinkSpec pins per-epoch generations, idempotent
+    // replay, layout/bloom inheritance, and complete-mode snapshots).
+    QueryDef("stream_warehouse_sink",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val src = s"/tmp/graft_wh_ordsink_src_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val dst = s"/tmp/graft_wh_ordsink_dst_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        val banded = orders.withColumn("band", expr(s"o_orderkey div $w"))
+        if (graft.sources.WarehouseMeta.readManifest(src).isEmpty) {
+          Sink.overwrite(banded.filter(col("band") <= 2).repartition(2),
+            src, format = "graft-warehouse")
+          Sink.append(banded.filter(col("band").between(3, 5))
+            .repartition(2), src, format = "graft-warehouse")
+          Sink.append(banded.filter(col("band") >= 6).repartition(2),
+            src, format = "graft-warehouse")
+        }
+        val q = s.readStream.format("graft-warehouse").load(src)
+          .writeStream.format("graft-warehouse")
+          .option("checkpointLocation", s"${dst}_ckpt")
+          .option("path", dst)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Sink.read(s, dst, "graft-warehouse")
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+          .orderBy("band")
+      },
+      Some("""SELECT o_orderkey
+             |    // ((SELECT max(o_orderkey) FROM orders) // 8 + 1)
+             |    AS band,
+             |  count(*) AS n_rows,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE), 2) AS total_price
+             |FROM orders GROUP BY band ORDER BY band""".stripMargin)),
 
     // COPY-ON-WRITE UPDATE (round-14): completes the warehouse row-level
     // CRUD surface (metadata DELETE → CoW DELETE → CDC MERGE → UPDATE).

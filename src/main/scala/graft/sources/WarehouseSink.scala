@@ -106,12 +106,25 @@ class WarehouseTable(path: String, schema0: StructType,
     filesSubset: Option[Seq[String]] = None,
     streamOpts: Map[String, String] = Map.empty)
     extends Table with SupportsWrite with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO (and row-level DELETE fallback) as
+    * group-based copy-on-write — see [[WarehouseRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write
+          .RowLevelOperation =
+        new WarehouseRowLevelOperation(path, info.command())
+    }
   override def name(): String = s"graft-warehouse:$path"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   /** SQL `DELETE FROM` face: the filters AND together into one
     * predicate; the metadata delete serves it when every file is
@@ -167,6 +180,13 @@ class WarehouseWriteBuilder(path: String, schema: StructType, queryId: String,
     override def toBatch: BatchWrite =
       new WarehouseBatchWrite(path, schema, queryId, disposition, clusterBy,
         bloomOpt)
+    override def toStreaming: org.apache.spark.sql.connector.write
+        .streaming.StreamingWrite = {
+      val (cb, bc) = WarehouseLoadJob.resolveLayout(path, schema,
+        disposition, clusterBy, bloomOpt)
+      new WarehouseStreamingWrite(path, schema, queryId, disposition,
+        cb, bc)
+    }
   }
 }
 
@@ -248,36 +268,12 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
     bloomOpt: Option[(Seq[String], Int)] = None) extends BatchWrite {
   require(Set("WRITE_APPEND", "WRITE_TRUNCATE", "WRITE_EMPTY")(disposition),
     s"unknown writeDisposition $disposition")
-  // appends inherit the table's cluster layout when no option names one
-  // (a SQL `INSERT INTO` a PARTITIONED BY table carries no options); a
-  // TRUNCATE write re-layouts to whatever the load declares
-  private val clusterBy: Option[String] = clusterBy0.orElse(
-    if (disposition == "WRITE_TRUNCATE") None
-    else WarehouseMeta.readManifest(root).flatMap(_.clusterBy))
-  // the bloom index config is TABLE-STICKY like clusterBy: an explicit
-  // option sets/overrides it, an appending load inherits the manifest's
-  // so maintenance and follow-on loads keep the index alive
-  private lazy val bloomConf: Option[(Seq[String], Int)] = {
-    val conf = bloomOpt.orElse(
-      if (disposition == "WRITE_TRUNCATE") None
-      else WarehouseMeta.readManifest(root).flatMap(_.bloomConf))
-    conf.foreach { case (cols, bits) =>
-      require(bits >= 64 && (bits & (bits - 1)) == 0,
-        s"bloomBits $bits must be a power of two >= 64")
-      cols.foreach { c =>
-        val f = schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(
-            s"bloomFilters column $c not in " +
-              schema.fieldNames.mkString(",")))
-        require(WarehouseBloom.supported(f.dataType),
-          s"bloomFilters $c: unsupported type ${f.dataType.simpleString} " +
-            "(long/int/string only)")
-        require(!c.contains("|") && !c.contains(","),
-          s"bloomFilters $c: '|' and ',' collide with manifest encoding")
-      }
-    }
-    conf
-  }
+  // the cluster layout and bloom index config are TABLE-STICKY: an
+  // explicit option sets/overrides them, an appending load inherits the
+  // manifest's (a SQL `INSERT INTO` a PARTITIONED BY table carries no
+  // options); a TRUNCATE write re-layouts to whatever the load declares
+  private val (clusterBy, bloomConf) = WarehouseLoadJob.resolveLayout(
+    root, schema, disposition, clusterBy0, bloomOpt)
   clusterBy.foreach { c =>
     val f = schema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(
@@ -300,7 +296,26 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
     * changed). All checks precede the first mutation of anything outside
     * `_staging`, and visibility flips only at the final atomic rename.
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    WarehouseLoadJob.commit(root, schema, jobId, disposition, clusterBy,
+      bloomConf, messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = WarehouseMeta.fs(root)
+    fs.delete(new Path(root, s"_staging/$jobId"), true)
+    WarehouseMeta.logJobState(fs, root, jobId, "ABORTED")
+  }
+}
+
+/** The shared load-job commit: one atomic manifest generation from a set
+  * of staged task files, used by the batch write (one job = one commit)
+  * and the streaming write (one EPOCH = one commit). */
+object WarehouseLoadJob {
+
+  def commit(root: String, schema: StructType, jobId: String,
+      disposition: String, clusterBy: Option[String],
+      bloomConf: Option[(Seq[String], Int)],
+      messages: Array[WriterCommitMessage]): Unit = {
     val fs = WarehouseMeta.fs(root)
     WarehouseMeta.logJobState(fs, root, jobId, "RUNNING")
     try {
@@ -387,10 +402,102 @@ class WarehouseBatchWrite(root: String, schema: StructType, queryId: String,
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  /** Replace-groups commit (SQL UPDATE / MERGE INTO / row-level DELETE):
+    * the staged files REPLACE `replaced` (the files the operation's scan
+    * planned — every row of those files came back through the write,
+    * modified or carried); every other committed file carries by
+    * reference with all its metadata. Same atomicity as a load job. */
+  def commitReplace(root: String, schema: StructType, jobId: String,
+      disposition: String, messages: Array[WriterCommitMessage],
+      replaced: Seq[String]): Unit = {
     val fs = WarehouseMeta.fs(root)
-    fs.delete(new Path(root, s"_staging/$jobId"), true)
-    WarehouseMeta.logJobState(fs, root, jobId, "ABORTED")
+    WarehouseMeta.logJobState(fs, root, jobId, "RUNNING")
+    try {
+      val m = WarehouseMeta.readManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"row-level $jobId: table at $root has no committed manifest"))
+      require(m.schema.simpleString == schema.simpleString,
+        s"row-level $jobId: schema drift — table has " +
+          s"${m.schema.simpleString}, write has ${schema.simpleString}")
+      val bad = replaced.filterNot(m.files.toSet)
+      require(bad.isEmpty, s"row-level $jobId: replaced files not in " +
+        s"generation ${m.generation}: ${bad.take(3).mkString(",")}")
+      val staged = messages.flatMap {
+        case s: StagedFile => Seq(s)
+        case StagedFiles(fsx) => fsx
+        case _ => Nil
+      }.filter(_.rows > 0L)
+      val dataDir = new Path(root, s"data/$jobId")
+      fs.mkdirs(dataDir)
+      val moved = staged.map { s =>
+        val src = new Path(s.path)
+        val dst = new Path(dataDir, src.getName)
+        require(fs.rename(src, dst),
+          s"row-level $jobId: cannot move staged ${s.path}")
+        if (s.bloom.nonEmpty)
+          require(fs.rename(
+            new Path(WarehouseBloom.sidecarPath(s.path)),
+            new Path(dataDir, s"${src.getName}.bloom")),
+            s"row-level $jobId: cannot move bloom sidecar of ${s.path}")
+        (s"data/$jobId/${src.getName}", s)
+      }
+      val rep = replaced.toSet
+      val carry = m.files.filterNot(rep)
+      def keep[V](get: Manifest => Map[String, V]): Map[String, V] =
+        get(m).filter { case (k, _) => !rep(k) }
+      WarehouseMeta.writeManifest(fs, root,
+        Manifest(m.generation + 1, m.schema,
+          carry ++ moved.map(_._1).toList, jobId, disposition,
+          keep(_.stats) ++ moved.map(x => x._1 -> x._2.stats).toMap,
+          keep(_.rows) ++ moved.map(x => x._1 -> x._2.rows).toMap,
+          m.clusterBy,
+          keep(_.parts) ++ moved.collect {
+            case (f, s) if s.part.isDefined => f -> s.part.get
+          }.toMap,
+          keep(_.nonNull) ++ moved.map(x => x._1 -> x._2.nonNull).toMap,
+          keep(_.sums) ++ moved.map(x => x._1 -> x._2.sums).toMap,
+          keep(_.arity), // replacements encode the full current schema
+          m.defaults,
+          keep(_.blooms) ++ moved.collect {
+            case (f, s) if s.bloom.nonEmpty => f -> s.bloom
+          }.toMap,
+          m.bloomConf))
+      fs.delete(new Path(root, s"_staging/$jobId"), true)
+      WarehouseMeta.logJobState(fs, root, jobId, "DONE")
+    } catch {
+      case e: Throwable =>
+        WarehouseMeta.logJobState(fs, root, jobId, s"ERROR ${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** Resolve the table-sticky layout/index config an incoming write
+    * inherits when its options name none (appends keep the manifest's
+    * clusterBy + bloom config; a truncate re-layouts to the load's). */
+  def resolveLayout(root: String, schema: StructType, disposition: String,
+      clusterBy0: Option[String], bloomOpt: Option[(Seq[String], Int)])
+      : (Option[String], Option[(Seq[String], Int)]) = {
+    val inherit =
+      if (disposition == "WRITE_TRUNCATE") None
+      else WarehouseMeta.readManifest(root)
+    val clusterBy = clusterBy0.orElse(inherit.flatMap(_.clusterBy))
+    val bloomConf = bloomOpt.orElse(inherit.flatMap(_.bloomConf))
+    bloomConf.foreach { case (cols, bits) =>
+      require(bits >= 64 && (bits & (bits - 1)) == 0,
+        s"bloomBits $bits must be a power of two >= 64")
+      cols.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"bloomFilters column $c not in " +
+              schema.fieldNames.mkString(",")))
+        require(WarehouseBloom.supported(f.dataType),
+          s"bloomFilters $c: unsupported type ${f.dataType.simpleString} " +
+            "(long/int/string only)")
+        require(!c.contains("|") && !c.contains(","),
+          s"bloomFilters $c: '|' and ',' collide with manifest encoding")
+      }
+    }
+    (clusterBy, bloomConf)
   }
 }
 
@@ -656,7 +763,8 @@ object WarehouseScanStats {
   */
 class WarehouseScanBuilder(root: String, generation: Option[Long] = None,
     filesSubset: Option[Seq[String]] = None,
-    streamOpts: Map[String, String] = Map.empty)
+    streamOpts: Map[String, String] = Map.empty,
+    planListener: Option[List[String] => Unit] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -970,7 +1078,7 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None,
     case Some((schema, rows)) => new WarehouseAggScan(schema, rows)
     case None =>
       new WarehouseScan(root, manifest, required, pushed, limit, topN,
-        streamOpts)
+        streamOpts, planListener)
   }
 }
 
@@ -1014,7 +1122,9 @@ class WarehouseAggReaderFactory(rows: Seq[InternalRow])
 class WarehouseScan(root: String, manifest: Manifest, required: StructType,
     filters: Array[Filter], limit: Option[Int] = None,
     topN: Option[(String, Boolean, Int)] = None,
-    streamOpts: Map[String, String] = Map.empty) extends Scan with Batch
+    streamOpts: Map[String, String] = Map.empty,
+    planListener: Option[List[String] => Unit] = None)
+    extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1215,6 +1325,8 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
         "copy-on-write commits)")
     val sv = surviving
     val planned = topNPlan(sv).orElse(limitPrefix(sv)).getOrElse(sv)
+    // row-level operations replace EXACTLY the files their scan planned
+    planListener.foreach(_(planned))
     WarehouseScanStats.lastPlannedFiles = planned.size
     WarehouseScanStats.logPlanned(planned.size)
     WarehouseScanStats.lastReadSchema = required.simpleString

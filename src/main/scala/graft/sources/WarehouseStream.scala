@@ -226,6 +226,81 @@ class WarehouseMicroBatchStream(root: String, streamSchema: StructType,
   override def stop(): Unit = ()
 }
 
+/** Streaming SINK face (round-14): `writeStream.format("graft-warehouse")`
+  * — one EPOCH = one atomic load-job generation, EXACTLY-ONCE across
+  * failures. The epoch's jobId is DETERMINISTIC
+  * (`stream_<queryId>_epoch<N>`; the streaming queryId is stable across
+  * checkpoint restarts), so a replayed `commit` for an epoch the table
+  * already holds is detected — latest-manifest jobId match or a DONE job
+  * log — and skipped idempotently instead of double-appending. Append
+  * mode appends a generation per epoch; complete mode arrives as Spark's
+  * per-epoch truncate() and commits a WRITE_TRUNCATE generation (the
+  * whole-result snapshot — time travel then holds every epoch's full
+  * answer). Layout and bloom config inherit from the manifest exactly
+  * like batch loads; every downstream serve (zones, blooms, metadata
+  * aggregates, the streaming SOURCE on the same table) sees streamed
+  * generations as ordinary commits.
+  */
+class WarehouseStreamingWrite(root: String, schema: StructType,
+    queryId: String, disposition: String, clusterBy: Option[String],
+    bloomConf: Option[(Seq[String], Int)])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+
+  private val q = queryId.replaceAll("[^0-9a-zA-Z\\-]", "_")
+  private def epochJobId(epochId: Long): String = s"stream_${q}_epoch$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new WarehouseStreamingWriterFactory(root, q, schema, clusterBy,
+      bloomConf)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val jobId = epochJobId(epochId)
+    val alreadyCommitted =
+      WarehouseMeta.readManifest(root).exists(_.jobId == jobId) ||
+        WarehouseMeta.jobStates(root, jobId).exists(_.startsWith("DONE"))
+    if (alreadyCommitted) {
+      // checkpoint replay of a committed epoch: exactly-once means this
+      // commit is a no-op (staged twins, if any, are dropped)
+      WarehouseMeta.fs(root).delete(
+        new org.apache.hadoop.fs.Path(root, s"_staging/$jobId"), true)
+      return
+    }
+    WarehouseLoadJob.commit(root, schema, jobId, disposition, clusterBy,
+      bloomConf, messages)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = WarehouseMeta.fs(root)
+    val jobId = epochJobId(epochId)
+    fs.delete(new org.apache.hadoop.fs.Path(root, s"_staging/$jobId"), true)
+    WarehouseMeta.logJobState(fs, root, jobId, "ABORTED")
+  }
+}
+
+class WarehouseStreamingWriterFactory(root: String, q: String,
+    schema: StructType, clusterBy: Option[String],
+    bloomConf: Option[(Seq[String], Int)])
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): org.apache.spark.sql.connector.write
+      .DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val staging = s"$root/_staging/stream_${q}_epoch$epochId"
+    clusterBy match {
+      case None => new WarehouseDataWriter(
+        s"$staging/part-$partitionId-$taskId.grow", root, schema,
+        bloomConf = bloomConf)
+      case Some(c) => new WarehouseClusterWriter(
+        s"$staging/part-$partitionId-$taskId", root, schema, c, bloomConf)
+    }
+  }
+}
+
 /** One change-feed file: every row it yields shares one change type and
   * one committing generation (file-granular CDC — the reason CoW
   * rewrites refuse toward the batch diff API). */

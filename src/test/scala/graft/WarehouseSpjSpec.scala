@@ -101,18 +101,28 @@ class WarehouseSpjSpec extends SparkSpec {
     assert(got.count(_.isNullAt(0)) === 1)
   }
 
-  test("clusterBy drift on append refuses; truncate re-layouts") {
+  test("appends inherit the cluster layout option-free (the SQL INSERT " +
+    "path); a CONFLICTING layout refuses; truncate re-layouts") {
     import spark.implicits._
     val p = fresh("drift")
     writeClustered(p, Seq(("x", 1L)), "k", "v")
     val plain = Seq(("y", 2L)).toDF("k", "v")
+    // option-free append INHERITS the table's layout (round-14: the SQL
+    // `INSERT INTO` a PARTITIONED BY table carries no options)
+    Sink.append(plain, p, format = "graft-warehouse")
+    val m1 = WarehouseMeta.readManifest(p).get
+    assert(m1.clusterBy === Some("k"))
+    assert(m1.files.forall(m1.parts.contains),
+      "inherited-layout append must cluster-split")
+    // an explicitly DIFFERENT layout is drift and refuses
     intercept[Exception] {
-      Sink.append(plain, p, format = "graft-warehouse")
+      Sink.append(plain, p, format = "graft-warehouse",
+        options = Map("clusterBy" -> "v"))
     }
     // same clusterBy appends fine
     Sink.append(plain, p, format = "graft-warehouse",
       options = Map("clusterBy" -> "k"))
-    assert(Sink.read(spark, p, "graft-warehouse").count() === 2L)
+    assert(Sink.read(spark, p, "graft-warehouse").count() === 3L)
     // truncate with a different layout is a fresh start
     Sink.overwrite(plain, p, format = "graft-warehouse")
     assert(WarehouseMeta.readManifest(p).get.clusterBy === None)
