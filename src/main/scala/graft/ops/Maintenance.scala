@@ -179,8 +179,13 @@ object Maintenance {
     val size = m.files.map { f =>
       f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen
     }.toMap
-    val (small, compliant) = m.files.partition(size(_) < smallBytes)
-    if (small.size <= 1)
+    // a vectored file always rewrites regardless of size: OPTIMIZE is
+    // where merge-on-read deletions get materialized back to clean files
+    val (small, compliant) = m.files.partition(f =>
+      size(f) < smallBytes || m.dvs.contains(f))
+    // a single small CLEAN file can't pack further — but a vectored file
+    // still needs its rewrite (materializing the deletions away)
+    if (small.size <= 1 && small.forall(f => !m.dvs.contains(f)))
       return OptimizeStats(m.files.size, m.files.size, 0, m.files.size)
     require(small.forall(!_.contains(",")),
       "file name contains ',' — cannot pass through the files option")
@@ -234,9 +239,10 @@ object Maintenance {
       s"graft-warehouse table at $root has no committed manifest")
     val (drop, keep) =
       gens.splitAt(math.max(gens.size - keepGenerations, 0))
-    val referenced = keep.flatMap(g =>
-      graft.sources.WarehouseMeta.readManifest(root, Some(g)).get.files)
-      .toSet
+    val referenced = keep.flatMap { g =>
+      val gm = graft.sources.WarehouseMeta.readManifest(root, Some(g)).get
+      gm.files ++ gm.dvs.values.map(_._1)
+    }.toSet
     val jobId = s"vacuum-${java.util.UUID.randomUUID()}"
     graft.sources.WarehouseMeta.logJobState(fs, root, jobId,
       s"PENDING keep=$keepGenerations")

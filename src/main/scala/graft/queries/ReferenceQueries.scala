@@ -1197,6 +1197,72 @@ object ReferenceQueries {
              |    AS total_price
              |FROM fin GROUP BY band ORDER BY band""".stripMargin)),
 
+    // MERGE-ON-READ DELETION VECTORS (round-14): the third delete tier.
+    // Copy-on-write rewrites whole files to delete scattered rows — at
+    // 100 TB, deleting 0.1% of a thousand-file table that way rewrites
+    // the table. A deletion vector marks the matching ORDINALS in a
+    // per-file bitmap sidecar instead; readers skip them, COUNT stays
+    // metadata-exact (live = frows − marked), and OPTIMIZE materializes
+    // vectors back to clean files. The tour: a zone-provable band drops
+    // as metadata, then a key-range predicate that straddles the top
+    // band commits a bitmap (zero data-file changes — WarehouseDvSpec
+    // pins the unchanged file set, idempotent bitmap unions, serve
+    // refusal directions, CDC delete emission, OPTIMIZE
+    // materialization, and vacuum hygiene).
+    QueryDef("sink_warehouse_delete_mor",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordmor_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        val thr = maxK - w / 2
+        val banded = orders.withColumn("band", expr(s"o_orderkey div $w"))
+        val done = graft.sources.WarehouseMeta.readManifest(path)
+          .exists(m => m.generation == 2L && m.disposition == "DELETE_DV")
+        if (!done) {
+          val fs = graft.sources.WarehouseMeta.fs(path)
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          Sink.overwrite(banded.repartition(1), path,
+            format = "graft-warehouse",
+            options = Map("clusterBy" -> "band"))
+          // tier 1: zone-provable full band -> metadata drop
+          graft.sources.WarehouseDv.deleteWhereDv(s, path,
+            org.apache.spark.sql.sources.EqualTo("band", 0L))
+          // tier 2: straddles only the top band's file -> bitmap commit
+          graft.sources.WarehouseDv.deleteWhereDv(s, path,
+            org.apache.spark.sql.sources.GreaterThan("o_orderkey", thr))
+        }
+        Sink.read(s, path, "graft-warehouse")
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+          .orderBy("band")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p,
+             |    o_orderkey
+             |      // ((SELECT max(o_orderkey) FROM orders) // 8 + 1)
+             |      AS band
+             |  FROM orders)
+             |SELECT band, count(*) AS n_rows,
+             |  round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |    AS total_price
+             |FROM base
+             |WHERE band <> 0
+             |  AND k <= (SELECT max(o_orderkey)
+             |      - (((SELECT max(o_orderkey) FROM orders) // 8 + 1)
+             |        // 2)
+             |    FROM orders)
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
     // CHANGE DATA FEED (round-14): what changed between two committed
     // generations, derived METADATA-FIRST from manifest diffs — append
     // commits serve inserts from exactly their added files, metadata

@@ -105,16 +105,52 @@ object WarehouseCdc {
       df.withColumn(ChangeTypeCol, lit(tpe))
         .withColumn(GenerationCol, lit(g))
     val empty = tag(readAt(toGen, Nil).limit(0), "insert", 0L).limit(0)
-    var prevFiles: Set[String] =
-      if (sinceGen < 0) Set.empty
-      else manifestAt(root, sinceGen).files.toSet
+    var prevM: Option[Manifest] =
+      if (sinceGen < 0) None else Some(manifestAt(root, sinceGen))
     val parts = List.newBuilder[DataFrame]
+
+    /** Rows a DELETE_DV commit newly marked in `f`: read the file under
+      * an INVERTED diff bitmap (skip everything EXCEPT the newly-marked
+      * ordinals) — the deletes stream straight off the file, no ordinal
+      * ever materializes on the driver. The temp bitmap lives under an
+      * unreferenced data dir, so VACUUM collects it. */
+    def newlyMarked(g: Long, f: String, newRel: String,
+        oldRel: Option[String]): DataFrame = {
+      val fs = WarehouseMeta.fs(root)
+      val newW = WarehouseDv.read(fs, s"$root/$newRel")
+      val oldW = oldRel.map(p => WarehouseDv.read(fs, s"$root/$p"))
+        .getOrElse(new Array[Long](newW.length))
+      val skip = Array.tabulate(newW.length) { i =>
+        val old = if (i < oldW.length) oldW(i) else 0L
+        ~(newW(i) & ~old)
+      }
+      val rel = s"data/cdcdiff_${java.util.UUID.randomUUID()
+        .toString.take(8)}/diff.dv"
+      WarehouseDv.write(fs, s"$root/$rel", skip)
+      align(spark.read.format("graft-warehouse")
+        .option("path", root).option("generation", g.toString)
+        .option("files", f).option("dvOverride", s"$f::$rel")
+        .load(), target)
+    }
+
     var g = sinceGen + 1
     while (g <= toGen) {
       val m = manifestAt(root, g)
+      val prevFiles = prevM.map(_.files.toSet).getOrElse(Set.empty)
       val added = m.files.filterNot(prevFiles)
       val removed = prevFiles.toList.filterNot(m.files.toSet)
-      if (!RowPreserving(m.disposition)) (added.nonEmpty, removed.nonEmpty) match {
+      if (m.disposition == "DELETE_DV") {
+        // full-drop leg (files whose every live row matched)
+        if (removed.nonEmpty)
+          parts += tag(readAt(g - 1, removed), "delete", g)
+        // vector leg: each changed bitmap's newly-marked rows
+        val prevDvs = prevM.map(_.dvs).getOrElse(Map.empty)
+        m.dvs.foreach { case (f, (p, _)) =>
+          if (!prevDvs.get(f).exists(_._1 == p))
+            parts += tag(newlyMarked(g, f, p, prevDvs.get(f).map(_._1)),
+              "delete", g)
+        }
+      } else if (!RowPreserving(m.disposition)) (added.nonEmpty, removed.nonEmpty) match {
         case (true, false) =>
           parts += tag(readAt(g, added), "insert", g)
         case (false, true) =>
@@ -161,7 +197,7 @@ object WarehouseCdc {
           }
         case (false, false) => () // pure-metadata commit, no row change
       }
-      prevFiles = m.files.toSet
+      prevM = Some(m)
       g += 1
     }
     parts.result() match {

@@ -90,7 +90,8 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
       // streaming-source read options (round-14 incremental reads)
       Seq("startingGeneration", "ignoreDeletes", "ignoreChanges",
-        "maxGenerationsPerTrigger", "readChangeFeed")
+        "maxGenerationsPerTrigger", "readChangeFeed",
+        "ignoreDeleteVectors", "dvOverride")
         .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap)
 }
 
@@ -392,7 +393,8 @@ object WarehouseLoadJob {
           keep(_.blooms) ++ moved.collect {
             case (f, s) if s.bloom.nonEmpty => f -> s.bloom
           }.toMap,
-          bloomConf))
+          bloomConf,
+          keep(_.dvs)))
       fs.delete(new Path(root, s"_staging/$jobId"), true)
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
@@ -461,7 +463,7 @@ object WarehouseLoadJob {
           keep(_.blooms) ++ moved.collect {
             case (f, s) if s.bloom.nonEmpty => f -> s.bloom
           }.toMap,
-          m.bloomConf))
+          m.bloomConf, keep(_.dvs)))
       fs.delete(new Path(root, s"_staging/$jobId"), true)
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
@@ -1004,25 +1006,29 @@ class WarehouseScanBuilder(root: String, generation: Option[Long] = None,
     // one-value-per-file layout makes the subset exactly one GROUP).
     def rowFor(files: Seq[String])
         : Option[(Seq[StructField], Seq[Any])] = {
+      // deletion vectors: COUNT(*) stays exact (live = frows - marked);
+      // every other aggregate refuses on a vectored file (a deleted row
+      // might hold the extremum / contribute to the sum)
+      val noDv = files.forall(f => !manifest.dvs.contains(f))
       val fields = agg.aggregateExpressions.toSeq.map {
         case _: CountStar =>
-          if (files.forall(manifest.rows.contains)) {
-            val n = files.map(manifest.rows).sum
+          if (files.forall(f => manifest.liveRows(f).isDefined)) {
+            val n = files.map(f => manifest.liveRows(f).get).sum
             Some((StructField("COUNT(*)", LongType, nullable = false),
               n: Any))
           } else None
-        case m: Min => colOf(m.column, integral).flatMap(f =>
+        case m: Min if noDv => colOf(m.column, integral).flatMap(f =>
           bound(files, f.name, takeHi = false).map(v =>
             (StructField(s"MIN(${f.name})", f.dataType), internal(f, v))))
-        case m: Max => colOf(m.column, integral).flatMap(f =>
+        case m: Max if noDv => colOf(m.column, integral).flatMap(f =>
           bound(files, f.name, takeHi = true).map(v =>
             (StructField(s"MAX(${f.name})", f.dataType), internal(f, v))))
-        case c: Count if !c.isDistinct =>
+        case c: Count if !c.isDistinct && noDv =>
           colOf(c.column, _ => true).flatMap(f =>
             nnTotal(files, f.name).map(n =>
               (StructField(s"COUNT(${f.name})", LongType, nullable = false),
                 n: Any)))
-        case s: Sum if !s.isDistinct =>
+        case s: Sum if !s.isDistinct && noDv =>
           colOf(s.column, dt => dt == LongType || dt == IntegerType)
             .flatMap(f => sumTotal(files, f.name).map(v =>
               (StructField(s"SUM(${f.name})", LongType),
@@ -1217,8 +1223,8 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
       : org.apache.spark.sql.connector.read.Statistics = {
     val sv = surviving
     val rows: java.util.OptionalLong =
-      if (sv.forall(manifest.rows.contains))
-        java.util.OptionalLong.of(sv.map(manifest.rows).sum)
+      if (sv.forall(f => manifest.liveRows(f).isDefined))
+        java.util.OptionalLong.of(sv.map(f => manifest.liveRows(f).get).sum)
       else java.util.OptionalLong.empty()
     val f = WarehouseMeta.fs(root)
     val bytes = sv.map { file =>
@@ -1260,11 +1266,12 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
   private def limitPrefix(sv: List[String]): Option[List[String]] =
     limit match {
       case Some(n) if filters.isEmpty && runtimeFilters.isEmpty &&
-          clustered.isEmpty && sv.forall(manifest.rows.contains) =>
+          clustered.isEmpty &&
+          sv.forall(f => manifest.liveRows(f).isDefined) =>
         var acc = 0L
         Some(sv.takeWhile { f =>
           val take = acc < n
-          acc += manifest.rows(f)
+          acc += manifest.liveRows(f).get
           take
         })
       case _ => None
@@ -1281,7 +1288,7 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
   private def topNPlan(sv: List[String]): Option[List[String]] =
     topN match {
       case Some((c, asc, n)) if filters.isEmpty && runtimeFilters.isEmpty &&
-          clustered.isEmpty =>
+          clustered.isEmpty && sv.forall(f => !manifest.dvs.contains(f)) =>
         val nullFiles = sv.filter(f =>
           manifest.nonNull(f)(c) < manifest.rows(f))
         val withStats = sv.flatMap { f =>
@@ -1356,9 +1363,22 @@ class WarehouseScan(root: String, manifest: Manifest, required: StructType,
       manifest.arity.map { case (f, n) => s"$root/$f" -> n },
       // DEFAULT tail values resolved ONCE per scan on the driver (the
       // catalyst values — Long/Int/Double/UTF8String/… — all serialize)
-      manifest.schema.fields.map(f =>
+      tail = manifest.schema.fields.map(f =>
         manifest.defaults.get(f.name)
-          .map(WarehouseEvolve.resolveDefault(_, f.dataType)).orNull))
+          .map(WarehouseEvolve.resolveDefault(_, f.dataType)).orNull),
+      dv = streamOpts.get("dvOverride") match {
+        // internal (change-feed) hook: read ONE file under an explicit
+        // vector instead of the manifest's — e.g. the inverted
+        // newly-marked bitmap that yields exactly a window's deletes
+        case Some(ov) =>
+          val Array(f, rel) = ov.split("::", 2)
+          Map(s"$root/$f" -> s"$root/$rel")
+        case None =>
+          if (streamOpts.get("ignoreDeleteVectors").exists(_.toBoolean))
+            Map.empty
+          else manifest.dvs.map { case (f, (p, _)) =>
+            s"$root/$f" -> s"$root/$p" }
+      })
 }
 
 /** Conservative min/max file pruning: a file survives unless its stats
@@ -1531,7 +1551,8 @@ case class WarehouseGroupPartition(files: Seq[String], encoded: String,
 class WarehouseReaderFactory(root: String, fullSchema: StructType,
     required: StructType, rowCap: Option[Int] = None,
     arity: Map[String, Int] = Map.empty,
-    tail: Array[Any] = Array.empty)
+    tail: Array[Any] = Array.empty,
+    dv: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1557,11 +1578,17 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
       // schema-evolution field count of the CURRENT file (columns past
       // it were added after the file was written and decode as NULL)
       private var curArity = fullSchema.length
+      // merge-on-read: the CURRENT file's deletion-vector bitset (null =
+      // none) and the running file ordinal it indexes
+      private var dvWords: Array[Long] = _
+      private var ordinal = 0L
       private def openNext(): Boolean =
         if (queue.isEmpty) false
         else {
           val file = queue.dequeue()
           curArity = arity.getOrElse(file, fullSchema.length)
+          dvWords = dv.get(file).map(WarehouseDv.read(fs, _)).orNull
+          ordinal = 0L
           in = new DataInputStream(
             new java.io.BufferedInputStream(fs.open(new Path(file))))
           require(in.readInt() == WarehouseCodec.Magic,
@@ -1572,11 +1599,21 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
         // pushed-LIMIT early stop: a partition never decodes past the
         // limit — Spark's GlobalLimit above takes the exact n
         if (emitted >= cap) return false
-        if (in == null && !openNext()) return false
-        row = WarehouseCodec.readRowProjected(in, fullSchema, required,
-          slot, curArity, fullTail)
-        if (row != null) { emitted += 1; true }
-        else { in.close(); in = null; next() }
+        while (true) {
+          if (in == null && !openNext()) return false
+          row = WarehouseCodec.readRowProjected(in, fullSchema, required,
+            slot, curArity, fullTail)
+          if (row == null) { in.close(); in = null }
+          else {
+            val ord = ordinal
+            ordinal += 1
+            if (dvWords == null || !WarehouseDv.isSet(dvWords, ord)) {
+              emitted += 1
+              return true
+            } // else: a deletion-vector'd ordinal — decoded and skipped
+          }
+        }
+        false
       }
       override def get(): InternalRow = row
       override def close(): Unit = if (in != null) in.close()
@@ -1599,7 +1636,15 @@ case class Manifest(generation: Long, schema: StructType,
     // per-file bloom coverage (file -> indexed columns; bits live in the
     // `<file>.bloom` sidecar) + the table-sticky index config
     blooms: Map[String, Seq[String]] = Map.empty,
-    bloomConf: Option[(Seq[String], Int)] = None) {
+    bloomConf: Option[(Seq[String], Int)] = None,
+    // merge-on-read DELETION VECTORS: file -> (dv sidecar rel path,
+    // deleted-ordinal count); readers skip the marked ordinals, so a
+    // partial delete is a bitmap commit, never a rewrite
+    dvs: Map[String, (String, Long)] = Map.empty) {
+  /** Exact LIVE row count of `f` when known (file rows minus its
+    * deletion vector's marked ordinals). */
+  def liveRows(f: String): Option[Long] =
+    rows.get(f).map(_ - dvs.get(f).map(_._2).getOrElse(0L))
   /** Schema-evolution field count for `f`: how many leading fields of
     * the TABLE schema the file actually encodes. Columns appended by
     * [[WarehouseEvolve.addColumn]] after the file was written decode as
@@ -1679,7 +1724,7 @@ object WarehouseDelete {
           "metadata delete would drop or keep live rows; use a " +
           "copy-on-write rewrite for partial deletes")
     }
-    if (dropped.exists(f => !m.rows.contains(f)))
+    if (dropped.exists(f => m.liveRows(f).isEmpty))
       throw new IllegalArgumentException(
         "dropped files lack exact row counts (pre-upgrade manifest) — " +
           "refusing: the deleted-count contract would be a guess")
@@ -1692,14 +1737,14 @@ object WarehouseDelete {
         stats = m.stats -- dropped, rows = m.rows -- dropped,
         parts = m.parts -- dropped, nonNull = m.nonNull -- dropped,
         sums = m.sums -- dropped, arity = m.arity -- dropped,
-        blooms = m.blooms -- dropped))
+        blooms = m.blooms -- dropped, dvs = m.dvs -- dropped))
       WarehouseMeta.logJobState(fs, root, jobId, "DONE")
     } catch {
       case e: Throwable =>
         WarehouseMeta.logJobState(fs, root, jobId, s"ERROR ${e.getMessage}")
         throw e
     }
-    dropped.map(m.rows).sum
+    dropped.map(f => m.liveRows(f).get).sum
   }
 }
 
@@ -2186,7 +2231,8 @@ object WarehouseRewrite {
           rekey(_.nonNull), rekey(_.sums),
           // carried files keep their evolution arity; rewritten files
           // were just written at the full current schema (no entry)
-          rekey(_.arity), m.defaults, rekey(_.blooms), m.bloomConf)
+          rekey(_.arity), m.defaults, rekey(_.blooms), m.bloomConf,
+          rekey(_.dvs))
         WarehouseMeta.writeManifest(fs, root, newM)
         WarehouseMeta.logJobState(fs, root, jobId, "DONE")
         newM
@@ -2358,12 +2404,17 @@ object WarehouseMeta {
         val Array(cols, bits) = l.substring(10).split('|')
         (cols.split(',').toSeq, bits.toInt)
     }
+    // merge-on-read deletion vectors (round-14)
+    val dvs = lines.filter(_.startsWith("fdv="))
+      .map(_.substring(4).split('|'))
+      .collect { case Array(f, p, n) => f -> (p, n.toLong) }
+      .toMap
     val m = Manifest(gen,
       DataType.fromJson(one("schema")).asInstanceOf[StructType],
       lines.filter(_.startsWith("file=")).map(_.substring(5)),
       one("job"), one("disposition"), stats, rowCounts, clusterBy, parts,
       perFileCol("fnn="), perFileCol("fsum="), arity, defaults,
-      blooms, bloomConf)
+      blooms, bloomConf, dvs)
     parsedManifests.synchronized {
       parsedManifests.put((root, gen),
         CachedManifest(status.getLen, status.getModificationTime, m))
@@ -2404,6 +2455,10 @@ object WarehouseMeta {
       } yield s"fbloom=$f|$c") ++
         m.bloomConf.map { case (cs, bits) =>
           s"bloomconf=${cs.mkString(",")}|$bits" }.toList
+      val dvLines = m.dvs.toList.sortBy(_._1).collect {
+        case (f, (p, n)) if !f.contains("|") && !p.contains("|") =>
+          s"fdv=$f|$p|$n"
+      }
       def perFileCol(prefix: String,
           mm: Map[String, Map[String, Long]]): List[String] = for {
         (f, cols) <- mm.toList.sortBy(_._1) if !f.contains("|")
@@ -2414,7 +2469,7 @@ object WarehouseMeta {
         s"disposition=${m.disposition}" ::
         (clusterLine ++ m.files.map(p => s"file=$p") ++ statLines ++
           rowLines ++ partLines ++ arityLines ++ defaultLines ++
-          bloomLines ++ perFileCol("fnn=", m.nonNull) ++
+          bloomLines ++ dvLines ++ perFileCol("fnn=", m.nonNull) ++
           perFileCol("fsum=", m.sums)))
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
