@@ -2038,7 +2038,7 @@ object WarehouseCow {
     val drop = grouped.getOrElse("drop", Nil)
     val carry = grouped.getOrElse("carry", Nil)
     val rewrite = grouped.getOrElse("rewrite", Nil)
-    require((drop ++ rewrite).forall(m.rows.contains),
+    require((drop ++ rewrite).forall(f => m.liveRows(f).isDefined),
       "affected files lack exact row counts (pre-upgrade manifest) — " +
         "refusing: the deleted-count contract would be a guess")
     if (rewrite.isEmpty)
@@ -2049,7 +2049,10 @@ object WarehouseCow {
       survivors, "DELETE_COW")
     val rewrittenOut = (after.files.toSet -- carry.toSet)
       .toSeq.map(after.rows).sum
-    drop.map(m.rows).sum + rewrite.map(m.rows).sum - rewrittenOut
+    // LIVE counts: a deletion-vector'd row is already gone — neither a
+    // dropped nor a rewritten file may recount it
+    drop.map(f => m.liveRows(f).get).sum +
+      rewrite.map(f => m.liveRows(f).get).sum - rewrittenOut
   }
 }
 

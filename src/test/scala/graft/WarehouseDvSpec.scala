@@ -114,6 +114,23 @@ class WarehouseDvSpec extends SparkSpec {
     assert(Sink.read(spark, path, "graft-warehouse").count() === 35L)
   }
 
+  test("a copy-on-write delete AFTER a vector delete counts only live " +
+    "rows and carries the vector math through the rewrite") {
+    val path = fresh("cowafter")
+    Sink.overwrite(spark.range(50).select(col("id").as("k")).coalesce(1),
+      path, format = "graft-warehouse")
+    // vector out k < 10 (10 live rows gone)
+    assert(WarehouseDv.deleteWhereDv(spark, path, LessThan("k", 10L))
+      === 10L)
+    // CoW-delete k < 20: only the 10 LIVE rows in [10,20) may count
+    val d = graft.sources.WarehouseCow.deleteWhereCow(spark, path,
+      LessThan("k", 20L))
+    assert(d === 10L, s"already-vectored rows must not recount (got $d)")
+    val m = WarehouseMeta.readManifest(path).get
+    assert(m.dvs.isEmpty, "the rewrite physically removed the rows")
+    assert(Sink.read(spark, path, "graft-warehouse").count() === 30L)
+  }
+
   test("the streaming source refuses a DV commit by default, skips " +
     "under ignoreDeletes; streaming CDC points at the batch API") {
     val path = fresh("stream")
