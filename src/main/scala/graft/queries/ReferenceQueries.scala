@@ -1263,6 +1263,62 @@ object ReferenceQueries {
              |    FROM orders)
              |GROUP BY band ORDER BY band""".stripMargin)),
 
+    // MERGE-ON-READ UPDATE (round-14): the symmetric counterpart of the
+    // deletion-vector delete — matching rows are VECTORED OUT of their
+    // files and re-appended with the SET applied, one atomic UPDATE_MOR
+    // generation whose write cost is the updated rows plus one bitmap
+    // per touched file (a CoW update would rewrite every straddled file
+    // in full). The change feed classifies the commit as exact
+    // update_preimage (newly-marked ordinals) + update_postimage
+    // (appended rows); OPTIMIZE later materializes the vectors away
+    // (WarehouseDvSpec pins the two-file shape, compound-update
+    // chaining over both legs, and exact typed feed rows).
+    QueryDef("sink_warehouse_update_mor",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordumor_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        val banded = orders.withColumn("band", expr(s"o_orderkey div $w"))
+        val done = graft.sources.WarehouseMeta.readManifest(path)
+          .exists(_.disposition == "UPDATE_MOR")
+        if (!done) {
+          val fs = graft.sources.WarehouseMeta.fs(path)
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          Sink.overwrite(banded.repartition(1), path,
+            format = "graft-warehouse",
+            options = Map("clusterBy" -> "band"))
+          graft.sources.WarehouseDv.updateWhereMor(s, path,
+            org.apache.spark.sql.sources.LessThanOrEqual("band", 1L),
+            Map("o_totalprice" -> "o_totalprice + 500.0d"))
+        }
+        Sink.read(s, path, "graft-warehouse")
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+          .orderBy("band")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k,
+             |    o_totalprice AS p,
+             |    o_orderkey
+             |      // ((SELECT max(o_orderkey) FROM orders) // 8 + 1)
+             |      AS band
+             |  FROM orders)
+             |SELECT band, count(*) AS n_rows,
+             |  round(CAST(sum(CAST(
+             |    CASE WHEN band <= 1 THEN p + 500.0 ELSE p END
+             |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+             |FROM base GROUP BY band ORDER BY band""".stripMargin)),
+
     // CHANGE DATA FEED (round-14): what changed between two committed
     // generations, derived METADATA-FIRST from manifest diffs — append
     // commits serve inserts from exactly their added files, metadata

@@ -139,17 +139,23 @@ object WarehouseCdc {
       val prevFiles = prevM.map(_.files.toSet).getOrElse(Set.empty)
       val added = m.files.filterNot(prevFiles)
       val removed = prevFiles.toList.filterNot(m.files.toSet)
-      if (m.disposition == "DELETE_DV") {
-        // full-drop leg (files whose every live row matched)
+      if (m.disposition == "DELETE_DV" || m.disposition == "UPDATE_MOR") {
+        val isUpdate = m.disposition == "UPDATE_MOR"
+        // full-drop leg (DELETE_DV files whose every live row matched)
         if (removed.nonEmpty)
           parts += tag(readAt(g - 1, removed), "delete", g)
-        // vector leg: each changed bitmap's newly-marked rows
+        // vector leg: each changed bitmap's newly-marked rows are the
+        // deletes (or the update pre-images)
         val prevDvs = prevM.map(_.dvs).getOrElse(Map.empty)
         m.dvs.foreach { case (f, (p, _)) =>
           if (!prevDvs.get(f).exists(_._1 == p))
             parts += tag(newlyMarked(g, f, p, prevDvs.get(f).map(_._1)),
-              "delete", g)
+              if (isUpdate) "update_preimage" else "delete", g)
         }
+        // append leg (UPDATE_MOR): the re-written rows are post-images
+        if (added.nonEmpty)
+          parts += tag(readAt(g, added),
+            if (isUpdate) "update_postimage" else "insert", g)
       } else if (!RowPreserving(m.disposition)) (added.nonEmpty, removed.nonEmpty) match {
         case (true, false) =>
           parts += tag(readAt(g, added), "insert", g)

@@ -64,6 +64,140 @@ object WarehouseDv {
     } finally in.close()
   }
 
+  /** MERGE-ON-READ UPDATE: rows matching `pred` are VECTORED OUT of
+    * their files and re-appended with the SET expressions applied — one
+    * atomic `UPDATE_MOR` generation whose write cost is the updated
+    * rows plus one bitmap per touched file, never a file rewrite (the
+    * symmetric counterpart of [[deleteWhereDv]]; OPTIMIZE later
+    * materializes both). The change feed classifies the commit exactly:
+    * newly-marked ordinals are `update_preimage`, appended files are
+    * `update_postimage`. Returns the exact updated row count. SQL NULL
+    * semantics; SET expressions cast to the declared column types.
+    */
+  def updateWhereMor(spark: SparkSession, root: String, pred: Filter,
+      set: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, when => fwhen}
+    val predCol = WarehouseCow.filterToColumn(pred)
+    val m = WarehouseMeta.readManifest(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-warehouse table at $root has no committed manifest"))
+    val cols = m.schema.fieldNames.toSet
+    val badCols = set.keys.filterNot(cols)
+    require(badCols.isEmpty,
+      s"SET names unknown column(s): ${badCols.mkString(",")}")
+    val affected = m.files.filter(f =>
+      WarehouseZoneMap.mightMatch(pred, m.stats.getOrElse(f, Map.empty)))
+    if (affected.isEmpty) return 0L
+    val fs = WarehouseMeta.fs(root)
+    val jobId = s"update_mor_${java.util.UUID.randomUUID().toString.take(8)}"
+    WarehouseMeta.logJobState(fs, root, jobId, "RUNNING")
+    try {
+      val dataDir = new Path(root, s"data/$jobId")
+      fs.mkdirs(dataDir)
+      val cond = coalesce(predCol, lit(false))
+      // leg 1: vector out the matching ordinals of each affected file
+      // (executor-built bitmaps, same discipline as deleteWhereDv)
+      import spark.implicits._
+      var updatedCount = 0L
+      val newDvs = affected.zipWithIndex.map { case (f, i) =>
+        val nRows = m.rows.getOrElse(f,
+          throw new IllegalStateException(s"file $f lacks frows"))
+        val wordsLen = ((nRows + 63) >>> 6).toInt
+        val oldDv = m.dvs.get(f).map(d => s"$root/${d._1}")
+        val rel = s"data/$jobId/dv-$i.dv"
+        val dst = s"$root/$rel"
+        val out = spark.read.format("graft-warehouse")
+          .option("path", root).option("files", f)
+          .option("generation", m.generation.toString)
+          .option("ignoreDeleteVectors", "true").load()
+          .withColumn("__pos", monotonically_increasing_id())
+          .filter(cond)
+          .select(fcol("__pos")).as[Long]
+          .mapPartitions { it =>
+            val words = new Array[Long](wordsLen)
+            val tfs = new Path(dst).getFileSystem(
+              new org.apache.hadoop.conf.Configuration())
+            oldDv.foreach { p =>
+              val ow = read(tfs, p)
+              System.arraycopy(ow, 0, words, 0, ow.length)
+            }
+            val before = popCount(words)
+            it.foreach { ord =>
+              words((ord >>> 6).toInt) |= 1L << (ord & 63)
+            }
+            val after = popCount(words)
+            val attempt = org.apache.spark.TaskContext.get()
+              .taskAttemptId()
+            val tmp = s"$dst.tmp-$attempt"
+            write(tfs, tmp, words)
+            Iterator.single((tmp, after, after - before))
+          }.collect()
+        require(out.length == 1,
+          s"expected one bitmap task for $f, got ${out.length}")
+        val (tmp, unionCount, delta) = out(0)
+        require(fs.rename(new Path(tmp), new Path(dst)),
+          s"cannot publish deletion vector $rel")
+        updatedCount += delta
+        f -> (rel, unionCount)
+      }.toMap
+      // leg 2: the updated rows re-append (LIVE rows only — the current
+      // vectors apply to this read) as fresh staged files with full
+      // stats/layout/blooms, exactly like any load
+      val updatedRows = WarehouseCow.readSubset(spark, root, affected)
+        .filter(cond)
+        .select(m.schema.fields.map { fld =>
+          set.get(fld.name) match {
+            case Some(e) =>
+              fexpr(e).cast(fld.dataType).as(fld.name)
+            case None => fcol(fld.name)
+          }
+        }.toIndexedSeq: _*)
+      val tmpRoot = s"$root/_mor_tmp_${java.util.UUID.randomUUID()}"
+      val moved =
+        try {
+          graft.io.Sink.overwrite(updatedRows, tmpRoot,
+            format = "graft-warehouse",
+            options = m.clusterBy.map("clusterBy" -> _).toMap ++
+              m.bloomConf.map { case (cs, b) =>
+                Map("bloomFilters" -> cs.mkString(","),
+                  "bloomBits" -> b.toString)
+              }.getOrElse(Map.empty))
+          val tm = WarehouseMeta.readManifest(tmpRoot).get
+          require(tm.schema.simpleString == m.schema.simpleString,
+            s"update rewrite schema drift: ${tm.schema.simpleString}")
+          tm.files.filter(f => tm.rows.getOrElse(f, 1L) > 0L).map { f =>
+            val name = new Path(f).getName
+            require(fs.rename(new Path(tmpRoot, f),
+              new Path(dataDir, name)),
+              s"update_mor $jobId: cannot move $f")
+            if (tm.blooms.get(f).exists(_.nonEmpty))
+              require(fs.rename(new Path(tmpRoot, s"$f.bloom"),
+                new Path(dataDir, s"$name.bloom")),
+                s"update_mor $jobId: cannot move bloom sidecar of $f")
+            (f, s"data/$jobId/$name", tm)
+          }
+        } finally WarehouseRewrite.rmTree(fs,
+          new Path(tmpRoot))
+      def rekey[V](get: Manifest => Map[String, V]): Map[String, V] =
+        get(m) ++ moved.flatMap { case (o, n, tm) => get(tm).get(o).map(n -> _) }
+      WarehouseMeta.writeManifest(fs, root, m.copy(
+        generation = m.generation + 1, jobId = jobId,
+        disposition = "UPDATE_MOR",
+        files = m.files ++ moved.map(_._2),
+        stats = rekey(_.stats), rows = rekey(_.rows),
+        parts = rekey(_.parts), nonNull = rekey(_.nonNull),
+        sums = rekey(_.sums), arity = rekey(_.arity),
+        blooms = rekey(_.blooms),
+        dvs = m.dvs ++ newDvs))
+      WarehouseMeta.logJobState(fs, root, jobId, "DONE")
+      updatedCount
+    } catch {
+      case e: Throwable =>
+        WarehouseMeta.logJobState(fs, root, jobId, s"ERROR ${e.getMessage}")
+        throw e
+    }
+  }
+
   /** DELETE rows matching `pred` using the full ladder: zone-provable
     * full-match files DROP as metadata, provable no-match files carry
     * untouched, and partial files get (or extend) a DELETION VECTOR —

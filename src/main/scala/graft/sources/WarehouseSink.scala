@@ -1965,7 +1965,7 @@ object WarehouseCow {
     }
   }
 
-  private def readSubset(spark: SparkSession, root: String,
+  private[sources] def readSubset(spark: SparkSession, root: String,
       files: Seq[String]): DataFrame = {
     require(files.forall(!_.contains(",")),
       "file name contains ',' — cannot pass through the files option")

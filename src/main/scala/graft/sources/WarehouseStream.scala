@@ -166,21 +166,30 @@ class WarehouseMicroBatchStream(root: String, streamSchema: StructType,
         m.disposition == "ADD_COLUMN" || m.disposition == "RENAME_COLUMN"
       if (rowPreserving) {
         () // moved/relabeled rows already delivered — nothing to emit
-      } else if (m.disposition == "DELETE_DV") {
-        // a deletion-vector commit removes rows INSIDE files (possibly
+      } else if (m.disposition == "DELETE_DV" ||
+          m.disposition == "UPDATE_MOR") {
+        // a vector commit removes/replaces rows INSIDE files (possibly
         // with zero file-set delta) — position-level, not file-granular
         if (cdcMode) throw new IllegalStateException(
-          s"generation $g of $root is a deletion-vector commit; the " +
-            "streaming change feed is file-granular — read this window " +
-            "with WarehouseCdc.tableChanges (it emits the vectored " +
-            "rows as deletes)")
-        if (!ignoreDeletes && !ignoreChanges)
-          throw new IllegalStateException(
-            s"generation $g of $root (DELETE_DV) removed rows via " +
-              "deletion vectors; an append-only stream cannot retract " +
-              "delivered rows — set ignoreDeletes=true to skip delete " +
-              "commits")
-        // skipped: nothing new to emit
+          s"generation $g of $root is a deletion-vector commit " +
+            s"(${m.disposition}); the streaming change feed is " +
+            "file-granular — read this window with " +
+            "WarehouseCdc.tableChanges (it classifies vectored rows)")
+        if (m.disposition == "DELETE_DV") {
+          if (!ignoreDeletes && !ignoreChanges)
+            throw new IllegalStateException(
+              s"generation $g of $root (DELETE_DV) removed rows via " +
+                "deletion vectors; an append-only stream cannot retract " +
+                "delivered rows — set ignoreDeletes=true to skip delete " +
+                "commits")
+          // skipped: nothing new to emit
+        } else { // UPDATE_MOR: vectored pre-images + appended post-images
+          if (!ignoreChanges) throw new IllegalStateException(
+            s"generation $g of $root (UPDATE_MOR) replaced rows via " +
+              "deletion vectors + appends; set ignoreChanges=true to " +
+              "re-emit the updated rows (at-least-once)")
+          plan(m.files.filterNot(prevFiles), m, "insert", g)
+        }
       } else if (cdcMode) {
         // CHANGE-FEED mode: deletes are data, not a refusal — emit
         // removed files (readable via time travel) tagged delete and

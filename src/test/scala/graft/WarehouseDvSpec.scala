@@ -114,6 +114,41 @@ class WarehouseDvSpec extends SparkSpec {
     assert(Sink.read(spark, path, "graft-warehouse").count() === 35L)
   }
 
+  test("merge-on-read UPDATE vectors pre-images and appends post-images " +
+    "in one commit; compound updates chain; the feed classifies both") {
+    val path = fresh("mor_upd")
+    Sink.overwrite(spark.range(40)
+      .select(col("id").as("k"), lit(1.0).as("v")).coalesce(1),
+      path, format = "graft-warehouse")
+    val updated = WarehouseDv.updateWhereMor(spark, path,
+      LessThan("k", 10L), Map("v" -> "9.0d"))
+    assert(updated === 10L)
+    val m1 = WarehouseMeta.readManifest(path).get
+    assert(m1.disposition === "UPDATE_MOR")
+    assert(m1.files.size === 2, "original file + appended post-images")
+    assert(m1.dvs.values.map(_._2).sum === 10L)
+    val after1 = Sink.read(spark, path, "graft-warehouse")
+    assert(after1.count() === 40L)
+    assert(after1.agg(sum(col("v"))).head().getDouble(0) ===
+      30 * 1.0 + 10 * 9.0)
+    val changes = WarehouseCdc.tableChanges(spark, path,
+      m1.generation - 1, m1.generation).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[Double]("v"))).toSet
+    assert(changes === (0L until 10L).flatMap(k =>
+      Seq(("update_preimage", k, 1.0), ("update_postimage", k, 9.0)))
+      .toSet)
+    // compound: a second MoR update overlapping both the original file
+    // (ordinals already vectored -> no recount) and the appended file
+    val u2 = WarehouseDv.updateWhereMor(spark, path,
+      LessThan("k", 5L), Map("v" -> "7.0d"))
+    assert(u2 === 5L)
+    val after2 = Sink.read(spark, path, "graft-warehouse")
+    assert(after2.count() === 40L)
+    assert(after2.agg(sum(col("v"))).head().getDouble(0) ===
+      30 * 1.0 + 5 * 9.0 + 5 * 7.0)
+  }
+
   test("a copy-on-write delete AFTER a vector delete counts only live " +
     "rows and carries the vector math through the rewrite") {
     val path = fresh("cowafter")
