@@ -1399,6 +1399,70 @@ object ReferenceQueries {
              |  FROM base WHERE band = 0
              |) ORDER BY gen, change_type""".stripMargin)),
 
+    // TABLE HISTORY (round-14): DESCRIBE HISTORY off the generation log
+    // — one metadata row per retained generation (disposition + exact
+    // live row count), zero data IO. The fixture reuses the CRUD tour
+    // shape (load, append, CoW update, metadata delete) so every live
+    // count is an orders expression the oracle recomputes; commit
+    // timestamps and jobIds are real but non-deterministic, so the
+    // declared query projects the deterministic columns (the API
+    // surfaces all of them).
+    QueryDef("scan_warehouse_history",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordhist_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        val banded = orders.withColumn("band", expr(s"o_orderkey div $w"))
+        val done = graft.sources.WarehouseMeta.readManifest(path)
+          .exists(m => m.generation == 3L && m.disposition == "DELETE")
+        if (!done) {
+          val fs = graft.sources.WarehouseMeta.fs(path)
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          Sink.overwrite(banded.filter(col("band") <= 3).repartition(1),
+            path, format = "graft-warehouse",
+            options = Map("clusterBy" -> "band"))
+          Sink.append(banded.filter(col("band") >= 4).repartition(1),
+            path, format = "graft-warehouse",
+            options = Map("clusterBy" -> "band"))
+          graft.sources.WarehouseCow.updateWhereCow(s, path,
+            org.apache.spark.sql.sources.LessThanOrEqual("band", 1L),
+            Map("o_totalprice" -> "o_totalprice + 500.0d"))
+          graft.sources.WarehouseDelete.deleteWhere(path,
+            org.apache.spark.sql.sources.EqualTo("band", 0L))
+        }
+        graft.sources.WarehouseCdc.history(s, path)
+          .select("generation", "disposition", "n_live_rows")
+          .orderBy("generation")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey
+             |      // ((SELECT max(o_orderkey) FROM orders) // 8 + 1)
+             |      AS band
+             |  FROM orders)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS BIGINT) AS generation,
+             |    'WRITE_TRUNCATE' AS disposition,
+             |    count(*) AS n_live_rows
+             |  FROM base WHERE band <= 3
+             |  UNION ALL
+             |  SELECT CAST(1 AS BIGINT), 'WRITE_APPEND', count(*)
+             |  FROM base
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT), 'UPDATE_COW', count(*)
+             |  FROM base
+             |  UNION ALL
+             |  SELECT CAST(3 AS BIGINT), 'DELETE', count(*)
+             |  FROM base WHERE band <> 0
+             |) ORDER BY generation""".stripMargin)),
+
     // BLOOM-FILTER FILE SKIPPING (round-14): point lookups on a
     // high-cardinality, non-clustered column are the case zone maps
     // cannot prune — a hash-scattered load leaves every file's

@@ -43,6 +43,30 @@ import org.apache.spark.sql.functions._
   */
 object WarehouseCdc {
 
+  /** DESCRIBE HISTORY for a warehouse table: one row per RETAINED
+    * generation (oldest first) with its disposition, file count, exact
+    * live row count when every file carries one, and commit time (the
+    * manifest's mtime — written once, atomically renamed). Metadata-only:
+    * O(generations) manifest reads, zero data IO, served through the
+    * parse cache a long-lived driver already holds.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val fs = WarehouseMeta.fs(root)
+    val rows = WarehouseMeta.generations(root).sorted.map { g =>
+      val m = WarehouseMeta.readManifest(root, Some(g)).get
+      val live =
+        if (m.files.forall(f => m.liveRows(f).isDefined))
+          m.files.map(f => m.liveRows(f).get).sum
+        else -1L
+      val ts = fs.getFileStatus(new org.apache.hadoop.fs.Path(root,
+        s"_manifest/manifest-$g")).getModificationTime
+      (g, m.jobId, m.disposition, m.files.size.toLong, live,
+        new java.sql.Timestamp(ts))
+    }
+    spark.createDataFrame(rows).toDF("generation", "job_id",
+      "disposition", "n_files", "n_live_rows", "committed_at")
+  }
+
   val ChangeTypeCol = "_change_type"
   val GenerationCol = "_commit_generation"
 

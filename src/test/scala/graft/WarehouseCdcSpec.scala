@@ -61,6 +61,26 @@ class WarehouseCdcSpec extends SparkSpec {
       (20 until 30).map(k => ("delete", 3L, k.toLong, 2.0)).toSet)
   }
 
+  test("history lists retained generations with live counts and real " +
+    "commit metadata; VACUUM shortens it") {
+    val path = fresh("hist")
+    Sink.overwrite(spark.range(10).select(col("id").as("k")).coalesce(1),
+      path, format = "graft-warehouse")
+    Sink.append(spark.range(10, 15).select(col("id").as("k")).coalesce(1),
+      path, format = "graft-warehouse")
+    val h = WarehouseCdc.history(spark, path).collect()
+    assert(h.map(r => (r.getAs[Long]("generation"),
+      r.getAs[String]("disposition"), r.getAs[Long]("n_files"),
+      r.getAs[Long]("n_live_rows"))).toSeq ===
+      Seq((0L, "WRITE_TRUNCATE", 1L, 10L), (1L, "WRITE_APPEND", 2L, 15L)))
+    assert(h.forall(r => r.getAs[String]("job_id").nonEmpty &&
+      r.getAs[java.sql.Timestamp]("committed_at") != null))
+    graft.ops.Maintenance.vacuumWarehouse(path, keepGenerations = 1)
+    assert(WarehouseCdc.history(spark, path).collect()
+      .map(_.getAs[Long]("generation")).toSeq === Seq(1L),
+      "history covers only retained generations")
+  }
+
   test("MERGE commits refuse without keyCols and classify exactly with " +
     "them") {
     val path = fresh("merge")
