@@ -1399,6 +1399,50 @@ object ReferenceQueries {
              |  FROM base WHERE band = 0
              |) ORDER BY gen, change_type""".stripMargin)),
 
+    // METADATA COLUMNS (round-14): `_file` / `_pos` give every row a
+    // durable physical address — the file it lives in and its ordinal
+    // there (the SAME ordinal deletion vectors mark, so it is stable
+    // across DV commits). They materialize only when projected: the
+    // fixture's one-band-per-file layout makes the per-band shape fully
+    // deterministic (one distinct file, ordinals 0..n-1), which the
+    // oracle recomputes from orders counts alone.
+    QueryDef("scan_warehouse_metadata_cols",
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val fpRow = orders
+          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
+            col("o_totalprice")))).head()
+        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
+          fpRow.getLong(1))}"
+        val path = s"/tmp/graft_wh_ordmeta_${dir
+          .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 8 + 1
+        if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
+          Sink.overwrite(orders
+            .withColumn("band", expr(s"o_orderkey div $w"))
+            .repartition(1), path, format = "graft-warehouse",
+            options = Map("clusterBy" -> "band"))
+        Sink.read(s, path, "graft-warehouse")
+          .select(col("band"), col("_file"), col("_pos"))
+          .groupBy("band")
+          .agg(countDistinct(col("_file")).as("n_files"),
+            count(lit(1)).as("n_rows"),
+            min(col("_pos")).as("min_pos"),
+            max(col("_pos")).as("max_pos"))
+          .orderBy("band")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey
+             |      // ((SELECT max(o_orderkey) FROM orders) // 8 + 1)
+             |      AS band
+             |  FROM orders)
+             |SELECT band, CAST(1 AS BIGINT) AS n_files,
+             |  count(*) AS n_rows, CAST(0 AS BIGINT) AS min_pos,
+             |  count(*) - 1 AS max_pos
+             |FROM base GROUP BY band ORDER BY band""".stripMargin)),
+
     // TABLE HISTORY (round-14): DESCRIBE HISTORY off the generation log
     // — one metadata row per retained generation (disposition + exact
     // live row count), zero data IO. The fixture reuses the CRUD tour

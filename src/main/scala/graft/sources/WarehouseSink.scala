@@ -108,7 +108,37 @@ class WarehouseTable(path: String, schema0: StructType,
     streamOpts: Map[String, String] = Map.empty)
     extends Table with SupportsWrite with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Row coordinates as METADATA COLUMNS: `_file` (the committed file's
+    * table-relative path) and `_pos` (the row's file ordinal — the SAME
+    * ordinal deletion vectors mark, so it is STABLE across DV commits:
+    * surviving rows keep their position forever). `SELECT _file, _pos`
+    * gives every row a durable physical address for lineage, debugging,
+    * and external position-delete tooling; the columns materialize only
+    * when projected (zero cost otherwise) and hide automatically if a
+    * data column claims the name.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "table-relative path of the committed file holding the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "row ordinal within its file (stable across deletion vectors)"
+      })
 
   /** SQL UPDATE / MERGE INTO (and row-level DELETE fallback) as
     * group-based copy-on-write — see [[WarehouseRowLevelOperation]]. */
@@ -1565,6 +1595,14 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
     // map each full-schema ordinal to its slot in the pruned row (-1 = skip)
     val slot: Array[Int] = fullSchema.fields.map(f =>
       required.fieldNames.indexOf(f.name))
+    // metadata-column slots (`_file`/`_pos`), live only when projected
+    // AND not shadowed by a data column of the same name
+    val fileSlot =
+      if (fullSchema.fieldNames.contains("_file")) -1
+      else required.fieldNames.indexOf("_file")
+    val posSlot =
+      if (fullSchema.fieldNames.contains("_pos")) -1
+      else required.fieldNames.indexOf("_pos")
     val fullTail: Array[Any] =
       if (tail.length == fullSchema.length) tail
       else new Array[Any](fullSchema.length)
@@ -1582,6 +1620,7 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
       // none) and the running file ordinal it indexes
       private var dvWords: Array[Long] = _
       private var ordinal = 0L
+      private var curFileRel: UTF8String = _
       private def openNext(): Boolean =
         if (queue.isEmpty) false
         else {
@@ -1589,6 +1628,9 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
           curArity = arity.getOrElse(file, fullSchema.length)
           dvWords = dv.get(file).map(WarehouseDv.read(fs, _)).orNull
           ordinal = 0L
+          if (fileSlot >= 0)
+            curFileRel = UTF8String.fromString(
+              file.stripPrefix(root).stripPrefix("/"))
           in = new DataInputStream(
             new java.io.BufferedInputStream(fs.open(new Path(file))))
           require(in.readInt() == WarehouseCodec.Magic,
@@ -1608,6 +1650,10 @@ class WarehouseReaderFactory(root: String, fullSchema: StructType,
             val ord = ordinal
             ordinal += 1
             if (dvWords == null || !WarehouseDv.isSet(dvWords, ord)) {
+              if (fileSlot >= 0) row.asInstanceOf[GenericInternalRow]
+                .update(fileSlot, curFileRel)
+              if (posSlot >= 0) row.asInstanceOf[GenericInternalRow]
+                .setLong(posSlot, ord)
               emitted += 1
               return true
             } // else: a deletion-vector'd ordinal — decoded and skipped

@@ -166,6 +166,28 @@ class WarehouseDvSpec extends SparkSpec {
     assert(Sink.read(spark, path, "graft-warehouse").count() === 30L)
   }
 
+  test("_file/_pos metadata columns give stable row coordinates: _pos " +
+    "survives a deletion vector with gaps, not renumbering") {
+    val path = fresh("metacols")
+    Sink.overwrite(spark.range(20).select(col("id").as("k")).coalesce(1),
+      path, format = "graft-warehouse")
+    val before = Sink.read(spark, path, "graft-warehouse")
+      .select(col("k"), col("_file"), col("_pos")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(before.values.map(_._1).toSet.size === 1, "one file")
+    assert(before.values.map(_._2).toSeq.sorted === (0L until 20L),
+      "ordinals are dense pre-delete")
+    WarehouseDv.deleteWhereDv(spark, path,
+      org.apache.spark.sql.sources.In("k", Array(3L, 7L, 11L)))
+    val after = Sink.read(spark, path, "graft-warehouse")
+      .select(col("k"), col("_pos")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size === 17)
+    assert(after.forall { case (k, p) => before(k)._2 == p },
+      "_pos must be STABLE across a DV commit (gaps, not renumbering)")
+    assert(!after.keySet.exists(Set(3L, 7L, 11L)))
+  }
+
   test("the streaming source refuses a DV commit by default, skips " +
     "under ignoreDeletes; streaming CDC points at the batch API") {
     val path = fresh("stream")
