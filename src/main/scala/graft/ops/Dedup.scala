@@ -583,7 +583,19 @@ object Dedup {
     // operator carried both documents' shingle arrays through the
     // exploded join and spent 94 s at sf0.1 shuffling them; the slim
     // form with identical output runs the same corpus in ~6 s.
+    // The per-doc aggregation's exchange is made EXPLICIT with a pinned
+    // partition count: hash(doc_id, N) satisfies the groupBy's required
+    // distribution, so this is the SAME single exchange the groupBy would
+    // plan — but AQE cannot coalesce a user-pinned repartition, so the
+    // candidate-generation map side below stays N-wide. Measured at
+    // sf0.1/local[32]: AQE coalesced the agg output to 3 partitions and
+    // the 100 MB candidate exchange ran 3-wide (2.5 s of a 4.6 s wall);
+    // pinned, the same stage runs 32-wide. N tracks
+    // spark.sql.shuffle.partitions, so cluster deployments scale it with
+    // their core count rather than inheriting a local constant.
     val sorted = tok.join(dfr, "g")
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ord"))
       .withColumn("sorted", transform(col("ord"), x => x("g")))
@@ -595,7 +607,11 @@ object Dedup {
         posexplode(slice(col("sorted"), lit(1), col("plen"))))
       .select(col("doc_id"), col("n"), col("pos"), col("col").as("pg"))
       // both sides of the self-join read this frame — one materialization
-      // instead of two sorted-array builds
+      // instead of two sorted-array builds. It inherits the pinned N-wide
+      // doc_id partitioning from `sorted`, keeping doc-id runs intact (a
+      // hash(pg) re-spread was measured 2.5× WORSE on shuffle bytes: the
+      // candidate exchange compresses doc-clustered rows 103 MB vs 250 MB
+      // scattered).
       .localCheckpoint(false)
     // Candidate pruning stack (all provably lossless at threshold t):
     //  - length filter IN the join condition: J ≥ t ⟹ |a∩b| ≥ t·|a∪b|
