@@ -148,7 +148,14 @@ object Clustering {
     // the off-diagonal cells afterwards. Cell values are exact decimal
     // sums, so the mirrored matrix is bit-identical to a full build and
     // the oracle (which builds the full Gram) needs no change.
-    val upper = emb
+    //
+    // The triangle build is the query's data-volume pass — dims²/2 decimal
+    // multiplies per row — and a single-file corpus arrives as ONE scan
+    // partition, serializing all of it on one core (measured ~9 s of task
+    // time at ≤2-way parallelism = ~5 s of the query's 5.6 s wall at
+    // sf0.1). Spread it before exploding; decimal sums are
+    // order-independent, so the result is bit-identical (guide §2.5).
+    val upper = graft.core.Parallelism.spread(emb, col("vec_id"))
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(col("i"), q(col("xi")).as("xi"),
         posexplode(expr("slice(embedding, i + 1, size(embedding))"))
