@@ -163,7 +163,13 @@ object ProfilingQueries {
     // The QA report every ingest of a 100 TB table should print.
     QueryDef("profile_table",
       (s, dir) => {
-        val t = Tables.read(s, dir, "orders")
+        // the multi-distinct aggregate plans an Expand (one projection per
+        // distinct column) over the scan — ~19× the row volume, all of it
+        // on ONE core when the single-file scan arrives as one partition
+        // (measured 3.4 s of task time on 1 of 32 cores at sf0.1). Spread
+        // first; the gate makes it a no-op on already-wide scans.
+        val t = graft.core.Parallelism.spread(
+          Tables.read(s, dir, "orders"), col("o_orderkey"))
         val aggs = count(lit(1)).as("n_rows") +: OrdersCols.flatMap {
           case (c, dt) => Seq(
             (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
