@@ -35,15 +35,37 @@ final case class Catalog(tables: Map[String, TableSpec]) {
   def read(spark: SparkSession, name: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val t = spec(name)
-    val df = spark.read.format(t.format)
-      .options(t.options - Catalog.TsNanosCol)
-      .load(t.path)
-    t.options.get(Catalog.TsNanosCol).fold(df)(Catalog.rebuildTs(df, _))
+    // Memoize the RESOLVED scan per (session, binding): `load()` re-lists
+    // the path and re-infers the parquet schema on every call — measured
+    // 70-100 ms of driver work per read (the footer-inference pass), paid
+    // hundreds of times per bench sweep for the same immutable testdata
+    // files. Caching the resolved relation is table-catalog behavior
+    // (Spark's own `spark.table` caches resolved relations; path reads do
+    // not) and reuses only METADATA — the DataFrame is a lazy plan, so
+    // every action still computes from the parquet files. Bindings whose
+    // physical files can change mid-session (warehouse generations, REST
+    // page fixtures) do not resolve through this catalog path.
+    Catalog.scanCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    Catalog.scanCache.computeIfAbsent((spark, t), { _ =>
+      val df = spark.read.format(t.format)
+        .options(t.options - Catalog.TsNanosCol)
+        .load(t.path)
+      t.options.get(Catalog.TsNanosCol).fold(df)(Catalog.rebuildTs(df, _))
+    })
   }
 }
 
 object Catalog {
   val TsNanosCol = "tsNanosCol"
+
+  /** Resolved-scan memo, keyed by (session, full physical binding).
+    * Sessions come and go in specs — key on the session object so a
+    * stopped session's entries can never serve a live one; the map stays
+    * tiny (≤ sessions × tables) and holds only lazy plans.
+    */
+  private val scanCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, TableSpec),
+      DataFrame]()
 
   /** Adaptive µs-timestamp rebuild for a column whose physical type has
     * varied across testdata generations: parquet TIMESTAMP(NANOS) arrives

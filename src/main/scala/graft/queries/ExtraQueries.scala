@@ -283,7 +283,7 @@ object ExtraQueries {
         if (!compacted.exists())
           graft.ops.Maintenance.compact(s, frag.getPath,
             compacted.getPath, 8L << 20)
-        s.read.parquet(compacted.getPath)
+        graft.core.Fixtures.scan(s, compacted.getPath)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast("decimal(18,6)")).cast("double")
@@ -369,7 +369,7 @@ object ExtraQueries {
             require(root.exists(), s"atomic move to $root failed")
           }
         }
-        val stats = s.read.parquet(statsPath)
+        val stats = graft.core.Fixtures.scan(s, statsPath)
         graft.io.StatsIndex.prunedScan(s, tablePath, stats, "o_orderdate",
             lo, hi)
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
@@ -428,7 +428,7 @@ object ExtraQueries {
             require(root.exists(), s"atomic move to $root failed")
           }
         }
-        val stats = s.read.parquet(statsPath)
+        val stats = graft.core.Fixtures.scan(s, statsPath)
         graft.io.StatsIndex.prunedScanMulti(s, tablePath, stats,
             Seq(("o_custkey", ckLo, ckHi), ("o_dkey", dLo, dHi)))
           .agg(count(lit(1)).as("n_orders"),

@@ -51,16 +51,20 @@ object GraphFixtures {
     * table. Two narrow column scans — parquet reads only the two key
     * columns each — and zero shuffles (partial sums combine map-side).
     */
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val l = Tables.read(s, dir, "lineitem")
-      .agg(count(lit(1)), sum(hash(col("l_orderkey"), col("l_suppkey"))))
-      .head()
-    val o = Tables.read(s, dir, "orders")
-      .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"))))
-      .head()
-    def hx(v: Long) = java.lang.Long.toHexString(v)
-    s"${l.getLong(0)}_${hx(l.getLong(1))}_${o.getLong(0)}_${hx(o.getLong(1))}"
-  }
+  private def fingerprint(s: SparkSession, dir: String): String =
+    // memoized per session: two aggregate ACTIONS per call, re-paid by
+    // every graph query on every bench pass for inputs that cannot change
+    // within a session (graft.core.SessionMemo)
+    graft.core.SessionMemo(s, s"graphfp_$dir") {
+      val l = Tables.read(s, dir, "lineitem")
+        .agg(count(lit(1)), sum(hash(col("l_orderkey"), col("l_suppkey"))))
+        .head()
+      val o = Tables.read(s, dir, "orders")
+        .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"))))
+        .head()
+      def hx(v: Long) = java.lang.Long.toHexString(v)
+      s"${l.getLong(0)}_${hx(l.getLong(1))}_${o.getLong(0)}_${hx(o.getLong(1))}"
+    }
 
   /** Get-or-create a parquet artifact at a fingerprint-keyed path: build
     * into a staging dir, atomically rename into place, tolerate losing the
@@ -80,7 +84,11 @@ object GraphFixtures {
         require(f.exists(), s"atomic move to $f failed")
       }
     }
-    s.read.parquet(f.getPath)
+    // memoized resolved scan (the path embeds the content fingerprint, so
+    // a regenerated corpus resolves a NEW path): re-resolving costs a
+    // listing + schema-inference pass per call (graft.core.Catalog memo
+    // rationale, applied to fixture artifacts)
+    graft.core.SessionMemo(s, s"scan_${f.getPath}")(s.read.parquet(f.getPath))
   }
 
   private def fixtureKey(dir: String, s: SparkSession): String =

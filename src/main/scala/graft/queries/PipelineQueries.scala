@@ -817,10 +817,7 @@ object PipelineQueries {
         // change under unchanged ids) — the same content-stamp discipline
         // as the warehouse fixtures hashing their value columns. One tiny
         // agg job, amortized across probe runs.
-        val fpRow = emb.agg(count(lit(1)),
-          sum(hash(col("vec_id"), col("embedding")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(emb, col("vec_id"), col("embedding"))
         val q = new java.io.File(
           s"/tmp/graft_ivfq_${dir.replaceAll("[^0-9a-zA-Z]", "_")}_$fp")
         if (!q.exists()) {
@@ -837,7 +834,7 @@ object PipelineQueries {
           }
         }
         Similarity.ivfTrainedTopK(emb, nQueries = 5, k = 3, nlists = 8,
-          nprobe = 2, iters = 1, centroids = Some(s.read.parquet(q.getPath)))
+          nprobe = 2, iters = 1, centroids = Some(graft.core.Fixtures.scan(s, q.getPath)))
       },
       Some(ivfTrainedOracle())),
 
@@ -1032,10 +1029,7 @@ object PipelineQueries {
         val emb = Tables.read(s, dir, "embeddings")
         // content stamp folds the embedding VALUES, not just the ids
         // (advice r13) — regenerated vectors under unchanged ids refit
-        val fpRow = emb.agg(count(lit(1)),
-          sum(hash(col("vec_id"), col("embedding")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(emb, col("vec_id"), col("embedding"))
         val root = new java.io.File(
           s"/tmp/graft_annrec_${dir.replaceAll("[^0-9a-zA-Z]", "_")}_$fp")
         if (!root.exists()) {
@@ -1055,10 +1049,10 @@ object PipelineQueries {
           }
         }
         Similarity.annRecall(emb, nQueries = 5, k = 3,
-          ivfLists = Some(s.read.parquet(s"${root.getPath}/ivf_lists")),
+          ivfLists = Some(graft.core.Fixtures.scan(s, s"${root.getPath}/ivf_lists")),
           pqTrained = Some((
-            s.read.parquet(s"${root.getPath}/pq_codebooks"),
-            s.read.parquet(s"${root.getPath}/pq_codes"))))
+            graft.core.Fixtures.scan(s, s"${root.getPath}/pq_codebooks"),
+            graft.core.Fixtures.scan(s, s"${root.getPath}/pq_codes"))))
       },
       Some(annRecallOracle)),
 

@@ -58,7 +58,7 @@ object ReferenceQueries {
             .withColumn("fy", year(col("o_orderdate")))
             .write.mode("overwrite").partitionBy("fy").parquet(cache)
         }
-        s.read.parquet(cache)
+        graft.core.Fixtures.scan(s, cache)
           .filter(col("fy") === 1995)
           .select(col("o_orderkey"), col("fy").cast("long").as("fy"),
             col("o_totalprice"))
@@ -460,11 +460,7 @@ object ReferenceQueries {
         // Cache key covers EVERY persisted column, not just the key set: a
         // regenerated corpus with the same keys but different values must
         // miss the /tmp fixture (GraphFixtures discipline).
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_orders_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
@@ -497,11 +493,7 @@ object ReferenceQueries {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_orderpriority", "o_totalprice")
         // Same full-column cache key as scan_warehouse_pruned above.
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_orderpriority"), col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordstr_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
@@ -539,11 +531,7 @@ object ReferenceQueries {
         // Full-column cache key (GraphFixtures discipline); a distinct
         // path from scan_warehouse_pruned so the manifest carries the
         // round-12 frows metadata even where an older fixture survives.
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         // v2 suffix: the fixture must carry the fnn/fsum manifest lines
         // (an older fixture would gracefully refuse the SUM/COUNT(col)
         // serve and fall back to a real scan — correct but unexercised)
@@ -581,11 +569,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_orderpriority", "o_custkey")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_orderpriority"), col("o_custkey")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_orderpriority"), col("o_custkey"))
         val path = s"/tmp/graft_wh_ordgrp_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
@@ -620,11 +604,7 @@ object ReferenceQueries {
         val orders = Tables.read(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
             pmod(col("o_orderkey"), lit(8L)).as("bucket"))
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_orddel_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
@@ -659,11 +639,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordagg2_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
@@ -690,11 +666,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordagg2_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
@@ -727,11 +699,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordopt_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         // fixture = the steady-state streaming-sink shape: 2 big load
@@ -789,11 +757,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordvac_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         if (graft.sources.WarehouseMeta.readManifest(path).isEmpty) {
@@ -849,11 +813,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordcow2_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -908,11 +868,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordmrg2_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -983,11 +939,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordcdc_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1059,11 +1011,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordstream_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1117,11 +1065,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordmrg_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val cat = s"gmrg_$fp"
@@ -1213,11 +1157,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordmor_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1277,11 +1217,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordumor_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1335,11 +1271,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordcdf_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1410,11 +1342,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordmeta_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1455,11 +1383,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordhist_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1522,11 +1446,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordbloom_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
@@ -1569,11 +1489,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordscdf_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1646,11 +1562,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordcat_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val cat = s"gcat_$fp"
@@ -1718,11 +1630,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val src = s"/tmp/graft_wh_ordsink_src_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val dst = s"/tmp/graft_wh_ordsink_dst_${dir
@@ -1773,11 +1681,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordupd_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1830,11 +1734,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordevo2_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1919,10 +1819,7 @@ object ReferenceQueries {
             pmod(col("c_custkey"), lit(64L)).as("bucket"))
         def fixture(df: org.apache.spark.sql.DataFrame, tag: String,
             fpCols: Seq[String]): String = {
-          val fpRow = df.agg(count(lit(1)),
-            sum(hash(fpCols.map(col): _*))).head()
-          val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-            fpRow.getLong(1))}"
+          val fp = graft.core.Fixtures.contentFp(df, fpCols.map(col): _*)
           val path = s"/tmp/graft_wh_spj${tag}_${dir
             .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
           if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
@@ -1963,11 +1860,7 @@ object ReferenceQueries {
       (s, dir) => {
         val orders = Tables.read(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
-        val fpRow = orders
-          .agg(count(lit(1)), sum(hash(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice")))).head()
-        val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(
-          fpRow.getLong(1))}"
+        val fp = graft.core.Fixtures.contentFp(orders, col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         val path = s"/tmp/graft_wh_ordrt_${dir
           .replaceAll("[^0-9a-zA-Z]", "_")}_$fp"
         if (graft.sources.WarehouseMeta.readManifest(path).isEmpty)
