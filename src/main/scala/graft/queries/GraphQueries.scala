@@ -241,8 +241,8 @@ object GraphQueries {
     // no path explosion — and takes min(d).
     QueryDef("graph_hop_distance",
       (s, dir) => {
-        Graph.hopDistances(GraphFixtures.edges(s, dir),
-            col("node") < 5, rounds = 4)
+        Graph.hopDistances(GraphFixtures.edgesSymDistinct(s, dir),
+            col("node") < 5, rounds = 4, presymmetrized = true)
           .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
           .orderBy("hop")
       },
@@ -382,7 +382,8 @@ object GraphQueries {
     // oracle unrolls the identical rounds.
     QueryDef("graph_kcore",
       (s, dir) => {
-        Graph.kcore(GraphFixtures.edges(s, dir), k = 8, rounds = 3)
+        Graph.kcore(GraphFixtures.edgesSymDistinct(s, dir), k = 8,
+            rounds = 3, presymmetrized = true)
           .groupBy("core_degree").agg(count(lit(1)).as("n_nodes"))
           .orderBy("core_degree")
       },
@@ -438,10 +439,11 @@ object GraphQueries {
         // is a parquet scan, and the LABELS are the same frame
         // graph_community_lp propagated — modularity scores the partition
         // it was handed instead of re-running label propagation
-        val base = GraphFixtures.edges(s, dir)
-        val e2 = base.select("src", "dst")
-          .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct().localCheckpoint()
+        // the symmetric-distinct adjacency is the family-shared persisted
+        // fixture too (the closeness/hop_distance discipline) — the
+        // per-query doubled-edge distinct+checkpoint disappears; a plain
+        // parquet scan feeds the three aggregates
+        val e2 = GraphFixtures.edgesSymDistinct(s, dir)
         val labels = GraphFixtures.lpLabels(s, dir, rounds = 3)
         val mDf = e2.agg(expr("count(1) div 2").as("m"))
         val deg = e2.groupBy("src").agg(count(lit(1)).as("d"))
@@ -622,9 +624,8 @@ object GraphQueries {
     // identical-double-formula discipline from agg_corr_matrix.
     QueryDef("graph_assortativity",
       (s, dir) => {
-        val base = GraphFixtures.edges(s, dir)
-        val e = base.unionByName(base.select(col("dst").as("src"),
-          col("src").as("dst"))).distinct().localCheckpoint()
+        // persisted symmetric-distinct adjacency (see graph_modularity)
+        val e = GraphFixtures.edgesSymDistinct(s, dir)
         val deg = e.groupBy(col("src").as("node"))
           .agg(count(lit(1)).cast("decimal(18,0)").as("deg"))
         val pairs = e
@@ -678,9 +679,8 @@ object GraphQueries {
     // degree agg → degree histogram; every stage key-bounded.
     QueryDef("graph_degree_hist",
       (s, dir) => {
-        val base = GraphFixtures.edges(s, dir)
-        val e = base.unionByName(base.select(col("dst").as("src"),
-          col("src").as("dst"))).distinct()
+        // persisted symmetric-distinct adjacency (see graph_modularity)
+        val e = GraphFixtures.edgesSymDistinct(s, dir)
         e.groupBy("src").agg(count(lit(1)).as("degree"))
           .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
           .orderBy("degree")
