@@ -83,6 +83,13 @@ object Dedup {
       .withColumn("bd", explode(array(bandStructs: _*)))
       .select(col("doc_id") +: col("bd.band").as("band") +:
         col("bd.bh").as("bh") +: sigCols: _*)
+      // LAZY materialization: every consumer self-joins this frame (or
+      // probes it twice), and Catalyst does NOT reuse the two sides'
+      // exchanges (plan audit: 4 parquet scans of documents in
+      // dedup_ngram_jaccard — the whole tokenize+shingle+md5+minhash
+      // pipeline ran TWICE per query). One set of blocks, computed inside
+      // the first consuming job, feeds both sides.
+      .localCheckpoint(false)
   }
 
   /** MinHash + LSH banding: band-hash the signature 4×4, self-join on
@@ -499,8 +506,12 @@ object Dedup {
   }
 
   def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    // lazy-materialized: the shingle frame feeds BOTH verify join-backs
+    // and Catalyst does not reuse their exchanges (plan audit: the
+    // tokenize+shingle pass ran twice per query without this)
     val sh = withTokens(docs).select(col("doc_id"),
       bigramShingles(col("t")).as("shingles"))
+      .localCheckpoint(false)
     val cand = lshCandidates(docs)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
@@ -516,8 +527,12 @@ object Dedup {
   }
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // lazy-materialized: the shingle frame feeds BOTH verify join-backs
+    // and Catalyst does not reuse their exchanges (plan audit: the
+    // tokenize+shingle pass ran twice per query without this)
     val sh = withTokens(docs).select(col("doc_id"),
       bigramShingles(col("t")).as("shingles"))
+      .localCheckpoint(false)
     val cand = lshCandidates(docs)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
