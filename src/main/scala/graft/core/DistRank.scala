@@ -33,7 +33,11 @@ object DistRank {
     * `df` + a `partitions`-row offset broadcast; no global sort.
     */
   def withRowNumber(df: DataFrame, outCol: String, order: Column*)
-      : DataFrame = withRowNumber(df, outCol, 32, order: _*)
+      : DataFrame = withRowNumber(df, outCol,
+    // scale-adaptive default: spark.sql.shuffle.partitions (the bench
+    // pins it to the core count; a cluster sizes it to the data) — a
+    // hard-coded 32 was right locally and wrong everywhere else
+    df.sparkSession.sessionState.conf.numShufflePartitions, order: _*)
 
   def withRowNumber(df: DataFrame, outCol: String, partitions: Int,
       order: Column*): DataFrame = {

@@ -49,7 +49,9 @@ object Evaluate {
       .groupBy(col(scoreCol).as("score"))
       .agg(sum(col(labelCol)).cast("long").as("np"),
         (count(lit(1)) - sum(col(labelCol))).cast("long").as("nn"))
-    val parted = perS.repartitionByRange(32, col("score"))
+    val parted = perS.repartitionByRange(
+      scored.sparkSession.sessionState.conf.numShufflePartitions,
+      col("score"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint() // pin pid across the frame's two consumers
     val offs = parted.groupBy("pid").agg(sum(col("nn")).as("pnn"))

@@ -277,7 +277,9 @@ object CurationQueries {
         val docs = Tables.read(s, dir, "documents")
           .select(col("doc_id"), col("n_chars"))
         val parted = docs
-          .repartitionByRange(32, col("n_chars").desc, col("doc_id"))
+          .repartitionByRange(
+            s.sessionState.conf.numShufflePartitions,
+            col("n_chars").desc, col("doc_id"))
           .withColumn("pid", spark_partition_id())
           .localCheckpoint()
         val offs = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))

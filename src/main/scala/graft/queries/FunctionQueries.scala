@@ -332,7 +332,8 @@ object FunctionQueries {
           .select(col("l_extendedprice").as("x"),
             col("l_orderkey").as("k1"), col("l_linenumber").as("k2"))
         val parted = sampled
-          .repartitionByRange(32, col("x"), col("k1"), col("k2"))
+          .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+            col("x"), col("k1"), col("k2"))
           .withColumn("pid", spark_partition_id())
           .localCheckpoint()
         val offs = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
@@ -455,7 +456,8 @@ object FunctionQueries {
           .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
             .cast("long").as("cents"))
         val parted = rev
-          .repartitionByRange(32, col("cents"), col("o_custkey"))
+          .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+            col("cents"), col("o_custkey"))
           .withColumn("pid", spark_partition_id())
           .localCheckpoint()
         val offs = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))

@@ -757,7 +757,8 @@ object MlQueries {
         // quadratic work on one task. THRESHOLDED levenshtein (the
         // join_fuzzy verify discipline): banded DP abandons a pair once the
         // distance must exceed 2 — O(k·n) per comparison, −1 past the band.
-        a.repartition(32, col("blk")).join(b, "blk")
+        a.repartition(s.sessionState.conf.numShufflePartitions,
+            col("blk")).join(b, "blk")
           .select(col("a_id"), col("b_id"),
             levenshtein(col("a_name"), col("b_name"), 2).as("lev"))
           .filter(col("lev") >= 0)
