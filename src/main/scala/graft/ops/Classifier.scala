@@ -79,10 +79,6 @@ object Classifier {
             .as(s"x$j")): _*)
   }
 
-  /** margin (ppm) of one row against weight columns w0..w4. */
-  private def margin: Column =
-    expr(s"(w0 * $S + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4) div $S")
-
   /** fast sigmoid in ppm: 5e5 + m*5e5 div (1e6 + |m|) — integer multiply
     * + truncating `div` only (a double `/` here could flip a boundary
     * value vs the oracle's integer `//`).
@@ -94,49 +90,67 @@ object Classifier {
     * score every document: (doc_id, y, score_ppm, pred). Deterministic,
     * engine-exact; see the object doc for the arithmetic contract.
     */
+  /** margin (ppm) of one row against DRIVER weights injected as BIGINT
+    * literals — numerically identical to the old broadcast-column form
+    * (same long arithmetic, same truncating `div`).
+    */
+  private def marginOf(w: Array[Long]): Column =
+    expr(s"(CAST(${w(0)} AS BIGINT) * $S" +
+      (1 to 4).map(j => s" + CAST(${w(j)} AS BIGINT) * x$j").mkString +
+      s") div $S")
+
   def trainAndScore(docs: DataFrame, iters: Int = 8,
       lrPpm: Long = 3000000L): DataFrame = {
     require(iters >= 1, s"trainAndScore needs at least one iteration: $iters")
     val fx = features(docs).localCheckpoint()
 
-    // weights: ONE row (w0 bias + w1..w4), ppm
-    var w = fx.sparkSession.range(1)
-      .select((0 to 4).map(j => lit(0L).as(s"w$j")): _*)
-
+    // Weights are a DRIVER-BOUNDED artifact — five longs — iterated in
+    // exact BigInteger arithmetic that mirrors the engine expressions
+    // step for step (BigInteger.divide truncates toward zero exactly
+    // like Spark's IntegralDivide on integral decimals; the lr multiply
+    // is unbounded, subsuming the old DECIMAL(38,0) widening). Same
+    // bounded-artifact class as the PCA power loop and the BPE merge
+    // table. Before: each iteration paid a 1-row checkpoint job plus two
+    // broadcast builds around the gradient pass (39 jobs/query, ~1.2 s
+    // of driver gaps at sf0.1); now it pays exactly ONE action — the
+    // gradient collect. Per-iteration data-volume work (one corpus pass,
+    // map-side partial agg) is unchanged.
+    val w = Array.fill(5)(0L)
     for (_ <- 1 to iters) {
-      val withP = fx.crossJoin(broadcast(w))
-        .withColumn("m", margin)
+      val withP = fx
+        .withColumn("m", marginOf(w))
         .withColumn("p", probPpm)
         .withColumn("e", col("y") * lit(S) - col("p"))
       // exact decimal gradient sums; one global agg, map-side partials
-      val grads = withP.agg(
+      val g = withP.agg(
         sum(col("e").cast("decimal(38,0)")).as("g0"),
         sum((col("e") * col("x1")).cast("decimal(38,0)")).as("g1"),
         sum((col("e") * col("x2")).cast("decimal(38,0)")).as("g2"),
         sum((col("e") * col("x3")).cast("decimal(38,0)")).as("g3"),
         sum((col("e") * col("x4")).cast("decimal(38,0)")).as("g4"),
-        count(lit(1)).as("n"))
-      // w_j += lr * avg(e * x_j) / S  — every step truncating, mirrored
-      // 1:1 in the oracle CTEs. g0's x is the implicit bias input S.
-      // The lr multiply runs in DECIMAL(38,0): `div` yields BIGINT (peak
-      // |avg grad·S| ~1e12), and a bare int64 product would silently
-      // wrap for lrPpm above ~9.2e6 while the oracle's HUGEINT path
-      // doesn't — widening makes the two engines agree at ANY lr instead
-      // of only below the wrap point. The outer `div` lands back in
-      // BIGINT weight range.
-      val wcols = expr(s"""w0 + (CAST($lrPpm AS DECIMAL(38,0))
-          | * ((g0 * $S) div n)) div ${S * S}""".stripMargin)
-        .cast("long").as("w0") +:
-        (1 to 4).map(j =>
-          expr(s"""w$j + (CAST($lrPpm AS DECIMAL(38,0))
-              | * (g$j div n)) div ${S * S}""".stripMargin)
-            .cast("long").as(s"w$j"))
-      w = w.crossJoin(broadcast(grads)).select(wcols: _*)
-        .localCheckpoint() // 1 row; truncate the iterative lineage
+        count(lit(1)).as("n")).head()
+      // w_j += lr * avg(e * x_j) / S — every step truncating toward zero,
+      // mirrored 1:1 in the oracle CTEs. g0's x is the implicit bias
+      // input S. An empty corpus leaves the weights untouched (the final
+      // projection is empty regardless, matching the old NULL-weight
+      // path's empty output).
+      val n = g.getLong(5)
+      if (n > 0) {
+        import java.math.BigInteger
+        val lr = BigInteger.valueOf(lrPpm)
+        val sB = BigInteger.valueOf(S)
+        val s2 = sB.multiply(sB)
+        val nB = BigInteger.valueOf(n)
+        def gi(i: Int) = g.getDecimal(i).toBigInteger
+        w(0) += lr.multiply(gi(0).multiply(sB).divide(nB)).divide(s2)
+          .longValueExact()
+        for (j <- 1 to 4)
+          w(j) += lr.multiply(gi(j).divide(nB)).divide(s2).longValueExact()
+      }
     }
 
-    fx.crossJoin(broadcast(w))
-      .withColumn("m", margin)
+    fx
+      .withColumn("m", marginOf(w))
       .withColumn("score_ppm", probPpm)
       .select(col("doc_id"), col("y"), col("score_ppm"),
         (col("score_ppm") >= lit(S / 2)).cast("boolean").as("pred"))
