@@ -133,8 +133,16 @@ object TextAnalysis {
     * gated earlier by the length filters (`curation_funnel`).
     */
   def dupSpans(docs: DataFrame): DataFrame = {
+    // the decontaminate discipline, applied here too: the tokenize +
+    // 8-gram explode feeds TWO consumers (DF aggregate + join back), so
+    // materialize it once; and the span is only ever compared for
+    // EQUALITY, so 8-byte xxhash64 keys replace ~50-byte strings through
+    // the checkpoint and both shuffles (collision odds 2⁻⁶⁴-class, the
+    // accepted MinHash-band trade)
     val sh = withTokens(docs)
-      .select(col("doc_id"), explode(octograms).as("sh"))
+      .select(col("doc_id"), explode(octograms).as("shs"))
+      .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
+      .localCheckpoint(false)
     // per-doc distinct shingles => count(1) per shingle IS document freq
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     sh.join(df, "sh")
