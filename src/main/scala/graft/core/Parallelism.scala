@@ -27,11 +27,21 @@ object Parallelism {
   /** `df` hash-repartitioned on `key` iff its current plan parallelism is
     * below half the session's default parallelism; identity otherwise.
     */
-  def spread(df: DataFrame, key: Column): DataFrame = {
+  def spread(df: DataFrame, key: Column): DataFrame =
+    spread(df, key, df.sparkSession.sessionState.conf.numShufflePartitions)
+
+  /** As [[spread]] with an explicit width — for paths whose downstream
+    * stages inherit the checkpointed partitioning and pay a fixed
+    * per-task cost per consumer stage, a moderate width (e.g. a quarter
+    * of the shuffle width) can beat the full one: the heavy map-side
+    * work still parallelizes while the many cheap downstream stages
+    * schedule 4× fewer tasks. Measured per call site.
+    */
+  def spread(df: DataFrame, key: Column, parts: Int): DataFrame = {
     val sess = df.sparkSession
     val cores = sess.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(2, cores / 2))
-      df.repartition(sess.sessionState.conf.numShufflePartitions, key)
+      df.repartition(math.max(2, parts), key)
     else df
   }
 }

@@ -55,11 +55,19 @@ object Clustering {
     * components quantized to DECIMAL(12,8) so every downstream sum is
     * order-independent and bit-identical to the DuckDB oracle.
     */
-  private[graft] def explodeDecimal(emb: DataFrame): DataFrame = emb
-    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-    .select(col("vec_id"), col("dim"),
-      col("x").cast("double").cast("decimal(12,8)").as("xq"))
-    .localCheckpoint()
+  private[graft] def explodeDecimal(emb: DataFrame): DataFrame =
+    // moderate spread (quarter width): the explode materialization was a
+    // serialized 0.3-0.9 s single task per call on a one-partition scan,
+    // but its MANY cheap downstream consumer stages pay a fixed per-task
+    // cost — full shuffle-width spread measured WORSE (kmeans 2.1→3.0 s,
+    // 277 tasks of overhead); width/4 parallelizes the explode without
+    // the task-count blowup. No-op on already-wide scans.
+    graft.core.Parallelism.spread(emb, col("vec_id"),
+        emb.sparkSession.sessionState.conf.numShufflePartitions / 4)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        col("x").cast("double").cast("decimal(12,8)").as("xq"))
+      .localCheckpoint()
 
   private[graft] def kmeansFit(emb: DataFrame, k: Int, iters: Int,
       initSeed: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
